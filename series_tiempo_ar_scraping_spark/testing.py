@@ -1,0 +1,122 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs each catalog query on Spark and its oracle on DuckDB over the same
+parquet tables, then compares row count, (sorted) column names, and an
+order-insensitive canonicalization of all values — strict string equality,
+no tolerance, because the queries are written to be bit-deterministic
+(see queries.py module docstring).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+import pandas as pd
+
+from series_tiempo_ar_scraping_spark.session import table_path
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Connection with the driver's pre-registered table views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        v = v.replace(tzinfo=None)
+        if v.time() == _dt.time(0, 0):
+            # DuckDB fetchdf renders DATE as midnight datetime64 — collapse
+            # so date-typed results compare equal across engines.
+            return v.date().isoformat()
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_value(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for v in row:
+            if v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, pd.Timestamp):
+                vals.append(_canon_value(v.to_pydatetime()))
+            else:
+                vals.append(_canon_value(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+def compare_query(spark, sf_dir: str, name: str) -> dict:
+    """Run one catalog query both ways; return a result dict."""
+    from series_tiempo_ar_scraping_spark.queries import ORACLES, QUERIES
+
+    sdf = QUERIES[name](spark, sf_dir)
+    spark_pd = sdf.toPandas()
+    res: dict = {"name": name, "rows": len(spark_pd)}
+    if name not in ORACLES:
+        res["status"] = "rows_only"
+        res["match"] = len(spark_pd) >= 0
+        return res
+    con = duckdb_connection(sf_dir)
+    try:
+        duck_pd = con.execute(ORACLES[name]).fetchdf()
+    finally:
+        con.close()
+    res["oracle_rows"] = len(duck_pd)
+    s_cols, d_cols = sorted(spark_pd.columns), sorted(duck_pd.columns)
+    if s_cols != d_cols:
+        res.update(status="schema_mismatch", match=False, spark_cols=s_cols, duck_cols=d_cols)
+        return res
+    s_can, d_can = canonicalize(spark_pd), canonicalize(duck_pd)
+    if s_can == d_can:
+        res.update(status="ok", match=True)
+    else:
+        diff = [
+            (a, b) for a, b in zip(s_can, d_can) if a != b
+        ][:3] if len(s_can) == len(d_can) else []
+        res.update(
+            status="value_mismatch",
+            match=False,
+            n_spark=len(s_can),
+            n_duck=len(d_can),
+            sample_diff=diff,
+            spark_head=s_can[:2],
+            duck_head=d_can[:2],
+        )
+    return res

@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Fast iteration loop: run catalog queries vs DuckDB oracles.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from series_tiempo_ar_scraping_spark.queries import QUERIES  # noqa: E402
+from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
+from series_tiempo_ar_scraping_spark.testing import compare_query  # noqa: E402
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a] or list(QUERIES)
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(QUERIES)}")
+        return 2
+    spark = get_spark("check-queries", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = []
+    for name in names:
+        r = compare_query(spark, sf_dir, name)
+        flag = "OK " if r["match"] else "FAIL"
+        print(f"[{flag}] {name}: {r['status']} rows={r.get('rows')}", flush=True)
+        if not r["match"]:
+            failed.append(name)
+            for k in ("spark_cols", "duck_cols", "n_spark", "n_duck", "sample_diff", "spark_head", "duck_head"):
+                if k in r:
+                    print(f"    {k}: {r[k]}")
+    print(f"\n{len(names) - len(failed)}/{len(names)} ok; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
