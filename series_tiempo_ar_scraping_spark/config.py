@@ -84,4 +84,6 @@ METHOD_EXCEL = "excel"
 METHOD_UNKNOWN = "unknown"
 
 TXT_EXTENSIONS = ["txt"]
-EXCEL_EXTENSIONS = ["xls", "xlsx"]
+# jsonl = the engine's cells-grid landing format (a pre-extracted workbook);
+# routed like Excel since it feeds the same scraping path (sources/cells.py).
+EXCEL_EXTENSIONS = ["xls", "xlsx", "jsonl"]

@@ -1,0 +1,302 @@
+"""EP1 — the full catalog ETL as a declarative pipeline.
+
+The reference interleaves planning and effects (constructing a ``Catalog``
+already downloads, validates and writes — ``base.py:65-73,376-504``); here
+phase 1 is **pure planning** (build normalized frames + a routed task
+frame, zero side effects) and phase 2 executes DataFrame actions. Statuses
+are data (V7); reports and indicators come out as frames.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.config import (
+    METHOD_CSV,
+    METHOD_EXCEL,
+    METHOD_TXT,
+)
+from series_tiempo_ar_scraping_spark.operators.aggregations import (
+    catalog_indicators,
+    sort_reports_by_status,
+)
+from series_tiempo_ar_scraping_spark.operators.filters import (
+    clean_field_keyspace,
+    filter_catalog_id,
+    filter_distribution_id,
+    harvestable_datasets,
+    time_series_distributions,
+    with_method,
+)
+from series_tiempo_ar_scraping_spark.operators.validation import (
+    datasets_report,
+    distribution_statuses,
+    trim_warnings,
+    validate_metadata,
+    validate_observations,
+)
+from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+    distribution_dir,
+    rewrite_download_urls,
+    scrub_scraping_metadata,
+    write_wide_csv,
+)
+from series_tiempo_ar_scraping_spark.sources.catalog_json import read_catalog_json
+from series_tiempo_ar_scraping_spark.sources.cells import extract_cells
+from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+    read_distribution_csv,
+)
+from series_tiempo_ar_scraping_spark.sources.scrape import (
+    check_headers,
+    scrape_observations,
+    scraping_params,
+)
+
+
+@dataclass
+class PipelineResult:
+    frames: dict[str, DataFrame]
+    metadata_errors: DataFrame
+    observations: DataFrame | None
+    series_report: DataFrame | None
+    distribution_report: DataFrame | None
+    dataset_report: DataFrame
+    indicators: DataFrame | None
+    written_files: list[str] = field(default_factory=list)
+
+
+class CatalogPipeline:
+    """One catalog end-to-end: metadata → validation → routing → per-method
+    extraction → data validation → sinks → reports (SURVEY EP1 steps 3-5).
+
+    ``file_resolver`` maps a source URL/file reference to a local landing
+    path (tests point it at fixtures; production points it at the landing
+    zone fed by ``sources.landing``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog_path: str,
+        catalog_id: str,
+        output_dir: str,
+        file_resolver=None,
+        host: str = "http://localhost",
+        catalog_id_filter: str | None = None,
+        distribution_id_filter: str | None = None,
+    ):
+        self.spark = spark
+        self.catalog_path = catalog_path
+        self.catalog_id = catalog_id
+        self.output_dir = output_dir
+        self.file_resolver = file_resolver or (lambda ref: ref)
+        self.host = host
+        self.catalog_id_filter = catalog_id_filter
+        self.distribution_id_filter = distribution_id_filter
+
+    # -- phase 1: pure planning -------------------------------------------
+
+    def plan(self) -> dict[str, DataFrame]:
+        frames = read_catalog_json(self.spark, self.catalog_path, self.catalog_id)
+        frames["fields"] = clean_field_keyspace(frames["fields"])
+        frames["datasets"] = filter_catalog_id(
+            frames["datasets"], self.catalog_id_filter
+        )
+        frames["distributions"] = filter_distribution_id(
+            with_method(frames["distributions"]), self.distribution_id_filter
+        )
+        return frames
+
+    # -- phase 2: execution ------------------------------------------------
+
+    def run(self, write_csvs: bool = True) -> PipelineResult:
+        frames = self.plan()
+        # metadata is tiny and re-joined everywhere — cache once
+        for k in frames:
+            frames[k] = frames[k].cache()
+
+        meta_errors = validate_metadata(frames).cache()
+        frames["datasets"] = harvestable_datasets(frames["datasets"], meta_errors)
+        ds_report = datasets_report(frames["datasets"], meta_errors)
+        ts_dists = time_series_distributions(
+            frames["distributions"], frames["fields"]
+        ).cache()
+
+        obs_parts: list[DataFrame] = []
+        # csv/txt routes (S6/S7): per-distribution file reads.
+        for row in ts_dists.filter(
+            F.col("method").isin(METHOD_CSV, METHOD_TXT)
+        ).collect():
+            ref = row.downloadURL or row.scrapingFileURL
+            sep = "," if row.method == METHOD_CSV else "|"
+            local = self.file_resolver(ref)
+            if local is None or not os.path.exists(local):
+                continue
+            obs_parts.append(
+                read_distribution_csv(
+                    self.spark, local, row.catalog_id, row.dataset_id,
+                    row.distribution_id, sep=sep,
+                )
+            )
+
+        # excel route (S8): extract cells once per distinct workbook (A1),
+        # then scrape every series relationally.
+        excel_dists = ts_dists.filter(F.col("method") == METHOD_EXCEL)
+        excel_urls = [
+            r.scrapingFileURL
+            for r in excel_dists.select("scrapingFileURL").distinct().collect()
+        ]
+        table_ends = None
+        header_errors = None
+        if excel_urls:
+            paths = [p for p in (self.file_resolver(u) for u in excel_urls) if p]
+            cells = extract_cells(self.spark, paths).cache()
+            sp, tp = scraping_params(frames["fields"], excel_dists)
+            headered = check_headers(cells, sp).cache()
+            header_errors = headered.filter(~F.col("header_ok"))
+            obs_sc, table_ends = scrape_observations(
+                cells, headered.filter(F.col("header_ok")), tp
+            )
+            obs_parts.append(obs_sc)
+
+        observations = None
+        series_rep = None
+        dist_report = None
+        indicators = None
+        written: list[str] = []
+        if obs_parts:
+            observations = obs_parts[0]
+            for p in obs_parts[1:]:
+                observations = observations.unionByName(p)
+            observations = observations.cache()
+
+            # V4: attach frequency from the time-index field, validate.
+            freq = (
+                frames["fields"]
+                .filter(F.col("specialType") == "time_index")
+                .select(
+                    "distribution_id",
+                    F.when(F.col("specialTypeDetail") == "R/P1Y", "Y")
+                    .when(F.col("specialTypeDetail") == "R/P6M", "S")
+                    .when(F.col("specialTypeDetail") == "R/P3M", "Q")
+                    .when(F.col("specialTypeDetail") == "R/P1M", "M")
+                    .when(F.col("specialTypeDetail") == "R/P1D", "D")
+                    .alias("freq_code"),
+                )
+            )
+            series_rep = validate_observations(
+                observations.join(F.broadcast(freq), "distribution_id", "left")
+            ).cache()
+            # Every routed ts-distribution must appear in the report —
+            # one that yielded no observations at all is an ERROR (the
+            # reference's per-distribution try/except would have caught
+            # the processor failure, V7 ``base.py:198-207``).
+            dist_status = ts_dists.select(
+                "catalog_id", "dataset_id", "distribution_id"
+            ).join(
+                distribution_statuses(series_rep),
+                ["catalog_id", "dataset_id", "distribution_id"],
+                "left",
+            ).withColumn(
+                "distribution_status",
+                F.coalesce(F.col("distribution_status"), F.lit("ERROR")),
+            )
+
+            # V6 trim warnings demote OK → WARNING.
+            if table_ends is not None:
+                trims = trim_warnings(table_ends).select(
+                    "distribution_id", F.lit(True).alias("_trimmed")
+                )
+                dist_status = dist_status.join(trims, "distribution_id", "left").withColumn(
+                    "distribution_status",
+                    F.when(
+                        (F.col("distribution_status") == "OK")
+                        & F.col("_trimmed").isNotNull(),
+                        "WARNING",
+                    ).otherwise(F.col("distribution_status")),
+                ).drop("_trimmed")
+
+            # V5 header failures are ERROR rows regardless of data checks.
+            if header_errors is not None:
+                hdr = header_errors.select(
+                    "distribution_id", F.lit(True).alias("_hdr_bad")
+                ).distinct()
+                dist_status = dist_status.join(hdr, "distribution_id", "left").withColumn(
+                    "distribution_status",
+                    F.when(F.col("_hdr_bad").isNotNull(), "ERROR").otherwise(
+                        F.col("distribution_status")
+                    ),
+                ).drop("_hdr_bad")
+
+            dist_report = sort_reports_by_status(
+                dist_status.select(
+                    F.col("dataset_id").alias("dataset_identifier"),
+                    F.col("distribution_id").alias("distribution_identifier"),
+                    "distribution_status",
+                )
+            ).cache()
+            indicators = catalog_indicators(ds_report, dist_report)
+
+            # K1: one wide CSV per distribution.
+            if write_csvs:
+                meta = {
+                    (r.catalog_id, r.dataset_id, r.distribution_id): r.fileName
+                    for r in ts_dists.select(
+                        "catalog_id", "dataset_id", "distribution_id", "fileName"
+                    ).collect()
+                }
+                # Column order contract: field declaration order, not
+                # alphabetical (reference writes pandas-concat order of the
+                # declared fields, ``base.py:266-279``).
+                order_rows = (
+                    frames["fields"]
+                    .filter(
+                        F.col("specialType").isNull()
+                        | (F.col("specialType") != "time_index")
+                    )
+                    .select("distribution_id", "field_order", "title")
+                    .collect()
+                )
+                titles_by_dist: dict[str, list[str]] = {}
+                for r in sorted(order_rows, key=lambda r: (r.distribution_id, r.field_order)):
+                    titles_by_dist.setdefault(r.distribution_id, []).append(r.title)
+                for (cid, did, rid), fname in meta.items():
+                    part = observations.filter(
+                        (F.col("catalog_id") == cid)
+                        & (F.col("dataset_id") == did)
+                        & (F.col("distribution_id") == rid)
+                    )
+                    if part.isEmpty():
+                        continue
+                    out = os.path.join(
+                        distribution_dir(self.output_dir, cid, did, rid),
+                        fname or f"{rid}.csv",
+                    )
+                    written.append(
+                        write_wide_csv(part, out, titles_by_dist.get(rid))
+                    )
+
+        # K7/K8: publishable metadata.
+        frames["distributions_published"], frames["fields_published"] = (
+            scrub_scraping_metadata(
+                rewrite_download_urls(
+                    frames["distributions"], self.output_dir, self.host
+                ),
+                frames["fields"],
+            )
+        )
+
+        return PipelineResult(
+            frames=frames,
+            metadata_errors=meta_errors,
+            observations=observations,
+            series_report=series_rep,
+            distribution_report=dist_report,
+            dataset_report=ds_report,
+            indicators=indicators,
+            written_files=written,
+        )

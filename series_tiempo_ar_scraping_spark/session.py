@@ -54,6 +54,44 @@ def get_spark(
     return builder.getOrCreate()
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    Required before any pandas-UDF / mapInPandas stage: cloudpickle
+    serializes module-level functions by reference, so executors must be
+    able to import the package — true on a real cluster (spark-submit
+    --py-files) and in local mode when the driver's cwd differs from the
+    repo root. Zips the package once per session.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import zipfile
+
+    import series_tiempo_ar_scraping_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        "/tmp", f"series_tiempo_ar_scraping_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(
+                            "series_tiempo_ar_scraping_spark",
+                            os.path.relpath(full, pkg_dir),
+                        )
+                        zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def table_path(sf_dir: str, name: str) -> str:
     """Path of one driver-generated parquet table under an sf dir."""
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,147 @@
+"""End-to-end catalog pipeline tests over the original fixture catalog
+(SURVEY §5 engine test plan: e2e run with golden expectations).
+
+Fixture scenarios (tests/fixtures/):
+- 2.1  direct-download CSV, quarterly, one missing token → S6 + X8 + V4
+- 1.1  scraped annual sheet, one missing token, one trailing data row with
+       no date → S8 + V6 trim warning
+- 1.2  scraped quarterly sheet sharing the same workbook (open-once), one
+       unparseable date → composed-time synthesis
+- 1.3  scraped sheet whose header cell ≠ declared field id → V5 ERROR
+- ds-broken  invalid accrualPeriodicity → V1 error + F1 harvest filter
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.plans.pipeline import CatalogPipeline
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def resolver(ref: str) -> str:
+    return os.path.join(FIX, "files", ref.rsplit("/", 1)[-1])
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("etl_out"))
+    pipe = CatalogPipeline(
+        spark,
+        catalog_path=os.path.join(FIX, "catalog.json"),
+        catalog_id="acme",
+        output_dir=out,
+        file_resolver=resolver,
+        host="http://acme.test",
+    )
+    return pipe.run(write_csvs=True), out
+
+
+def test_metadata_normalization(result):
+    res, _ = result
+    assert res.frames["catalogs"].count() == 1
+    assert {r.dataset_id for r in res.frames["datasets"].select("dataset_id").collect()} == {
+        "ds-energy", "ds-prices",  # ds-broken filtered by F1
+    }
+    assert res.frames["distributions"].count() == 4
+    assert res.frames["themes"].count() == 2
+
+
+def test_metadata_validation_flags_broken_dataset(result):
+    res, _ = result
+    errs = res.metadata_errors.collect()
+    assert any(
+        e.dataset_id == "ds-broken" and e.rule == "dataset_accrualPeriodicity_format"
+        for e in errs
+    )
+    ds_rep = {r.dataset_identifier: r.dataset_status for r in res.dataset_report.collect()}
+    assert ds_rep == {"ds-energy": "OK", "ds-prices": "OK"}
+
+
+def test_observations_long_form(result):
+    res, _ = result
+    obs = res.observations
+    # 2.1: 5 ts × 2 series; 1.1: 5 ts × 2 series (+ no row for B14 — no date);
+    # 1.2: 6 ts × 1 series; 1.3: header invalid but still scraped rows excluded
+    counts = {
+        r.distribution_id: r.n
+        for r in obs.groupBy("distribution_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["2.1"] == 10
+    assert counts["1.1"] == 10
+    assert counts["1.2"] == 6
+    # missing tokens became NULL, other values parsed
+    row = obs.filter(
+        (F.col("distribution_id") == "2.1")
+        & (F.col("series_id") == "precio_interno")
+        & (F.col("ts") == F.lit("2020-07-01").cast("date"))
+    ).collect()[0]
+    assert row.value is None
+    sd = obs.filter(
+        (F.col("distribution_id") == "1.1")
+        & (F.col("series_id") == "prod_renovable")
+        & (F.col("ts") == F.lit("2020-01-01").cast("date"))
+    ).collect()[0]
+    assert sd.value is None
+
+
+def test_composed_time_synthesis(result):
+    res, _ = result
+    # 1.2 row 6 had "T4 2021" — synthesized to 2021-10-01 from the anchor
+    got = sorted(
+        str(r.ts)
+        for r in res.observations.filter(F.col("distribution_id") == "1.2").collect()
+    )
+    assert "2021-10-01" in got
+    assert got[0] == "2021-01-01" and got[-1] == "2022-04-01"
+
+
+def test_statuses(result):
+    res, _ = result
+    statuses = {
+        r.distribution_identifier: r.distribution_status
+        for r in res.distribution_report.collect()
+    }
+    assert statuses["2.1"] == "OK"
+    assert statuses["1.1"] == "WARNING"  # V6 trim
+    assert statuses["1.3"] == "ERROR"  # V5 header mismatch
+    assert statuses["1.2"] == "OK"
+
+
+def test_indicators(result):
+    res, _ = result
+    ind = res.indicators.collect()[0]
+    assert ind.datasets == 2 and ind.datasets_ok == 2
+    assert ind.distributions == 4
+    assert ind.distributions_ok == 2
+    assert ind.distributions_error == 1
+
+
+def test_wide_csv_contract(result):
+    res, out = result
+    path = os.path.join(
+        out, "catalog", "acme", "dataset", "ds-prices", "distribution", "2.1",
+        "download", "precios-trimestrales.csv",
+    )
+    assert path in res.written_files and os.path.exists(path)
+    with open(path) as fh:
+        header = fh.readline().strip().split(",")
+        first = fh.readline().strip().split(",")
+    assert header[0] == "indice_tiempo"
+    assert set(header[1:]) == {"precio_interno", "precio_externo"}
+    assert first[0] == "2020-01-01"
+
+
+def test_published_metadata_rewrite_and_scrub(result):
+    res, out = result
+    pub = res.frames["distributions_published"]
+    assert "scrapingFileURL" not in pub.columns  # K8
+    url = pub.filter(F.col("distribution_id") == "2.1").collect()[0].downloadURL
+    assert url.startswith("http://acme.test/") and url.endswith(
+        "precios-trimestrales.csv"
+    )  # K7
+    assert "scrapingIdentifierCell" not in res.frames["fields_published"].columns
