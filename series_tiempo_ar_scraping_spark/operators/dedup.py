@@ -1,0 +1,190 @@
+"""Deduplication operators (BASELINE.json north-star): exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design notes (these run over 100 TB document corpora):
+
+- **exact**: one hash-groupBy — partial aggregation + AQE handle skew.
+- **minhash_lsh**: the classic shingle→minhash→band→bucket-join pipeline.
+  Cost is linear in (docs × shingles × K); the candidate join is an
+  equi-join on band keys so only colliding docs ever meet — no O(n²).
+- **simhash**: one projection per doc (no explode) producing a 32-bit
+  signature; near-dup pairs via banded byte-prefix buckets + bit_count.
+- **ngram_jaccard**: exact verification for candidate pairs (the stage
+  after LSH) — array_intersect/array_union on shingle sets.
+
+All hashing goes through md5-derived 60-bit ints (``stable_hash64``) so
+the DuckDB oracles reproduce signatures bit-exactly; engine-native
+xxhash64 would be faster but unverifiable cross-engine (swap-in is a
+one-liner where verification isn't needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators.textops import word_shingles
+
+# MinHash configuration shared with the DuckDB oracle generator.
+MINHASH_K = 12  # hash functions
+MINHASH_BAND_ROWS = 3  # rows per band -> 4 bands
+SIMHASH_BITS = 32
+
+
+def hash64_seeded(col: Column, seed: int) -> Column:
+    """Seeded 60-bit hash: md5 over 'seed|value' (cross-engine stable)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit("|"), col)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: keep the min id per hash group."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles once, compute K seeded
+    hashes per shingle row, min-aggregate back to one row per doc.
+
+    One explode + one groupBy — shuffle keyed by doc id, well distributed.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), 3)).alias("shingle")
+    )
+    hashed = sh.select(
+        id_col, *[hash64_seeded(F.col("shingle"), i).alias(f"h{i}") for i in range(k)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"sig{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band.
+
+    Self-equi-join on (band_idx, band_key): only bucket collisions join —
+    the property that makes MinHash-LSH subquadratic at corpus scale.
+    """
+    n_bands = k // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig{b * band_rows + r}").cast("string")
+                        for r in range(band_rows)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    """Exact Jaccard over shingle arrays (LSH verification stage)."""
+    inter = F.size(F.array_intersect(shingles_a, shingles_b))
+    union = F.size(F.array_union(shingles_a, shingles_b))
+    return inter.cast("double") / F.greatest(union, F.lit(1))
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash signature: per bit j, sign of Σ over distinct tokens of
+    ±1 by bit j of the token hash. One projection, no explode: the inner
+    Σ is a higher-order ``aggregate`` over the token array.
+    """
+    from series_tiempo_ar_scraping_spark.operators.textops import (
+        normalize_text,
+        tokens,
+    )
+
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                hash64_seeded(t, 0).bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(
+            F.when(vote >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       sim_col: str = "simhash", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: byte-banded buckets (any shared byte of
+    the signature → candidate), then exact hamming via bit_count(xor).
+    4 bands of 8 bits ⇒ any pair within hamming ≤ 3 shares ≥1 intact byte
+    whenever the 3 flips hit ≤3 distinct bands (pigeonhole guarantees a
+    clean band for ≤3 flips over 4 bands)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftrightunsigned(F.col(sim_col), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    banded = df.select(F.col(id_col), F.col(sim_col), F.explode(bands).alias("band")).select(
+        id_col, sim_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)

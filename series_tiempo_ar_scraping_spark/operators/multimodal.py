@@ -1,0 +1,123 @@
+"""Multimodal column plumbing (BASELINE.json north-star).
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as Arrow-
+batched pandas functions over ``mapInPandas`` — the only sane shape at
+100 TB (per-batch Python, columnar transfer, no per-row pickling).
+
+The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
+decode kernel is stubbed: ``decode_stub=True`` computes deterministic fake
+features (byte length, md5-based checksum, fake dims) and the real-decode
+branch raises ``NotImplementedError`` behind an import gate. Everything
+Spark-side — schema, batching, partitioning, UDF signature — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("feat_width", T.IntegerType()),
+        T.StructField("feat_height", T.IntegerType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/bench: wrap the documents table's text as binary
+    payloads with synthesized kinds — exercising the exact schema a real
+    media table would have."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract over Arrow batches.
+
+    Real decoding needs codec libs (gated); the stub path computes
+    deterministic features so the distributed plumbing is testable.
+    """
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                try:
+                    import PIL  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real media decode requires codec libraries not in "
+                        "this container; run with decode_stub=True"
+                    ) from exc
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int32"),
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    # fake dims derived from the checksum — stable stand-in
+                    # for decoded width/height
+                    "feat_width": pdf["content"]
+                    .map(lambda b: 1 + int(hashlib.md5(b).hexdigest()[:4], 16) % 4096)
+                    .astype("int32"),
+                    "feat_height": pdf["content"]
+                    .map(lambda b: 1 + int(hashlib.md5(b).hexdigest()[4:8], 16) % 4096)
+                    .astype("int32"),
+                }
+            )
+            yield out
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURES_SCHEMA
+    )

@@ -768,3 +768,7 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return carried.filter(F.col("is_click") == 0).select(
         "event_id", "user_id", F.col("ev_ts").alias("ts"), "last_click_ts"
     )
+
+
+# Batch 2 (LLM-pipeline operators) registers itself on import.
+from series_tiempo_ar_scraping_spark import queries_llm  # noqa: E402,F401

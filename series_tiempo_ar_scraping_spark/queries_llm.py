@@ -1,0 +1,416 @@
+"""Query catalog, batch 2 — LLM-training-data pipeline operators with
+DuckDB oracles (dedup, text analysis, similarity search).
+
+Oracle-generation notes:
+
+- DuckDB ``regexp_replace`` needs the explicit ``'g'`` flag (Spark always
+  replaces globally).
+- Shingle concatenation uses ``concat_ws`` in BOTH engines (it skips
+  NULLs identically; ``||`` would null out short docs in DuckDB).
+- MinHash / SimHash / LSH-plane SQL is *generated* from the same Python
+  constants the Spark operators use, so signatures match bit-for-bit.
+- Near-dup test corpora are built inside the query (documents ∪ mutated /
+  duplicated copies) so the dedup operators have planted positives to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import dedup as D
+from series_tiempo_ar_scraping_spark.operators import similarity as S
+from series_tiempo_ar_scraping_spark.operators import textops as TX
+from series_tiempo_ar_scraping_spark.queries import det_round, register
+from series_tiempo_ar_scraping_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (mirrors of textops expressions)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+_HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+_SHINGLES_SQL = f"""
+  list_distinct(list_transform(
+    generate_series(0, greatest(len({{t}}) - 3, 0)),
+    i -> concat_ws(' ', {{t}}[i+1], {{t}}[i+2], {{t}}[i+3])))
+"""
+
+
+def _toks_of_norm(col: str) -> str:
+    return _TOKS_SQL.format(c=_NORM_SQL.format(c=col))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+_ES = ", ".join(f"'{w}'" for w in TX.STOPWORDS["es"])
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL.format(c='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+      len(toks) AS n_tokens,
+      length(text) AS n_chars,
+      CAST(FLOOR(CAST(len(list_filter(toks, x -> lower(x) IN ({_EN}))) AS DOUBLE)
+           / greatest(len(toks), 1) * 10000 + 0.5) / 10000 AS DOUBLE) AS stop_ratio,
+      CAST(FLOOR(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+           / greatest(length(text), 1) * 10000 + 0.5) / 10000 AS DOUBLE) AS punct_ratio
+    FROM t
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features as one projection (no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        f["n_chars"].alias("n_chars"),
+        det_round(f["stop_ratio"], 4).alias("stop_ratio"),
+        det_round(f["punct_ratio"], 4).alias("punct_ratio"),
+    )
+
+
+@register(
+    "text_lang_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS_SQL.format(c='text')} AS toks,
+             length(text) AS n_chars
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, text, toks, n_chars,
+        len(list_filter(toks, x -> lower(x) IN ({_EN}))) AS en_hits,
+        len(list_filter(toks, x -> lower(x) IN ({_ES}))) AS es_hits,
+        len(toks) AS n_toks,
+        len(regexp_extract_all(text, '[.,!?;:]')) AS punct
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN en_hits > es_hits AND en_hits > 0 THEN 'en'
+           WHEN es_hits > en_hits AND es_hits > 0 THEN 'es'
+           WHEN en_hits = es_hits AND en_hits > 0 THEN 'tie'
+           ELSE 'und' END AS lang_guess,
+      CAST(FLOOR((
+        least(1.0, n_toks / 200.0) * 0.5
+        + least(1.0, (CAST(en_hits AS DOUBLE) / greatest(n_toks, 1)) * 4) * 0.3
+        + (1.0 - least(1.0, (CAST(punct AS DOUBLE) / greatest(n_chars, 1)) * 10)) * 0.2
+      ) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality
+    FROM hits
+    """,
+)
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        det_round(TX.quality_score(F.col("text")), 4).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint over canonicalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_EXACT_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL})
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy) over a corpus with planted duplicates."""
+    return D.exact_dedup(_exact_corpus(spark, sf_dir))
+
+
+_NEAR_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, substr(text, 13) AS text
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 13)").alias("text"),
+    )
+    return docs.unionByName(mut)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, length(text) // 40 AS bucket,
+             {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / greatest(len(list_distinct(a.shingles || b.shingles)), 1)
+           * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
+    FROM sh a JOIN sh b
+      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(a.shingles || b.shingles)), 1) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs within length buckets (the
+    verify stage of an LSH pipeline; bucketing keeps the join subquadratic)."""
+    corpus = _near_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id",
+        (F.length("text") / F.lit(40)).cast("int").alias("bucket"),
+        TX.word_shingles(F.col("text"), 3).alias("shingles"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = D.jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            det_round(jac, 4).alias("jac"),
+        )
+    )
+
+
+def _minhash_sig_sql() -> str:
+    """Generated DuckDB signature expressions from the shared constants."""
+    sig_cols = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        + _HEX60.format(x=f"'{i}' || '|' || s")
+        + f")) AS sig{i}"
+        for i in range(D.MINHASH_K)
+    )
+    return sig_cols
+
+
+def _minhash_bands_sql() -> str:
+    n_bands = D.MINHASH_K // D.MINHASH_BAND_ROWS
+    bands = ", ".join(
+        "("
+        + str(b)
+        + ", concat_ws(',', "
+        + ", ".join(
+            f"CAST(sig{b * D.MINHASH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(D.MINHASH_BAND_ROWS)
+        )
+        + "))"
+        for b in range(n_bands)
+    )
+    return bands
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_sql()} FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (shingle→minhash→band→bucket-join)."""
+    corpus = _near_corpus(spark, sf_dir)
+    sigs = D.minhash_signatures(corpus)
+    return D.lsh_candidate_pairs(sigs)
+
+
+def _simhash_sql() -> str:
+    h = _HEX60.format(x="'0' || '|' || t")
+    bits = " + ".join(
+        f"CASE WHEN COALESCE(list_sum(list_transform(dtoks, t -> "
+        f"CASE WHEN (({h}) >> {j}) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return bits
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct({_toks_of_norm('text')}) AS dtoks
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id, {_simhash_sql()} AS simhash FROM t
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (single projection, higher-order
+    aggregate per bit — no explode, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= 8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS_SQL.format(a='qv', b='cv')} AS sim
+      FROM c, q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k (the ANN correctness baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_topk(
+        emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5
+    )
+    return out.withColumn("sim", det_round(F.col("sim"), 9))
+
+
+def _planes_sql(coeffs: list[list[int]]) -> str:
+    selects = []
+    for j, plane in enumerate(coeffs):
+        lits = ", ".join(str(float(v)) for v in plane)
+        selects.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST(v[i] AS DOUBLE) * ([{lits}])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(selects)
+
+
+_PLANES = S.plane_coeffs(S.N_PLANES, 64)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, {_planes_sql(_PLANES)} AS bucket
+      FROM (SELECT vec_id, embedding AS v FROM embeddings)
+    )
+    SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN scale path: the
+    corpus is bucketed once; probes touch one bucket, not the corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            S.hyperplane_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register("ann_topk_lsh")  # approximate by construction → rows-only check
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (recall measured in tests against
+    the exact baseline; not SQL-oracled because approximation is the
+    point)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(
+        emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5
+    )
+
+
+@register("multimodal_features")  # pandas-UDF decode stub → rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature plumbing: binary media column → Arrow-
+    batched feature extraction (stub kernel — codec libs absent; the
+    distributed shape is the deliverable)."""
+    from series_tiempo_ar_scraping_spark.operators import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    return MM.extract_features(MM.documents_as_media(docs))

@@ -1,0 +1,132 @@
+"""Tests for the LLM-pipeline operators: dedup recall, ANN vs exact
+baseline, simhash near-pairs, multimodal plumbing, streaming parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import dedup as D
+from series_tiempo_ar_scraping_spark.operators import multimodal as MM
+from series_tiempo_ar_scraping_spark.operators import similarity as S
+from series_tiempo_ar_scraping_spark.queries_llm import _near_corpus
+from series_tiempo_ar_scraping_spark.session import load_table
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    corpus = _near_corpus(spark, sf_dir)
+    planted = {
+        (r.doc_id, r.doc_id + 100000)
+        for r in corpus.filter(F.col("doc_id") < 100000)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.lsh_candidate_pairs(D.minhash_signatures(corpus)).collect()
+    }
+    recall = len(planted & pairs) / len(planted)
+    # mutation only drops ~2 leading words — shingle sets overlap heavily,
+    # so LSH must recover nearly all planted pairs
+    assert recall >= 0.9, (recall, len(planted), len(pairs))
+
+
+def test_simhash_near_pairs_on_exact_dupes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 40
+    )
+    dup = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dup)
+    sigs = corpus.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_pairs(sigs, max_hamming=0).collect()
+    }
+    planted = {(i, i + 500) for i in range(0, 40, 4)}
+    assert planted <= pairs
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = S.cosine_topk(corpus, queries, k=5).collect()
+    approx = S.ann_topk_lsh(corpus, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    # 8-bit LSH on random embeddings: just assert the mechanism returns
+    # ranked rows per query and overlaps the exact set at all
+    assert len(approx_set) > 0
+    assert len(exact_set & approx_set) > 0
+    # ranks are 1..k dense per query
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_multimodal_feature_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = MM.documents_as_media(docs)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r.media_id: r for r in feats}
+    # deterministic stub features
+    import hashlib
+
+    row = docs.filter(F.col("doc_id") == docs.select(F.min("doc_id")).collect()[0][0]).collect()[0]
+    got = by_id[row.doc_id]
+    want = hashlib.md5(row.text.encode()).hexdigest()
+    assert got.checksum == want
+    assert got.n_bytes == len(row.text.encode())
+    assert 1 <= got.feat_width <= 4096
+
+
+def test_streaming_batch_parity(spark, sf_dir, tmp_path):
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+
+    # stage the events table as a stream-source directory
+    src = load_table(spark, sf_dir, "events")
+    stream_dir = str(tmp_path / "events_stream")
+    src.write.mode("overwrite").parquet(stream_dir)
+
+    batch = SE.tumbling_counts(spark.read.schema(SE.EVENTS_SCHEMA).parquet(stream_dir))
+    stream = SE.tumbling_counts(
+        SE.read_events_stream(spark, stream_dir, max_files_per_trigger=2)
+    )
+    SE.run_to_memory(stream, "tumbling_test")
+    got = {
+        (r.bucket, r.event_type): (r.n, r.sum_value)
+        for r in spark.table("tumbling_test").collect()
+    }
+    want = {
+        (r.bucket, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),  # dup id
+        (2, "2024-01-01 10:05:00", 1, "view", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string, value double, props string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    d = str(tmp_path / "dedup_src")
+    df.write.mode("overwrite").parquet(d)
+    deduped = SE.dedup_events(SE.read_events_stream(spark, d))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("dedup_test").count() == 2
