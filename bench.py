@@ -30,6 +30,11 @@ BENCH_QUERIES = [
     "tumbling_hourly_counts",
     "resample_gapfill_daily",
     "asof_last_click_before_purchase",
+    "pivot_monthly_region_revenue",
+    "sessionize_events",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "embedding_cosine_topk",
 ]
 
 

@@ -59,8 +59,21 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     One explode + one groupBy — shuffle keyed by doc id, well distributed.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), 3)).alias("shingle")
+    from series_tiempo_ar_scraping_spark.operators.textops import (
+        normalize_text,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    # Materialize tokens, then shingles, in separate projections — inlining
+    # the tokenizer into the shingle transform re-runs it per element
+    # (see shingles_from_tokens docstring).
+    toked = df.select(
+        F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_toks")
+    )
+    sh = toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
     )
     hashed = sh.select(
         id_col, *[hash64_seeded(F.col("shingle"), i).alias(f"h{i}") for i in range(k)]
@@ -96,20 +109,29 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     banded = signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
     ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
+    # groupBy-bucket + in-bucket pair expansion instead of a self-join: the
+    # signature pipeline is evaluated ONCE (a self-join would recompute it
+    # per side), and pair generation is an array expression over each
+    # bucket's member list. Buckets are tiny by construction; a pathological
+    # mega-bucket (all-identical docs) should be capped upstream by exact
+    # dedup first.
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
@@ -119,11 +141,50 @@ def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
     return inter.cast("double") / F.greatest(union, F.lit(1))
 
 
+def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+                 bits: int = SIMHASH_BITS) -> DataFrame:
+    """DataFrame-level SimHash: materializes (distinct tokens, then their
+    hashes) before the 32 per-bit aggregates — the hash of each token is
+    computed once, not once per bit."""
+    from series_tiempo_ar_scraping_spark.operators.textops import (
+        normalize_text,
+        tokens,
+    )
+
+    toked = df.withColumn(
+        "_dtoks", F.array_distinct(tokens(normalize_text(F.col(text_col))))
+    ).withColumn("_thashes", F.transform(F.col("_dtoks"), lambda t: hash64_seeded(t, 0)))
+    out = toked.withColumn(out_col, simhash_from_hashes(F.col("_thashes"), bits))
+    return out.drop("_dtoks", "_thashes")
+
+
+def simhash_from_hashes(thashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from a materialized token-hash array column: per bit j,
+    sign of Σ ±1 by bit j of each hash (higher-order aggregate, no
+    explode)."""
+    bit_cols = []
+    for j in range(bits):
+        vote = F.aggregate(
+            thashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        bit_cols.append(
+            F.when(vote >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+        )
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash signature: per bit j, sign of Σ over distinct tokens of
-    ±1 by bit j of the token hash. One projection, no explode: the inner
-    Σ is a higher-order ``aggregate`` over the token array.
-    """
+    """Single-expression SimHash — convenience form; hot paths should use
+    ``with_simhash`` (materializes token hashes once instead of re-hashing
+    per bit)."""
     from series_tiempo_ar_scraping_spark.operators.textops import (
         normalize_text,
         tokens,
@@ -170,21 +231,31 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = df.select(F.col(id_col), F.col(sim_col), F.explode(bands).alias("band")).select(
         id_col, sim_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col(f"a.{sim_col}").bitwiseXOR(F.col(f"b.{sim_col}"))
-            ).alias("hamming"),
-        )
-        .distinct()
-    )
+    # Same single-evaluation bucket expansion as lsh_candidate_pairs: the
+    # signature pipeline (32 per-bit aggregates) must not run once per
+    # self-join side.
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col(sim_col).alias("sig")))
+        ).alias("members")
+    ).filter(F.size("members") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size("members")),
+                        lambda y: F.struct(
+                            x["id"].alias("doc_a"),
+                            y["id"].alias("doc_b"),
+                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias(
+                                "hamming"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.hamming").distinct()
     return pairs.filter(F.col("hamming") <= max_hamming)

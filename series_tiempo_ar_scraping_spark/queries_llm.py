@@ -185,46 +185,34 @@ def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id, length(text) // 40 AS bucket,
-             {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
-      FROM corpus
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      CAST(FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / greatest(len(list_distinct(a.shingles || b.shingles)), 1)
-           * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
-    FROM sh a JOIN sh b
-      ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / greatest(len(list_distinct(a.shingles || b.shingles)), 1) >= 0.3
-    """,
+    oracle=None,  # filled in below after the minhash fragments are defined
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs within length buckets (the
-    verify stage of an LSH pipeline; bucketing keeps the join subquadratic)."""
+    """Exact n-gram-Jaccard verification over MinHash-LSH candidate pairs
+    — the two-stage shape of a production near-dup pipeline (candidates
+    subquadratic via banding, exact set similarity only on candidates)."""
     corpus = _near_corpus(spark, sf_dir)
-    sh = corpus.select(
-        "doc_id",
-        (F.length("text") / F.lit(40)).cast("int").alias("bucket"),
-        TX.word_shingles(F.col("text"), 3).alias("shingles"),
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(corpus))
+    toked = corpus.select(
+        "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    jac = D.jaccard(F.col("a.shingles"), F.col("b.shingles"))
+    sh = toked.select(
+        "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles")
+    )
+    joined = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    jac = D.jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.3)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            det_round(jac, 4).alias("jac"),
-        )
+        joined.select("doc_a", "doc_b", det_round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= 0.3)
     )
 
 
@@ -253,6 +241,40 @@ def _minhash_bands_sql() -> str:
         for b in range(n_bands)
     )
     return bands
+
+
+# dedup_ngram_jaccard oracle needs the minhash fragments — register late.
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_sql()} FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(FLOOR(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)
+             * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.3
+    """
 
 
 @register(
@@ -309,7 +331,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (single projection, higher-order
     aggregate per bit — no explode, no shuffle)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    return docs.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    return D.with_simhash(docs).select("doc_id", "simhash")
 
 
 # ---------------------------------------------------------------------------
@@ -414,3 +436,8 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return MM.extract_features(MM.documents_as_media(docs))
+
+
+from series_tiempo_ar_scraping_spark.queries import ORACLES as _ORACLES
+
+_ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()

@@ -39,7 +39,7 @@ def test_simhash_near_pairs_on_exact_dupes(spark, sf_dir):
         (F.col("doc_id") + 500).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(dup)
-    sigs = corpus.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+    sigs = D.with_simhash(corpus).select("doc_id", "simhash")
     pairs = {
         (r.doc_a, r.doc_b)
         for r in D.simhash_near_pairs(sigs, max_hamming=0).collect()
