@@ -1,0 +1,135 @@
+"""EP1 CLI — parity with the reference's ``etl`` console script
+(``main.py:40-73``): run the full pipeline over an ``index.yaml`` of
+catalogs with the same flag surface.
+
+S9 config readers are here too (``main.py:15-20``, ``base.py:1098-1109``):
+YAML index + general config, plain dicts on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import click
+
+from series_tiempo_ar_scraping_spark.session import get_spark
+
+
+def read_config(path: str) -> dict:
+    """S9 — YAML config reader (``main.py:15-20``)."""
+    import yaml
+
+    with open(path) as fh:
+        return yaml.safe_load(fh) or {}
+
+
+def run_etl(
+    index: dict,
+    output_dir: str,
+    spark=None,
+    replace: bool = True,
+    catalog_id_filter: str | None = None,
+    distribution_id_filter: str | None = None,
+    metadata_only: bool = False,
+    host: str = "http://localhost",
+    file_resolver=None,
+) -> dict:
+    """Run every catalog in the index; returns per-catalog summaries.
+
+    ``index`` shape (reference ``index.yaml``): {catalog_id: {metadata_url|
+    metadata_path, formato}}. Catalogs process independently — the natural
+    fleet-scale unit (the reference loops them sequentially,
+    ``base.py:1111-1116``)."""
+    from series_tiempo_ar_scraping_spark.plans.pipeline import CatalogPipeline
+    from series_tiempo_ar_scraping_spark.sources.landing import download_to_file
+
+    spark = spark or get_spark("etl")
+    if file_resolver is None:
+        # Default resolver: remote source refs land under output/landing
+        # (S2/S3); a failed download routes to the error channel (V7) by
+        # resolving to None — the pipeline reports the distribution as
+        # ERROR instead of crashing.
+        def file_resolver(ref: str):
+            if not ref.startswith(("http://", "https://")):
+                return ref
+            local = os.path.join(
+                output_dir, "landing", "files", ref.rsplit("/", 1)[-1]
+            )
+            try:
+                return download_to_file(ref, local, replace=replace)
+            except Exception:  # noqa: BLE001 — error channel, not crash
+                return None
+
+    results: dict = {}
+    for catalog_id, cfg in index.items():
+        if catalog_id_filter and catalog_id != catalog_id_filter:
+            continue  # F4, applied before any download (base.py:1088-1090)
+        path = cfg.get("metadata_path")
+        if not path and cfg.get("metadata_url"):
+            landing = os.path.join(output_dir, "landing", f"{catalog_id}.json")
+            path = download_to_file(
+                cfg["metadata_url"], landing, replace=replace
+            )
+        pipe = CatalogPipeline(
+            spark,
+            catalog_path=path,
+            catalog_id=catalog_id,
+            output_dir=output_dir,
+            file_resolver=file_resolver,
+            host=host,
+            distribution_id_filter=distribution_id_filter,
+            replace=replace,
+        )
+        if metadata_only:
+            frames = pipe.plan()
+            results[catalog_id] = {
+                "datasets": frames["datasets"].count(),
+                "distributions": frames["distributions"].count(),
+            }
+            continue
+        res = pipe.run(write_csvs=True)
+        ind = res.indicators.collect()[0].asDict() if res.indicators is not None else {}
+        results[catalog_id] = {
+            "indicators": ind,
+            "written": len(res.written_files),
+        }
+    return results
+
+
+@click.command()
+@click.option("--config", "config_path", required=True, help="index.yaml path")
+@click.option("--output-dir", default="output", help="output root")
+@click.option("--replace/--no-replace", default=True,
+              help="overwrite existing distribution CSVs (V8)")
+@click.option("--catalog-id-filter", default=None)
+@click.option("--distribution-id-filter", default=None)
+@click.option("--metadata-only", is_flag=True, default=False,
+              help="EP2: extract+validate metadata, skip data")
+@click.option("--log-level", default="WARN")
+def cli(config_path, output_dir, replace, catalog_id_filter,
+        distribution_id_filter, metadata_only, log_level):
+    """Run the catalog ETL (reference ``etl`` entry point)."""
+    spark = get_spark("etl-cli")
+    spark.sparkContext.setLogLevel(log_level)
+    index = read_config(config_path)
+    # Relative metadata paths resolve against the index file, not the cwd.
+    base = os.path.dirname(os.path.abspath(config_path))
+    for cfg in (index.get("catalogs", index)).values():
+        p = cfg.get("metadata_path")
+        if p and not os.path.isabs(p):
+            cfg["metadata_path"] = os.path.join(base, p)
+    results = run_etl(
+        index.get("catalogs", index),
+        output_dir,
+        spark=spark,
+        replace=replace,
+        catalog_id_filter=catalog_id_filter,
+        distribution_id_filter=distribution_id_filter,
+        metadata_only=metadata_only,
+    )
+    click.echo(json.dumps(results, default=str))
+
+
+if __name__ == "__main__":
+    cli()

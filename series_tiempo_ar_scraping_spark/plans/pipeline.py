@@ -88,6 +88,7 @@ class CatalogPipeline:
         host: str = "http://localhost",
         catalog_id_filter: str | None = None,
         distribution_id_filter: str | None = None,
+        replace: bool = True,
     ):
         self.spark = spark
         self.catalog_path = catalog_path
@@ -97,6 +98,8 @@ class CatalogPipeline:
         self.host = host
         self.catalog_id_filter = catalog_id_filter
         self.distribution_id_filter = distribution_id_filter
+        # V8 — skip-if-exists unless replace (base.py:155-163, main.py:52-56)
+        self.replace = replace
 
     # -- phase 1: pure planning -------------------------------------------
 
@@ -276,6 +279,8 @@ class CatalogPipeline:
                         distribution_dir(self.output_dir, cid, did, rid),
                         fname or f"{rid}.csv",
                     )
+                    if os.path.exists(out) and not self.replace:
+                        continue  # V8 skip-if-exists
                     written.append(
                         write_wide_csv(part, out, titles_by_dist.get(rid))
                     )

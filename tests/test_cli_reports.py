@@ -1,0 +1,70 @@
+"""CLI (EP1), reports/mail sinks (K4/K6), and V8 replace semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from series_tiempo_ar_scraping_spark.main import read_config, run_etl
+from series_tiempo_ar_scraping_spark.sinks.reports import (
+    build_message,
+    build_subject,
+    send_email,
+    write_report_csv,
+)
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _resolver(ref: str) -> str:
+    return os.path.join(FIX, "files", ref.rsplit("/", 1)[-1])
+
+
+def test_run_etl_from_index(spark, tmp_path):
+    index = read_config(os.path.join(FIX, "index.yaml"))["catalogs"]
+    index["acme"]["metadata_path"] = os.path.join(FIX, "catalog.json")
+    out = str(tmp_path / "out")
+    results = run_etl(index, out, spark=spark, file_resolver=_resolver)
+    assert results["acme"]["indicators"]["distributions"] == 4
+    assert results["acme"]["written"] == 3
+
+    # V8: second run with replace=False rewrites nothing
+    results2 = run_etl(
+        index, out, spark=spark, file_resolver=_resolver, replace=False
+    )
+    assert results2["acme"]["written"] == 0
+
+    # EP2 metadata-only path
+    meta = run_etl(
+        index, str(tmp_path / "meta"), spark=spark, metadata_only=True
+    )
+    assert meta["acme"] == {"datasets": 3, "distributions": 4}
+
+    # F4 catalog filter skips everything else
+    assert run_etl(index, out, spark=spark, catalog_id_filter="nope") == {}
+
+
+def test_report_csv_and_mail(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("d1", "OK"), ("d2", "ERROR")], "dataset_identifier string, dataset_status string"
+    )
+    path = write_report_csv(df, str(tmp_path), "reporte-datasets")
+    assert open(path).readline().strip() == "dataset_identifier,dataset_status"
+
+    # X7/X9 subject semantics: env tag unless prod
+    at = dt.datetime(2024, 6, 30, 14, 5)
+    assert (
+        build_subject("acme", "scraping", "staging", at)
+        == "[staging] acme - scraping: 30/06/2024 14:05"
+    )
+    assert build_subject("acme", "scraping", "prod", at).startswith("acme - ")
+
+    mail = send_email(
+        build_subject("acme", "extraccion", "dev", at),
+        build_message({"datasets": 2, "datasets_ok": 2}),
+        ["ops@acme.test"],
+        attachments=[path],
+        dry_run=True,
+    )
+    assert mail["recipients"] == ["ops@acme.test"]
+    assert "datasets_ok: 2" in mail["message"]
