@@ -104,7 +104,19 @@ class CatalogPipeline:
     # -- phase 1: pure planning -------------------------------------------
 
     def plan(self) -> dict[str, DataFrame]:
-        frames = read_catalog_json(self.spark, self.catalog_path, self.catalog_id)
+        if self.catalog_path.endswith((".xlsx", ".xls")):
+            # S5 — formato=xlsx branch (base.py:393-421,932-938)
+            from series_tiempo_ar_scraping_spark.sources.xlsx import (
+                read_xlsx_catalog,
+            )
+
+            frames = read_xlsx_catalog(
+                self.spark, self.catalog_path, self.catalog_id
+            )
+        else:
+            frames = read_catalog_json(
+                self.spark, self.catalog_path, self.catalog_id
+            )
         frames["fields"] = clean_field_keyspace(frames["fields"])
         frames["datasets"] = filter_catalog_id(
             frames["datasets"], self.catalog_id_filter
@@ -294,6 +306,24 @@ class CatalogPipeline:
                 frames["fields"],
             )
         )
+
+        # K2/K3: rewrite data.json + catalog.xlsx next to the outputs
+        # (base.py:489-504 writes both after filtering).
+        if write_csvs:
+            from series_tiempo_ar_scraping_spark.sinks.metadata import (
+                write_json_catalog,
+                write_xlsx_catalog,
+            )
+
+            cat_dir = os.path.join(self.output_dir, "catalog", self.catalog_id)
+            written.append(
+                write_json_catalog(frames, os.path.join(cat_dir, "data.json"))
+            )
+            written.append(
+                write_xlsx_catalog(
+                    frames, os.path.join(cat_dir, "catalog.xlsx")
+                )
+            )
 
         return PipelineResult(
             frames=frames,

@@ -28,16 +28,12 @@ def write_report_csv(report: DataFrame, out_dir: str, name: str) -> str:
 
 def write_report_xlsx(report: DataFrame, out_dir: str, name: str) -> str:
     """K4 XLSX variant — parity with ``reporte-datasets.xlsx`` /
-    ``reporte-distributions.xlsx`` (``base.py:679-703``); falls back to
-    CSV when no Excel writer is installed."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        return write_report_csv(report, out_dir, name)
-    os.makedirs(out_dir, exist_ok=True)  # pragma: no cover - env-dependent
+    ``reporte-distributions.xlsx`` (``base.py:679-703``), via the stdlib
+    OOXML writer (``sources/xlsx.py``)."""
+    from series_tiempo_ar_scraping_spark.sources.xlsx import write_xlsx_frames
+
     path = os.path.join(out_dir, f"{name}.xlsx")
-    report.toPandas().to_excel(path, index=False)
-    return path
+    return write_xlsx_frames(path, {name: report})
 
 
 def build_subject(catalog_id: str, stage: str, environment: str,

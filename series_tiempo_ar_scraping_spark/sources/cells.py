@@ -15,10 +15,9 @@ Extraction is the engine's one genuinely imperative source. It runs as
 batches out — so a million workbooks on a cluster parallelize trivially
 and each file is opened exactly once.
 
-openpyxl is not installed in this container, so the xlsx branch raises
-``NotImplementedError`` behind an import gate; the deterministic fallback
-formats (JSONL/CSV grids of cells — what our fixtures use) exercise the
-identical Spark-side plumbing.
+``.xlsx`` parsing is stdlib-only (``sources/xlsx.py``: zipfile + OOXML
+XML); the JSONL cells fixture format exercises identical Spark-side
+plumbing for grids produced elsewhere.
 """
 
 from __future__ import annotations
@@ -49,33 +48,21 @@ def _extract_one(path: str) -> pd.DataFrame:
         return df[["file", "sheet", "row", "col", "value"]].astype(
             {"row": "int32", "value": "string"}
         )
-    if path.endswith((".xlsx", ".xls")):
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as exc:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "xlsx extraction requires openpyxl (not available in this "
-                "container); use the jsonl cells fixture format"
-            ) from exc
-        from openpyxl.utils import get_column_letter  # pragma: no cover
+    if path.endswith(".xlsx"):
+        # Stdlib OOXML parse (sources/xlsx.py) — no openpyxl needed.
+        from series_tiempo_ar_scraping_spark.sources.xlsx import iter_cells
 
-        wb = openpyxl.load_workbook(path, read_only=True, data_only=True)  # pragma: no cover
-        rows = []  # pragma: no cover
-        for ws in wb.worksheets:  # pragma: no cover
-            for r_idx, row in enumerate(ws.iter_rows(values_only=True), start=1):
-                for c_idx, v in enumerate(row, start=1):
-                    if v is not None:
-                        rows.append(
-                            (
-                                path.rsplit("/", 1)[-1],
-                                ws.title,
-                                r_idx,
-                                get_column_letter(c_idx),
-                                str(v),
-                            )
-                        )
-        return pd.DataFrame(rows, columns=["file", "sheet", "row", "col", "value"])  # pragma: no cover
-    raise NotImplementedError(f"unsupported workbook format: {path}")
+        fname = path.rsplit("/", 1)[-1]
+        rows = [
+            (fname, sheet, row, col, value)
+            for sheet, row, col, value in iter_cells(path)
+        ]
+        return pd.DataFrame(
+            rows, columns=["file", "sheet", "row", "col", "value"]
+        )
+    raise NotImplementedError(
+        f"unsupported workbook format: {path} (.xls legacy BIFF needs xlrd)"
+    )
 
 
 def extract_cells(spark: SparkSession, paths: list[str]) -> DataFrame:

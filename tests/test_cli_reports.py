@@ -26,13 +26,17 @@ def test_run_etl_from_index(spark, tmp_path):
     out = str(tmp_path / "out")
     results = run_etl(index, out, spark=spark, file_resolver=_resolver)
     assert results["acme"]["indicators"]["distributions"] == 4
-    assert results["acme"]["written"] == 3
+    # 3 distribution CSVs + data.json + catalog.xlsx (K1 + K2/K3)
+    assert results["acme"]["written"] == 5
+    assert os.path.exists(os.path.join(out, "catalog", "acme", "data.json"))
+    assert os.path.exists(os.path.join(out, "catalog", "acme", "catalog.xlsx"))
 
-    # V8: second run with replace=False rewrites nothing
+    # V8: second run with replace=False rewrites no distribution CSVs;
+    # metadata republishes every run (base.py:489-504 runs unconditionally)
     results2 = run_etl(
         index, out, spark=spark, file_resolver=_resolver, replace=False
     )
-    assert results2["acme"]["written"] == 0
+    assert results2["acme"]["written"] == 2
 
     # EP2 metadata-only path
     meta = run_etl(
