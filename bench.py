@@ -45,8 +45,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen once on a trivial action so the first timed
-    # query doesn't pay session startup.
+    # query doesn't pay session startup, and touch the parquet scan path
+    # (footer reads, vectorized reader init) so q1 measures steady-state
+    # scan throughput rather than cold-start.
     spark.range(1000).count()
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    load_table(spark, sf_dir, "lineitem").limit(1).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

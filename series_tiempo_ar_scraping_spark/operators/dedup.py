@@ -28,6 +28,20 @@ from series_tiempo_ar_scraping_spark.operators.textops import word_shingles
 # MinHash configuration shared with the DuckDB oracle generator.
 MINHASH_K = 12  # hash functions
 MINHASH_BAND_ROWS = 3  # rows per band -> 4 bands
+
+# Universal-hash family for MinHash: sig_i = (a_i*h + b_i) mod P over ONE
+# md5-derived base hash per shingle — 1 md5 instead of K (the md5 is the
+# expensive part; the multiply-add is nearly free and cross-engine exact).
+# h is reduced mod 2^30 so a*h + b stays far below 2^63 in both Spark
+# (Java long) and DuckDB (BIGINT, which errors on overflow).
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+MINHASH_H_MOD = 1 << 30
+# Fixed odd multipliers / offsets (deterministic; no runtime randomness).
+MINHASH_AB = [
+    (1000003, 12345), (999983, 54321), (888887, 13579), (777773, 97531),
+    (666667, 24680), (555557, 86420), (444443, 11111), (333331, 99999),
+    (222223, 77777), (111119, 55555), (99991, 33333), (88799, 22222),
+]
 SIMHASH_BITS = 32
 
 
@@ -75,8 +89,16 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
     )
-    hashed = sh.select(
-        id_col, *[hash64_seeded(F.col("shingle"), i).alias(f"h{i}") for i in range(k)]
+    base = sh.select(
+        id_col,
+        (hash64_seeded(F.col("shingle"), 0) % MINHASH_H_MOD).alias("_h"),
+    )
+    hashed = base.select(
+        id_col,
+        *[
+            ((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:k])
+        ],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"sig{i}") for i in range(k)]

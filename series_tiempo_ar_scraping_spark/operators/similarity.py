@@ -79,6 +79,84 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def assign_clusters(vectors: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_assign: int = 1) -> DataFrame:
+    """IVF coarse quantization: each vector → its ``n_assign`` nearest
+    centroids by cosine (ties → smaller centroid id).
+
+    Centroids are a small broadcast dim (k-means-style codebooks are
+    ~10²-10⁴ rows even at corpus scale); assignment is an embarrassingly
+    parallel broadcast-join + per-partition window — no shuffle of the
+    big side beyond the ranking's repartition by vector id.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vid",
+        "centroid_id",
+        cosine(F.col("vvec"), F.col("centroid_vec")).alias("csim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_assign)
+        .select(F.col("vid").alias(id_col), "centroid_id", "crank")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+             k: int = 5, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their nearest-centroid
+    inverted list; a query probes only its ``nprobe`` nearest lists and
+    searches those exactly.
+
+    The scale path: the expensive exact scan shrinks from |corpus| to
+    |corpus|·nprobe/|centroids| per query, and the probe is an equi-join
+    on ``centroid_id`` — shuffle-partitionable by list, skew bounded by
+    list sizes. Same output contract as ``cosine_topk``.
+    """
+    corpus_lists = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, n_assign=1
+    ).drop("crank")
+    probes = assign_clusters(
+        queries, centroids, id_col=id_col, vec_col=vec_col, n_assign=nprobe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(
+        corpus_lists.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(probes), "query_id")
+
+    scored = c.join(F.broadcast(q), "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+    )
+    # No dedup needed: each corpus vector lives in exactly one inverted
+    # list (n_assign=1), so a (query, neighbor) pair joins at most once.
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def hyperplane_bucket(vec: Column, coeffs: list[list[int]]) -> Column:
     """LSH bucket id: bit j = sign(plane_j · vec). One projection."""
     bucket = F.lit(0)

@@ -773,3 +773,4 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 # Batch 2 (LLM-pipeline operators) registers itself on import.
 from series_tiempo_ar_scraping_spark import queries_llm  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_ext  # noqa: E402,F401
+from series_tiempo_ar_scraping_spark import queries_batch4  # noqa: E402,F401

@@ -1,0 +1,319 @@
+"""Batch-4 queries: set operations, cube, window-function suite, range
+join, IVF ANN, and a Structured Streaming entry that hash-matches the
+batch oracle.
+
+SURVEY context: §2.8 notes the reference has no row-set ops and §2.4 no
+range joins ("all free in Spark if ever needed") — these entries prove
+that claim with oracle-checked implementations. §2.11 motivates the
+streaming layer; ``streaming_tumbling_counts`` runs the *same* windowed
+aggregation through ``readStream`` (availableNow) and must produce
+byte-identical results to the batch SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import similarity as S
+from series_tiempo_ar_scraping_spark.queries import (
+    _PRICE_DEC,
+    _RATE_DEC,
+    det_round,
+    load_table,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 — set operations over row sets (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_in_both_years",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def customers_in_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 1997. Catalyst plans
+    this as a left-semi join over distinct sets — shuffle on the key,
+    partial distinct map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y95 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y94.intersect(y95)
+
+
+@register(
+    "customers_lapsed",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def customers_lapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who ordered in 1996 but not 1997 (anti-join over
+    distinct sets)."""
+    o = load_table(spark, sf_dir, "orders")
+    y94 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y95 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll's multiset semantics would
+    # leave surplus copies for customers with more 1996 than 1997 orders)
+    return y94.subtract(y95)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 — multi-dimensional aggregation (CUBE; rollup lives in queries_ext)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Catalyst expands to a single Expand + hash-aggregate (one shuffle for
+    every subtotal level, vs 4 separate scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_PRICE_DEC))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 — ranking / navigation window-function suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             rank()       OVER win AS rnk,
+             dense_rank() OVER win AS drnk,
+             ntile(4)     OVER win AS quartile,
+             CAST(lag(CAST(o_totalprice AS DECIMAL(12,2))) OVER win AS DOUBLE) AS prev_price,
+             CAST(lead(CAST(o_totalprice AS DECIMAL(12,2))) OVER win AS DOUBLE) AS next_price
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey)
+    )
+    SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price,
+           rnk, drnk, quartile, prev_price, next_price
+    FROM w WHERE rnk <= 10
+    """,
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / lag / lead in one window — the §2.6
+    family the reference lacks. One shuffle keyed by the partition column;
+    all five functions share the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast(_PRICE_DEC)
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        price.desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            price.alias("price"),
+            F.rank().over(win).alias("rnk"),
+            F.dense_rank().over(win).alias("drnk"),
+            F.ntile(4).over(win).alias("quartile"),
+            F.lag(price).over(win).cast("double").alias("prev_price"),
+            F.lead(price).over(win).cast("double").alias("next_price"),
+        )
+        .filter(F.col("rnk") <= 10)
+        .withColumn("price", F.col("price").cast("double"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 — range (interval) join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_purchase_context",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           COUNT(e.event_id) AS n_context,
+           COALESCE(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id
+     AND e.event_id <> p.event_id
+     AND e.ts >= p.ts - INTERVAL 1 HOUR
+     AND e.ts <= p.ts
+    GROUP BY 1
+    """,
+)
+def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: events within the hour preceding each purchase
+    by the same user. Equi-key (user_id) carries the shuffle; the range
+    predicate evaluates post-join — the plan a cluster wants (hash join on
+    user, no cross product)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = p.join(
+        e,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("event_id") != F.col("purchase_id"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("event_id").alias("n_context"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_clicks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search scale path: IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+_COS = """
+      list_sum(list_transform(generate_series(1, 64),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id % 61 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings v, cent c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings q, cent c WHERE q.vec_id < 8
+      ) WHERE crank <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a='q.embedding', b='v.embedding')} AS sim
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus bucketed into inverted lists by nearest centroid;
+    each query probes its 2 nearest lists. The deterministic 'codebook'
+    is every 61st vector (stand-in for k-means — the partition/probe
+    dataflow is what's under test, and what scales)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 61 == 0)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    return out.withColumn("sim", det_round(F.col("sim"), 9))
+
+
+# ---------------------------------------------------------------------------
+# §2.11 — Structured Streaming entry (oracle = the batch SQL)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation run through readStream →
+    writeStream (availableNow, complete mode, memory sink) instead of a
+    batch scan — and it must hash-match the same DuckDB oracle as the
+    batch variant. Proves the streaming layer computes identical
+    semantics; on a cluster the same plan runs continuously with a
+    watermark bounding state."""
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream_native,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(read_events_stream_native(spark, sf_dir))
+    name = "stream_tumbling_bench"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Memory-sink table is session-scoped; copy out so repeated runs don't
+    # collide on the query name.
+    result = spark.table(name).localCheckpoint()
+    q.stop()
+    return result

@@ -217,12 +217,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    """Generated DuckDB signature expressions from the shared constants."""
+    """Generated DuckDB signature expressions from the shared constants —
+    universal-hash family over one md5 base hash (mirrors
+    ``dedup.minhash_signatures``)."""
+    h = "((" + _HEX60.format(x="'0' || '|' || s") + f") % {D.MINHASH_H_MOD})"
     sig_cols = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + _HEX60.format(x=f"'{i}' || '|' || s")
-        + f")) AS sig{i}"
-        for i in range(D.MINHASH_K)
+        f"list_min(list_transform(shingles, s -> "
+        f"({a} * {h} + {b}) % {D.MINHASH_P})) AS sig{i}"
+        for i, (a, b) in enumerate(D.MINHASH_AB[: D.MINHASH_K])
     )
     return sig_cols
 

@@ -39,6 +39,37 @@ def read_events_stream(spark: SparkSession, dir_path: str,
     )
 
 
+EVENTS_SCHEMA_NANOS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # INT64 TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream_native(spark: SparkSession, sf_dir: str,
+                              max_files_per_trigger: int = 1) -> DataFrame:
+    """Stream straight off the driver-generated ``events.parquet``.
+
+    Two gotchas handled here: the file carries INT64 TIMESTAMP(NANOS)
+    (read nanos as long, truncate to µs exactly like ``load_table``), and
+    the file-stream source requires a *directory* basePath — the trailing
+    glob makes Spark treat ``sf_dir`` as the base while matching only the
+    events file.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(sf_dir.rstrip("/") + "/events.parquet*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-ish ingest: drop duplicate event_ids within the
     watermark horizon (state is bounded by the watermark — unbounded
