@@ -276,6 +276,105 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup suite: embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+def _emb_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings + scaled copies (×0.9 per component, id+100000 for every
+    7th vector) — scaling preserves cosine, so the copies are near-dups by
+    construction (the synthetic vectors have no natural pairs above 0.48)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mut = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 0.9).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.unionByName(mut)
+
+
+_EMB_NEAR_SQL = """
+    SELECT vec_id, embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * 0.9 AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=None,  # filled below (needs the plane fragments)
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed: hyperplane
+    buckets prune the pair space (same-bucket candidates only — scaling
+    can't flip a projection sign, so true dups always collide), then exact
+    cosine ≥ 0.95 verifies. The subquadratic shape that survives a 10⁹-
+    vector corpus; the shuffle is keyed by bucket, skew bounded by bucket
+    occupancy."""
+    corpus = _emb_near_corpus(spark, sf_dir)
+    coeffs = S.plane_coeffs(S.N_PLANES, 64)
+    b = corpus.select(
+        "vec_id",
+        "embedding",
+        S.hyperplane_bucket(F.col("embedding"), coeffs).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("va"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("vb"),
+        "bucket",
+    )
+    pairs = a.join(c, "bucket").filter(F.col("keep_id") < F.col("dup_id"))
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("keep_id", "dup_id", det_round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.95)
+    )
+
+
+def _planes_sql_b4(coeffs: list[list[int]]) -> str:
+    selects = []
+    for j, plane in enumerate(coeffs):
+        lits = ", ".join(str(float(v)) for v in plane)
+        selects.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST(v.embedding[i] AS DOUBLE) * ([{lits}])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(selects)
+
+
+from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
+
+ORACLES["dedup_embedding_cosine"] = f"""
+    WITH corpus AS ({_EMB_NEAR_SQL}),
+    b AS (
+      SELECT v.vec_id, v.embedding,
+             {_planes_sql_b4(S.plane_coeffs(S.N_PLANES, 64))} AS bucket
+      FROM corpus v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b2.vec_id AS dup_id,
+             {_COS.format(a='a.embedding', b='b2.embedding')} AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT keep_id, dup_id,
+           CAST(FLOOR(sim * 1000000 + 0.5) / 1000000 AS DOUBLE) AS sim
+    FROM pairs
+    WHERE CAST(FLOOR(sim * 1000000 + 0.5) / 1000000 AS DOUBLE) >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
 # §2.11 — Structured Streaming entry (oracle = the batch SQL)
 # ---------------------------------------------------------------------------
 

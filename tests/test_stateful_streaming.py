@@ -1,0 +1,104 @@
+"""applyInPandasWithState sessionization (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    # user 1: two sessions split by a >30min gap; user 2: one session.
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "view", 1.0, "{}"),
+            (3, "2024-01-01 11:30:00", 1, "click", 1.0, "{}"),  # new session
+            (4, "2024-01-01 10:05:00", 2, "click", 1.0, "{}"),
+        ],
+    )
+    # A late second file pushes the watermark far forward so the open
+    # sessions hit their event-time timeout and flush.
+    _write_batch(
+        spark,
+        src,
+        [(9, "2024-01-02 00:00:00", 99, "click", 1.0, "{}")],
+    )
+
+    stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r.user_id, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.table("sessions_test").collect()
+    }
+    q.stop()
+
+    # user 1 session A: 10:00-10:10 (2 events), closed by the 11:30 event
+    assert rows[(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")] == 2
+    # user 1 session B + user 2's session flush via event-time timeout
+    assert rows[(1, "2024-01-01 11:30:00", "2024-01-01 11:30:00")] == 1
+    assert rows[(2, "2024-01-01 10:05:00", "2024-01-01 10:05:00")] == 1
+
+
+def test_session_fn_pure():
+    """The state-transition function is testable without a stream."""
+    from series_tiempo_ar_scraping_spark.streaming.stateful import _session_fn
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = False
+            self.exists = False
+            self._v = None
+            self.removed = False
+            self.timeout_ms = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    fn = _session_fn(30)
+    st = FakeState()
+    ts = pd.Series(pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01 12:00:00"
+    ]))
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ts})]), st))
+    # one closed session emitted; the 12:00 event stays open in state
+    assert len(out) == 1 and len(out[0]) == 1
+    assert out[0].iloc[0]["n_events"] == 2
+    assert st.exists and st._v[2] == 1
+    assert st.timeout_ms is not None
