@@ -121,3 +121,123 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
     return media.select("media_id", "kind", "content").mapInPandas(
         run, FEATURES_SCHEMA
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, max_dim: int = 512,
+                 decode_stub: bool = True) -> DataFrame:
+    """Resize kernel: cap the longer edge at ``max_dim`` preserving aspect.
+
+    Stub path: dimensions come from the deterministic fake decode
+    (checksum-derived, same values ``extract_features`` reports) and are
+    rescaled arithmetically; content passes through untouched. Real path
+    (PIL) is import-gated. The Spark shape — mapInPandas projection,
+    binary in/out, no shuffle — is the real contract.
+    """
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                try:
+                    import PIL  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real resize requires codec libraries not in this "
+                        "container; run with decode_stub=True"
+                    ) from exc
+            digests = pdf["content"].map(lambda b: hashlib.md5(b).hexdigest())
+            w = digests.map(lambda d: 1 + int(d[:4], 16) % 4096)
+            h = digests.map(lambda d: 1 + int(d[4:8], 16) % 4096)
+            scale = (max_dim / pd.concat([w, h], axis=1).max(axis=1)).clip(
+                upper=1.0
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": pdf["content"],
+                    "width": (w * scale).map(lambda v: max(1, int(v))).astype("int32"),
+                    "height": (h * scale).map(lambda v: max(1, int(v))).astype("int32"),
+                }
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  decode_stub: bool = True) -> DataFrame:
+    """Frame sampling: one output row per sampled frame of each video —
+    a fan-out (flatMap) kernel, the batch shape that matters: a 2-hour
+    video row becomes ~7200 frame rows inside one Arrow batch stream, no
+    driver involvement, no shuffle until someone aggregates.
+
+    Stub: duration is ``meta.duration_ms`` when present else derived from
+    byte length; frame checksums are md5(content ∥ frame_idx).
+    """
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                try:
+                    import av  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg bindings not "
+                        "in this container; run with decode_stub=True"
+                    ) from exc
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["duration_ms"]
+                if dur is None or pd.isna(dur):
+                    dur = 1 + (len(r["content"]) % 10) * every_ms
+                base = hashlib.md5(r["content"]).hexdigest()
+                for i, ts in enumerate(range(0, int(dur), every_ms)):
+                    rows.append(
+                        (
+                            r["media_id"],
+                            i,
+                            ts,
+                            hashlib.md5(f"{base}:{i}".encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "ts_ms", "frame_checksum"],
+            )
+
+    vids = media.filter(F.col("kind") == "video").select(
+        "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(run, FRAMES_SCHEMA)

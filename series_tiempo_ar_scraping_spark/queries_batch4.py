@@ -375,6 +375,88 @@ ORACLES["dedup_embedding_cosine"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Multimodal kernels: resize + frame-sample (mapInPandas fan-out), with
+# oracles — the deterministic stub decode makes the pandas-UDF path
+# hash-checkable against pure SQL.
+# ---------------------------------------------------------------------------
+
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           text
+    FROM documents
+"""
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    dims AS (
+      SELECT media_id, kind,
+             1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 4096 AS w,
+             1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 4096 AS h
+      FROM media
+    ),
+    scaled AS (
+      SELECT media_id, kind, w, h,
+             LEAST(1.0, 512.0 / GREATEST(w, h)) AS scale
+      FROM dims
+    )
+    SELECT media_id, kind,
+           CAST(GREATEST(1, CAST(FLOOR(w * scale) AS BIGINT)) AS INT) AS width,
+           CAST(GREATEST(1, CAST(FLOOR(h * scale) AS BIGINT)) AS INT) AS height
+    FROM scaled
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize kernel over Arrow batches; the stub's checksum-derived
+    dimensions rescale to a 512 cap. Binary content drops out of the
+    compared projection (blob equality is engine-specific)."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        documents_as_media,
+        resize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(documents_as_media(docs), max_dim=512).select(
+        "media_id", "kind", "width", "height"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS ({_MEDIA_SQL}),
+    v AS (
+      SELECT media_id, md5(text) AS base,
+             1 + (octet_length(encode(text)) % 10) * 1000 AS dur
+      FROM media WHERE kind = 'video'
+    )
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 1000 AS INT) AS ts_ms,
+           md5(base || ':' || CAST(i AS VARCHAR)) AS frame_checksum
+    FROM v, LATERAL (
+      SELECT unnest(generate_series(0, CAST(FLOOR((dur - 1) / 1000) AS BIGINT))) AS i
+    ) g
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: one row per (video, sampled frame). The
+    pandas kernel's yield-more-rows-than-input shape, hash-matched to a
+    generate_series SQL expansion."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(docs), every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
 # §2.11 — Structured Streaming entry (oracle = the batch SQL)
 # ---------------------------------------------------------------------------
 

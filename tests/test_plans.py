@@ -1,0 +1,97 @@
+"""Physical-plan audits: the scale posture, asserted.
+
+Correctness says the queries return the right rows; these tests pin the
+*plans* — predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins for dims, semi/anti join strategies, and no Python in
+JVM-only pipelines. A regression here is a 100 TB performance bug even
+when every value still matches.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name: str, mode: str = "formatted") -> str:
+        return plan_of(QUERIES[name](spark, sf_dir), mode)
+
+    return get
+
+
+def test_q01_pushdown_and_pruning(plans):
+    p = plans("q01_pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters")[1].splitlines()[0]
+    # column pruning: unused wide columns never leave the scan
+    read_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+    # partial (map-side) aggregation before the exchange — one shuffle of
+    # pre-combined rows, not raw lineitems
+    simple = plans("q01_pricing_summary", "simple")
+    assert "partial_sum" in simple
+    assert simple.index("partial_sum") > simple.index("Exchange")
+
+
+def test_q05_broadcasts_dims(plans):
+    p = plans("q05_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # nation/region (+customer)
+    assert "PushedFilters" in p
+
+
+def test_semi_join_strategy(plans):
+    p = plans("semi_orders_with_big_lineitem")
+    assert "LeftSemi" in p
+
+
+def test_anti_join_strategy(plans):
+    p = plans("anti_customers_without_orders")
+    assert "LeftAnti" in p
+
+
+def test_topk_uses_take_ordered(plans):
+    p = plans("q03_revenue_topk", "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_jvm_only_pipelines_have_no_python(plans):
+    """Text analysis + minhash dedup are pure Catalyst expressions — any
+    BatchEvalPython/ArrowEvalPython in the plan means someone slipped a
+    Python UDF into the hot path."""
+    for q in ("text_stats", "dedup_minhash_lsh", "text_lang_quality",
+              "embedding_cosine_topk"):
+        p = plans(q, "simple")
+        assert "EvalPython" not in p, f"{q} plan contains a Python UDF"
+
+
+def test_pandas_kernels_are_arrow_batched(plans):
+    """Multimodal kernels are the sanctioned Python islands — they must be
+    Arrow-batched (MapInPandas), never row-pickling PythonUDF."""
+    p = plans("multimodal_features", "simple")
+    assert "MapInPandas" in p
+
+
+def test_streaming_filter_pushdown(spark, sf_dir):
+    """Filters on the events scan push to parquet even through the
+    ts-conversion projection."""
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    df = load_table(spark, sf_dir, "events").filter("event_type = 'click'")
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]
