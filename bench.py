@@ -35,6 +35,12 @@ BENCH_QUERIES = [
     "text_stats",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "window_rank_suite",
+    "range_join_purchase_context",
+    "cube_status_priority",
+    "dedup_embedding_cosine",
+    "ivf_ann_topk",
+    "multimodal_frame_sample",
 ]
 
 

@@ -97,6 +97,21 @@ def run_etl(
     return results
 
 
+def run_custom_steps(output_dir: str, script_path: str,
+                     extra_env: dict | None = None) -> int:
+    """K9 — post-ETL user hook: run a shell script over the output dir
+    (``Makefile:14-15``, ``config/custom_steps.example.sh`` — e.g. rsync
+    outputs to a webroot). Driver-side by design; returns the exit code."""
+    import subprocess
+
+    env = dict(os.environ, OUTPUT_DIR=os.path.abspath(output_dir))
+    env.update(extra_env or {})
+    proc = subprocess.run(
+        ["bash", script_path], env=env, capture_output=True, text=True
+    )
+    return proc.returncode
+
+
 @click.command()
 @click.option("--config", "config_path", required=True, help="index.yaml path")
 @click.option("--output-dir", default="output", help="output root")
@@ -106,9 +121,11 @@ def run_etl(
 @click.option("--distribution-id-filter", default=None)
 @click.option("--metadata-only", is_flag=True, default=False,
               help="EP2: extract+validate metadata, skip data")
+@click.option("--custom-steps", "custom_steps", default=None,
+              help="K9: shell script to run over the output dir after ETL")
 @click.option("--log-level", default="WARN")
 def cli(config_path, output_dir, replace, catalog_id_filter,
-        distribution_id_filter, metadata_only, log_level):
+        distribution_id_filter, metadata_only, custom_steps, log_level):
     """Run the catalog ETL (reference ``etl`` entry point)."""
     spark = get_spark("etl-cli")
     spark.sparkContext.setLogLevel(log_level)
@@ -128,6 +145,10 @@ def cli(config_path, output_dir, replace, catalog_id_filter,
         distribution_id_filter=distribution_id_filter,
         metadata_only=metadata_only,
     )
+    if custom_steps:
+        results["_custom_steps_exit"] = run_custom_steps(
+            output_dir, custom_steps
+        )
     click.echo(json.dumps(results, default=str))
 
 

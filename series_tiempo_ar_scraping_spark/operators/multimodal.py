@@ -217,24 +217,32 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                         "real frame sampling requires ffmpeg bindings not "
                         "in this container; run with decode_stub=True"
                     ) from exc
-            rows = []
-            for _, r in pdf.iterrows():
-                dur = r["duration_ms"]
-                if dur is None or pd.isna(dur):
-                    dur = 1 + (len(r["content"]) % 10) * every_ms
-                base = hashlib.md5(r["content"]).hexdigest()
-                for i, ts in enumerate(range(0, int(dur), every_ms)):
-                    rows.append(
-                        (
-                            r["media_id"],
-                            i,
-                            ts,
-                            hashlib.md5(f"{base}:{i}".encode()).hexdigest(),
-                        )
-                    )
+            import numpy as np
+
+            dur = pdf["duration_ms"].to_numpy(dtype="float64", na_value=np.nan)
+            lens = pdf["content"].map(len).to_numpy(dtype="int64")
+            dur = np.where(np.isnan(dur), 1 + (lens % 10) * every_ms, dur)
+            n_frames = ((dur - 1) // every_ms).astype("int64") + 1
+            bases = pdf["content"].map(
+                lambda b: hashlib.md5(b).hexdigest()
+            ).to_numpy()
+            # vectorized fan-out: repeat row attrs, tile frame indices
+            media_ids = np.repeat(pdf["media_id"].to_numpy(), n_frames)
+            rep_bases = np.repeat(bases, n_frames)
+            idx = np.concatenate(
+                [np.arange(n) for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype="int64")
+            checks = [
+                hashlib.md5(f"{b}:{i}".encode()).hexdigest()
+                for b, i in zip(rep_bases, idx)
+            ]
             yield pd.DataFrame(
-                rows,
-                columns=["media_id", "frame_idx", "ts_ms", "frame_checksum"],
+                {
+                    "media_id": media_ids,
+                    "frame_idx": idx.astype("int32"),
+                    "ts_ms": (idx * every_ms).astype("int32"),
+                    "frame_checksum": checks,
+                }
             )
 
     vids = media.filter(F.col("kind") == "video").select(

@@ -20,6 +20,20 @@ def _resolver(ref: str) -> str:
     return os.path.join(FIX, "files", ref.rsplit("/", 1)[-1])
 
 
+def test_custom_steps_hook(tmp_path):
+    from series_tiempo_ar_scraping_spark.main import run_custom_steps
+
+    out = tmp_path / "out"
+    out.mkdir()
+    script = tmp_path / "steps.sh"
+    script.write_text('echo "ran" > "$OUTPUT_DIR/marker.txt"\n')
+    assert run_custom_steps(str(out), str(script)) == 0
+    assert (out / "marker.txt").read_text().strip() == "ran"
+    bad = tmp_path / "bad.sh"
+    bad.write_text("exit 3\n")
+    assert run_custom_steps(str(out), str(bad)) == 3
+
+
 def test_run_etl_from_index(spark, tmp_path):
     index = read_config(os.path.join(FIX, "index.yaml"))["catalogs"]
     index["acme"]["metadata_path"] = os.path.join(FIX, "catalog.json")
