@@ -90,9 +90,26 @@ def run_etl(
             continue
         res = pipe.run(write_csvs=True)
         ind = res.indicators.collect()[0].asDict() if res.indicators is not None else {}
+        # K4/K5 — per-catalog report workbooks next to the outputs
+        # (reporte-datasets / reporte-distributions, base.py:679-703)
+        from series_tiempo_ar_scraping_spark.sinks.reports import (
+            write_report_xlsx,
+        )
+
+        report_dir = os.path.join(output_dir, "reports", catalog_id)
+        report_files = [
+            write_report_xlsx(res.dataset_report, report_dir, "reporte-datasets")
+        ]
+        if res.distribution_report is not None:
+            report_files.append(
+                write_report_xlsx(
+                    res.distribution_report, report_dir, "reporte-distributions"
+                )
+            )
         results[catalog_id] = {
             "indicators": ind,
             "written": len(res.written_files),
+            "reports": report_files,
         }
     return results
 

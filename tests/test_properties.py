@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the pure driver-side kernels.
+
+SURVEY §5's engine test plan is a superset of the reference's (which unit-
+tests only pure helpers): here the stdlib OOXML layer and coordinate math
+get adversarial inputs instead of fixtures.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from series_tiempo_ar_scraping_spark.sources.xlsx import (
+    _col_to_idx,
+    _idx_to_col,
+    read_sheets,
+    write_xlsx,
+)
+
+# XML 1.0 can't carry control chars; cells strip leading/trailing space
+# only via xml:space handling, which the writer sets — so spaces are fair
+# game. Exclude empty strings (empty cells are absent by contract).
+_cell_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc"),  # surrogates, control chars
+    ),
+    min_size=1,
+    max_size=40,
+).filter(lambda s: s.strip() != "")
+
+
+@given(st.integers(min_value=1, max_value=16384))
+def test_col_letters_roundtrip(n):
+    assert _col_to_idx(_idx_to_col(n)) == n
+
+
+def test_col_letters_known():
+    assert _idx_to_col(1) == "A"
+    assert _idx_to_col(26) == "Z"
+    assert _idx_to_col(27) == "AA"
+    assert _idx_to_col(702) == "ZZ"
+    assert _idx_to_col(703) == "AAA"
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_cell_text, st.integers(-10**9, 10**9)),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_xlsx_roundtrip_arbitrary_strings(tmp_path_factory, rows):
+    """Any XML-legal string survives write→read (escaping, unicode,
+    quotes, accents); ints round-trip as their decimal serialization."""
+    path = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
+    write_xlsx(path, {"s": (["name", "num"], rows)})
+    back = read_sheets(path)["s"]
+    assert len(back) == len(rows)
+    for rec, (name, num) in zip(back, rows):
+        assert rec["name"] == name
+        assert rec["num"] == str(num)
+
+
+@given(st.text(min_size=1, max_size=10).filter(lambda s: s.strip()))
+def test_sheet_names_roundtrip(tmp_path_factory, name):
+    import re
+
+    if re.search(r"[\x00-\x1f<>&\"']", name):
+        return  # sheet names with markup chars are escaped; covered above
+    path = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
+    write_xlsx(path, {name: (["a"], [("x",)])})
+    assert list(read_sheets(path)) == [name]
+
+
+@given(
+    st.floats(min_value=0, max_value=1e9, allow_nan=False),
+    st.floats(min_value=0, max_value=1e9, allow_nan=False),
+)
+def test_det_round_formula_properties(x, y):
+    """The floor-based rounding formula both engines implement: error
+    bounded by half an ulp-of-precision, and monotone (order-preserving) —
+    so rounding can never reorder ranked results across engines."""
+    import math
+
+    def dr(v: float, n: int) -> float:
+        p = 10 ** n
+        return math.floor(v * p + 0.5) / p
+
+    for n in (2, 4, 9):
+        assert abs(dr(x, n) - x) <= 0.5 / 10 ** n + 1e-9 * max(1.0, x)
+        lo, hi = sorted((x, y))
+        assert dr(lo, n) <= dr(hi, n)
+
+
+@given(st.integers(0, 2**60 - 1))
+def test_minhash_universal_family_in_range(h):
+    """(a·h%2^30 + b) mod p stays in [0, p) without 64-bit overflow — the
+    invariant that keeps Spark (wrapping longs) and DuckDB (erroring
+    BIGINT) in agreement."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        MINHASH_AB,
+        MINHASH_H_MOD,
+        MINHASH_P,
+    )
+
+    h30 = h % MINHASH_H_MOD
+    for a, b in MINHASH_AB:
+        v = a * h30 + b
+        assert 0 <= v < 2**63  # no overflow in either engine
+        assert 0 <= v % MINHASH_P < MINHASH_P
