@@ -169,9 +169,12 @@ def q03_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k revenue orders for one market segment (SURVEY §2.7 notes the
     reference has no top-k; Spark's ``TakeOrderedAndProject`` makes it free).
 
-    Scale notes: customer is the small side → broadcast; lineitem→orders is
-    the real shuffle, on the join key; top-k never materializes the full
-    sort (per-partition heaps + driver merge).
+    Scale notes: lineitem→orders is the real shuffle, on the join key.
+    Customer is NOT force-broadcast: below the autoBroadcastJoinThreshold
+    it broadcasts anyway; at 100 TB (10⁸ customers) forcing it would OOM
+    executors — size-based selection + AQE pick the right strategy at
+    either scale. Top-k never materializes the full sort
+    (per-partition heaps + driver merge).
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -180,7 +183,7 @@ def q03_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -212,8 +215,11 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star query (J2 chain — metadata-dim lookups at fact scale,
     ``base.py:119-121,313-314`` recast relationally).
 
-    Scale notes: region/nation/supplier/customer are dims → broadcast hash
-    joins all the way down; only lineitem⋈orders shuffles.
+    Scale notes: nation/region are bounded dims (≤25 rows at ANY scale) →
+    explicit broadcast; customer/supplier grow with the data, so join
+    selection stays size-based (auto-broadcast when small, shuffle hash
+    when not — forcing a 10⁸-row broadcast would OOM a real cluster).
+    Only lineitem⋈orders is an unavoidable fact-fact shuffle.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -223,9 +229,9 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)

@@ -61,7 +61,7 @@ def pivot_monthly_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
         .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
         .select(

@@ -62,10 +62,21 @@ def write_wide_csv(obs_one_dist: DataFrame, out_path: str, series_titles: list[s
 
 
 def write_observations_parquet(obs: DataFrame, path: str) -> None:
-    """The scale sink: long form partitioned by catalog — partition pruning
-    for per-catalog reruns; series_id stays unpartitioned (cardinality too
-    high for directories; rely on parquet column stats + predicate pushdown)."""
-    obs.write.mode("overwrite").partitionBy("catalog_id").parquet(path)
+    """The scale sink: long form partitioned by ``catalog_id`` (and
+    ``freq_code`` when present) — partition pruning covers the dominant
+    access patterns (per-catalog republish, per-frequency validation).
+    ``series_id`` stays *unpartitioned* (cardinality too high for
+    directories) but rows sort by (series_id, ts) within partitions, so
+    parquet row-group min/max stats skip non-matching groups on
+    per-series reads — poor-man's clustering, no shuffle beyond the sort.
+    """
+    parts = ["catalog_id"] + (["freq_code"] if "freq_code" in obs.columns else [])
+    (
+        obs.sortWithinPartitions("series_id", "ts")
+        .write.mode("overwrite")
+        .partitionBy(*parts)
+        .parquet(path)
+    )
 
 
 def rewrite_download_urls(distributions: DataFrame, output_dir: str, host: str) -> DataFrame:

@@ -86,6 +86,30 @@ def test_pandas_kernels_are_arrow_batched(plans):
     assert "MapInPandas" in p
 
 
+def test_observations_sink_partition_pruning(spark, tmp_path):
+    """The scale sink's layout actually prunes: a catalog_id predicate
+    becomes a PartitionFilter (directory skip), not a data filter."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        write_observations_parquet,
+    )
+
+    obs = spark.createDataFrame(
+        [("c1", "s1", "2024-01-01", 1.0, "M"), ("c2", "s2", "2024-01-01", 2.0, "D")],
+        "catalog_id string, series_id string, ts string, value double, freq_code string",
+    )
+    path = str(tmp_path / "obs")
+    write_observations_parquet(obs, path)
+    assert os.path.isdir(os.path.join(path, "catalog_id=c1", "freq_code=M"))
+    back = spark.read.parquet(path).filter("catalog_id = 'c1'")
+    p = plan_of(back)
+    assert "PartitionFilters" in p
+    pf_line = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "catalog_id" in pf_line
+    assert back.count() == 1
+
+
 def test_streaming_filter_pushdown(spark, sf_dir):
     """Filters on the events scan push to parquet even through the
     ts-conversion projection."""
