@@ -321,20 +321,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = corpus.select(
         "vec_id",
         "embedding",
+        S.norm(F.col("embedding")).alias("nrm"),
         S.hyperplane_bucket(F.col("embedding"), coeffs).alias("bucket"),
     )
     a = b.select(
         F.col("vec_id").alias("keep_id"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
         "bucket",
     )
     c = b.select(
         F.col("vec_id").alias("dup_id"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
         "bucket",
     )
     pairs = a.join(c, "bucket").filter(F.col("keep_id") < F.col("dup_id"))
-    sim = S.cosine(F.col("va"), F.col("vb"))
+    # norms materialized per vector pre-join (not per pair)
+    sim = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("keep_id", "dup_id", det_round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= 0.95)
