@@ -98,7 +98,12 @@ def run_etl(
 
         report_dir = os.path.join(output_dir, "reports", catalog_id)
         report_files = [
-            write_report_xlsx(res.dataset_report, report_dir, "reporte-datasets")
+            write_report_xlsx(res.dataset_report, report_dir, "reporte-datasets"),
+            # K5 — metadata validation errors export (the reference's
+            # validate_catalog(only_errors, export_path), base.py:434-441)
+            write_report_xlsx(
+                res.metadata_errors, report_dir, "reporte-errores-metadata"
+            ),
         ]
         if res.distribution_report is not None:
             report_files.append(

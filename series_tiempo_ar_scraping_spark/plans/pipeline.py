@@ -142,7 +142,11 @@ class CatalogPipeline:
         ).cache()
 
         obs_parts: list[DataFrame] = []
-        # csv/txt routes (S6/S7): per-distribution file reads.
+        # csv/txt routes (S6/S7): per-distribution file reads. V7: any
+        # per-distribution failure (unreadable/garbage file, no series
+        # columns) costs an ERROR report row, never the pipeline
+        # (base.py:198-207 try/except-continue semantics).
+        processor_errors: list[tuple[str, str, str, str]] = []
         for row in ts_dists.filter(
             F.col("method").isin(METHOD_CSV, METHOD_TXT)
         ).collect():
@@ -151,12 +155,18 @@ class CatalogPipeline:
             local = self.file_resolver(ref)
             if local is None or not os.path.exists(local):
                 continue
-            obs_parts.append(
-                read_distribution_csv(
-                    self.spark, local, row.catalog_id, row.dataset_id,
-                    row.distribution_id, sep=sep,
+            try:
+                obs_parts.append(
+                    read_distribution_csv(
+                        self.spark, local, row.catalog_id, row.dataset_id,
+                        row.distribution_id, sep=sep,
+                    )
                 )
-            )
+            except Exception as exc:  # noqa: BLE001 — V7 error channel
+                processor_errors.append(
+                    (row.catalog_id, row.dataset_id, row.distribution_id,
+                     repr(exc))
+                )
 
         # excel route (S8): extract cells once per distinct workbook (A1),
         # then scrape every series relationally.

@@ -379,6 +379,44 @@ ORACLES["dedup_embedding_cosine"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Skew mitigation: salted two-stage aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_user_event_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def salted_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups by (user_id, salt) so
+    a hot user's rows spread over 8 reducers; stage 2 merges the partials.
+    Decimal sums are associative, so the result is bit-identical to the
+    direct GROUP BY (the oracle) — the skew pattern costs nothing but a
+    second (tiny) shuffle. Distinct-counts salt as set-unions via
+    collect_set → flatten → distinct size."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", (F.col("event_id") % 8).cast("int"))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("value").cast("decimal(22,4)")).alias("psum"),
+        F.collect_set("event_type").alias("ptypes"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("ptypes")))).cast(
+            "long"
+        ).alias("n_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal kernels: resize + frame-sample (mapInPandas fan-out), with
 # oracles — the deterministic stub decode makes the pandas-UDF path
 # hash-checkable against pure SQL.

@@ -45,10 +45,10 @@ def test_run_etl_from_index(spark, tmp_path):
     # K4/K5 report workbooks exist and read back via the stdlib parser
     from series_tiempo_ar_scraping_spark.sources.xlsx import read_sheets
 
-    assert len(results["acme"]["reports"]) == 2
+    assert len(results["acme"]["reports"]) == 3
     for path in results["acme"]["reports"]:
         assert os.path.exists(path)
-    dist_rep = read_sheets(results["acme"]["reports"][1])
+    dist_rep = read_sheets(results["acme"]["reports"][2])
     assert len(dist_rep["reporte-distributions"]) == 4
     assert os.path.exists(os.path.join(out, "catalog", "acme", "data.json"))
     assert os.path.exists(os.path.join(out, "catalog", "acme", "catalog.xlsx"))

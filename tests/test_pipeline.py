@@ -145,3 +145,33 @@ def test_published_metadata_rewrite_and_scrub(result):
         "precios-trimestrales.csv"
     )  # K7
     assert "scrapingIdentifierCell" not in res.frames["fields_published"].columns
+
+
+def test_corrupt_data_file_is_error_row_not_crash(spark, tmp_path):
+    """V7: a garbage payload behind a distribution's downloadURL costs one
+    ERROR report row; the rest of the catalog still processes."""
+    garbage = tmp_path / "precios_q.csv"
+    garbage.write_bytes(b"\x00\x01\x02 not,a/csv\nPK\x03\x04")
+
+    def bad_resolver(ref: str) -> str:
+        name = ref.rsplit("/", 1)[-1]
+        if name == "precios_q.csv":  # the 2.1 direct-csv source
+            return str(garbage)
+        return resolver(ref)
+
+    pipe = CatalogPipeline(
+        spark,
+        catalog_path=os.path.join(FIX, "catalog.json"),
+        catalog_id="acme",
+        output_dir=str(tmp_path / "out"),
+        file_resolver=bad_resolver,
+        host="http://acme.test",
+    )
+    res = pipe.run(write_csvs=False)
+    statuses = {
+        r.distribution_identifier: r.distribution_status
+        for r in res.distribution_report.collect()
+    }
+    assert statuses["2.1"] == "ERROR"
+    # scraped distributions still process
+    assert statuses["1.1"] in ("OK", "WARNING")
