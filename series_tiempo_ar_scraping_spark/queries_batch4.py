@@ -379,6 +379,88 @@ ORACLES["dedup_embedding_cosine"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# Time-series API transformations (the reference ecosystem's query surface:
+# series-tiempo-ar-api exposes representation_mode=change / percent_change /
+# percent_change_a_year_ago over exactly this long-form model)
+# ---------------------------------------------------------------------------
+
+_MONTHLY_SERIES_SQL = """
+    SELECT event_type AS series_id,
+           date_trunc('month', ts) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("month", "ts").alias("ts"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("value")
+    )
+
+
+@register(
+    "series_pct_change",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SERIES_SQL})
+    SELECT series_id, ts, value,
+           CAST(FLOOR((value - lag(value) OVER w) / lag(value) OVER w
+                * 1000000 + 0.5) / 1000000 AS DOUBLE) AS pct_change,
+           CAST(value - lag(value) OVER w AS DOUBLE) AS abs_change
+    FROM m
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    """,
+)
+def series_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change + percent change per series (lag window)
+    — `representation_mode=change|percent_change` of the reference's API
+    layer, over the canonical long form. One shuffle keyed by series."""
+    m = _monthly_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    return m.select(
+        "series_id",
+        "ts",
+        "value",
+        det_round((F.col("value") - prev) / prev, 6).alias("pct_change"),
+        (F.col("value") - prev).cast("double").alias("abs_change"),
+    )
+
+
+@register(
+    "series_rebase_index",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SERIES_SQL})
+    SELECT series_id, ts,
+           CAST(FLOOR(value / first_value(value) OVER w * 100
+                * 10000 + 0.5) / 10000 AS DOUBLE) AS idx_base100
+    FROM m
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def series_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebase each series to base-100 at its first period (first_value
+    window) — the API layer's index representation."""
+    m = _monthly_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "series_id",
+        "ts",
+        det_round(F.col("value") / F.first("value").over(w) * 100, 4).alias(
+            "idx_base100"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew mitigation: salted two-stage aggregation
 # ---------------------------------------------------------------------------
 
