@@ -110,6 +110,37 @@ def test_observations_sink_partition_pruning(spark, tmp_path):
     assert back.count() == 1
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing both sides of a fact-fact join on the key removes the
+    shuffle entirely (zero Exchange): the 100 TB plan for repeated
+    lineitem⋈orders joins. Broadcast is disabled so the test shows the
+    co-located sort-merge the big-data case would use."""
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("o_bucketed"))
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("li_bucketed"))
+        lb, ob = spark.table("li_bucketed"), spark.table("o_bucketed")
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        p = plan_of(j, "simple")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: no shuffle either side
+        # and it still computes the right thing
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+
+
 def test_streaming_filter_pushdown(spark, sf_dir):
     """Filters on the events scan push to parquet even through the
     ts-conversion projection."""
