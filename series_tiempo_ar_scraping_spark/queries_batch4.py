@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from series_tiempo_ar_scraping_spark.operators import similarity as S
 from series_tiempo_ar_scraping_spark.queries import (
     _PRICE_DEC,
-    _RATE_DEC,
     det_round,
     load_table,
     register,
@@ -431,6 +430,31 @@ def series_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "series_pct_change_year_ago",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SERIES_SQL})
+    SELECT series_id, ts, value,
+           CAST(FLOOR((value - lag(value, 12) OVER w) / lag(value, 12) OVER w
+                * 1000000 + 0.5) / 1000000 AS DOUBLE) AS pct_change_yoy
+    FROM m
+    WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+    """,
+)
+def series_pct_change_year_ago(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_change_a_year_ago: lag(12) on the monthly grid — NULL until
+    a series has a year of history (matches the API contract)."""
+    m = _monthly_series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("ts")
+    prev = F.lag("value", 12).over(w)
+    return m.select(
+        "series_id",
+        "ts",
+        "value",
+        det_round((F.col("value") - prev) / prev, 6).alias("pct_change_yoy"),
+    )
+
+
+@register(
     "series_rebase_index",
     oracle=f"""
     WITH m AS ({_MONTHLY_SERIES_SQL})
@@ -457,6 +481,41 @@ def series_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(F.col("value") / F.first("value").over(w) * 100, 4).alias(
             "idx_base100"
         ),
+    )
+
+
+@register(
+    "series_collapse_quarterly",
+    oracle=f"""
+    WITH m AS ({_MONTHLY_SERIES_SQL})
+    SELECT series_id,
+           date_trunc('quarter', ts) AS ts,
+           CAST(FLOOR(SUM(CAST(value AS DECIMAL(22,4))) / COUNT(*)
+                * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_value,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value,
+           CAST(max_by(value, ts) AS DOUBLE) AS end_of_period
+    FROM m GROUP BY 1, 2
+    """,
+)
+def series_collapse_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency collapse (the API layer's `collapse` + `collapse_aggregation`):
+    monthly series re-aggregated to quarterly with every supported aggregation
+    — avg, sum, min, max, end_of_period (max_by on the period's last month).
+    One hash aggregation keyed (series_id, quarter); partial aggregation is
+    map-side because every agg here is algebraic, so at 100 TB the shuffle
+    carries one row per (series, quarter), not per observation."""
+    m = _monthly_series(spark, sf_dir)
+    dec = F.sum(F.col("value").cast("decimal(22,4)"))
+    return m.groupBy(
+        "series_id", F.date_trunc("quarter", "ts").alias("ts")
+    ).agg(
+        det_round(dec / F.count("*"), 6).alias("avg_value"),
+        dec.cast("double").alias("sum_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+        F.max_by("value", "ts").cast("double").alias("end_of_period"),
     )
 
 
