@@ -519,6 +519,63 @@ def series_collapse_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "percentile_order_values",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.5)  * 10000 + 0.5) / 10000
+                AS DOUBLE) AS p50,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.9)  * 10000 + 0.5) / 10000
+                AS DOUBLE) AS p90,
+           CAST(FLOOR(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000
+                AS DOUBLE) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order value per priority
+    (absent in the reference; free in Spark via the `percentile` aggregate).
+    Exact percentile sorts within each group — at 100 TB prefer
+    `approx_percentile` (t-digest, mergeable map-side); this entry keeps the
+    exact form because the oracle gate requires bit-stable output."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        det_round(F.percentile("o_totalprice", 0.5), 4).alias("p50"),
+        det_round(F.percentile("o_totalprice", 0.9), 4).alias("p90"),
+        det_round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+@register(
+    "grouping_sets_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS {_PRICE_DEC})) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the rollup/cube entries)
+    with GROUPING() null-disambiguation flags. Catalyst expands the sets into
+    one Expand + single hash aggregate — one shuffle total, not one per set."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+         ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_PRICE_DEC)).cast("double").alias("total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Skew mitigation: salted two-stage aggregation
 # ---------------------------------------------------------------------------
