@@ -281,3 +281,60 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.hamming").distinct()
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round every node takes the min of its label and its neighbors' labels;
+    stop when no label changes. Returns ``(id_col, component_id)`` — the
+    component id is the minimum node id in the component, so "keep one
+    representative per duplicate cluster" is ``component_id == id``.
+
+    Scale posture: each round is one shuffle (edge-label join + min-agg),
+    and ``localCheckpoint`` truncates lineage so plan size stays O(1) in
+    rounds instead of O(iterations). Convergence is O(graph diameter) —
+    near-dup clusters are tiny/star-shaped (diameter ≤ ~3), so 3-4 rounds
+    in practice. For adversarial long-chain graphs at 100 TB, swap the
+    propagation step for large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"), which converges in O(log n)
+    rounds with the same join-agg building blocks.
+
+    Parity anchor: the reference has no graph ops (SURVEY §2.4); this is a
+    training-data-pipeline extension (dedup cluster collapse).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))

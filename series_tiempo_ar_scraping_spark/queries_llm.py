@@ -307,6 +307,65 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sigs)
 
 
+def _cc_oracle() -> str:
+    """Recursive-CTE connected components over the verified near-dup pairs
+    — the set-semantics UNION makes the fixpoint enumerate every
+    (node, reachable-component-label) pair; MIN collapses to the canonical
+    min-id label. Tractable because near-dup clusters are tiny."""
+    return f"""
+    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_sql()} FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS jac
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
+    """
+
+
+@register("dedup_connected_components", oracle=None)  # assigned below (_cc_oracle)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster collapse: connected components over the exact
+    n-gram-Jaccard-verified near-dup pairs (LSH candidates → Jaccard ≥ 0.3
+    → min-label propagation). `component_id == doc_id` picks the kept
+    representative; everything else is the discard set."""
+    corpus = _near_corpus(spark, sf_dir)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return D.connected_components(corpus.select("doc_id"), edges)
+
+
 def _simhash_sql() -> str:
     h = _HEX60.format(x="'0' || '|' || t")
     bits = " + ".join(
@@ -443,3 +502,4 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 from series_tiempo_ar_scraping_spark.queries import ORACLES as _ORACLES
 
 _ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
+_ORACLES["dedup_connected_components"] = _cc_oracle()

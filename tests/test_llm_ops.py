@@ -130,3 +130,19 @@ def test_streaming_dedup(spark, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("dedup_test").count() == 2
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # Chain 1-2-3-4 (diameter 3 — exercises multi-round propagation),
+    # triangle 10-11-12, and singleton 99.
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10), (99, 99)}
