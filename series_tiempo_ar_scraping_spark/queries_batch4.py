@@ -738,3 +738,79 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.table(name).localCheckpoint()
     q.stop()
     return result
+
+
+@register(
+    "sliding_window_rates",
+    oracle="""
+    SELECT ws AS bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             event_type, value
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h length, 1h slide): each event lands in two
+    overlapping buckets — Spark's `window()` generates the window set per
+    row (a generator, not a self-join), so cost is 2× rows into one hash
+    aggregate; the oracle materializes the same expansion with unnest.
+    Same plan runs unchanged on a stream with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.window("ts", "2 hours", "1 hour").start.alias("bucket"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "streaming_enriched_nation_stats",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def streaming_enriched_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join: the events *stream* joins two static
+    dimensions (customer→nation, both broadcast — no stream-side shuffle,
+    no state) and aggregates per nation; hash-matches the pure-SQL batch
+    oracle. This is the canonical streaming enrichment topology at scale:
+    dimension tables broadcast to every task, only the aggregation keeps
+    (bounded, per-nation) state."""
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream_native,
+    )
+
+    events = read_events_stream_native(spark, sf_dir)
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    enriched = (
+        events.join(c, events["user_id"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+    )
+    agg = enriched.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("sum_value"),
+    )
+    name = "stream_enriched_nation"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).localCheckpoint()
+    q.stop()
+    return result
