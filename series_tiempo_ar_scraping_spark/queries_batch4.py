@@ -814,3 +814,64 @@ def streaming_enriched_nation_stats(spark: SparkSession, sf_dir: str) -> DataFra
     result = spark.table(name).localCheckpoint()
     q.stop()
     return result
+
+
+@register("approx_sketch_stats", oracle=None)  # approximate by design: rows-only
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HyperLogLog++ distinct users and
+    t-digest value percentiles. Both sketches are *mergeable*, so partial
+    aggregation happens map-side and the shuffle carries fixed-size sketch
+    state instead of raw rows — at 100 TB this is the only viable shape for
+    distinct-counting high-cardinality keys (exact COUNT(DISTINCT) shuffles
+    every key). No DuckDB oracle: cross-engine sketch internals differ; the
+    error bound vs exact is asserted in tests/test_llm_ops.py instead."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
+    )
+
+
+@register(
+    "observations_last_wins_upsert",
+    oracle="""
+    WITH restated AS (
+      SELECT event_type AS series_id, date_trunc('day', ts) AS ts,
+             value, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type AS series_id, date_trunc('day', ts) AS ts,
+             value * 2 AS value, event_id + 1000000 AS event_id
+      FROM events WHERE event_id % 10 = 0
+    )
+    SELECT series_id, ts,
+           CAST(max_by(value, event_id) AS DOUBLE) AS value,
+           COUNT(*) AS n_versions
+    FROM restated GROUP BY 1, 2
+    """,
+)
+def observations_last_wins_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-granular replace semantics (the reference's V8 `--replace` is
+    file-granular): a restatement batch unions onto the original
+    observations and compaction keeps the highest-version value per
+    (series_id, ts) via max_by. One hash aggregate — the CDC-compaction
+    shape (last-wins by monotonic version) that an incremental 100 TB
+    observation store runs per ingest cycle; no join, no window sort."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", "ts").alias("ts"),
+        "value",
+        "event_id",
+    )
+    restated = e.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", "ts").alias("ts"),
+        (F.col("value") * 2).alias("value"),
+        (F.col("event_id") + 1000000).alias("event_id"),
+    )
+    return base.unionByName(restated).groupBy("series_id", "ts").agg(
+        F.max_by("value", "event_id").cast("double").alias("value"),
+        F.count("*").alias("n_versions"),
+    )

@@ -146,3 +146,23 @@ def test_connected_components_chain_and_singleton(spark):
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
                    (10, 10), (11, 10), (12, 10), (99, 99)}
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    approx = {r.event_type: r for r in QUERIES["approx_sketch_stats"](spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    for et, ex in exact.items():
+        ap = approx[et]
+        assert abs(ap.approx_users - ex.users) <= max(1, 0.05 * ex.users)
+        assert abs(ap.p50_approx - ex.p50) <= max(0.01, 0.05 * abs(ex.p50))

@@ -150,3 +150,42 @@ def test_streaming_filter_pushdown(spark, sf_dir):
     p = plan_of(df)
     assert "PushedFilters" in p
     assert "event_type" in p.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_grouping_sets_single_expand_single_shuffle(plans):
+    # GROUPING SETS must compile to one Expand + one aggregate exchange,
+    # not one scan/shuffle per grouping set.
+    p = plans("grouping_sets_order_stats", "simple")
+    assert p.count("Expand") == 1
+    assert p.count("Scan parquet") == 1
+
+
+def test_sliding_window_is_generator_not_join(plans):
+    # The 2h/1h sliding window expands windows per-row (Expand/generator);
+    # a plan with a join here would be quadratic at scale.
+    p = plans("sliding_window_rates", "simple")
+    assert "Join" not in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+
+
+def test_stream_static_join_broadcasts_dims(spark, sf_dir):
+    # Build the same enrichment topology in batch mode to audit the join
+    # strategy (streaming plans only materialize at runtime): both
+    # dimension joins must be broadcast — a shuffled stream side would be
+    # a per-microbatch repartition at scale.
+    from pyspark.sql import functions as F
+    from series_tiempo_ar_scraping_spark.session import load_table
+    from tests.test_plans import plan_of as _plan
+
+    e = load_table(spark, sf_dir, "events")
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    df = (
+        e.join(c, e["user_id"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .count()
+    )
+    p = plan_of(df, "simple")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
