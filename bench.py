@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "dedup_embedding_cosine",
     "ivf_ann_topk",
     "multimodal_frame_sample",
+    "sliding_window_rates",
+    "dedup_connected_components",
+    "tfidf_top_terms",
+    "percentile_order_values",
+    "grouping_sets_order_stats",
 ]
 
 

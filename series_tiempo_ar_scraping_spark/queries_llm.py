@@ -499,6 +499,97 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.documents_as_media(docs))
 
 
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_toks_of_norm('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toked GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(FLOOR(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df)
+                  * 1000000 + 0.5) / 1000000 AS DOUBLE) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF, top-3 terms per document. Three shuffles total:
+    (doc, term) counts, term document-frequencies, and the per-doc top-k
+    window; the corpus size is a 1-row broadcast cross-join, never a
+    collect. Ranking ties break on the *rounded* score then term so the
+    order is stable across engines (raw ln() can differ in the last ulp
+    between libms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = F.broadcast(docs.agg(F.count("*").alias("n_docs")))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            det_round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+_SAMPLE_HASH = _HEX60.format(x="'7' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ({_SAMPLE_HASH}) % 100 <
+          CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 30 ELSE 10 END
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: per-language rates applied by
+    seeded content hash, not rand() — the sample is a pure function of
+    (seed, doc_id), so reruns, retries, and both engines select the same
+    rows. At 100 TB this is a map-only filter (no shuffle, no state), and
+    changing rates re-uses the same hash so strata stay nested
+    (rate 10% ⊂ rate 30%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = D.hash64_seeded(F.col("doc_id").cast("string"), 7) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "es", 30)
+        .otherwise(10)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
 from series_tiempo_ar_scraping_spark.queries import ORACLES as _ORACLES
 
 _ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
