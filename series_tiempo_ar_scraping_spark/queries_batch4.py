@@ -875,3 +875,113 @@ def observations_last_wins_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max_by("value", "event_id").cast("double").alias("value"),
         F.count("*").alias("n_versions"),
     )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (floor-binning — the
+    profiling primitive behind distribution drift checks). Pure map-side
+    expression + one hash aggregate; bucket count is bounded by the value
+    range, so the shuffle is tiny regardless of input scale."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+
+
+@register(
+    "profile_table_columns",
+    oracle="""
+    SELECT col,
+           COUNT(*) AS n_rows,
+           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM (
+      SELECT * FROM (
+        SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      )
+    )
+    GROUP BY col
+    """,
+)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (null fraction / distinct cardinality / min-max)
+    via stack-unpivot into (col, value) pairs and one grouped aggregate —
+    the data-quality summary a curation pipeline runs per snapshot. One
+    scan of the table regardless of column count; at 100 TB swap
+    COUNT(DISTINCT) for approx_count_distinct (see approx_sketch_stats)
+    to keep the shuffle sketch-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    pairs = o.select(
+        F.expr(
+            "stack(3, 'o_orderstatus', o_orderstatus,"
+            " 'o_orderpriority', o_orderpriority,"
+            " 'o_custkey', CAST(o_custkey AS STRING)) AS (col, v)"
+        )
+    )
+    return pairs.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in `session_window` generator (30-min gap): Spark merges
+    overlapping per-row candidate sessions inside the aggregation — no
+    lag/cumsum window pair, and the *same* expression sessionizes an
+    unbounded stream with watermark-bounded state. Hash-matches the
+    gaps-and-islands oracle, proving the two formulations agree."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
