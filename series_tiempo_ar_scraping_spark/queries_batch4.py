@@ -985,3 +985,226 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics suite over `events` — funnel, cohorts, outliers — plus
+# market-basket co-occurrence over `lineitem`. The reference has nothing
+# like these (SURVEY §2.5-2.6 note the absent agg/window classes); they are
+# the analytics a series-consuming team runs on top of the canonical long
+# form, so the engine ships them as first-class oracle-checked operators.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS n_view_click,
+           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS n_view_click_purchase
+    FROM u
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict first-occurrence funnel view → click → purchase: a user
+    advances a stage only if their first click is after their first view,
+    and their first purchase after that click. One hash aggregate keyed by
+    user (conditional MINs), then a single global roll-up row — the shuffle
+    carries exactly one row per user, and the final stage is one partition
+    of pre-aggregated partials. At 100 TB the per-user agg is the only real
+    shuffle and it is partial-aggregated map-side."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(ev: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == ev, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return u.agg(
+        F.count("*").alias("n_users"),
+        one_if(viewed).alias("n_view"),
+        one_if(clicked).alias("n_view_click"),
+        one_if(purchased).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('day', MIN(CASE WHEN event_type = 'signup' THEN ts END))
+                  AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, CAST(date_trunc('day', e.ts) AS DATE))
+             AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN cohort c ON e.user_id = c.user_id
+    WHERE c.cohort_day IS NOT NULL
+      AND CAST(date_trunc('day', e.ts) AS DATE) >= c.cohort_day
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-cohort retention matrix: users bucketed by first-signup day,
+    counted distinct in each subsequent activity day (daily grain because
+    the events fixture spans one month). The cohort frame is one row per
+    user (tiny next to the event log), so the enrichment join broadcasts
+    at any realistic cardinality — at 100 TB the plan is scan → map-side
+    broadcast join → one countDistinct shuffle on (cohort_day,
+    day_offset), with AQE handling the skew a viral signup day creates."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = (
+        e.groupBy("user_id")
+        .agg(
+            F.to_date(
+                F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+            ).alias("cohort_day")
+        )
+        .filter(F.col("cohort_day").isNotNull())
+    )
+    day = F.to_date("ts")
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .filter(day >= F.col("cohort_day"))
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+_DAILY_SERIES_SQL = """
+    SELECT event_type AS series_id,
+           CAST(date_trunc('day', ts) AS DATE) AS ts,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.to_date("ts").alias("ts"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("value")
+    )
+
+
+@register(
+    "series_zscore_outliers",
+    oracle=f"""
+    WITH m AS ({_DAILY_SERIES_SQL}),
+    s AS (
+      SELECT series_id, ts, value,
+             CAST(SUM(CAST(value AS DECIMAL(22,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(22,6)) * CAST(value AS DECIMAL(22,6)))
+                  OVER w AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS n
+      FROM m
+      WINDOW w AS (PARTITION BY series_id)
+    )
+    SELECT series_id, ts, value,
+           CAST(FLOOR((value - s1 / n)
+                / sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                * 10000 + 0.5) / 10000 AS DOUBLE) AS zscore
+    FROM s
+    WHERE abs(value - s1 / n)
+          > 2 * sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+    """,
+)
+def series_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series anomaly flags: daily points more than 2 population
+    standard deviations from their series mean. Moments are decimal sums
+    (exact across engines) divided in IEEE doubles with an identical
+    expression tree on both sides, so even sqrt is bit-reproducible — the
+    determinism discipline from the queries.py docstring applied to
+    second moments. One window shuffle keyed by series; at scale the
+    moments come from a groupBy + broadcast join back instead (5 rows)."""
+    m = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("series_id")
+    dec = F.col("value").cast("decimal(22,6)")
+    s1 = F.sum(dec).over(w).cast("double")
+    s2 = F.sum(dec * dec).over(w).cast("double")
+    n = F.count("*").over(w)
+    mean = s1 / n
+    sd = F.sqrt(F.greatest(s2 / n - mean * mean, F.lit(0.0)))
+    return (
+        m.select(
+            "series_id",
+            "ts",
+            "value",
+            det_round((F.col("value") - mean) / sd, 4).alias("zscore"),
+            (F.abs(F.col("value") - mean) > 2 * sd).alias("_out"),
+        )
+        .filter("_out")
+        .drop("_out")
+    )
+
+
+@register(
+    "part_co_occurrence",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def part_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders. Instead of the oracle's self-join (which shuffles the lineitem
+    projection twice), collect each order's distinct part set in ONE
+    shuffle and generate the sorted pairs with array `transform`/`slice` —
+    per-order baskets are small (TPC-H ≤7 lines), so pair blow-up is
+    bounded and entirely map-side after the aggregate. The same shape runs
+    the MinHash/SimHash bucket-pair generation (operators/dedup.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size("parts")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
