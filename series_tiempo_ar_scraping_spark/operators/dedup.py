@@ -81,15 +81,46 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
     # Materialize tokens, then shingles, in separate projections — inlining
     # the tokenizer into the shingle transform re-runs it per element
-    # (see shingles_from_tokens docstring).
+    # (see shingles_from_tokens docstring). The explode takes the shingle
+    # EXPRESSION, not a projected attribute: exploding an attribute trips
+    # InferFiltersFromGenerate (which skips expensive expression inputs,
+    # SPARK-36715) and predicate pushdown then clones the whole
+    # tokenize+shingle tree into per-row scan filters — measured 20× slower
+    # at sf0.1. Explode-the-expression keeps the tree evaluated once.
     toked = df.select(
         F.col(id_col), tokens(normalize_text(F.col(text_col))).alias("_toks")
     )
-    sh = toked.select(
+    exploded = toked.select(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("_toks"), 3)).alias("shingle"),
     )
-    base = sh.select(
+    return _minhash_from_exploded(exploded, id_col=id_col, k=k)
+
+
+def minhash_signatures_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    k: int = MINHASH_K,
+) -> DataFrame:
+    """MinHash signatures from an already-MATERIALIZED shingle-array frame
+    (cached or checkpointed — e.g. the LSH → exact-Jaccard pipeline, which
+    tokenizes once and feeds both the signature stage and the verify join).
+    Only safe on materialized inputs: exploding an array *attribute* makes
+    InferFiltersFromGenerate add a `size(col) > 0` filter, which is cheap on
+    a materialized column but disastrous if pushdown re-expands it into the
+    shingle-derivation expression (see minhash_signatures).
+    """
+    exploded = sh.select(
+        F.col(id_col), F.explode(F.col(shingles_col)).alias("shingle")
+    )
+    return _minhash_from_exploded(exploded, id_col=id_col, k=k)
+
+
+def _minhash_from_exploded(
+    exploded: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    base = exploded.select(
         id_col,
         (hash64_seeded(F.col("shingle"), 0) % MINHASH_H_MOD).alias("_h"),
     )
@@ -310,15 +341,19 @@ def connected_components(
     Parity anchor: the reference has no graph ops (SURVEY §2.4); this is a
     training-data-pipeline extension (dedup cluster collapse).
     """
-    sym = edges.select(
+    # Checkpoint the edge list BEFORE symmetrizing: the union of a frame
+    # with its column-swap evaluates the (possibly expensive — LSH+Jaccard)
+    # edge pipeline once per branch, so materialize it first and build the
+    # reversal from the checkpointed RDD.
+    e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
-        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["id"])

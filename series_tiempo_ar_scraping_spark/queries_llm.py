@@ -192,13 +192,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the two-stage shape of a production near-dup pipeline (candidates
     subquadratic via banding, exact set similarity only on candidates)."""
     corpus = _near_corpus(spark, sf_dir)
-    pairs = D.lsh_candidate_pairs(D.minhash_signatures(corpus))
+    # Tokenize+shingle ONCE, checkpoint, and feed signatures AND the
+    # verification join from the same materialized frame — without this the
+    # shingle derivation (the md5-heavy part) runs three times (signature
+    # stage + each join side).
     toked = corpus.select(
         "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks")
     )
     sh = toked.select(
         "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures_from_shingles(sh))
     joined = (
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
