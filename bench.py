@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "percentile_order_values",
     "grouping_sets_order_stats",
+    "weighted_avg_discount_udaf",
+    "skyline_orders_pareto",
+    "json_props_bucket_stats",
 ]
 
 

@@ -780,3 +780,4 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
 from series_tiempo_ar_scraping_spark import queries_llm  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_ext  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_batch4  # noqa: E402,F401
+from series_tiempo_ar_scraping_spark import queries_batch5  # noqa: E402,F401

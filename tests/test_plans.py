@@ -189,3 +189,46 @@ def test_stream_static_join_broadcasts_dims(spark, sf_dir):
     p = plan_of(df, "simple")
     assert p.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in p
+
+
+def test_minhash_no_inferred_generate_filter(plans):
+    """Regression guard for the InferFiltersFromGenerate pitfall: if the
+    shingle explode takes a projected *attribute*, the optimizer infers a
+    `size(...) > 0` filter and predicate pushdown re-expands it into the
+    full tokenize+shingle expression evaluated per-row at the scan —
+    measured 20x slower at sf0.1. The optimized plan must not contain the
+    shingle derivation inside a Filter."""
+    p = plans("dedup_minhash_lsh", "extended")
+    optimized = p.split("== Optimized Logical Plan ==")[1]
+    for line in optimized.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter", ":- Filter")):
+            assert "array_distinct(transform(sequence" not in line, (
+                "shingle expression cloned into a Filter "
+                "(InferFiltersFromGenerate + pushdown regression)"
+            )
+
+
+def test_skyline_is_single_window_no_join(plans):
+    """The 2D skyline must stay the one-sort window formulation — a Join
+    in this plan means someone rewrote it as the O(n^2) dominance test."""
+    p = plans("skyline_orders_pareto", "simple")
+    assert "Join" not in p
+    assert "windowspecdefinition" in p.lower() or "Window" in p
+
+
+def test_json_extraction_is_jvm_side(plans):
+    """from_json must stay a Catalyst expression: no Python eval in the
+    plan, and the aggregation keeps map-side partial combine."""
+    p = plans("json_props_bucket_stats", "simple")
+    assert "EvalPython" not in p
+    assert "from_json" in p
+    assert "partial_count" in p
+
+
+def test_udaf_is_arrow_grouped_agg(plans):
+    """The weighted-average UDAF must run as an Arrow-batched grouped
+    aggregate (AggregateInPandas), never as row-pickled Python."""
+    p = plans("weighted_avg_discount_udaf", "simple")
+    # Spark 4.x names the node ArrowAggregatePython; 3.x AggregateInPandas.
+    assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
+    assert "BatchEvalPython" not in p
