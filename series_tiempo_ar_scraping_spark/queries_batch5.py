@@ -241,3 +241,258 @@ def json_props_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "streaming_dedup_event_totals",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_dedup_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication as a catalog entry (it was
+    previously only unit-tested): the events stream is unioned with a
+    second read of itself — every event arrives twice — and
+    ``dropDuplicates`` on event_id within the watermark horizon must
+    collapse the copies so the per-type totals hash-match the batch oracle
+    over the ORIGINAL table. Dedup state is keyed by event_id and bounded
+    by the watermark; unbounded-key dedup would OOM a real cluster
+    (streaming/events.py:dedup_events)."""
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        dedup_events,
+        read_events_stream_native,
+    )
+
+    s1 = read_events_stream_native(spark, sf_dir)
+    s2 = read_events_stream_native(spark, sf_dir)
+    deduped = dedup_events(s1.unionByName(s2), watermark="1 hour")
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("sum_value"),
+    )
+    name = "stream_dedup_totals"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).localCheckpoint()
+    q.stop()
+    return result
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance ≤ 4, excluding exact dupes)
+    with *blocking*: candidate pairs only form inside (brand, size) blocks,
+    so the join is an equi-join on the block key with the quadratic
+    Levenshtein confined to same-block pairs — the standard record-linkage
+    shape. An unblocked pairwise comparison is O(n²) and impossible at
+    corpus scale; with blocking, cost is Σ(block²) and the block key
+    shuffles both sides to the same task. `levenshtein` is a JVM built-in
+    on both engines with identical classic edit-distance semantics."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("size_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("p_brand") == F.col("brand_b"))
+        & (F.col("p_size") == F.col("size_b"))
+        & (F.col("part_a") < F.col("part_b")),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        joined.select("part_a", "part_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 1) & (F.col("edit_dist") <= 4))
+    )
+
+
+@register(
+    "null_safe_segment_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey % 97 = 0 THEN NULL
+                  ELSE o_custkey % 50 END AS seg
+      FROM orders
+    ),
+    b AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 89 = 0 THEN NULL
+                  ELSE c_custkey % 50 END AS seg
+      FROM customer
+    )
+    SELECT a.seg AS seg, COUNT(*) AS n_pairs
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    GROUP BY 1
+    """,
+)
+def null_safe_segment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    segments match each other instead of vanishing, and NULL is a real
+    group key in the aggregate — the SQL-semantics corner that silently
+    drops rows when someone writes `=`. Catalyst treats EqualNullSafe as a
+    hash-join key (NULL hashes like any value), so the plan is still a
+    shuffled hash/sort-merge join, not a nested loop — but note the
+    all-NULLs bucket lands on ONE task: at scale, either pre-filter the
+    null×null cross product if it isn't wanted, or it IS the skew key."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 97 == 0, None)
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("seg"),
+    )
+    b = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 89 == 0, None)
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("seg_b"),
+    )
+    return (
+        a.join(b, F.col("seg").eqNullSafe(F.col("seg_b")))
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem),
+    deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1)
+"""
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS id, SUM({prev}.r // d.outdeg) AS s
+      FROM edges e
+      JOIN {prev} ON {prev}.id = e.src
+      JOIN deg d ON d.id = e.src
+      GROUP BY 1
+    ),
+    {cur} AS (
+      SELECT n.id,
+             CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN c{cur} c ON c.id = n.id
+    )"""
+
+
+@register(
+    "pagerank_part_graph",
+    oracle=f"""
+    WITH {_PAGERANK_EDGES_SQL},
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {_pagerank_iter_sql("r0", "r1")},
+    {_pagerank_iter_sql("r1", "r2")},
+    {_pagerank_iter_sql("r2", "r3")}
+    SELECT id AS part_id, r AS rank_micro FROM r3
+    """,
+)
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the part
+    co-occurrence graph — the second iterative-graph operator class next
+    to connected components. All arithmetic is INTEGER in micro-units
+    (rank 1.0 = 1_000_000; contribution = rank DIV outdeg; next rank =
+    150000 + 850·Σ DIV 1000), so partial sums commute and the result is
+    bit-identical across engines and partitionings — the determinism
+    discipline extended to iterative float-free math. Per iteration: one
+    join of the checkpointed edge list against the current ranks and one
+    sum shuffle keyed by dst; lineage is truncated per round
+    (localCheckpoint) so plan size stays O(1) in iterations. At 100 TB
+    the edge list is the big side — it stays partitioned by src across
+    rounds while ranks (one row per node) shuffle to meet it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("parts"), i + 2, F.size("parts")),
+                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    src_deg = edges.join(deg, edges["src"] == deg["id"]).select(
+        "src", "dst", "outdeg"
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contribs = (
+            src_deg.join(ranks, src_deg["src"] == ranks["id"])
+            .select(F.col("dst"), F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(150000).cast("bigint")
+                    + F.expr("850 * coalesce(s, 0) div 1000")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("part_id"), F.col("r").alias("rank_micro"))
