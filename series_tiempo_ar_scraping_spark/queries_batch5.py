@@ -496,3 +496,128 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("id").alias("part_id"), F.col("r").alias("rank_micro"))
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE props IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON via the VARIANT type (Spark 4): ``parse_json`` once
+    into Spark's binary semi-structured encoding, ``variant_get`` typed
+    paths out. Unlike ``from_json`` (json_props_bucket_stats) this needs
+    NO declared schema — the 100 TB fit for heterogeneous payloads where
+    the schema drifts by producer: parse once at ingest, store the
+    variant column in parquet, and every later path extraction is a
+    binary-encoded field lookup instead of a string re-parse. All
+    JVM-side; DuckDB's json_extract is the oracle."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.filter(F.col("props").isNotNull()).select(
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        "value",
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(22,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "streaming_stateful_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer (streaming/stateful.py) run
+    to completion and hash-matched against the batch lag-window SQL — a
+    CUSTOM stateful streaming operator proven equivalent to its batch
+    twin. Mechanics: the events table is staged as one parquet file (all
+    real events in a single microbatch, so incremental state sees each
+    user's history in arrival order) plus a far-future sentinel file whose
+    event pushes the watermark past every open session's event-time
+    timeout, flushing final sessions; the sentinel user is filtered out of
+    the result. State per key is one open session and is watermark-bounded
+    — the property that keeps a 1000-executor job from accumulating
+    unbounded session state."""
+    import os
+    import shutil
+    import tempfile
+
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream,
+    )
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    stage = tempfile.mkdtemp(prefix="stateful_sessions_")
+    try:
+        main_dir = os.path.join(stage, "stream")
+        e.coalesce(1).write.mode("overwrite").parquet(main_dir)
+        sentinel = spark.createDataFrame(
+            [(int(-1), max_ts, int(-1), "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        sentinel.coalesce(1).write.mode("append").parquet(main_dir)
+        # FileStreamSource orders by modification time; make the sentinel
+        # strictly newest so it forms the final watermark-advancing batch.
+        parts = sorted(
+            (os.path.getmtime(os.path.join(main_dir, f)), f)
+            for f in os.listdir(main_dir)
+            if f.endswith(".parquet")
+        )
+        newest = os.path.join(main_dir, parts[-1][1])
+        os.utime(newest, (parts[-1][0] + 1000, parts[-1][0] + 1000))
+
+        stream = read_events_stream(spark, main_dir, max_files_per_trigger=1)
+        out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
+        name = "stream_stateful_sessions"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        result = (
+            spark.table(name).filter(F.col("user_id") >= 0).localCheckpoint()
+        )
+        q.stop()
+        return result
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
