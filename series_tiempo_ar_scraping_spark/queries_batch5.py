@@ -621,3 +621,82 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "udtf_expand_series_calendar",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS series_id,
+             MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1
+      FROM events GROUP BY 1
+    )
+    SELECT series_id,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS ts
+    FROM b
+    """,
+)
+def udtf_expand_series_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4) driven by a correlated LATERAL join: per
+    series, the table function expands the [first, last] observation dates
+    into the full daily calendar — the calendar-synthesis primitive behind
+    gap-filling (resample_gapfill_daily does it JVM-side with
+    ``sequence()``; this entry pins the UDTF machinery itself). The UDTF
+    runs Arrow-batched per input row on executors; correlation comes from
+    the SQL `LATERAL` clause, so the expansion is map-side over however
+    many partitions the bounds frame has — no shuffle, no driver loop."""
+    from datetime import timedelta
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ts date")
+    class _ExpandDays:
+        def eval(self, d0, d1):
+            if d0 is None or d1 is None:
+                return
+            d = d0
+            while d <= d1:
+                yield (d,)
+                d += timedelta(days=1)
+
+    spark.udtf.register("expand_days_b5", _ExpandDays)
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy(F.col("event_type").alias("series_id")).agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    bounds.createOrReplaceTempView("series_bounds_b5")
+    return spark.sql(
+        """
+        SELECT b.series_id, t.ts
+        FROM series_bounds_b5 b, LATERAL expand_days_b5(b.d0, b.d1) t
+        """
+    )
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 3
+    ) t
+"""
+
+
+@register("lateral_top_customers_per_nation", oracle=_LATERAL_TOPK_SQL)
+def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the exact same
+    ANSI text runs on both engines (the whole oracle IS the query). Spark
+    decorrelates the lateral into a ranked window / top-k per key rather
+    than executing it as a per-row nested loop, so the plan scales like
+    ``topk_orders_per_priority`` (one shuffle on the correlation key), and
+    the SQL-facing surface (spark.sql + temp views over the normalized
+    frames) is exercised end-to-end."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)

