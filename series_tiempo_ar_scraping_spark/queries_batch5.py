@@ -700,3 +700,104 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "json_error_channel_report",
+    oracle="""
+    WITH corrupted AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END
+               AS props
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_ok,
+           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_error
+    FROM corrupted GROUP BY 1
+    """,
+)
+def json_error_channel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The V7 error-channel stance applied to semi-structured parsing: a
+    seventh of the payloads are deterministically corrupted (leading
+    garbage — Spark's lenient parser forgives TRAILING garbage, DuckDB's
+    doesn't, so corruption must be a prefix for both engines to agree), ``try_parse_json`` turns each malformed record into a NULL
+    instead of a task failure, and the per-type OK/ERROR report is an
+    aggregation over that status column — a poisoned record costs one
+    report row, never a retry storm (reference: per-distribution
+    try/except at base.py:198-207, recast as data). DuckDB's json_valid
+    agrees with try_parse_json on validity, so the report hash-matches."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    corrupted = e.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    ok = F.try_parse_json("props").isNotNull()
+    return corrupted.groupBy("event_type").agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("n_error"),
+    )
+
+
+_RUNNING_DISTINCT_SQL = """
+    WITH days AS (
+      SELECT event_type, user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    firsts AS (
+      SELECT event_type, day,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY event_type, user_id ORDER BY day
+                  ) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM days
+    ),
+    per_day AS (
+      SELECT event_type, day, SUM(is_first) AS new_users
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM per_day
+"""
+
+
+@register("running_distinct_users", oracle=_RUNNING_DISTINCT_SQL)
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered window — an operator
+    neither engine supports natively at scale — via the first-occurrence
+    decomposition: flag each (type, user)'s first day with row_number,
+    aggregate flags per day, cumulative-sum per type. Two window sorts +
+    one hash aggregate, all partitioned by bounded keys; the naive
+    COUNT(DISTINCT) OVER would hold every user id seen so far in per-row
+    state. Same decomposition runs as the oracle, so values hash-match."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("day")
+    firsts = days.select(
+        "event_type",
+        "day",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    per_day = firsts.groupBy("event_type", "day").agg(
+        F.sum("is_first").alias("new_users")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w_cum).alias("cum_users"),
+    )
