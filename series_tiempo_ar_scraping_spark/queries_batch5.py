@@ -801,3 +801,96 @@ def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w_cum).alias("cum_users"),
     )
+
+
+_SESSIONS_CTE = """
+    flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id,
+             ts
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    )
+"""
+
+
+@register(
+    "concurrent_sessions_by_day",
+    oracle=f"""
+    WITH {_SESSIONS_CTE},
+    endpoints AS (
+      SELECT s AS ts, 1 AS delta, user_id FROM intervals
+      UNION ALL
+      SELECT e AS ts, -1 AS delta, user_id FROM intervals
+    ),
+    running AS (
+      SELECT ts,
+             SUM(delta) OVER (ORDER BY ts, delta DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS concurrency
+      FROM endpoints
+    )
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           MAX(concurrency) AS peak_concurrent
+    FROM running GROUP BY 1
+    """,
+)
+def concurrent_sessions_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by sweep-line: sessionize (the
+    lag-window shape), emit ±1 endpoints, one global ordered running sum =
+    concurrency at every instant, max per day. The naive formulation is an
+    interval self-join (each session × each overlapping session — O(n²)
+    on busy days); the sweep is two window sorts and scales linearly.
+    Determinism: endpoint order is the total order (ts, delta DESC,
+    user_id) so simultaneous start/end resolves inclusively and
+    identically on both engines. The global running sum is the one
+    single-partition stage — at 100 TB, sweep per day-partition and
+    prefix-sum the per-partition carry counts (a tiny second pass), same
+    two-phase trick as distributed prefix sums."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    endpoints = intervals.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        intervals.select(
+            F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    w_sweep = Window.orderBy(
+        F.col("ts"), F.col("delta").desc(), F.col("user_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    running = endpoints.select(
+        "ts", F.sum("delta").over(w_sweep).alias("concurrency")
+    )
+    return running.groupBy(F.to_date("ts").alias("day")).agg(
+        F.max("concurrency").alias("peak_concurrent")
+    )
