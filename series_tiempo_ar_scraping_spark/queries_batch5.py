@@ -894,3 +894,39 @@ def concurrent_sessions_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("concurrency").alias("peak_concurrent")
     )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    WITH t AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_quantity AS DECIMAL(14,2))) AS q
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(t.q AS DOUBLE) AS total_qty
+    FROM orders o JOIN t ON t.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM t WHERE q > 250)
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate the fact table
+    FIRST (HAVING on the grouped sum), then enrich the tiny survivor set —
+    the aggregate-before-join ordering that turns a fact-fact join into a
+    fact-dim join. The IN-subquery in the oracle is the classic phrasing;
+    here the HAVING filter IS the semi-join (one grouped pass over
+    lineitem, no second scan). Decimal-exact quantity sums; at 100 TB the
+    grouped pass is the only full-fact shuffle and it pre-aggregates
+    map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    t = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(14,2)")).alias("q")
+    ).filter(F.col("q") > 250)
+    return o.join(t, o["o_orderkey"] == t["l_orderkey"]).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("q").cast("double").alias("total_qty"),
+    )
