@@ -930,3 +930,102 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("q").cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "embedding_dim_profile",
+    oracle="""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n,
+           CAST(MIN(x) AS DOUBLE) AS min_x,
+           CAST(MAX(x) AS DOUBLE) AS max_x,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1099511627776) AS BIGINT))
+                AS DOUBLE) / 1099511627776 AS sum_x
+    FROM flat GROUP BY 1
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding corpus (the drift check an
+    embedding pipeline runs before/after re-training): posexplode flattens
+    the vectors to (dim, value) — a generator, not a join — and one hash
+    aggregate profiles each dimension. The accumulation is
+    order-independent AND engine-exact: each float widens to double
+    (exact), scales by 2^40 (power-of-two — never rounds), floors to
+    BIGINT (no rounding-mode ambiguity, unlike decimal casts: Spark
+    rounds the float's shortest decimal string, DuckDB the binary value,
+    and they disagree on grid-boundary values), integer-sums, and divides
+    back by 2^40 (exact). At 100 TB the flatten multiplies rows by
+    dim-count but stays map-side; the shuffle carries dim-count × partials
+    only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    return flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.min("x").cast("double").alias("min_x"),
+        F.max("x").cast("double").alias("max_x"),
+        (
+            F.sum(F.floor(F.col("x").cast("double") * F.lit(1099511627776)))
+            .cast("double")
+            / F.lit(1099511627776)
+        ).alias("sum_x"),
+    )
+
+
+_SKEW_KEY = "CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END"
+
+
+@register(
+    "skew_salted_join_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, value, {_SKEW_KEY} AS k FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT k, k % 7 AS bucket_label FROM ev
+    )
+    SELECT d.bucket_label, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(22,4))) AS DOUBLE) AS sum_value
+    FROM ev e JOIN dim d ON e.k = d.k
+    GROUP BY 1
+    """,
+)
+def skew_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salt-and-replicate join under engineered key skew (half of
+    all events share key 0 — the hot key one shuffle partition would
+    otherwise own): the fact side salts with `event_id % S`, the dimension
+    side replicates each row S times via explode(sequence), and the join
+    keys on (k, salt) so the hot key spreads over S tasks. The salt is
+    invisible in the result — the oracle is the UNSALTED join. AQE's
+    skew-join splitting handles this when sizes are visible at runtime;
+    the explicit form is for the cases it can't see (first shuffle of a
+    stage, skew inside a single key-group aggregation upstream of the
+    join) and is the same shape as `salted_user_event_stats` for aggs."""
+    S = 8
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "value",
+        F.expr(_SKEW_KEY).alias("k"),
+    )
+    dim = ev.select("k").distinct().select(
+        "k", (F.col("k") % 7).alias("bucket_label")
+    )
+    salted_ev = ev.withColumn("salt", (F.col("event_id") % S).cast("int"))
+    salted_dim = dim.select(
+        "k",
+        "bucket_label",
+        F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("salt"),
+    )
+    joined = salted_ev.join(salted_dim, ["k", "salt"])
+    return joined.groupBy("bucket_label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
