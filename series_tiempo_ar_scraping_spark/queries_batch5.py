@@ -1029,3 +1029,82 @@ def skew_salted_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value"
         ),
     )
+
+
+@register(
+    "trailing_7d_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
+             SUM(CAST(value AS DECIMAL(22,4))) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT series_id, dday,
+           CAST(CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w AS DOUBLE)
+             AS avg_7d,
+           COUNT(*) OVER w AS n_days
+    FROM daily
+    WINDOW w AS (PARTITION BY series_id ORDER BY dday
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing window (7 calendar days) via a RANGE frame on
+    the day-number key — distinct from the ROWS frames elsewhere in the
+    catalog: a gap in the series shrinks the frame (calendar semantics)
+    instead of silently reaching further back (row semantics). The frame
+    is decimal-summed and divided once in doubles (identical expression
+    tree both engines). One sort shuffle per series; RANGE frames cost the
+    same as ROWS in Spark's window exec (running frame, not re-scan)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias(
+            "dday"
+        ),
+    ).agg(F.sum(F.col("value").cast("decimal(22,4)")).alias("v"))
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "series_id",
+        "dday",
+        (F.sum("v").over(w).cast("double") / F.count("*").over(w)).alias(
+            "avg_7d"
+        ),
+        F.count("*").over(w).alias("n_days"),
+    )
+
+
+@register(
+    "long_word_extraction",
+    oracle="""
+    SELECT len(regexp_extract_all(text, '[A-Za-z]{8,}')) AS n_long_words,
+           COUNT(*) AS n_docs,
+           MIN(regexp_extract(text, '([A-Za-z]{8,})', 1)) AS sample_word
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def long_word_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction as a JVM-side columnar op (regexp_extract_all /
+    regexp_extract compile once per task and run codegen'd): docs bucketed
+    by how many long words they contain, with the lexicographically first
+    sample per bucket. Pattern sticks to character-class syntax, which
+    Java regex (Spark) and RE2 (DuckDB) interpret identically — lookarounds
+    and backreferences would not be portable (RE2 rejects them)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]{8,}"), 0))
+    first = F.regexp_extract(F.col("text"), "([A-Za-z]{8,})", 1)
+    return (
+        d.select(n.alias("n_long_words"), first.alias("w"))
+        .groupBy("n_long_words")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("w").alias("sample_word"),
+        )
+    )
