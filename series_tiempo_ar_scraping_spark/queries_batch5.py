@@ -1108,3 +1108,98 @@ def long_word_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("w").alias("sample_word"),
         )
     )
+
+
+@register(
+    "series_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(22,4))) AS v
+      FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT series_id, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT series_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM spans
+    )
+    SELECT c.series_id, c.d,
+           CAST(last_value(dl.v IGNORE NULLS) OVER (
+                  PARTITION BY c.series_id ORDER BY c.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS value_ffill,
+           dl.v IS NULL AS was_gap
+    FROM cal c LEFT JOIN daily dl
+      ON dl.series_id = c.series_id AND dl.d = c.d
+    """,
+)
+def series_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / LOCF imputation — the time-series API's `ffill`
+    (pandas semantics the reference's consumers rely on), as one window:
+    gap-fill the calendar (sequence-explode + left join), then
+    ``last_value(..., ignoreNulls=True)`` over the per-series row frame
+    carries the last observation into gaps. Window state is O(1) per
+    series (the running last non-null) — no self-join, no as-of join
+    against itself. Restricted to two series so the fixture actually has
+    calendar gaps to fill at every sf."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(22,4)")).alias("v"))
+    spans = daily.groupBy("series_id").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = spans.select(
+        "series_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"),
+    )
+    joined = cal.join(daily, ["series_id", "d"], "left")
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "series_id",
+        "d",
+        F.last("v", ignorenulls=True).over(w).cast("double").alias(
+            "value_ffill"
+        ),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "ordered_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): collect_set →
+    sort_array → array_join gives a DETERMINISTIC concatenation —
+    collect_list/string_agg without an explicit order is
+    partitioning-dependent and would never hash-match across engines (the
+    same trap as any unordered agg of non-commutative results). The set
+    is tiny per group; for unbounded groups at 100 TB you'd cap with
+    slice() after sort (top-N contributors) rather than concatenate the
+    world."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.sort_array(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count("*").alias("n"),
+    )
