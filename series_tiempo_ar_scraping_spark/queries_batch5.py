@@ -1203,3 +1203,109 @@ def ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "series_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS v
+      FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT series_id, MIN(dday) AS lo, MAX(dday) AS hi FROM daily GROUP BY 1
+    ),
+    cal AS (
+      SELECT series_id, unnest(generate_series(lo, hi)) AS dday FROM spans
+    ),
+    joined AS (
+      SELECT c.series_id, c.dday, d.v
+      FROM cal c LEFT JOIN daily d
+        ON d.series_id = c.series_id AND d.dday = c.dday
+    ),
+    ctx AS (
+      SELECT series_id, dday, v,
+        last_value(v IGNORE NULLS) OVER wp AS vp,
+        last_value(CASE WHEN v IS NOT NULL THEN dday END IGNORE NULLS)
+          OVER wp AS dp,
+        first_value(v IGNORE NULLS) OVER wn AS vn,
+        first_value(CASE WHEN v IS NOT NULL THEN dday END IGNORE NULLS)
+          OVER wn AS dn
+      FROM joined
+      WINDOW wp AS (PARTITION BY series_id ORDER BY dday
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY series_id ORDER BY dday
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT series_id, dday,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE vp + (vn - vp) * (CAST(dday - dp AS DOUBLE)
+                                       / CAST(dn - dp AS DOUBLE))
+           END AS value_interp,
+           v IS NULL AS was_gap
+    FROM ctx
+    """,
+)
+def series_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation between observations (pandas
+    `interpolate(method='linear')`): two windows — backward-looking
+    last-non-null (value AND its day) and forward-looking first-non-null —
+    give each gap row its bracketing points; the lerp is pure arithmetic
+    with an IDENTICAL expression tree on both engines, so even the IEEE
+    division hash-matches without rounding. Completes the imputation
+    suite next to zero-fill (resample_gapfill_daily) and LOCF
+    (series_forward_fill). Both windows share the per-series sort — one
+    shuffle, two frame passes."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias(
+            "dday"
+        ),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("v")
+    )
+    spans = daily.groupBy("series_id").agg(
+        F.min("dday").alias("lo"), F.max("dday").alias("hi")
+    )
+    cal = spans.select(
+        "series_id", F.explode(F.sequence("lo", "hi")).alias("dday")
+    )
+    joined = cal.join(daily, ["series_id", "dday"], "left")
+    wp = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("dday"))
+    ctx = joined.select(
+        "series_id",
+        "dday",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("vp"),
+        F.last(day_if_obs, ignorenulls=True).over(wp).alias("dp"),
+        F.first("v", ignorenulls=True).over(wn).alias("vn"),
+        F.first(day_if_obs, ignorenulls=True).over(wn).alias("dn"),
+    )
+    lerp = F.col("vp") + (F.col("vn") - F.col("vp")) * (
+        (F.col("dday") - F.col("dp")).cast("double")
+        / (F.col("dn") - F.col("dp")).cast("double")
+    )
+    return ctx.select(
+        "series_id",
+        "dday",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(lerp)
+        .alias("value_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )

@@ -598,3 +598,53 @@ from series_tiempo_ar_scraping_spark.queries import ORACLES as _ORACLES
 
 _ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
 _ORACLES["dedup_connected_components"] = _cc_oracle()
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM ({_NEAR_CORPUS_SQL})
+      WHERE doc_id < 60 OR (doc_id >= 100000 AND doc_id - 100000 < 60)
+    ),
+    t AS (
+      SELECT doc_id, list_distinct({{toks}}) AS dtoks FROM corpus
+    ),
+    sigs AS (SELECT doc_id, {{sim}} AS simhash FROM t),
+    banded AS (
+      SELECT doc_id, simhash, band_idx,
+             (simhash >> (8 * band_idx)) & 255 AS band_key
+      FROM sigs, (VALUES (0), (1), (2), (3)) v(band_idx)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(sa, sb) AS BIGINT)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(CAST(xor(sa, sb) AS BIGINT)) <= 3
+    """.format(toks="PLACEHOLDER_TOKS", sim="PLACEHOLDER_SIM"),
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (the signature query `dedup_simhash` only
+    emits signatures): byte-banded buckets — any pair within hamming ≤ 3
+    shares at least one intact byte of the 32-bit signature (pigeonhole
+    over 4 bands) — then exact hamming via bit_count(xor) on candidates
+    only. Same subquadratic band-join shape as MinHash-LSH, with the
+    verify step a 2-instruction bit op instead of a set intersection."""
+    corpus = _near_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 60)
+        | ((F.col("doc_id") >= 100000) & (F.col("doc_id") - 100000 < 60))
+    )
+    sigs = D.with_simhash(corpus).select("doc_id", "simhash")
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3)
+    return pairs
+
+
+_ORACLES["simhash_hamming_pairs"] = _ORACLES["simhash_hamming_pairs"].replace(
+    "PLACEHOLDER_TOKS", _toks_of_norm("text")
+).replace("PLACEHOLDER_SIM", _simhash_sql())
