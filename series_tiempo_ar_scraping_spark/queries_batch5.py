@@ -1309,3 +1309,71 @@ def series_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "rolling_median_value",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT series_id, dday, v,
+             list_sort(list(v) OVER (PARTITION BY series_id ORDER BY dday
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+      FROM daily
+    )
+    SELECT series_id, dday,
+           CASE WHEN len(fr) % 2 = 1 THEN fr[(len(fr) + 1) // 2]
+                ELSE (fr[len(fr) // 2] + fr[len(fr) // 2 + 1]) / 2
+           END AS median_7d,
+           len(fr) AS n_in_frame
+    FROM framed
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median (7-row trailing frame) — an operator NEITHER
+    engine has natively over windows — composed from primitives both do
+    have: collect the frame into an array, sort it, index the middle
+    (mean of the two middles for even frames, quantile_cont convention).
+    Frame arrays are bounded (≤7 elements) so the composition is O(k log k)
+    per row with NO extra shuffle beyond the one per-series sort; this is
+    the sanctioned pattern for small-frame order statistics at 100 TB —
+    for large frames you'd switch to a t-digest sketch column instead
+    (approx_sketch_stats). The even-case mean is (a+b)/2 with an identical
+    tree on both engines, so it hash-matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date")).alias(
+            "dday"
+        ),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("v")
+    )
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = daily.select(
+        "series_id",
+        "dday",
+        F.sort_array(F.collect_list("v").over(w)).alias("fr"),
+    )
+    n = F.size("fr")
+    odd = F.element_at("fr", ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at("fr", (n / 2).cast("int"))
+        + F.element_at("fr", (n / 2).cast("int") + 1)
+    ) / 2
+    return framed.select(
+        "series_id",
+        "dday",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("median_7d"),
+        n.cast("bigint").alias("n_in_frame"),
+    )
