@@ -648,3 +648,116 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["simhash_hamming_pairs"] = _ORACLES["simhash_hamming_pairs"].replace(
     "PLACEHOLDER_TOKS", _toks_of_norm("text")
 ).replace("PLACEHOLDER_SIM", _simhash_sql())
+
+
+@register(
+    "document_chunking",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_toks_of_norm('text')} AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             list_slice(toks, i * 24 + 1, i * 24 + 32) AS chunk
+      FROM toked,
+      LATERAL (SELECT unnest(generate_series(
+                 0, CAST(greatest(ceil((len(toks) - 8) / 24.0), 1)
+                         AS BIGINT) - 1)) AS i)
+    )
+    SELECT doc_id, chunk_idx,
+           len(chunk) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM chunks WHERE len(chunk) > 0
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (size 32 tokens, stride 24 — 8
+    tokens of overlap): the context-window preparation step of an LLM
+    training pipeline. Chunk starts are generated per doc with
+    sequence+explode (a generator: no join, rows multiply map-side) and
+    each chunk is a slice of the ONE materialized token array — the token
+    split runs once per document, not once per chunk. Chunk count per doc
+    is ceil((len-overlap)/stride), min 1, so short docs yield exactly one
+    chunk. All integer window math — engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
+    )
+    size, stride, overlap = 32, 24, 8
+    n_chunks = F.greatest(
+        F.ceil((F.size("toks") - F.lit(overlap)) / F.lit(float(stride))),
+        F.lit(1),
+    ).cast("bigint")
+    exploded = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("bigint").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, len({_toks_of_norm('text')}) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / 2048.0) AS BIGINT) AS bin_id
+      FROM toked
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents fill 2048-token
+    bins in deterministic doc_id order, bin = floor(prefix_tokens / B) —
+    the streaming 'contiguous fill' approximation of bin packing (exact
+    first-fit-decreasing is inherently sequential; contiguous fill is one
+    window + arithmetic, scales to any corpus, and wastes at most one
+    document's tokens per boundary). The prefix sum is the global-order
+    stage — at 100 TB, two-phase it per partition with carry offsets,
+    the same trick as the sweep-line (SCALE.md). Integer math throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.size(TX.tokens(TX.normalize_text(F.col("text")))).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toked.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
