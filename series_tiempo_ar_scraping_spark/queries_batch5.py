@@ -1377,3 +1377,85 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n % 2 == 1, odd).otherwise(even).alias("median_7d"),
         n.cast("bigint").alias("n_in_frame"),
     )
+
+
+@register(
+    "union_missing_columns",
+    oracle="""
+    SELECT series_id, ts, value, quality, COUNT(*) AS n FROM (
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS ts,
+             CAST(value AS DOUBLE) AS value,
+             NULL AS quality
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS ts,
+             'ok' AS quality,
+             event_type AS series_id,
+             CAST(value AS DOUBLE) AS value
+      FROM events WHERE event_id % 2 = 1
+    ) GROUP BY 1, 2, 3, 4
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-reconciling union (`unionByName(allowMissingColumns=True)` /
+    UNION ALL BY NAME): two ingest generations with different column sets
+    and different column ORDER combine by name, the missing column
+    null-fills — the union-side twin of the parquet mergeSchema test.
+    Positional UNION here would silently misalign columns; by-name union
+    is the only safe shape once a long-lived table has evolved."""
+    e = load_table(spark, sf_dir, "events")
+    old_gen = e.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_type").alias("series_id"),
+        F.to_date("ts").alias("ts"),
+        F.col("value").cast("double").alias("value"),
+    )
+    new_gen = e.filter(F.col("event_id") % 2 == 1).select(
+        F.to_date("ts").alias("ts"),
+        F.lit("ok").alias("quality"),
+        F.col("event_type").alias("series_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+    u = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return u.groupBy("series_id", "ts", "value", "quality").agg(
+        F.count("*").alias("n")
+    )
+
+
+@register(
+    "safe_arithmetic_report",
+    oracle="""
+    SELECT o_orderstatus,
+           SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_zero_divisors,
+           CAST(SUM(CASE WHEN cnt > 0
+                    THEN CAST(total AS DOUBLE) / cnt END) AS DOUBLE)
+             AS sum_safe_ratio
+    FROM (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS total,
+             o_custkey % 5 AS cnt
+      FROM orders
+    ) GROUP BY 1
+    """,
+)
+def safe_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic as data, not exceptions: `try_divide` turns
+    division-by-zero into NULL (the V7 stance applied to expression
+    evaluation — under ANSI mode a plain `/` would fail the task), the
+    NULLs are counted as their own error channel, and the safe ratios
+    aggregate decimal-exact. The oracle spells the same semantics with
+    CASE/NULLIF since DuckDB division by zero also errors. One scan, one
+    hash aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("total"),
+        (F.col("o_custkey") % 5).alias("cnt"),
+    )
+    ratio = F.try_divide(F.col("total").cast("double"), F.col("cnt"))
+    return base.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("cnt") == 0, 1).otherwise(0)).alias(
+            "n_zero_divisors"
+        ),
+        F.sum(ratio).cast("double").alias("sum_safe_ratio"),
+    )
