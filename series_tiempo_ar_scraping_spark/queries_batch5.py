@@ -1459,3 +1459,58 @@ def safe_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(ratio).cast("double").alias("sum_safe_ratio"),
     )
+
+
+@register(
+    "table_fingerprint",
+    oracle="""
+    WITH rows_repr AS (
+      SELECT l_returnflag,
+             ('0x' || substr(md5(
+                l_orderkey || '|' || l_linenumber || '|' ||
+                CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '|' ||
+                CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 15))::BIGINT % 1000000007 AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(h AS DECIMAL(20,0))) AS BIGINT) AS fingerprint
+    FROM rows_repr GROUP BY 1
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: each row canonicalizes to a
+    typed string (integers and scaled-decimal strings only — raw
+    double→string rendering differs between engines), hashes through the
+    cross-engine md5-60bit path, reduces mod a prime, and SUMS — addition
+    commutes, so the fingerprint is identical for any row order,
+    partitioning, or engine. This is how you verify a 100 TB copy/migration
+    without moving data: one number per partition-key, compared across
+    clusters. The mod keeps 10^9-scale sums inside exact decimal/bigint
+    range on both engines (Spark's bigint SUM wraps silently; DuckDB's
+    widens — agreeing requires staying in range)."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import hash64_seeded
+
+    li = load_table(spark, sf_dir, "lineitem")
+    repr_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+    )
+    # hash64_seeded(x, seed) = md5('seed|x') — seed 0 not used here: the
+    # oracle hashes the bare repr, so inline the same md5-60bit formula.
+    h = (
+        F.conv(F.substring(F.md5(repr_str), 1, 15), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return li.select("l_returnflag", h.alias("h")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(20,0)")).cast("bigint").alias(
+            "fingerprint"
+        ),
+    )
