@@ -25,11 +25,19 @@ def main() -> int:
         return 2
     spark = get_spark("check-queries", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    import time
+
     failed = []
     for name in names:
+        t0 = time.perf_counter()
         r = compare_query(spark, sf_dir, name)
+        dt = time.perf_counter() - t0
         flag = "OK " if r["match"] else "FAIL"
-        print(f"[{flag}] {name}: {r['status']} rows={r.get('rows')}", flush=True)
+        print(
+            f"[{flag}] {name}: {r['status']} rows={r.get('rows')} "
+            f"({dt:.1f}s)",
+            flush=True,
+        )
         if not r["match"]:
             failed.append(name)
             for k in ("spark_cols", "duck_cols", "n_spark", "n_duck", "sample_diff", "spark_head", "duck_head"):
