@@ -161,7 +161,7 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.event_id AS purchase_id,
            COUNT(e.event_id) AS n_context,
-           COALESCE(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0) AS n_clicks
+           CAST(COALESCE(SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_clicks
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     LEFT JOIN events e
       ON e.user_id = p.user_id

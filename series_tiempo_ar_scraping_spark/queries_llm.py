@@ -726,7 +726,7 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toked
     )
     SELECT bin_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM packed GROUP BY 1
     """,
@@ -737,9 +737,14 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming 'contiguous fill' approximation of bin packing (exact
     first-fit-decreasing is inherently sequential; contiguous fill is one
     window + arithmetic, scales to any corpus, and wastes at most one
-    document's tokens per boundary). The prefix sum is the global-order
-    stage — at 100 TB, two-phase it per partition with carry offsets,
-    the same trick as the sweep-line (SCALE.md). Integer math throughout."""
+    document's tokens per boundary).
+
+    The global prefix sum is TWO-PHASE, not a single-partition window:
+    range-partition by doc_id, local prefix sums per partition, then a
+    broadcast join against per-partition carry offsets (the only global
+    window runs over #partitions rows, not #documents). localCheckpoint
+    pins the range partitioning so ``spark_partition_id`` is stable
+    across the two uses of the frame. Integer math throughout."""
     docs = load_table(spark, sf_dir, "documents")
     toked = docs.select(
         "doc_id",
@@ -747,12 +752,39 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toked.select(
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        toked.repartitionByRange(n_parts, "doc_id")
+        .withColumn("part_id", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        Window.partitionBy("part_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("local_prefix", F.sum("n_tokens").over(local_w))
+    # Carry offsets: one row per partition — the exclusive prefix over
+    # per-partition totals. Tiny frame; global window here is O(#parts).
+    carry_w = Window.orderBy("part_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("part_id")
+        .agg(F.sum("n_tokens").alias("part_total"))
+        .select(
+            "part_id",
+            F.coalesce(F.sum("part_total").over(carry_w), F.lit(0)).alias(
+                "carry"
+            ),
+        )
+    )
+    packed = local.join(F.broadcast(offsets), "part_id").select(
         "doc_id",
         "n_tokens",
         F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+            (F.col("carry") + F.col("local_prefix") - F.col("n_tokens"))
+            / F.lit(2048.0)
         ).alias("bin_id"),
     )
     return packed.groupBy("bin_id").agg(

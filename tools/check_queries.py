@@ -27,23 +27,30 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     import time
 
-    failed = []
+    failed, untested = [], []
     for name in names:
         t0 = time.perf_counter()
         r = compare_query(spark, sf_dir, name)
         dt = time.perf_counter() - t0
-        flag = "OK " if r["match"] else "FAIL"
+        if r["match"] is None:
+            flag = "?? "
+            untested.append(name)
+        elif r["match"]:
+            flag = "OK "
+        else:
+            flag = "FAIL"
         print(
             f"[{flag}] {name}: {r['status']} rows={r.get('rows')} "
             f"({dt:.1f}s)",
             flush=True,
         )
-        if not r["match"]:
+        if r["match"] is False:
             failed.append(name)
             for k in ("spark_cols", "duck_cols", "n_spark", "n_duck", "sample_diff", "spark_head", "duck_head"):
                 if k in r:
                     print(f"    {k}: {r[k]}")
-    print(f"\n{len(names) - len(failed)}/{len(names)} ok; failed: {failed}")
+    n_ok = len(names) - len(failed) - len(untested)
+    print(f"\n{n_ok}/{len(names)} ok; failed: {failed}; untested (no oracle): {untested}")
     return 1 if failed else 0
 
 
