@@ -611,7 +611,9 @@ def series_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
         "prev_ts", F.lag("ts").over(w)
     )
-    gap_s = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    # timestampdiff is wall-clock arithmetic, valid on TIMESTAMP_NTZ (a
+    # numeric cast is not) and identical to DuckDB date_diff('second',…).
+    gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("ts") == F.col("prev_ts"), 1).otherwise(0)).alias(

@@ -293,13 +293,15 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; both windows share the same partitioning so
     Catalyst reuses the sort."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # NTZ-safe wall-clock gap (numeric casts are illegal on TIMESTAMP_NTZ).
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
     flagged = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",
         "event_id",
         F.when(
-            F.lag("ts").over(w).isNull() | (gap_s > 1800), F.lit(1)
+            prev_ts.isNull() | (gap_s > 1800), F.lit(1)
         ).otherwise(F.lit(0)).alias("new_session"),
     )
     sessions = flagged.withColumn(
