@@ -17,7 +17,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from series_tiempo_ar_scraping_spark.queries import ORACLES, QUERIES  # noqa: E402
+from series_tiempo_ar_scraping_spark.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    apply_driver_gate_order,
+)
+
+# All query submodules are fully imported by now; apply the authoritative
+# driver-gate ordering (tolerant + idempotent — safe to re-apply).
+apply_driver_gate_order()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,9 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
+    apply_driver_gate_order()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    apply_driver_gate_order()
     return dict(ORACLES)

@@ -44,6 +44,7 @@ from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
     rewrite_download_urls,
     scrub_scraping_metadata,
     write_wide_csv,
+    write_wide_csvs_bulk,
 )
 from series_tiempo_ar_scraping_spark.sources.catalog_json import read_catalog_json
 from series_tiempo_ar_scraping_spark.sources.cells import extract_cells
@@ -266,7 +267,10 @@ class CatalogPipeline:
             ).cache()
             indicators = catalog_indicators(ds_report, dist_report)
 
-            # K1: one wide CSV per distribution.
+            # K1: all wide CSVs in ONE Spark job (partitionBy text write +
+            # filesystem rename pass) — job count is independent of the
+            # distribution count; the fileName mapping is the only
+            # driver-side metadata (``base.py:266-279`` contract).
             if write_csvs:
                 meta = {
                     (r.catalog_id, r.dataset_id, r.distribution_id): r.fileName
@@ -274,38 +278,15 @@ class CatalogPipeline:
                         "catalog_id", "dataset_id", "distribution_id", "fileName"
                     ).collect()
                 }
-                # Column order contract: field declaration order, not
-                # alphabetical (reference writes pandas-concat order of the
-                # declared fields, ``base.py:266-279``).
-                order_rows = (
-                    frames["fields"]
-                    .filter(
-                        F.col("specialType").isNull()
-                        | (F.col("specialType") != "time_index")
+                written.extend(
+                    write_wide_csvs_bulk(
+                        observations,
+                        frames["fields"],
+                        self.output_dir,
+                        meta,
+                        replace=self.replace,
                     )
-                    .select("distribution_id", "field_order", "title")
-                    .collect()
                 )
-                titles_by_dist: dict[str, list[str]] = {}
-                for r in sorted(order_rows, key=lambda r: (r.distribution_id, r.field_order)):
-                    titles_by_dist.setdefault(r.distribution_id, []).append(r.title)
-                for (cid, did, rid), fname in meta.items():
-                    part = observations.filter(
-                        (F.col("catalog_id") == cid)
-                        & (F.col("dataset_id") == did)
-                        & (F.col("distribution_id") == rid)
-                    )
-                    if part.isEmpty():
-                        continue
-                    out = os.path.join(
-                        distribution_dir(self.output_dir, cid, did, rid),
-                        fname or f"{rid}.csv",
-                    )
-                    if os.path.exists(out) and not self.replace:
-                        continue  # V8 skip-if-exists
-                    written.append(
-                        write_wide_csv(part, out, titles_by_dist.get(rid))
-                    )
 
         # K7/K8: publishable metadata.
         frames["distributions_published"], frames["fields_published"] = (

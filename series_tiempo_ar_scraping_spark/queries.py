@@ -611,9 +611,14 @@ def series_gap_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").withColumn(
         "prev_ts", F.lag("ts").over(w)
     )
-    # timestampdiff is wall-clock arithmetic, valid on TIMESTAMP_NTZ (a
-    # numeric cast is not) and identical to DuckDB date_diff('second',…).
-    gap_s = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    # timestampdiff TRUNCATES elapsed time, while DuckDB date_diff('second',…)
+    # counts second-boundary crossings — they disagree whenever a gap's
+    # sub-second parts straddle a boundary (1800.886 s → 1800 vs 1801).
+    # date_trunc('second') on BOTH operands makes timestampdiff count
+    # boundary crossings too; it stays NTZ-safe (numeric casts are not).
+    gap_s = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', prev_ts), date_trunc('second', ts))"
+    )
     return e.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.when(F.col("ts") == F.col("prev_ts"), 1).otherwise(0)).alias(
@@ -850,11 +855,16 @@ _DRIVER_GATE_PRIORITY = [
 ]
 
 
-def _apply_driver_gate_order() -> None:
-    missing = [n for n in _DRIVER_GATE_PRIORITY if n not in QUERIES]
-    assert not missing, f"priority list names unknown queries: {missing}"
-    prio = set(_DRIVER_GATE_PRIORITY)
-    order = _DRIVER_GATE_PRIORITY + [n for n in QUERIES if n not in prio]
+def apply_driver_gate_order() -> None:
+    """Reorder ``QUERIES``/``ORACLES`` so the driver-gate priority list comes
+    first.  Tolerant of partially-initialized registries: during a circular
+    import (e.g. ``tests`` importing ``queries_llm`` before ``queries``) some
+    priority names are not yet registered — those are simply skipped and the
+    caller (``__spark_entry__.queries()``) re-applies the order once every
+    submodule has finished registering.  Idempotent."""
+    order = [n for n in _DRIVER_GATE_PRIORITY if n in QUERIES]
+    prio = set(order)
+    order += [n for n in QUERIES if n not in prio]
     reordered_q = {n: QUERIES[n] for n in order}
     reordered_o = {n: ORACLES[n] for n in order if n in ORACLES}
     QUERIES.clear()
@@ -863,4 +873,4 @@ def _apply_driver_gate_order() -> None:
     ORACLES.update(reordered_o)
 
 
-_apply_driver_gate_order()
+apply_driver_gate_order()

@@ -910,7 +910,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT col,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT v) AS n_distinct,
            MIN(v) AS min_v, MAX(v) AS max_v
     FROM (
@@ -1007,12 +1007,13 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY user_id
     )
     SELECT COUNT(*) AS n_users,
-           SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_view_click,
-           SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                          AND t_purchase > t_click
-                    THEN 1 ELSE 0 END) AS n_view_click_purchase
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
     FROM u
     """,
 )

@@ -79,7 +79,10 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "purchase_id",
         "click_id",
         "user_id",
-        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        # NTZ-safe µs gap (unix_micros rejects TIMESTAMP_NTZ); at the
+        # data's µs precision timestampdiff MICROSECOND is exact, so it
+        # matches the oracle's epoch_us subtraction bit-for-bit.
+        F.timestamp_diff("MICROSECOND", F.col("c_ts"), F.col("p_ts")).alias("gap_us"),
     )
     name = "stream_click_purchase_join"
     q = (
@@ -179,13 +182,14 @@ def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2D skyline (Pareto frontier): orders not dominated on
     (newer o_orderdate, higher o_totalprice) — an order survives iff no
     strictly-newer order has ≥ its price. The naive formulation is an
-    O(n²) NOT EXISTS self-join; in 2D one running-max window over the
-    date-descending order answers it exactly: ``best_newer`` is the max
-    price among strictly newer orders (RANGE .. 1 PRECEDING on the
-    day-number key makes date ties non-dominating, matching the strict
-    inequality). One sort shuffle, no join — the only scalable skyline
-    shape. Single global window: at 100 TB, pre-filter with per-partition
-    skylines (a map-side candidate prune) before the global pass."""
+    O(n²) NOT EXISTS self-join; in 2D a running max over date-descending
+    order answers it exactly. The scale shape: ``best_newer`` only
+    depends on the *day*, so aggregate max(price) per day first (map-side
+    combinable groupBy), run the running-max window over the tiny per-day
+    frame (#distinct days rows — ~2.4k for 7 years, regardless of table
+    size), and broadcast-join the day→best_newer lookup back onto the
+    fact rows. No global sort of fact rows, no single-partition Exchange
+    over anything bigger than the day dimension."""
     o = load_table(spark, sf_dir, "orders")
     d = o.select(
         "o_orderkey",
@@ -193,19 +197,19 @@ def skyline_orders_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("dday"),
     )
+    per_day = d.groupBy("dday").agg(F.max("o_totalprice").alias("day_max"))
+    # One row per dday → ROWS .. 1 PRECEDING == strictly newer days.
     w = (
         Window.orderBy(F.col("dday").desc())
-        .rangeBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    m = d.select(
-        "o_orderkey",
-        "o_orderdate",
-        "o_totalprice",
-        F.max("o_totalprice").over(w).alias("best_newer"),
+    day_best = per_day.select(
+        "dday", F.max("day_max").over(w).alias("best_newer")
     )
+    m = d.join(F.broadcast(day_best), "dday")
     return m.filter(
         F.col("best_newer").isNull() | (F.col("o_totalprice") > F.col("best_newer"))
-    ).drop("best_newer")
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
 
 
 @register(
@@ -582,16 +586,21 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-    max_ts = e.agg(F.max("ts")).collect()[0][0]
     stage = tempfile.mkdtemp(prefix="stateful_sessions_")
     try:
         main_dir = os.path.join(stage, "stream")
         e.coalesce(1).write.mode("overwrite").parquet(main_dir)
-        sentinel = spark.createDataFrame(
-            [(int(-1), max_ts, int(-1), "sentinel", 0.0, "{}")],
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string",
-        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+        # Sentinel derived as a 1-row aggregate DataFrame — no driver
+        # collect(); the write executes it like any other plan, and the
+        # ts type (NTZ vs LTZ) automatically matches the staged file.
+        sentinel = e.agg(F.max("ts").alias("max_ts")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("max_ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
         sentinel.coalesce(1).write.mode("append").parquet(main_dir)
         # FileStreamSource orders by modification time; make the sentinel
         # strictly newest so it forms the final watermark-advancing batch.
@@ -712,8 +721,8 @@ def lateral_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFr
       FROM events WHERE props IS NOT NULL
     )
     SELECT event_type,
-           SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS n_ok,
-           SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS n_error
+           CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_error
     FROM corrupted GROUP BY 1
     """,
 )
@@ -756,12 +765,13 @@ _RUNNING_DISTINCT_SQL = """
       FROM days
     ),
     per_day AS (
-      SELECT event_type, day, SUM(is_first) AS new_users
+      SELECT event_type, day,
+             CAST(SUM(is_first) AS BIGINT) AS new_users
       FROM firsts GROUP BY 1, 2
     )
     SELECT event_type, day, new_users,
-           SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
-                                ROWS UNBOUNDED PRECEDING) AS cum_users
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
     FROM per_day
 """
 
@@ -842,7 +852,7 @@ _SESSIONS_CTE = """
       FROM endpoints
     )
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-           MAX(concurrency) AS peak_concurrent
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrent
     FROM running GROUP BY 1
     """,
 )
@@ -860,7 +870,8 @@ def concurrent_sessions_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase trick as distributed prefix sums."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe µs gap; exact at the data's µs precision (matches epoch_us).
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     flagged = e.select(
         "user_id",
         "ts",
@@ -885,11 +896,40 @@ def concurrent_sessions_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id"
         )
     )
-    w_sweep = Window.orderBy(
-        F.col("ts"), F.col("delta").desc(), F.col("user_id")
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    running = endpoints.select(
-        "ts", F.sum("delta").over(w_sweep).alias("concurrency")
+    # TWO-PHASE global prefix sum (the sequence_packing_bins template):
+    # range-partition by the sweep's total order, local running sums per
+    # partition, then add each partition's exclusive carry (prefix over
+    # per-partition delta totals — the only global window runs over
+    # #partitions rows, never #endpoints). localCheckpoint pins the
+    # partitioning so spark_partition_id is stable across both uses.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    sweep_cols = [F.col("ts"), F.col("delta").desc(), F.col("user_id")]
+    ranged = (
+        endpoints.repartitionByRange(n_parts, *sweep_cols)
+        .withColumn("part_id", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        Window.partitionBy("part_id")
+        .orderBy(*sweep_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("local_sum", F.sum("delta").over(local_w))
+    carry_w = Window.orderBy("part_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("part_id")
+        .agg(F.sum("delta").alias("part_total"))
+        .select(
+            "part_id",
+            F.coalesce(F.sum("part_total").over(carry_w), F.lit(0)).alias(
+                "carry"
+            ),
+        )
+    )
+    running = local.join(F.broadcast(offsets), "part_id").select(
+        "ts", (F.col("local_sum") + F.col("carry")).alias("concurrency")
     )
     return running.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("concurrency").alias("peak_concurrent")
@@ -1426,7 +1466,8 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "safe_arithmetic_report",
     oracle="""
     SELECT o_orderstatus,
-           SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS n_zero_divisors,
+           CAST(SUM(CASE WHEN cnt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_divisors,
            CAST(SUM(CASE WHEN cnt > 0
                     THEN CAST(total AS DOUBLE) / cnt END) AS DOUBLE)
              AS sum_safe_ratio

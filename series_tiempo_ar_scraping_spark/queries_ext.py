@@ -293,9 +293,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on user_id; both windows share the same partitioning so
     Catalyst reuses the sort."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ-safe wall-clock gap (numeric casts are illegal on TIMESTAMP_NTZ).
+    # NTZ-safe gap that matches DuckDB date_diff('second',…): timestamp_diff
+    # truncates elapsed time, date_diff counts second-boundary crossings —
+    # truncate both operands to the second so the two semantics coincide.
     prev_ts = F.lag("ts").over(w)
-    gap_s = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
+    gap_s = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", prev_ts), F.date_trunc("second", F.col("ts"))
+    )
     flagged = load_table(spark, sf_dir, "events").select(
         "user_id",
         "ts",

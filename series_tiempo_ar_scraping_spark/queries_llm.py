@@ -481,22 +481,66 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_lsh")  # approximate by construction → rows-only check
+@register(
+    "ann_topk_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, v AS embedding, {_planes_sql(_PLANES)} AS bucket
+      FROM (SELECT vec_id, embedding AS v FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket
+          FROM b WHERE vec_id >= 8),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS_SQL.format(a='qv', b='cv')} AS sim
+      FROM c JOIN q USING (bucket)
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (recall measured in tests against
-    the exact baseline; not SQL-oracled because approximation is the
-    point)."""
+    """LSH-bucketed approximate top-k. Approximate vs the *exact* top-k,
+    but fully deterministic given the (already-oracled) bucket assignment
+    — the oracle reproduces the same probe-one-bucket ranking, so the
+    approximation itself is hash-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.ann_topk_lsh(
+    out = S.ann_topk_lsh(
         emb.filter(F.col("vec_id") >= 8), emb.filter(F.col("vec_id") < 8), k=5
     )
+    return out.withColumn("sim", det_round(F.col("sim"), 9))
 
 
-@register("multimodal_features")  # pandas-UDF decode stub → rows-only check
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(1 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 4096 AS INT)
+             AS feat_width,
+           CAST(1 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 4096 AS INT)
+             AS feat_height
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/feature plumbing: binary media column → Arrow-
-    batched feature extraction (stub kernel — codec libs absent; the
-    distributed shape is the deliverable)."""
+    batched feature extraction. The stub kernel's features are
+    deterministic (byte length + md5-derived dims), so the pandas-UDF
+    path is hash-checkable against pure SQL — same trick as
+    ``multimodal_resize``."""
     from series_tiempo_ar_scraping_spark.operators import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")

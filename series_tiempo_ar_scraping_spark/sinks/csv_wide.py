@@ -61,6 +61,159 @@ def write_wide_csv(obs_one_dist: DataFrame, out_path: str, series_titles: list[s
     return out_path
 
 
+def write_wide_csvs_bulk(
+    observations: DataFrame,
+    fields: DataFrame,
+    output_dir: str,
+    file_names: dict[tuple[str, str, str], str | None],
+    replace: bool = True,
+) -> list[str]:
+    """K1 at scale: every distribution's wide CSV in ONE Spark job.
+
+    The per-distribution loop (filter + coalesce(1) + write, O(n) jobs)
+    dies at metadata scale — thousands of distributions means thousands
+    of driver-scheduled jobs. This renders each CSV's *lines* inside a
+    single distributed plan instead:
+
+    1. declared column order per distribution from the fields frame
+       (K1 contract: field declaration order, ``base.py:266-279``);
+    2. one row per (distribution, ts) holding a title→value map;
+    3. header + data lines as strings (double→string via the same JVM
+       ``Double.toString`` the CSV writer uses, so bytes match);
+    4. one ``partitionBy(catalog, dataset, distribution)`` text write —
+       rows hash-repartitioned by distribution so each partition dir
+       gets exactly one part file, headers sorted first;
+    5. a driver-side rename pass moving each part file to the
+       ``.../download/{fileName}`` contract path (pure filesystem
+       metadata — no Spark jobs).
+
+    Job count is 1 regardless of distribution count. V8 skip-if-exists
+    honored by pre-filtering distributions whose target already exists.
+    Values are numeric and the fixture titles are comma-free, so no CSV
+    quoting is required; a title containing a separator should go
+    through ``write_wide_csv`` (the Spark CSV writer) instead.
+    """
+    import shutil
+    import tempfile
+
+    spark = observations.sparkSession
+    skip = set()
+    targets: dict[str, str] = {}
+    for (cid, did, rid), fname in file_names.items():
+        out = os.path.join(
+            distribution_dir(output_dir, cid, did, rid), fname or f"{rid}.csv"
+        )
+        targets[rid] = out
+        if os.path.exists(out) and not replace:
+            skip.add(rid)
+    obs = observations
+    if skip:
+        obs = obs.filter(~F.col("distribution_id").isin(sorted(skip)))
+
+    titles = (
+        fields.filter(
+            F.col("specialType").isNull()
+            | (F.col("specialType") != "time_index")
+        )
+        .groupBy("distribution_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("field_order", "title"))
+            ).alias("ft")
+        )
+        .select(
+            "distribution_id",
+            F.transform("ft", lambda s: s["title"]).alias("titles"),
+        )
+    )
+    cells = obs.groupBy(
+        "catalog_id", "dataset_id", "distribution_id", "ts"
+    ).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("series_title", "value"))
+        ).alias("m")
+    )
+    with_titles = cells.join(F.broadcast(titles), "distribution_id")
+    data_lines = with_titles.select(
+        "catalog_id",
+        "dataset_id",
+        "distribution_id",
+        F.lit(1).alias("ord"),
+        F.col("ts"),
+        F.concat_ws(
+            ",",
+            F.concat(
+                F.array(F.col("ts").cast("string")),
+                F.transform(
+                    "titles",
+                    lambda t: F.coalesce(
+                        F.element_at("m", t).cast("string"), F.lit("")
+                    ),
+                ),
+            ),
+        ).alias("line"),
+    )
+    header_lines = (
+        obs.select("catalog_id", "dataset_id", "distribution_id")
+        .distinct()
+        .join(F.broadcast(titles), "distribution_id")
+        .select(
+            "catalog_id",
+            "dataset_id",
+            "distribution_id",
+            F.lit(0).alias("ord"),
+            F.lit(None).cast(data_lines.schema["ts"].dataType).alias("ts"),
+            F.concat_ws(
+                ",",
+                F.concat(F.array(F.lit(TIME_INDEX)), F.col("titles")),
+            ).alias("line"),
+        )
+    )
+    staging = tempfile.mkdtemp(prefix="wide_csv_bulk_")
+    try:
+        (
+            header_lines.unionByName(data_lines)
+            .repartition(F.col("distribution_id"))
+            # Sort MUST lead with the partition columns: FileFormatWriter
+            # re-sorts on them when the incoming ordering doesn't already
+            # satisfy it, and that sort is not stable — leading with them
+            # makes the writer reuse this sort, preserving (ord, ts).
+            .sortWithinPartitions(
+                "catalog_id", "dataset_id", "distribution_id", "ord", "ts"
+            )
+            .select("catalog_id", "dataset_id", "distribution_id", "line")
+            .write.mode("overwrite")
+            .partitionBy("catalog_id", "dataset_id", "distribution_id")
+            .text(staging)
+        )
+        written: list[str] = []
+        for root, _dirs, files in os.walk(staging):
+            parts = [f for f in files if f.startswith("part-")]
+            if not parts:
+                continue
+            kv = dict(
+                seg.split("=", 1)
+                for seg in root[len(staging):].strip("/").split("/")
+                if "=" in seg
+            )
+            rid = kv.get("distribution_id")
+            out = targets.get(rid) or os.path.join(
+                distribution_dir(
+                    output_dir,
+                    kv.get("catalog_id", "_"),
+                    kv.get("dataset_id", "_"),
+                    rid or "_",
+                ),
+                f"{rid}.csv",
+            )
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            os.replace(os.path.join(root, parts[0]), out)
+            written.append(out)
+        return sorted(written)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def write_observations_parquet(obs: DataFrame, path: str) -> None:
     """The scale sink: long form partitioned by ``catalog_id`` (and
     ``freq_code`` when present) — partition pruning covers the dominant

@@ -13,6 +13,8 @@ drains the parquet source into a memory sink).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -51,23 +53,71 @@ EVENTS_SCHEMA_NANOS = T.StructType(
 )
 
 
+def _events_ts_field(sf_dir: str):
+    """Probe the parquet footer for the actual logical type of ``ts``.
+
+    File-stream sources require an explicit schema, and the fixture's
+    ``ts`` column has changed physical type across testdata generations
+    (INT64 TIMESTAMP(NANOS) → timestamp[us] NTZ) — assuming either one
+    silently corrupts timestamps 1000×. One cheap footer read settles it.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir.rstrip("/"), "events.parquet")
+    if os.path.isdir(path):
+        inner = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        path = os.path.join(path, inner[0])
+    return pa.types, pq.read_schema(path).field("ts").type
+
+
 def read_events_stream_native(spark: SparkSession, sf_dir: str,
                               max_files_per_trigger: int = 1) -> DataFrame:
     """Stream straight off the driver-generated ``events.parquet``.
 
-    Two gotchas handled here: the file carries INT64 TIMESTAMP(NANOS)
-    (read nanos as long, truncate to µs exactly like ``load_table``), and
-    the file-stream source requires a *directory* basePath — the trailing
-    glob makes Spark treat ``sf_dir`` as the base while matching only the
-    events file.
+    The ``ts`` logical type is probed from the footer (see
+    ``_events_ts_field``) instead of hard-coded; the file-stream source
+    requires a *directory* basePath — the trailing glob makes Spark treat
+    ``sf_dir`` as the base while matching only the events file. Output
+    ``ts`` always matches the batch ``load_table`` type so batch/stream
+    parity holds.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(sf_dir.rstrip("/") + "/events.parquet*")
+    glob_path = sf_dir.rstrip("/") + "/events.parquet*"
+    pa_types, ts_type = _events_ts_field(sf_dir)
+    if pa_types.is_integer(ts_type):
+        # Legacy INT64 TIMESTAMP(NANOS): read nanos as long, truncate to µs
+        # exactly like load_table (and DuckDB's ns→µs truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(glob_path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Real timestamp logical type. tz-naive parquet → TIMESTAMP_NTZ, but
+    # watermarks demand TIMESTAMP_LTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    # — read at the file's own type, then cast: under the engine's pinned
+    # UTC session timezone the NTZ→LTZ cast is instant-preserving, so
+    # windows/gaps agree with the batch oracles bit-for-bit.
+    spark_ts = (
+        T.TimestampType() if getattr(ts_type, "tz", None) else T.TimestampNTZType()
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", spark_ts),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(glob_path)
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

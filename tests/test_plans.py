@@ -209,11 +209,35 @@ def test_minhash_no_inferred_generate_filter(plans):
 
 
 def test_skyline_is_single_window_no_join(plans):
-    """The 2D skyline must stay the one-sort window formulation — a Join
-    in this plan means someone rewrote it as the O(n^2) dominance test."""
+    """The 2D skyline must stay the per-day-aggregate + broadcast-lookup
+    formulation: the global running-max window runs over the per-day
+    frame (#distinct days rows), the fact side is never globally sorted,
+    and the only join is the broadcast of the tiny day→best_newer lookup
+    — NOT an O(n^2) dominance self-join."""
     p = plans("skyline_orders_pareto", "simple")
-    assert "Join" not in p
-    assert "windowspecdefinition" in p.lower() or "Window" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+    # The single-partition exchange feeding the window must sit on top of
+    # the per-day aggregate (its subtree contains the partial_max agg),
+    # i.e. fact rows are pre-aggregated before any global ordering.
+    tail = p[p.index("Exchange SinglePartition"):]
+    assert "partial_max" in tail
+
+
+def test_concurrent_sessions_sweep_is_two_phase(plans):
+    """The sweep-line prefix sum must be two-phase: endpoints are range-
+    partitioned and locally summed (SPARK_PARTITION_ID in the plan), and
+    the only global window input is the per-partition carry aggregate —
+    a single-partition Sort over raw endpoints means the two-phase
+    rewrite regressed."""
+    p = plans("concurrent_sessions_by_day", "simple")
+    # endpoint running sums are computed per part_id partition, never in
+    # one global window (the checkpointed range-partitioned frame scans
+    # as ExistingRDD, so part_id is the visible partitioning evidence)
+    assert "windowspecdefinition(part_id" in p
+    tail = p[p.index("Exchange SinglePartition"):]
+    assert "partial_sum" in tail
 
 
 def test_json_extraction_is_jvm_side(plans):

@@ -30,7 +30,12 @@ def main() -> int:
     failed, untested = [], []
     for name in names:
         t0 = time.perf_counter()
-        r = compare_query(spark, sf_dir, name)
+        # Side-output, never throw per-record (the repo's V7 pattern,
+        # operators/errors.py): one broken query must not kill the harness.
+        try:
+            r = compare_query(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001
+            r = {"name": name, "status": f"error: {exc!r:.300}", "match": False}
         dt = time.perf_counter() - t0
         if r["match"] is None:
             flag = "?? "
