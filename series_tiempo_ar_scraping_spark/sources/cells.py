@@ -60,9 +60,20 @@ def _extract_one(path: str) -> pd.DataFrame:
         return pd.DataFrame(
             rows, columns=["file", "sheet", "row", "col", "value"]
         )
-    raise NotImplementedError(
-        f"unsupported workbook format: {path} (.xls legacy BIFF needs xlrd)"
-    )
+    if path.endswith(".xls"):
+        # Stdlib BIFF8/CFB parse (sources/xls.py) — no xlrd needed; the
+        # reference routes .xls and .xlsx alike (base.py:134,144).
+        from series_tiempo_ar_scraping_spark.sources.xls import iter_cells_xls
+
+        fname = path.rsplit("/", 1)[-1]
+        rows = [
+            (fname, sheet, row, col, value)
+            for sheet, row, col, value in iter_cells_xls(path)
+        ]
+        return pd.DataFrame(
+            rows, columns=["file", "sheet", "row", "col", "value"]
+        )
+    raise NotImplementedError(f"unsupported workbook format: {path}")
 
 
 def extract_cells(spark: SparkSession, paths: list[str]) -> DataFrame:
