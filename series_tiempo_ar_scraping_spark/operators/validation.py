@@ -19,10 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from series_tiempo_ar_scraping_spark.config import (
-    ACCRUAL_PERIODICITY_REGEX,
     CELL_COORD_REGEX,
     FREQ_ISO_TO_CODE,
-    TEMPORAL_REGEX,
 )
 from series_tiempo_ar_scraping_spark.functions.calendar import with_series_checks
 
@@ -38,47 +36,63 @@ def _required(c: str) -> Column:
     return F.col(c).isNotNull() & (F.trim(F.col(c)) != "")
 
 
-# rule name -> (entity, id column, ok-expression builder)
-CATALOG_RULES: dict[str, Column] = {}
+# Normalized-frame columns each entity materializes (catalog_json.py /
+# xlsx.py) — compile_rules skips schema properties without a column.
+_CATALOG_COLUMNS = [
+    "title", "description", "publisher_name", "publisher_mbox",
+    "superThemeTaxonomy", "issued", "modified", "license", "homepage",
+    "rights",
+]
+_DATASET_COLUMNS = [
+    "title", "description", "publisher_name", "publisher_mbox",
+    "accrualPeriodicity", "issued", "modified", "temporal", "landingPage",
+    "superTheme", "theme", "keyword",
+]
+_DISTRIBUTION_COLUMNS = [
+    "title", "description", "fileName", "format", "downloadURL",
+    "accessURL", "issued", "byteSize",
+]
 
 
 def catalog_rules() -> dict[str, Column]:
-    """Catalog-level rules (``config/schemas/catalog.json`` required set +
-    format checks)."""
-    return {
-        "catalog_title_required": _required("title"),
-        "catalog_description_required": _required("description"),
-        "catalog_publisher_name_required": _required("publisher_name"),
-        "catalog_publisher_mbox_email": F.col("publisher_mbox").isNull()
-        | F.col("publisher_mbox").rlike(EMAIL_REGEX),
-        "catalog_superThemeTaxonomy_uri": F.col("superThemeTaxonomy").isNull()
-        | F.col("superThemeTaxonomy").rlike(URI_REGEX),
-    }
+    """Catalog rules compiled from ``config/schemas/catalog.json`` —
+    every ``required``/``format``/``pattern``/``minLength`` the schema
+    declares becomes one expression rule (reference delegates the same
+    document to pydatajson at ``base.py:434-441``)."""
+    from series_tiempo_ar_scraping_spark.operators.schema_rules import (
+        compile_rules,
+    )
+
+    return compile_rules("catalog", _CATALOG_COLUMNS)
 
 
 def dataset_rules() -> dict[str, Column]:
-    """Dataset rules (``config/schemas/dataset.json:4-45``): required
-    title/description/issued, accrualPeriodicity regex (X11), temporal
-    interval regex."""
-    return {
-        "dataset_title_required": _required("title"),
-        "dataset_description_required": _required("description"),
-        "dataset_accrualPeriodicity_format": F.col("accrualPeriodicity").isNotNull()
-        & F.col("accrualPeriodicity").rlike(ACCRUAL_PERIODICITY_REGEX),
-        "dataset_issued_required": _required("issued"),
-        "dataset_temporal_format": F.col("temporal").isNull()
-        | F.col("temporal").rlike(TEMPORAL_REGEX),
-    }
+    """Dataset rules compiled from ``config/schemas/dataset.json``
+    (required title/description/publisher/superTheme/accrualPeriodicity/
+    issued; accrualPeriodicity + temporal patterns; email/uri/date
+    formats)."""
+    from series_tiempo_ar_scraping_spark.operators.schema_rules import (
+        compile_rules,
+    )
+
+    return compile_rules("dataset", _DATASET_COLUMNS)
 
 
 def distribution_rules() -> dict[str, Column]:
-    """Distribution rules (``config/schemas/distribution.json:4-7`` +
-    routing prerequisite ``base.py:123-153``: some source URL must exist)."""
-    return {
-        "distribution_title_required": _required("title"),
-        "distribution_has_source_url": F.col("downloadURL").isNotNull()
-        | F.col("scrapingFileURL").isNotNull(),
-    }
+    """Distribution rules compiled from
+    ``config/schemas/distribution.json``, plus the engine's routing
+    prerequisite (``base.py:123-153``: some source URL must exist —
+    operational, not schema-expressible)."""
+    from series_tiempo_ar_scraping_spark.operators.schema_rules import (
+        compile_rules,
+    )
+
+    rules = compile_rules("distribution", _DISTRIBUTION_COLUMNS)
+    rules["distribution_has_source_url"] = (
+        F.col("downloadURL").isNotNull()
+        | F.col("scrapingFileURL").isNotNull()
+    )
+    return rules
 
 
 def field_rules() -> dict[str, Column]:

@@ -1,0 +1,191 @@
+"""V1 schema-driven validation: every constraint declared in
+``config/schemas/*.json`` must compile to a rule, and each rule must
+actually fire on a violating row (negative fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators.schema_rules import (
+    compile_rules,
+    schema_constraint_inventory,
+)
+from series_tiempo_ar_scraping_spark.operators.validation import (
+    apply_rules,
+    catalog_rules,
+    dataset_rules,
+    distribution_rules,
+)
+
+ENTITY_COLUMNS = {
+    "catalog": [
+        "title", "description", "publisher_name", "publisher_mbox",
+        "superThemeTaxonomy", "issued", "modified", "license", "homepage",
+        "rights",
+    ],
+    "dataset": [
+        "title", "description", "publisher_name", "publisher_mbox",
+        "accrualPeriodicity", "issued", "modified", "temporal",
+        "landingPage", "superTheme", "theme", "keyword",
+    ],
+    "distribution": [
+        "title", "description", "fileName", "format", "downloadURL",
+        "accessURL", "issued", "byteSize",
+    ],
+}
+
+
+@pytest.mark.parametrize("entity", ["catalog", "dataset", "distribution"])
+def test_every_schema_constraint_has_a_rule(spark, entity):
+    """Walk the schema document: each required/format/pattern constraint
+    on a materialized column must map to a compiled rule."""
+    rules = compile_rules(entity, ENTITY_COLUMNS[entity])
+    inventory = schema_constraint_inventory(entity)
+    assert inventory, f"{entity} schema declares no constraints?"
+    for col, kinds in inventory.items():
+        if col not in ENTITY_COLUMNS[entity]:
+            continue  # property the engine doesn't materialize
+        for kind in kinds:
+            assert f"{entity}_{col}_{kind}" in rules, (
+                f"schema constraint {entity}.{col} [{kind}] has no rule"
+            )
+
+
+def test_rule_names_stable(spark):
+    """Report consumers depend on these names (test_pipeline asserts
+    dataset_accrualPeriodicity_format on the broken fixture)."""
+    assert "dataset_accrualPeriodicity_format" in dataset_rules()
+    assert "dataset_accrualPeriodicity_required" in dataset_rules()
+    assert "catalog_publisher_mbox_format" in catalog_rules()
+    assert "distribution_has_source_url" in distribution_rules()
+
+
+def _fired(spark, df_spec, rules):
+    df = spark.createDataFrame(*df_spec)
+    errs = apply_rules(df, rules, ["rid"])
+    return {r.rule for r in errs.collect()}
+
+
+CATALOG_SCHEMA_STR = (
+    "rid string, title string, description string, publisher_name string,"
+    " publisher_mbox string, superThemeTaxonomy string, issued string,"
+    " modified string, license string, homepage string, rights string"
+)
+
+
+def test_catalog_negative_fixtures(spark):
+    bad = (
+        [("x", "", "d", None, "not-an-email", "ftp:/bad", "13-01-2020",
+          None, "", "nota url", None)],
+        CATALOG_SCHEMA_STR,
+    )
+    fired = _fired(spark, bad, catalog_rules())
+    assert "catalog_title_format" in fired  # minLength 1
+    assert "catalog_publisher_name_required" in fired
+    assert "catalog_publisher_mbox_format" in fired
+    assert "catalog_superThemeTaxonomy_format" in fired
+    assert "catalog_issued_format" in fired
+    assert "catalog_license_format" in fired  # empty string, minLength 1
+    assert "catalog_homepage_format" in fired
+
+
+def test_catalog_positive_fixture(spark):
+    good = (
+        [("x", "Título", "desc", "ACME", "a@b.cl",
+          "http://datos.gob.ar/superThemeTaxonomy.json", "2021-03-01",
+          "2024-06-30T10:00:00Z", "CC-BY", "https://acme.test", "open")],
+        CATALOG_SCHEMA_STR,
+    )
+    assert _fired(spark, good, catalog_rules()) == set()
+
+
+DATASET_SCHEMA_STR = (
+    "rid string, title string, description string, publisher_name string,"
+    " publisher_mbox string, accrualPeriodicity string, issued string,"
+    " modified string, temporal string, landingPage string,"
+    " superTheme array<string>, theme array<string>, keyword array<string>"
+)
+
+
+def test_dataset_negative_fixtures(spark):
+    bad = (
+        [("x", None, "d", "ACME", "bad@", "weekly-ish", None, "soon",
+          "2019-01-01..2020-01-01", "gopher:x", None, None, None)],
+        DATASET_SCHEMA_STR,
+    )
+    fired = _fired(spark, bad, dataset_rules())
+    assert "dataset_title_required" in fired
+    assert "dataset_publisher_mbox_format" in fired
+    assert "dataset_accrualPeriodicity_format" in fired
+    assert "dataset_issued_required" in fired
+    assert "dataset_modified_format" in fired
+    assert "dataset_temporal_format" in fired
+    assert "dataset_landingPage_format" in fired
+    assert "dataset_superTheme_required" in fired
+
+
+def test_dataset_accrual_pattern_vocabulary(spark):
+    """The schema's three accrualPeriodicity alternations, exercised the
+    way the reference's regex admits them (R/P…, R/PT…, eventual)."""
+    rows = [
+        ("ok1", "R/P1Y"), ("ok2", "R/P0.5M"), ("ok3", "R/PT1H"),
+        ("ok4", "eventual"), ("bad1", "P1Y"), ("bad2", "R/X"),
+        ("bad3", "R/PT1Y"),
+    ]
+    df_spec = (
+        [(rid, "t", "d", "p", None, v, "2020-01-01", None, None, None,
+          ["ECON"], None, None) for rid, v in rows],
+        DATASET_SCHEMA_STR.replace("rid string, title", "rid string, title"),
+    )
+    fired = {
+        r.rid
+        for r in apply_rules(
+            spark.createDataFrame(*df_spec),
+            {"dataset_accrualPeriodicity_format":
+                dataset_rules()["dataset_accrualPeriodicity_format"]},
+            ["rid"],
+        ).collect()
+    }
+    assert fired == {"bad1", "bad2", "bad3"}
+
+
+DIST_SCHEMA_STR = (
+    "rid string, title string, description string, fileName string,"
+    " format string, downloadURL string, accessURL string, issued string,"
+    " byteSize string, scrapingFileURL string"
+)
+
+
+def test_distribution_negative_fixtures(spark):
+    bad = (
+        [("x", "", "d", "f.csv", "CSV", "not a url", None, "yesterday",
+          "12MB", None)],
+        DIST_SCHEMA_STR,
+    )
+    fired = _fired(spark, bad, distribution_rules())
+    assert "distribution_title_format" in fired
+    assert "distribution_downloadURL_format" in fired
+    assert "distribution_issued_format" in fired
+    assert "distribution_byteSize_format" in fired
+    assert "distribution_has_source_url" not in fired  # downloadURL present
+
+
+def test_distribution_positive_fixture(spark):
+    good = (
+        [("x", "Serie", None, "s.csv", "CSV",
+          "https://acme.test/s.csv", "http://acme.test/land", "2020-06-01",
+          "20480", None)],
+        DIST_SCHEMA_STR,
+    )
+    assert _fired(spark, good, distribution_rules()) == set()
+
+
+def test_byte_size_empty_string_allowed(spark):
+    ok = (
+        [("x", "Serie", None, None, None, "https://a.b/c", None,
+          "2020-06-01", "", "http://a.b/wb.xlsx")],
+        DIST_SCHEMA_STR,
+    )
+    fired = _fired(spark, ok, distribution_rules())
+    assert "distribution_byteSize_format" not in fired
