@@ -34,6 +34,8 @@ def run_etl(
     metadata_only: bool = False,
     host: str = "http://localhost",
     file_resolver=None,
+    interactive: bool = False,
+    download_config: dict | None = None,
 ) -> dict:
     """Run every catalog in the index; returns per-catalog summaries.
 
@@ -45,6 +47,12 @@ def run_etl(
     from series_tiempo_ar_scraping_spark.sources.landing import download_to_file
 
     spark = spark or get_spark("etl")
+    # interactive (reference --interactive, base.py:922-925): reuse any
+    # already-landed file instead of re-downloading — the dev-iteration
+    # mode, orthogonal to output `replace` (V8). download_config carries
+    # proxies/verify/tries (reference download.py:13-50, base.py:963-976).
+    dl_kw = dict(download_config or {})
+    dl_replace = replace and not interactive
     if file_resolver is None:
         # Default resolver: remote source refs land under output/landing
         # (S2/S3); a failed download routes to the error channel (V7) by
@@ -57,19 +65,23 @@ def run_etl(
                 output_dir, "landing", "files", ref.rsplit("/", 1)[-1]
             )
             try:
-                return download_to_file(ref, local, replace=replace)
+                return download_to_file(
+                    ref, local, replace=dl_replace, **dl_kw
+                )
             except Exception:  # noqa: BLE001 — error channel, not crash
                 return None
 
     results: dict = {}
     for catalog_id, cfg in index.items():
+        if catalog_id == "download_config" or not isinstance(cfg, dict):
+            continue  # config entries living beside flat catalog indexes
         if catalog_id_filter and catalog_id != catalog_id_filter:
             continue  # F4, applied before any download (base.py:1088-1090)
         path = cfg.get("metadata_path")
         if not path and cfg.get("metadata_url"):
             landing = os.path.join(output_dir, "landing", f"{catalog_id}.json")
             path = download_to_file(
-                cfg["metadata_url"], landing, replace=replace
+                cfg["metadata_url"], landing, replace=dl_replace, **dl_kw
             )
         pipe = CatalogPipeline(
             spark,
@@ -145,9 +157,13 @@ def run_custom_steps(output_dir: str, script_path: str,
               help="EP2: extract+validate metadata, skip data")
 @click.option("--custom-steps", "custom_steps", default=None,
               help="K9: shell script to run over the output dir after ETL")
+@click.option("--interactive/--no-interactive", default=False,
+              help="reuse already-landed source files instead of "
+                   "re-downloading (reference --interactive)")
 @click.option("--log-level", default="WARN")
 def cli(config_path, output_dir, replace, catalog_id_filter,
-        distribution_id_filter, metadata_only, custom_steps, log_level):
+        distribution_id_filter, metadata_only, custom_steps, interactive,
+        log_level):
     """Run the catalog ETL (reference ``etl`` entry point)."""
     spark = get_spark("etl-cli")
     spark.sparkContext.setLogLevel(log_level)
@@ -166,6 +182,8 @@ def cli(config_path, output_dir, replace, catalog_id_filter,
         catalog_id_filter=catalog_id_filter,
         distribution_id_filter=distribution_id_filter,
         metadata_only=metadata_only,
+        interactive=interactive,
+        download_config=index.get("download_config"),
     )
     if custom_steps:
         results["_custom_steps_exit"] = run_custom_steps(

@@ -50,6 +50,7 @@ from series_tiempo_ar_scraping_spark.sources.catalog_json import read_catalog_js
 from series_tiempo_ar_scraping_spark.sources.cells import extract_cells
 from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
     read_distribution_csv,
+    read_distribution_txt,
 )
 from series_tiempo_ar_scraping_spark.sources.scrape import (
     check_headers,
@@ -152,17 +153,24 @@ class CatalogPipeline:
             F.col("method").isin(METHOD_CSV, METHOD_TXT)
         ).collect():
             ref = row.downloadURL or row.scrapingFileURL
-            sep = "," if row.method == METHOD_CSV else "|"
             local = self.file_resolver(ref)
             if local is None or not os.path.exists(local):
                 continue
             try:
-                obs_parts.append(
-                    read_distribution_csv(
-                        self.spark, local, row.catalog_id, row.dataset_id,
-                        row.distribution_id, sep=sep,
+                if row.method == METHOD_TXT:
+                    obs_parts.append(
+                        read_distribution_txt(
+                            self.spark, local, row.catalog_id,
+                            row.dataset_id, row.distribution_id,
+                        )
                     )
-                )
+                else:
+                    obs_parts.append(
+                        read_distribution_csv(
+                            self.spark, local, row.catalog_id,
+                            row.dataset_id, row.distribution_id,
+                        )
+                    )
             except Exception as exc:  # noqa: BLE001 — V7 error channel
                 processor_errors.append(
                     (row.catalog_id, row.dataset_id, row.distribution_id,

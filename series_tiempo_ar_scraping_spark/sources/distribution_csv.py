@@ -29,12 +29,32 @@ def read_wide_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
     )
 
 
-def melt_wide(wide: DataFrame, catalog_id: str, dataset_id: str, distribution_id: str) -> DataFrame:
+def normalize_decimal_comma(col):
+    """Argentine numeric text → dot-decimal: ``1.234,56`` → ``1234.56``,
+    ``812,5`` → ``812.5``. Only strings matching the thousands/decimal-
+    comma shape are rewritten — dot-decimal values pass through untouched
+    (so one expression serves both conventions)."""
+    looks_ar = col.rlike(r"^-?\d{1,3}(\.\d{3})*(,\d+)?$") & (
+        col.contains(",") | col.contains(".")
+    )
+    return F.when(
+        looks_ar, F.translate(F.translate(col, ".", ""), ",", ".")
+    ).otherwise(col)
+
+
+def melt_wide(
+    wide: DataFrame,
+    catalog_id: str,
+    dataset_id: str,
+    distribution_id: str,
+    decimal_comma: bool = False,
+) -> DataFrame:
     """Wide → canonical long observations via ``stack`` (JVM-side unpivot;
     the inverse of the sink-side pivot — SURVEY §1.3 long-form mapping).
 
     Values pass through the missing-token cleanse (X8) so direct-download
-    files get the same null semantics as scraped ones.
+    files get the same null semantics as scraped ones; ``decimal_comma``
+    additionally normalizes comma-decimal numerics (the TXT convention).
     """
     series_cols = [c for c in wide.columns if c != TIME_INDEX]
     if not series_cols:
@@ -46,6 +66,12 @@ def melt_wide(wide: DataFrame, catalog_id: str, dataset_id: str, distribution_id
             f"stack({len(series_cols)}, {pairs}) as (series_title, raw_value)"
         ),
     )
+    raw = F.col("raw_value")
+    if decimal_comma:
+        # normalize BEFORE the cleanse: missing_to_null casts to double,
+        # and comma-decimals must be rewritten while still strings.
+        raw = normalize_decimal_comma(raw)
+    value = missing_to_null(raw)
     return long.select(
         F.lit(catalog_id).alias("catalog_id"),
         F.lit(dataset_id).alias("dataset_id"),
@@ -53,7 +79,7 @@ def melt_wide(wide: DataFrame, catalog_id: str, dataset_id: str, distribution_id
         F.col("series_title").alias("series_id"),
         "series_title",
         "ts",
-        missing_to_null(F.col("raw_value")).alias("value"),
+        value.alias("value"),
     )
 
 
@@ -65,7 +91,55 @@ def read_distribution_csv(
     distribution_id: str,
     sep: str = ",",
 ) -> DataFrame:
-    """S6 (sep=',') / S7 (sep='|' or '\\t' for fixed-delimiter TXT) → long."""
+    """S6 — direct-download CSV → long (``processors.py:30-48``)."""
     return melt_wide(
         read_wide_csv(spark, path, sep), catalog_id, dataset_id, distribution_id
+    )
+
+
+_TXT_SEPS = ["\t", ";", "|", ","]
+
+
+def sniff_txt_sep(path: str) -> str:
+    """Pick the delimiter with the most occurrences in the header line.
+
+    One driver-side metadata read per file — the same cost class as the
+    reference resolving the file path (``processors.py:62-67``); the data
+    scan itself stays distributed."""
+    with open(path, "rb") as fh:
+        header = fh.readline().decode("utf-8", "replace")
+    counts = {s: header.count(s) for s in _TXT_SEPS}
+    best = max(_TXT_SEPS, key=lambda s: counts[s])
+    return best if counts[best] > 0 else ","
+
+
+def read_distribution_txt(
+    spark: SparkSession,
+    path: str,
+    catalog_id: str,
+    dataset_id: str,
+    distribution_id: str,
+    sep: str | None = None,
+    encoding: str = "UTF-8",
+) -> DataFrame:
+    """S7 — TXT distribution → long (series-tiempo-ar
+    ``load_ts_distribution`` invoked at ``processors.py:58-80``).
+
+    Fidelity beyond a generic delimited read: the delimiter is sniffed
+    per file (government TXT exports mix tab/semicolon/pipe), values go
+    through the same missing-token cleanse as every other source, and
+    comma-decimal numerics (``1.234,56``) are normalized to dot-decimal
+    so downstream casts agree with the CSV path. ``encoding`` defaults
+    to UTF-8; pass ``ISO-8859-1`` for legacy latin-1 exports.
+    """
+    sep = sep or sniff_txt_sep(path)
+    wide = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return melt_wide(
+        wide, catalog_id, dataset_id, distribution_id, decimal_comma=True
     )

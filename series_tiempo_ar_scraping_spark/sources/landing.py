@@ -22,14 +22,22 @@ RETRY_DELAY = 1.0
 
 
 def download(url: str, tries: int = DEFAULT_TRIES, retry_delay: float = RETRY_DELAY,
-             timeout: float = 30.0, verify: bool = True) -> bytes:
-    """S1 — GET with retries (``download.py:13-50``)."""
+             timeout: float = 30.0, verify: bool = True,
+             proxies: dict | None = None) -> bytes:
+    """S1 — GET with retries (``download.py:13-50``).
+
+    ``proxies`` follows the reference's contract (``download.py:24-27``):
+    a dict with ``http``/``https`` keys mapping to proxy URLs, forwarded
+    verbatim to the HTTP client — government data networks commonly
+    require an egress proxy."""
     import requests
 
     last: Exception | None = None
     for attempt in range(tries):
         try:
-            resp = requests.get(url, timeout=timeout, verify=verify)
+            resp = requests.get(
+                url, timeout=timeout, verify=verify, proxies=proxies
+            )
             resp.raise_for_status()
             return resp.content
         except Exception as exc:  # noqa: BLE001 — error-channel, not crash

@@ -94,3 +94,42 @@ def test_report_csv_and_mail(spark, tmp_path):
     )
     assert mail["recipients"] == ["ops@acme.test"]
     assert "datasets_ok: 2" in mail["message"]
+
+
+def test_download_interactive_and_proxies(tmp_path, monkeypatch):
+    """--interactive reuses landed files (base.py:922-925); proxies flow
+    from download_config to the HTTP client (download.py:24-27)."""
+    from series_tiempo_ar_scraping_spark.sources import landing
+
+    calls = []
+
+    class FakeResp:
+        content = b"remote-bytes"
+
+        def raise_for_status(self):
+            pass
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, timeout=None, verify=None, proxies=None):
+            calls.append({"url": url, "proxies": proxies, "verify": verify})
+            return FakeResp()
+
+    monkeypatch.setitem(
+        __import__("sys").modules, "requests", FakeRequests
+    )
+
+    target = str(tmp_path / "landed" / "f.csv")
+    proxies = {"http": "http://proxy.test:3128", "https": "http://proxy.test:3128"}
+    out = landing.download_to_file(
+        "http://example.test/f.csv", target, replace=True, proxies=proxies
+    )
+    assert open(out, "rb").read() == b"remote-bytes"
+    assert calls[-1]["proxies"] == proxies
+
+    # interactive semantics = replace False: landed file short-circuits
+    n = len(calls)
+    landing.download_to_file(
+        "http://example.test/f.csv", target, replace=False, proxies=proxies
+    )
+    assert len(calls) == n  # no new HTTP call

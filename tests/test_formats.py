@@ -49,3 +49,52 @@ def test_orc_round_trip_matches_parquet(spark, sf_dir, tmp_path):
     # predicate pushdown reaches the ORC scan too
     plan = back.filter(F.col("o_orderkey") == 7)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,7)]" in plan or "o_orderkey" in plan
+
+
+def test_txt_distribution_matches_csv_twin(spark):
+    """S7 fidelity: a semicolon-separated, comma-decimal TXT export must
+    yield the exact observations of its CSV twin — delimiter sniffed,
+    decimals normalized, missing tokens nulled (processors.py:58-80)."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+        read_distribution_csv,
+        read_distribution_txt,
+        sniff_txt_sep,
+    )
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "files")
+    txt = os.path.join(fix, "precios_q.txt")
+    csv = os.path.join(fix, "precios_q.csv")
+    assert sniff_txt_sep(txt) == ";"
+    got = {
+        (r.series_id, r.ts, r.value)
+        for r in read_distribution_txt(
+            spark, txt, "acme", "ds-prices", "2.1"
+        ).collect()
+    }
+    want = {
+        (r.series_id, r.ts, r.value)
+        for r in read_distribution_csv(
+            spark, csv, "acme", "ds-prices", "2.1"
+        ).collect()
+    }
+    # comma-decimal noise like 104,0 normalizes to the same numeric text
+    got = {(s, t, v if v is None else str(float(v))) for s, t, v in got}
+    want = {(s, t, v if v is None else str(float(v))) for s, t, v in want}
+    assert got == want
+
+
+def test_decimal_comma_thousands(spark):
+    from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+        normalize_decimal_comma,
+    )
+
+    df = spark.createDataFrame(
+        [("1.234,56",), ("812,5",), ("4500",), ("812.5",), ("-1.000",)],
+        "v string",
+    )
+    vals = [
+        r.out for r in df.select(normalize_decimal_comma(F.col("v")).alias("out")).collect()
+    ]
+    assert vals == ["1234.56", "812.5", "4500", "812.5", "-1000"]
