@@ -63,14 +63,14 @@ def decontamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     toked = docs.select(
         "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
     )
+    # shingles_from_tokens is per-doc distinct already (array_distinct),
+    # so exploded (doc_id, sh) pairs are unique — no .distinct() shuffle.
     sh = toked.select(
         "doc_id", F.explode(TX.shingles_from_tokens(F.col("toks"))).alias("sh")
     )
-    tr = sh.filter(F.col("doc_id") >= _EVAL_MAX_DOC).distinct()
-    ev = (
-        sh.filter(F.col("doc_id") < _EVAL_MAX_DOC)
-        .select(F.col("doc_id").alias("eval_id"), "sh")
-        .distinct()
+    tr = sh.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+    ev = sh.filter(F.col("doc_id") < _EVAL_MAX_DOC).select(
+        F.col("doc_id").alias("eval_id"), "sh"
     )
     j = tr.join(F.broadcast(ev), "sh")
     return j.groupBy("doc_id").agg(
@@ -220,9 +220,12 @@ def boilerplate_ngram_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("toks")
     )
+    # (doc_id, sh) pairs are unique per doc (array_distinct in the
+    # shingle expression), so count(*) per shingle == distinct-doc count
+    # with no pre-aggregation shuffle.
     sh = toked.select(
         "doc_id", F.explode(TX.shingles_from_tokens(F.col("toks"))).alias("sh")
-    ).distinct()
+    )
     return (
         sh.groupBy(F.col("sh").alias("ngram"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))

@@ -175,3 +175,49 @@ def test_corrupt_data_file_is_error_row_not_crash(spark, tmp_path):
     assert statuses["2.1"] == "ERROR"
     # scraped distributions still process
     assert statuses["1.1"] in ("OK", "WARNING")
+
+
+def test_bulk_csv_writer_v8_skip_and_header_order(spark, tmp_path):
+    """K1 bulk sink: one Spark job for every distribution, declared
+    column order in headers, and V8 skip-if-exists honored per file."""
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        write_wide_csvs_bulk,
+    )
+
+    obs = spark.createDataFrame(
+        [
+            ("c", "d", "r1", "serie_b", "2024-01-01", 1.5),
+            ("c", "d", "r1", "serie_a", "2024-01-01", 2.5),
+            ("c", "d", "r1", "serie_a", "2024-01-02", 3.5),
+            ("c", "d", "r2", "solo", "2024-02-01", 9.0),
+        ],
+        "catalog_id string, dataset_id string, distribution_id string,"
+        " series_title string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    fields = spark.createDataFrame(
+        [
+            ("r1", 0, "serie_b", None),
+            ("r1", 1, "serie_a", None),
+            ("r1", 2, "tiempo", "time_index"),
+            ("r2", 0, "solo", None),
+        ],
+        "distribution_id string, field_order int, title string,"
+        " specialType string",
+    )
+    names = {("c", "d", "r1"): "uno.csv", ("c", "d", "r2"): "dos.csv"}
+    out = str(tmp_path / "out")
+    written = write_wide_csvs_bulk(obs, fields, out, names, replace=True)
+    assert len(written) == 2
+    p1 = [p for p in written if p.endswith("uno.csv")][0]
+    lines = open(p1).read().splitlines()
+    # declared field order (serie_b before serie_a), not alphabetical
+    assert lines[0] == "indice_tiempo,serie_b,serie_a"
+    assert lines[1] == "2024-01-01,1.5,2.5"
+    assert lines[2] == "2024-01-02,,3.5"  # missing serie_b -> empty cell
+
+    # V8: replace=False leaves existing files untouched
+    with open(p1, "a") as fh:
+        fh.write("SENTINEL\n")
+    again = write_wide_csvs_bulk(obs, fields, out, names, replace=False)
+    assert again == []  # nothing rewritten
+    assert open(p1).read().splitlines()[-1] == "SENTINEL"
