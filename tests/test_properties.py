@@ -166,3 +166,53 @@ def test_pagerank_invariants(spark, sf_dir):
         for r in QUERIES["pagerank_part_graph"](spark, sf_dir).collect()
     }
     assert out == out2
+
+
+def test_quantization_error_bound(spark, sf_dir):
+    """int8 symmetric quantization invariant: every reconstruction error
+    is bounded by scale/2 (+1 ulp slack) — the property that makes the
+    QA report trustworthy; and scale really is max|x|/127."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    rows = QUERIES["embedding_int8_quantization"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-9
+        assert r.scale > 0
+
+
+def test_decontamination_is_subset_of_training(spark, sf_dir):
+    """Every flagged doc is a training doc, shares at least one shingle,
+    and touches at least one eval doc; eval docs never self-flag."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+    from series_tiempo_ar_scraping_spark.queries_batch6 import _EVAL_MAX_DOC
+
+    rows = QUERIES["decontamination_ngram_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id >= _EVAL_MAX_DOC
+        assert r.n_shared_shingles >= 1
+        assert 1 <= r.n_eval_docs < _EVAL_MAX_DOC + 1
+
+
+def test_token_histogram_accounts_every_document(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    hist = QUERIES["token_length_histogram"](spark, sf_dir)
+    total_docs = hist.agg(F.sum("n_docs")).collect()[0][0]
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+
+
+def test_repetition_score_ratios_are_probabilities(spark, sf_dir):
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    rows = QUERIES["repetition_score"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.rep_ratio <= 1.0 + 1e-9
+        assert 0 < r.distinct_ratio <= 1.0 + 1e-9
+        assert r.top_freq <= r.n_tokens

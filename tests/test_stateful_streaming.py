@@ -102,3 +102,39 @@ def test_session_fn_pure():
     assert out[0].iloc[0]["n_events"] == 2
     assert st.exists and st._v[2] == 1
     assert st.timeout_ms is not None
+
+
+def test_foreach_batch_parquet_sink_exactly_once(spark, tmp_path, sf_dir):
+    """K-side of §2.11: foreachBatch appends each microbatch into the
+    partitioned parquet store; a restart against the same checkpoint
+    replays nothing (batch ids are committed), so row counts are stable."""
+    from series_tiempo_ar_scraping_spark.session import load_table
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream_native,
+    )
+    from series_tiempo_ar_scraping_spark.streaming.sinks import (
+        stream_append_parquet,
+    )
+
+    out = str(tmp_path / "obs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream_native(
+        spark, sf_dir, max_files_per_trigger=1
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    stream_append_parquet(
+        stream, out, ckpt, partition_cols=["event_type"]
+    )
+    got = spark.read.parquet(out)
+    want = load_table(spark, sf_dir, "events").count()
+    assert got.count() == want
+    # partition routing happened (one directory per event_type)
+    import os
+
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+    # restart with the same checkpoint: no new data -> no new rows
+    stream2 = read_events_stream_native(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stream_append_parquet(stream2, out, ckpt, partition_cols=["event_type"])
+    assert spark.read.parquet(out).count() == want
