@@ -256,3 +256,20 @@ def test_udaf_is_arrow_grouped_agg(plans):
     # Spark 4.x names the node ArrowAggregatePython; 3.x AggregateInPandas.
     assert "ArrowAggregatePython" in p or "AggregateInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_decontamination_broadcasts_eval_side(plans):
+    """The eval corpus is the small side by construction — it must
+    broadcast (training side never shuffles for the join), and the
+    shingle pipeline must stay JVM-side."""
+    p = plans("decontamination_ngram_overlap", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+
+
+def test_quantization_is_map_only(plans):
+    """int8 quantization QA is per-vector arithmetic: no Exchange at all
+    before the scan results emerge, no Python."""
+    p = plans("embedding_int8_quantization", "simple")
+    assert "EvalPython" not in p
+    assert "Exchange" not in p  # map-only: scan -> project -> filter
