@@ -354,22 +354,25 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    # Convergence detection without a compare join: labels only ever
+    # decrease, so the label SUM strictly decreases iff any label changed
+    # — one cheap aggregate per round instead of joining old vs new.
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["src"] == labels["id"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("nmin"))
+        # One round = one join (edge × label) + one union + one min-agg:
+        # each node keeps its own label via the union branch, so no
+        # second join is needed to merge neighbor minima back in.
+        contrib = sym.join(labels, sym["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["dst"], "left")
-            .select(
-                "id",
-                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
-                (F.col("nmin") < F.col("comp")).alias("_changed"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        labels = (
+            labels.unionByName(contrib)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
