@@ -80,6 +80,13 @@ class WorkbookCellsReader(DataSourceReader):
 
             for sheet, row, col, value in iter_cells(path):
                 yield (fname, sheet, row, col, value)
+        elif path.endswith(".xls"):
+            from series_tiempo_ar_scraping_spark.sources.xls import (
+                iter_cells_xls,
+            )
+
+            for sheet, row, col, value in iter_cells_xls(path):
+                yield (fname, sheet, row, col, value)
         else:
             raise NotImplementedError(
                 f"workbook_cells: unsupported format {path}"

@@ -60,3 +60,27 @@ def test_same_cells_as_mapinpandas_path(registered, tmp_path):
     }
     via_mip = {tuple(r) for r in extract_cells(registered, [p]).collect()}
     assert via_ds == via_mip
+
+
+def test_datasource_reads_xls(spark, tmp_path):
+    """The Python DataSource handles legacy BIFF8 partitions too."""
+    from series_tiempo_ar_scraping_spark.sources.datasource import (
+        register_workbook_cells,
+    )
+    from series_tiempo_ar_scraping_spark.sources.xls import write_xls_cells
+
+    path = str(tmp_path / "legacy.xls")
+    write_xls_cells(
+        path,
+        [("hoja", 1, 1, "Periodo"), ("hoja", 2, 1, "2024-01-01"),
+         ("hoja", 2, 2, 7.25)],
+    )
+    register_workbook_cells(spark)
+    rows = (
+        spark.read.format("workbook_cells").load(path).orderBy("row", "col")
+    ).collect()
+    assert [(r.sheet, r.row, r.col, r.value) for r in rows] == [
+        ("hoja", 1, "A", "Periodo"),
+        ("hoja", 2, "A", "2024-01-01"),
+        ("hoja", 2, "B", "7.25"),
+    ]
