@@ -20,7 +20,7 @@ from series_tiempo_ar_scraping_spark.queries import (
     load_table,
     register,
 )
-from series_tiempo_ar_scraping_spark.queries_llm import (
+from series_tiempo_ar_scraping_spark.sqlfrags import (
     _SHINGLES_SQL,
     _toks_of_norm,
 )

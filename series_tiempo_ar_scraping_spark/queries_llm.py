@@ -24,26 +24,15 @@ from series_tiempo_ar_scraping_spark.operators import textops as TX
 from series_tiempo_ar_scraping_spark.queries import det_round, register
 from series_tiempo_ar_scraping_spark.session import load_table
 
-# ---------------------------------------------------------------------------
-# Shared SQL fragments (mirrors of textops expressions)
-# ---------------------------------------------------------------------------
-
-_NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
-    " ' +', ' ', 'g'))"
+# Shared SQL fragments live in the leaf module sqlfrags (circular-import
+# safe); re-exported here for existing importers.
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: F401
+    _HEX60,
+    _NORM_SQL,
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _toks_of_norm,
 )
-_TOKS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
-_HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
-
-_SHINGLES_SQL = f"""
-  list_distinct(list_transform(
-    generate_series(0, greatest(len({{t}}) - 3, 0)),
-    i -> concat_ws(' ', {{t}}[i+1], {{t}}[i+2], {{t}}[i+3])))
-"""
-
-
-def _toks_of_norm(col: str) -> str:
-    return _TOKS_SQL.format(c=_NORM_SQL.format(c=col))
 
 
 # ---------------------------------------------------------------------------
