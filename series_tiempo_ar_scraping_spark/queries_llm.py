@@ -359,6 +359,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(corpus.select("doc_id"), edges)
 
 
+@register("dedup_cc_star", oracle=None)  # assigned below (_cc_oracle)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component map as ``dedup_connected_components`` via the
+    O(log n)-round large-star/small-star contraction (Kiveris et al.) —
+    the variant that survives long-chain graphs where min-label's
+    O(diameter) rounds explode. Hash-checked against the identical
+    recursive-CTE oracle, so the two algorithms are mutually pinned."""
+    corpus = _near_corpus(spark, sf_dir)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return D.connected_components_star(corpus.select("doc_id"), edges)
+
+
 def _simhash_sql() -> str:
     h = _HEX60.format(x="'0' || '|' || t")
     bits = " + ".join(
@@ -631,6 +643,7 @@ from series_tiempo_ar_scraping_spark.queries import ORACLES as _ORACLES
 
 _ORACLES["dedup_ngram_jaccard"] = _ngram_jaccard_oracle()
 _ORACLES["dedup_connected_components"] = _cc_oracle()
+_ORACLES["dedup_cc_star"] = _cc_oracle()
 
 
 @register(

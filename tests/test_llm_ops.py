@@ -166,3 +166,55 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
         ap = approx[et]
         assert abs(ap.approx_users - ex.users) <= max(1, 0.05 * ex.users)
         assert abs(ap.p50_approx - ex.p50) <= max(0.01, 0.05 * abs(ex.p50))
+
+
+def test_star_cc_matches_min_label_on_neardup_graph(spark, sf_dir):
+    """large-star/small-star must produce the identical component map as
+    min-label propagation on the real near-dup graph."""
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+    from series_tiempo_ar_scraping_spark.queries_llm import (
+        _near_corpus,
+        dedup_ngram_jaccard,
+    )
+
+    corpus = _near_corpus(spark, sf_dir).select("doc_id")
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    a = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(corpus, edges).collect()
+    }
+    b = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components_star(corpus, edges).collect()
+    }
+    assert a == b and a
+
+
+def test_star_cc_contracts_long_chain(spark):
+    """A 120-node path graph: min-label needs 120 rounds (diameter), the
+    star algorithm contracts it in O(log n) — every node must land in
+    component 0 well inside the iteration cap."""
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+
+    n = 120
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = D.connected_components_star(
+        nodes, edges, max_iter=12
+    ).collect()
+    assert len(out) == n
+    assert {r.component_id for r in out} == {0}
+
+
+def test_star_cc_isolated_nodes_self_label(spark):
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+
+    nodes = spark.range(5).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components_star(nodes, edges).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 3)}
