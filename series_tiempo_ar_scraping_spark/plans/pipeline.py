@@ -49,8 +49,8 @@ from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
 from series_tiempo_ar_scraping_spark.sources.catalog_json import read_catalog_json
 from series_tiempo_ar_scraping_spark.sources.cells import extract_cells
 from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
-    read_distribution_csv,
-    read_distribution_txt,
+    read_distributions_bulk,
+    sniff_txt_sep,
 )
 from series_tiempo_ar_scraping_spark.sources.scrape import (
     check_headers,
@@ -148,7 +148,14 @@ class CatalogPipeline:
         # per-distribution failure (unreadable/garbage file, no series
         # columns) costs an ERROR report row, never the pipeline
         # (base.py:198-207 try/except-continue semantics).
+        # ONE bulk read per delimiter group (read-side twin of the bulk
+        # CSV sink): job count independent of distribution count. TXT
+        # files group by their sniffed delimiter (driver-side header
+        # peek, metadata-scale); corrupt/headerless files surface as
+        # error tuples from the bulk reader, never exceptions.
         processor_errors: list[tuple[str, str, str, str]] = []
+        csv_items: list[tuple[str, str, str, str]] = []
+        txt_groups: dict[str, list[tuple[str, str, str, str]]] = {}
         for row in ts_dists.filter(
             F.col("method").isin(METHOD_CSV, METHOD_TXT)
         ).collect():
@@ -156,25 +163,29 @@ class CatalogPipeline:
             local = self.file_resolver(ref)
             if local is None or not os.path.exists(local):
                 continue
+            tup = (row.catalog_id, row.dataset_id, row.distribution_id, local)
+            if row.method == METHOD_TXT:
+                try:
+                    txt_groups.setdefault(sniff_txt_sep(local), []).append(tup)
+                except Exception as exc:  # noqa: BLE001 — V7 error channel
+                    processor_errors.append((*tup[:3], repr(exc)))
+            else:
+                csv_items.append(tup)
+        bulk_groups = [(",", False, csv_items)] + [
+            (sep, True, its) for sep, its in sorted(txt_groups.items())
+        ]
+        for sep, decimal_comma, items in bulk_groups:
+            if not items:
+                continue
             try:
-                if row.method == METHOD_TXT:
-                    obs_parts.append(
-                        read_distribution_txt(
-                            self.spark, local, row.catalog_id,
-                            row.dataset_id, row.distribution_id,
-                        )
-                    )
-                else:
-                    obs_parts.append(
-                        read_distribution_csv(
-                            self.spark, local, row.catalog_id,
-                            row.dataset_id, row.distribution_id,
-                        )
-                    )
+                obs_b, errs = read_distributions_bulk(
+                    self.spark, items, sep=sep, decimal_comma=decimal_comma
+                )
+                obs_parts.append(obs_b)
+                processor_errors.extend(errs)
             except Exception as exc:  # noqa: BLE001 — V7 error channel
-                processor_errors.append(
-                    (row.catalog_id, row.dataset_id, row.distribution_id,
-                     repr(exc))
+                processor_errors.extend(
+                    (c, d, r, repr(exc)) for c, d, r, _p in items
                 )
 
         # excel route (S8): extract cells once per distinct workbook (A1),

@@ -96,7 +96,6 @@ def write_wide_csvs_bulk(
     import shutil
     import tempfile
 
-    spark = observations.sparkSession
     skip = set()
     targets: dict[str, str] = {}
     for (cid, did, rid), fname in file_names.items():

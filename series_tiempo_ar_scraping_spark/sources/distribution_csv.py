@@ -10,6 +10,8 @@ with a configurable delimiter, melted to the canonical long form.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -143,3 +145,96 @@ def read_distribution_txt(
     return melt_wide(
         wide, catalog_id, dataset_id, distribution_id, decimal_comma=True
     )
+
+
+def read_distributions_bulk(
+    spark: SparkSession,
+    items: list[tuple[str, str, str, str]],
+    sep: str = ",",
+    decimal_comma: bool = False,
+) -> tuple[DataFrame, list[tuple[str, str, str, str]]]:
+    """S6/S7 at metadata scale: ALL same-delimiter distribution files in
+    ONE Spark job.
+
+    ``items`` is ``[(catalog_id, dataset_id, distribution_id, path)]``.
+    The per-file loop (one ``spark.read.csv`` per distribution) is O(n)
+    driver-scheduled jobs — the read-side twin of the sink-loop problem.
+    Here every file lands in one ``spark.read.text`` scan; each file's
+    header line (first field == ``indice_tiempo``, the K1 contract) is
+    aggregated per file and broadcast back, and data lines melt to the
+    canonical long form with ``posexplode`` against the file's own
+    header — so files with entirely different column sets coexist in one
+    plan.
+
+    V7 error channel: files that yield no parseable header (corrupt
+    payloads, wrong format) produce NO observation rows; they are
+    returned as error tuples ``(catalog_id, dataset_id, distribution_id,
+    reason)`` for the report, never an exception. Returns
+    ``(observations, errors)``.
+
+    Same quoting caveat as the bulk writer: values are numeric and the
+    contract headers are separator-free; a quoted-CSV corner case should
+    use the per-file ``read_distribution_csv`` (Spark CSV reader).
+    """
+    import re as _re
+
+    if not items:
+        raise ValueError("read_distributions_bulk: empty item list")
+    dim = spark.createDataFrame(
+        [
+            (os.path.abspath(p), cid, did, rid)
+            for cid, did, rid, p in items
+        ],
+        "abspath string, catalog_id string, dataset_id string,"
+        " distribution_id string",
+    )
+    paths = sorted({os.path.abspath(p) for *_ids, p in items})
+    raw = (
+        spark.read.text(paths)
+        .select(
+            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
+                "abspath"
+            ),
+            "value",
+        )
+        .filter(F.length("value") > 0)
+    )
+    parts = F.split(F.col("value"), _re.escape(sep))
+    headers = (
+        raw.filter(parts.getItem(0) == TIME_INDEX)
+        .groupBy("abspath")
+        .agg(F.first(parts).alias("titles"))
+    )
+    data = raw.filter(parts.getItem(0) != TIME_INDEX)
+    joined = data.join(F.broadcast(headers), "abspath").join(
+        F.broadcast(dim), "abspath"
+    )
+    exploded = joined.select(
+        "catalog_id",
+        "dataset_id",
+        "distribution_id",
+        F.to_date(parts.getItem(0)).alias("ts"),
+        F.posexplode(F.slice(parts, 2, 100000)).alias("pos", "raw_value"),
+        F.col("titles"),
+    )
+    raw_val = F.col("raw_value")
+    if decimal_comma:
+        raw_val = normalize_decimal_comma(raw_val)
+    obs = exploded.select(
+        "catalog_id",
+        "dataset_id",
+        "distribution_id",
+        F.element_at("titles", F.col("pos") + 2).alias("series_id"),
+        F.element_at("titles", F.col("pos") + 2).alias("series_title"),
+        "ts",
+        missing_to_null(raw_val).alias("value"),
+    )
+    # V7: distributions whose file produced no header row → error tuples
+    # (the header inner-join already excluded their lines from obs).
+    ok_paths = {r.abspath for r in headers.select("abspath").collect()}
+    errors = [
+        (cid, did, rid, f"no parseable header in {p}")
+        for cid, did, rid, p in items
+        if os.path.abspath(p) not in ok_paths
+    ]
+    return obs, errors

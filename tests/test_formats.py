@@ -98,3 +98,39 @@ def test_decimal_comma_thousands(spark):
         r.out for r in df.select(normalize_decimal_comma(F.col("v")).alias("out")).collect()
     ]
     assert vals == ["1234.56", "812.5", "4500", "812.5", "-1000"]
+
+
+def test_bulk_distribution_read_mixed_schemas(spark, tmp_path):
+    """One Spark job reads files with different column sets; corrupt
+    files come back as V7 error tuples, not exceptions."""
+    from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+        read_distribution_csv,
+        read_distributions_bulk,
+    )
+
+    a = tmp_path / "a.csv"
+    a.write_text("indice_tiempo,x,y\n2024-01-01,1.5,2.5\n2024-02-01,s/d,3\n")
+    b = tmp_path / "b.csv"
+    b.write_text("indice_tiempo,only\n2024-01-01,9.25\n")
+    junk = tmp_path / "junk.csv"
+    junk.write_bytes(b"\x00\x01 not a csv at all\n")
+
+    items = [
+        ("c", "d", "ra", str(a)),
+        ("c", "d", "rb", str(b)),
+        ("c", "d", "rj", str(junk)),
+    ]
+    obs, errs = read_distributions_bulk(spark, items)
+    got = {
+        (r.distribution_id, r.series_id, str(r.ts), r.value)
+        for r in obs.collect()
+    }
+    # per-file reader is the reference behavior; bulk must agree
+    want = set()
+    for _c, _d, rid, p in items[:2]:
+        for r in read_distribution_csv(spark, p, "c", "d", rid).collect():
+            want.add((rid, r.series_id, str(r.ts), r.value))
+    assert got == want
+    assert [(e[2], "no parseable header" in e[3]) for e in errs] == [
+        ("rj", True)
+    ]
