@@ -36,6 +36,7 @@ def run_etl(
     file_resolver=None,
     interactive: bool = False,
     download_config: dict | None = None,
+    max_parallel_catalogs: int = 1,
 ) -> dict:
     """Run every catalog in the index; returns per-catalog summaries.
 
@@ -71,12 +72,7 @@ def run_etl(
             except Exception:  # noqa: BLE001 — error channel, not crash
                 return None
 
-    results: dict = {}
-    for catalog_id, cfg in index.items():
-        if catalog_id == "download_config" or not isinstance(cfg, dict):
-            continue  # config entries living beside flat catalog indexes
-        if catalog_id_filter and catalog_id != catalog_id_filter:
-            continue  # F4, applied before any download (base.py:1088-1090)
+    def process_catalog(catalog_id: str, cfg: dict) -> dict:
         path = cfg.get("metadata_path")
         if not path and cfg.get("metadata_url"):
             landing = os.path.join(output_dir, "landing", f"{catalog_id}.json")
@@ -95,11 +91,10 @@ def run_etl(
         )
         if metadata_only:
             frames = pipe.plan()
-            results[catalog_id] = {
+            return {
                 "datasets": frames["datasets"].count(),
                 "distributions": frames["distributions"].count(),
             }
-            continue
         res = pipe.run(write_csvs=True)
         ind = res.indicators.collect()[0].asDict() if res.indicators is not None else {}
         # K4/K5 — per-catalog report workbooks next to the outputs
@@ -123,11 +118,46 @@ def run_etl(
                     res.distribution_report, report_dir, "reporte-distributions"
                 )
             )
-        results[catalog_id] = {
+        return {
             "indicators": ind,
             "written": len(res.written_files),
             "reports": report_files,
         }
+
+    entries = [
+        (catalog_id, cfg)
+        for catalog_id, cfg in index.items()
+        # config entries living beside flat catalog indexes; F4 filter
+        # applied before any download (base.py:1088-1090)
+        if catalog_id != "download_config"
+        and isinstance(cfg, dict)
+        and not (catalog_id_filter and catalog_id != catalog_id_filter)
+    ]
+    results: dict = {}
+    if max_parallel_catalogs > 1 and len(entries) > 1:
+        # Catalogs are independent (own output subtrees, own landing
+        # files) and a SparkSession schedules jobs from many threads
+        # concurrently — the reference's sequential `for child in
+        # self.childs` (base.py:1111-1116) becomes a thread pool. Driver
+        # threads only orchestrate; the cluster interleaves the jobs.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel_catalogs) as ex:
+            futures = {
+                cid: ex.submit(process_catalog, cid, cfg)
+                for cid, cfg in entries
+            }
+        for cid, fut in futures.items():
+            try:
+                results[cid] = fut.result()
+            except Exception as exc:  # noqa: BLE001 — V7: isolate catalogs
+                results[cid] = {"error": repr(exc)}
+    else:
+        for cid, cfg in entries:
+            try:
+                results[cid] = process_catalog(cid, cfg)
+            except Exception as exc:  # noqa: BLE001 — V7: isolate catalogs
+                results[cid] = {"error": repr(exc)}
     return results
 
 
@@ -160,10 +190,13 @@ def run_custom_steps(output_dir: str, script_path: str,
 @click.option("--interactive/--no-interactive", default=False,
               help="reuse already-landed source files instead of "
                    "re-downloading (reference --interactive)")
+@click.option("--parallel-catalogs", default=1, type=int,
+              help="process up to N catalogs concurrently (independent "
+                   "units; Spark interleaves their jobs)")
 @click.option("--log-level", default="WARN")
 def cli(config_path, output_dir, replace, catalog_id_filter,
         distribution_id_filter, metadata_only, custom_steps, interactive,
-        log_level):
+        parallel_catalogs, log_level):
     """Run the catalog ETL (reference ``etl`` entry point)."""
     spark = get_spark("etl-cli")
     spark.sparkContext.setLogLevel(log_level)
@@ -184,6 +217,7 @@ def cli(config_path, output_dir, replace, catalog_id_filter,
         metadata_only=metadata_only,
         interactive=interactive,
         download_config=index.get("download_config"),
+        max_parallel_catalogs=parallel_catalogs,
     )
     if custom_steps:
         results["_custom_steps_exit"] = run_custom_steps(

@@ -133,3 +133,32 @@ def test_download_interactive_and_proxies(tmp_path, monkeypatch):
         "http://example.test/f.csv", target, replace=False, proxies=proxies
     )
     assert len(calls) == n  # no new HTTP call
+
+
+def test_parallel_catalogs(spark, tmp_path):
+    """Two catalogs processed concurrently produce the same outputs as a
+    sequential run: independent output subtrees, isolated failures."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.main import run_etl
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def resolver(ref):
+        return os.path.join(fix, "files", ref.rsplit("/", 1)[-1])
+
+    index = {
+        "acme": {"metadata_path": os.path.join(fix, "catalog.json")},
+        "acme2": {"metadata_path": os.path.join(fix, "catalog.json")},
+    }
+    out = str(tmp_path / "par")
+    results = run_etl(
+        index, out, spark=spark, file_resolver=resolver,
+        max_parallel_catalogs=2,
+    )
+    assert set(results) == {"acme", "acme2"}
+    for cid in ("acme", "acme2"):
+        assert "error" not in results[cid], results[cid]
+        assert results[cid]["written"] > 0
+        assert os.path.isdir(os.path.join(out, "catalog", cid))
+        assert os.path.isdir(os.path.join(out, "reports", cid))
