@@ -275,3 +275,115 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("double") / F.sum("c").cast("double"), 6
         ).alias("distinct_ratio"),
     )
+
+
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Deterministic PII injection: the fixture corpus is clean word-soup, so
+# both engines append identical synthetic markers to a doc_id-derived
+# subset — the scan then has non-trivial positives to count.
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+            ELSE '' END
+"""
+
+
+@register(
+    "pii_pattern_scan",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(CASE WHEN regexp_matches(t, '{_PII_EMAIL}')
+                       OR regexp_matches(t, '{_PII_IPV4}')
+                THEN 1 ELSE 0 END AS BIGINT) AS has_pii
+    FROM aug
+    """,
+)
+def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan — the redaction pre-pass of a curation pipeline:
+    per-document counts of email and IPv4 matches plus a has-PII flag.
+    Pure `regexp_count` column expressions (JVM regex, whole-stage
+    codegen, map-only); at 100 TB the flag column partitions the corpus
+    into redact/pass-through streams with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    n_emails = F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint")
+    n_ips = F.regexp_count("t", F.lit(_PII_IPV4)).cast("bigint")
+    return t.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        ((n_emails > 0) | (n_ips > 0)).cast("bigint").alias("has_pii"),
+    )
+
+
+_SPLIT_HASH = "('0x' || substr(md5('13' || '|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "dataset_split_assignment",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN ({_SPLIT_HASH}) % 100 < 80 THEN 'train'
+                  WHEN ({_SPLIT_HASH}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by seeded
+    content hash — a pure function of (seed, doc_id), so reruns, both
+    engines, and any cluster layout assign identically, and growing the
+    corpus never moves an existing document between splits. Map-only
+    assignment + one map-combinable aggregate for the per-language
+    distribution check."""
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = D.hash64_seeded(F.col("doc_id").cast("string"), 13) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
