@@ -258,3 +258,60 @@ def scrub_scraping_metadata(distributions: DataFrame, fields: DataFrame) -> tupl
     )
     f = fields.drop(*[c for c in SCRAPING_ONLY_FIELD_KEYS if c in fields.columns])
     return d, f
+
+
+def compact_observations_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-file compaction for the partitioned observations store.
+
+    Continuous ingestion (the foreachBatch streaming sink, incremental
+    catalog runs) accretes many small files per partition; scans then pay
+    per-file open/footer costs and lose row-group locality. This rewrites
+    each partition's data into ~``target_file_mb`` files: read →
+    repartition to ceil(bytes/target) → overwrite with dynamic partition
+    overwrite (only partitions present in the input are replaced, so a
+    compaction pass over one catalog never touches the others).
+
+    Returns {"files_before": n, "files_after": m}. At 100 TB this runs
+    per-partition-subtree as a maintenance job; the partitionOverwriteMode
+    setting is what makes it safe to run incrementally.
+    """
+    import os
+
+    def count_parquet_files(root: str) -> int:
+        total = 0
+        for _dir, _sub, files in os.walk(root):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    before = count_parquet_files(path)
+    size_bytes = 0
+    for _dir, _sub, files in os.walk(path):
+        size_bytes += sum(
+            os.path.getsize(os.path.join(_dir, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    df = spark.read.parquet(path)
+    parts = [
+        f.name
+        for f in df.schema.fields
+        if f.name in ("catalog_id", "freq_code")
+    ]
+    n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(n_files, *(parts or ["series_id"]))
+            .sortWithinPartitions("series_id", "ts")
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {"files_before": before, "files_after": count_parquet_files(path)}

@@ -162,3 +162,26 @@ def test_parallel_catalogs(spark, tmp_path):
         assert results[cid]["written"] > 0
         assert os.path.isdir(os.path.join(out, "catalog", cid))
         assert os.path.isdir(os.path.join(out, "reports", cid))
+
+
+def test_catalog_failure_is_isolated(spark, tmp_path):
+    """A broken catalog records an error summary; the good one still
+    completes (V7 at the catalog level — the reference aborts the run)."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.main import run_etl
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    def resolver(ref):
+        return os.path.join(fix, "files", ref.rsplit("/", 1)[-1])
+
+    index = {
+        "good": {"metadata_path": os.path.join(fix, "catalog.json")},
+        "broken": {"metadata_path": str(tmp_path / "nope.json")},
+    }
+    results = run_etl(
+        index, str(tmp_path / "out"), spark=spark, file_resolver=resolver
+    )
+    assert "error" in results["broken"]
+    assert results["good"]["written"] > 0

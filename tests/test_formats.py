@@ -134,3 +134,29 @@ def test_bulk_distribution_read_mixed_schemas(spark, tmp_path):
     assert [(e[2], "no parseable header" in e[3]) for e in errs] == [
         ("rj", True)
     ]
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """Many tiny ingest files compact to few, values intact, partition
+    layout preserved."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        compact_observations_parquet,
+    )
+
+    path = str(tmp_path / "obs")
+    for batch in range(6):  # simulate 6 small ingest appends
+        spark.createDataFrame(
+            [("c1", f"s{batch}", f"2024-0{batch + 1}-01", float(batch), "M")],
+            "catalog_id string, series_id string, ts string,"
+            " value double, freq_code string",
+        ).write.mode("append").partitionBy("catalog_id", "freq_code").parquet(
+            path
+        )
+    before = spark.read.parquet(path).orderBy("series_id").collect()
+    stats = compact_observations_parquet(spark, path, target_file_mb=128)
+    after = spark.read.parquet(path).orderBy("series_id").collect()
+    assert stats["files_after"] < stats["files_before"]
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    assert os.path.isdir(os.path.join(path, "catalog_id=c1", "freq_code=M"))
