@@ -24,8 +24,9 @@ from series_tiempo_ar_scraping_spark.queries import (  # noqa: E402
 )
 
 # All query submodules are fully imported by now; apply the authoritative
-# driver-gate ordering (tolerant + idempotent — safe to re-apply).
-apply_driver_gate_order()
+# driver-gate ordering. strict=True: every priority name MUST resolve —
+# gate-set drift fails fast instead of silently evicting a green query.
+apply_driver_gate_order(strict=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,11 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    apply_driver_gate_order()
+    apply_driver_gate_order(strict=True)
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for every SQL-expressible query."""
-    apply_driver_gate_order()
+    apply_driver_gate_order(strict=True)
     return dict(ORACLES)

@@ -353,11 +353,18 @@ def connected_components(
     )
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
-    ).localCheckpoint(eager=True)
-    # Convergence detection without a compare join: labels only ever
-    # decrease, so the label SUM strictly decreases iff any label changed
-    # — one cheap aggregate per round instead of joining old vs new.
-    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    ).localCheckpoint(eager=False)
+
+    # Convergence detection without a compare join: a round changed some
+    # label iff the multiset of (id, comp) pairs changed, which a
+    # hash-sum fingerprint detects (w.h.p.) with one tiny aggregate per
+    # round. Hashing — not SUM(comp) — keeps this correct for string ids.
+    def fingerprint(df: DataFrame):
+        return df.agg(
+            F.sum(F.xxhash64("id", "comp").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_fp = fingerprint(labels)
     for _ in range(max_iter):
         # One round = one join (edge × label) + one union + one min-agg:
         # each node keeps its own label via the union branch, so no
@@ -365,16 +372,18 @@ def connected_components(
         contrib = sym.join(labels, sym["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "comp"
         )
+        # eager=False: the fingerprint aggregate below is the action that
+        # materializes the checkpoint — one pass per round, not two.
         labels = (
             labels.unionByName(contrib)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if new_sum == prev_sum:
+        new_fp = fingerprint(labels)
+        if new_fp == prev_fp:
             break
-        prev_sum = new_sum
+        prev_fp = new_fp
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
 

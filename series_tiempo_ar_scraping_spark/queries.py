@@ -856,13 +856,25 @@ _DRIVER_GATE_PRIORITY = [
 ]
 
 
-def apply_driver_gate_order() -> None:
+def apply_driver_gate_order(strict: bool = False) -> None:
     """Reorder ``QUERIES``/``ORACLES`` so the driver-gate priority list comes
     first.  Tolerant of partially-initialized registries: during a circular
     import (e.g. ``tests`` importing ``queries_llm`` before ``queries``) some
     priority names are not yet registered — those are simply skipped and the
     caller (``__spark_entry__.queries()``) re-applies the order once every
-    submodule has finished registering.  Idempotent."""
+    submodule has finished registering.  Idempotent.
+
+    ``strict=True`` (used by ``__spark_entry__``, where registration is
+    known complete) fails fast if any priority name is missing — a rename
+    or deletion must never silently evict a query from the first-50 hard
+    gate."""
+    if strict:
+        missing = [n for n in _DRIVER_GATE_PRIORITY if n not in QUERIES]
+        assert not missing, (
+            f"driver-gate priority names not registered: {missing} — "
+            "a gated query was renamed or deleted; update "
+            "_DRIVER_GATE_PRIORITY in the same change"
+        )
     order = [n for n in _DRIVER_GATE_PRIORITY if n in QUERIES]
     prio = set(order)
     order += [n for n in QUERIES if n not in prio]

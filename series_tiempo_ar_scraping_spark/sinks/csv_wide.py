@@ -15,6 +15,7 @@ written as partitioned parquet — that's the analytical sink that scales.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame
@@ -96,32 +97,53 @@ def write_wide_csvs_bulk(
     import shutil
     import tempfile
 
-    skip = set()
-    targets: dict[str, str] = {}
+    # Distribution ids ('1.1', …) are catalog-scoped in the reference, so
+    # targets and the V8 skip set key on the FULL (catalog, dataset,
+    # distribution) triple — keying on distribution_id alone would let two
+    # catalogs' same-id distributions clobber each other's CSV.
+    skip: set[tuple[str, str, str]] = set()
+    targets: dict[tuple[str, str, str], str] = {}
     for (cid, did, rid), fname in file_names.items():
         out = os.path.join(
             distribution_dir(output_dir, cid, did, rid), fname or f"{rid}.csv"
         )
-        targets[rid] = out
+        targets[(cid, did, rid)] = out
         if os.path.exists(out) and not replace:
-            skip.add(rid)
+            skip.add((cid, did, rid))
     obs = observations
     if skip:
-        obs = obs.filter(~F.col("distribution_id").isin(sorted(skip)))
+        keep = ~functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("catalog_id") == c)
+                & (F.col("dataset_id") == d)
+                & (F.col("distribution_id") == r)
+                for c, d, r in sorted(skip)
+            ],
+        )
+        obs = obs.filter(keep)
 
+    # Titles key on as much of the (catalog, dataset, distribution)
+    # triple as the fields frame carries — distribution_id alone would
+    # merge two catalogs' same-id field declarations into one header.
+    title_keys = [
+        k
+        for k in ("catalog_id", "dataset_id", "distribution_id")
+        if k in fields.columns
+    ]
     titles = (
         fields.filter(
             F.col("specialType").isNull()
             | (F.col("specialType") != "time_index")
         )
-        .groupBy("distribution_id")
+        .groupBy(*title_keys)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("field_order", "title"))
             ).alias("ft")
         )
         .select(
-            "distribution_id",
+            *title_keys,
             F.transform("ft", lambda s: s["title"]).alias("titles"),
         )
     )
@@ -132,7 +154,7 @@ def write_wide_csvs_bulk(
             F.collect_list(F.struct("series_title", "value"))
         ).alias("m")
     )
-    with_titles = cells.join(F.broadcast(titles), "distribution_id")
+    with_titles = cells.join(F.broadcast(titles), title_keys)
     data_lines = with_titles.select(
         "catalog_id",
         "dataset_id",
@@ -155,7 +177,7 @@ def write_wide_csvs_bulk(
     header_lines = (
         obs.select("catalog_id", "dataset_id", "distribution_id")
         .distinct()
-        .join(F.broadcast(titles), "distribution_id")
+        .join(F.broadcast(titles), title_keys)
         .select(
             "catalog_id",
             "dataset_id",
@@ -195,14 +217,11 @@ def write_wide_csvs_bulk(
                 for seg in root[len(staging):].strip("/").split("/")
                 if "=" in seg
             )
+            cid = kv.get("catalog_id", "_")
+            did = kv.get("dataset_id", "_")
             rid = kv.get("distribution_id")
-            out = targets.get(rid) or os.path.join(
-                distribution_dir(
-                    output_dir,
-                    kv.get("catalog_id", "_"),
-                    kv.get("dataset_id", "_"),
-                    rid or "_",
-                ),
+            out = targets.get((cid, did, rid)) or os.path.join(
+                distribution_dir(output_dir, cid, did, rid or "_"),
                 f"{rid}.csv",
             )
             os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -33,15 +33,20 @@ def read_wide_csv(spark: SparkSession, path: str, sep: str = ",") -> DataFrame:
 
 def normalize_decimal_comma(col):
     """Argentine numeric text → dot-decimal: ``1.234,56`` → ``1234.56``,
-    ``812,5`` → ``812.5``. Only strings matching the thousands/decimal-
-    comma shape are rewritten — dot-decimal values pass through untouched
-    (so one expression serves both conventions)."""
-    looks_ar = col.rlike(r"^-?\d{1,3}(\.\d{3})*(,\d+)?$") & (
-        col.contains(",") | col.contains(".")
+    ``812,5`` → ``812.5``. Dots are stripped ONLY when the value also
+    contains a decimal comma — that's the unambiguous AR form. A
+    dot-only value like ``812.500`` is left untouched: it matches the
+    AR thousands shape too, and rewriting it to ``812500`` would be a
+    1000× corruption of a genuine dot-decimal in a mixed-convention
+    file. (AR files that write thousands without decimals lose the
+    grouping dots' meaning here — the safe direction.)"""
+    ar_full = col.rlike(r"^-?\d{1,3}(\.\d{3})*,\d+$")
+    comma_only = col.rlike(r"^-?\d+,\d+$")
+    return (
+        F.when(ar_full, F.translate(F.translate(col, ".", ""), ",", "."))
+        .when(comma_only, F.translate(col, ",", "."))
+        .otherwise(col)
     )
-    return F.when(
-        looks_ar, F.translate(F.translate(col, ".", ""), ",", ".")
-    ).otherwise(col)
 
 
 def melt_wide(

@@ -5,9 +5,10 @@ under the output tree" (K1/K2, ``base.py:266-279``). The streaming
 analogue: continuous appends into the partitioned-parquet observations
 store (the engine's scale sink, ``sinks/csv_wide.py:
 write_observations_parquet``) driven by ``foreachBatch`` — each
-microbatch is one idempotent batch write, and the checkpoint makes
-restarts exactly-once at batch granularity (a replayed batch id is
-skipped, not re-written).
+microbatch is one idempotent batch write (overwrite of its own
+``batch_id=N`` directory), so a batch replayed after a crash between
+the write and the checkpoint commit rewrites the same directory
+instead of duplicating rows: exactly-once at batch granularity.
 
 ``foreachBatch`` over a plain ``writeStream.parquet`` because the batch
 hook can (a) partition-by like the batch sink, (b) run arbitrary batch
@@ -29,16 +30,26 @@ def stream_append_parquet(
     query_name: str = "stream_append_parquet",
 ):
     """Drain a stream into a partitioned parquet dataset via
-    ``foreachBatch`` + ``availableNow`` (one idempotent append per
-    microbatch, checkpointed batch ids). Returns the finished query.
+    ``foreachBatch`` + ``availableNow``. Returns the finished query.
+
+    Idempotence: a blind ``mode("append")`` in ``foreachBatch`` is only
+    at-least-once — a crash after the append but before the checkpoint
+    commit replays the batch and duplicates rows. Here every microbatch
+    OVERWRITES its own ``batch_id=N`` subdirectory, so a replay rewrites
+    the same files and the guarantee is exactly-once at batch
+    granularity. ``batch_id`` surfaces as a partition column on read;
+    downstream compaction can fold it away
+    (``sinks.csv_wide.compact_observations_parquet``).
     """
+    import os
+
     parts = partition_cols or []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        writer = batch_df.write.mode("append")
+        writer = batch_df.write.mode("overwrite")
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(path)
+        writer.parquet(os.path.join(path, f"batch_id={batch_id}"))
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -43,3 +43,90 @@ def test_entry_and_python_islands_from_foreign_cwd(tmp_path):
         env={**os.environ, "SPARK_GRAFT_CACHE_TABLES": "0"},
     )
     assert "DRIVER_CONTRACT_OK" in out.stdout, out.stderr[-3000:]
+
+
+# The driver's hard correctness gate is the FIRST 50 queries() entries.
+# This literal copy pins membership AND order: a registration change,
+# rename, or reorder that would evict a green query from the gate (it
+# happened in r2) fails here instead of silently downgrading the gate.
+_GATE_FIRST_50 = [
+    "q01_pricing_summary",
+    "q03_revenue_topk",
+    "q05_region_revenue",
+    "semi_orders_with_big_lineitem",
+    "anti_customers_without_orders",
+    "filter_purchase_events",
+    "route_distribution_method",
+    "scalar_suite",
+    "distinct_doc_sources",
+    "count_by_status",
+    "ok_percentage_by_priority",
+    "indicator_assembly",
+    "status_sort",
+    "union_segments",
+    "align_daily_activity",
+    "series_gap_check",
+    "rolling_value_avg",
+    "tumbling_hourly_counts",
+    "resample_gapfill_daily",
+    "asof_last_click_before_purchase",
+    "meta_field_validation",
+    "freq_code_mapping",
+    "window_rank_suite",
+    "text_stats",
+    "text_lang_quality",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "simhash_hamming_pairs",
+    "dedup_embedding_cosine",
+    "embedding_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_topk_lsh",
+    "ivf_ann_topk",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "tfidf_top_terms",
+    "stratified_sample_documents",
+    "document_chunking",
+    "sequence_packing_bins",
+    "pivot_monthly_region_revenue",
+    "unpivot_lineitem_measures",
+    "topk_orders_per_priority",
+    "rollup_order_indicators",
+    "sessionize_events",
+    "range_join_purchase_context",
+]
+
+
+def test_driver_gate_first_50_pinned():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    got = list(e.queries())[:50]
+    assert got == _GATE_FIRST_50, (
+        "driver-gate first-50 drifted:\n"
+        f"missing={sorted(set(_GATE_FIRST_50) - set(got))}\n"
+        f"added={sorted(set(got) - set(_GATE_FIRST_50))}"
+    )
+
+
+def test_gate_order_strict_rejects_missing_names():
+    """strict=True must fail fast when a priority name is unregistered."""
+    import pytest
+
+    from series_tiempo_ar_scraping_spark import queries as q
+
+    saved = q.QUERIES.pop("q01_pricing_summary")
+    try:
+        with pytest.raises(AssertionError, match="q01_pricing_summary"):
+            q.apply_driver_gate_order(strict=True)
+    finally:
+        q.QUERIES["q01_pricing_summary"] = saved
+        q.apply_driver_gate_order()

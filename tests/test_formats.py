@@ -91,13 +91,32 @@ def test_decimal_comma_thousands(spark):
     )
 
     df = spark.createDataFrame(
-        [("1.234,56",), ("812,5",), ("4500",), ("812.5",), ("-1.000",)],
+        [
+            ("1.234,56",),
+            ("812,5",),
+            ("4500",),
+            ("812.5",),
+            # dot-only values are AMBIGUOUS (AR thousands vs dot-decimal
+            # with 3 decimals) — they must pass through untouched, else a
+            # genuine dot-decimal like 812.500 corrupts 1000x.
+            ("-1.000",),
+            ("812.500",),
+            ("-12.345.678,9",),
+        ],
         "v string",
     )
     vals = [
         r.out for r in df.select(normalize_decimal_comma(F.col("v")).alias("out")).collect()
     ]
-    assert vals == ["1234.56", "812.5", "4500", "812.5", "-1000"]
+    assert vals == [
+        "1234.56",
+        "812.5",
+        "4500",
+        "812.5",
+        "-1.000",
+        "812.500",
+        "-12345678.9",
+    ]
 
 
 def test_bulk_distribution_read_mixed_schemas(spark, tmp_path):

@@ -218,3 +218,22 @@ def test_star_cc_isolated_nodes_self_label(spark):
         for r in D.connected_components_star(nodes, edges).collect()
     }
     assert got == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 3)}
+
+
+def test_connected_components_string_ids(spark):
+    """String ids must converge past one round: the convergence check is
+    a hash fingerprint, not SUM(label) (which is NULL for strings and
+    would terminate a diameter-3 chain after a single propagation)."""
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+
+    nodes = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", "d", "z"]], "doc_id string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "doc_a string, doc_b string"
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("z", "z")}

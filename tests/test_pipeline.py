@@ -221,3 +221,44 @@ def test_bulk_csv_writer_v8_skip_and_header_order(spark, tmp_path):
     again = write_wide_csvs_bulk(obs, fields, out, names, replace=False)
     assert again == []  # nothing rewritten
     assert open(p1).read().splitlines()[-1] == "SENTINEL"
+
+
+def test_bulk_csv_writer_multi_catalog_same_distribution_id(spark, tmp_path):
+    """Distribution ids are catalog-scoped ('1.1' can exist in two
+    catalogs): targets and the V8 skip set must key on the full
+    (catalog, dataset, distribution) triple or one catalog's CSV
+    silently overwrites the other's."""
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        write_wide_csvs_bulk,
+    )
+
+    obs = spark.createDataFrame(
+        [
+            ("catA", "d", "1.1", "sa", "2024-01-01", 1.0),
+            ("catB", "d", "1.1", "sb", "2024-01-01", 2.0),
+        ],
+        "catalog_id string, dataset_id string, distribution_id string,"
+        " series_title string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    fields = spark.createDataFrame(
+        [("1.1", 0, "sa", None), ("1.1", 1, "sb", None)],
+        "distribution_id string, field_order int, title string,"
+        " specialType string",
+    )
+    names = {("catA", "d", "1.1"): "a.csv", ("catB", "d", "1.1"): "b.csv"}
+    out = str(tmp_path / "out")
+    written = write_wide_csvs_bulk(obs, fields, out, names, replace=True)
+    assert len(written) == 2
+    a = [p for p in written if "catA" in p][0]
+    b = [p for p in written if "catB" in p][0]
+    assert a.endswith("a.csv") and b.endswith("b.csv")
+    assert "1.0" in open(a).read() and "2.0" in open(b).read()
+
+    # V8 per-triple: only catA's file exists -> only catB rewrites
+    import os
+
+    os.remove(b)
+    again = write_wide_csvs_bulk(obs, fields, out, names, replace=False)
+    assert [p for p in again if "catB" in p] and not [
+        p for p in again if "catA" in p
+    ]

@@ -127,10 +127,26 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, tmp_path, sf_dir):
     got = spark.read.parquet(out)
     want = load_table(spark, sf_dir, "events").count()
     assert got.count() == want
-    # partition routing happened (one directory per event_type)
+    # idempotent layout: one batch_id=N dir per microbatch, with
+    # event_type partition routing inside it
     import os
 
-    assert any(d.startswith("event_type=") for d in os.listdir(out))
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert batch_dirs
+    assert any(
+        d.startswith("event_type=")
+        for d in os.listdir(os.path.join(out, batch_dirs[0]))
+    )
+    # a replayed batch overwrites its own directory instead of appending:
+    # re-running the first batch's write must not change total rows
+    # (materialize first — can't overwrite a path while reading it)
+    replay = spark.createDataFrame(
+        spark.read.parquet(os.path.join(out, batch_dirs[0])).collect()
+    )
+    replay.write.mode("overwrite").partitionBy("event_type").parquet(
+        os.path.join(out, batch_dirs[0])
+    )
+    assert spark.read.parquet(out).count() == want
 
     # restart with the same checkpoint: no new data -> no new rows
     stream2 = read_events_stream_native(spark, sf_dir).select(
