@@ -69,6 +69,8 @@ def _string_branch_ok(col: Column, branch: dict) -> Column:
         conds.append(col.rlike(FORMAT_REGEX[branch["format"]]))
     if "pattern" in branch:
         conds.append(col.rlike(branch["pattern"]))
+    if "enum" in branch:
+        conds.append(col.isin(*branch["enum"]))
     if not conds:
         return F.lit(True)
     return reduce(lambda a, b: a & b, conds)
@@ -119,8 +121,23 @@ def _is_constrained(branch: dict) -> bool:
     if branch.get("type") in ("null", "array", "object"):
         return False
     return bool(
-        {"format", "pattern", "minLength", "maxLength"} & branch.keys()
+        {"format", "pattern", "minLength", "maxLength", "enum"}
+        & branch.keys()
     ) or branch.get("type") == "integer"
+
+
+def _rule_suffix(prop_schema: dict) -> str:
+    """``enum`` when the only value constraint is an enum (so rule names
+    read ``field_type_enum``, the vocabulary-check idiom); ``format``
+    otherwise."""
+    branches = prop_schema.get("anyOf", [prop_schema])
+    kinds = {
+        k
+        for b in branches
+        for k in ("format", "pattern", "minLength", "maxLength", "enum")
+        if k in b
+    }
+    return "enum" if kinds == {"enum"} else "format"
 
 
 def _scalar_paths(schema: dict) -> list[tuple[str, dict, bool]]:
@@ -165,7 +182,9 @@ def compile_rules(
             rules[f"{entity}_{col_name}_required"] = col.isNotNull()
         ok = _value_ok(col, ps)
         if ok is not None:
-            rules[f"{entity}_{col_name}_format"] = col.isNull() | ok
+            rules[f"{entity}_{col_name}_{_rule_suffix(ps)}"] = (
+                col.isNull() | ok
+            )
     return rules
 
 
@@ -180,7 +199,7 @@ def schema_constraint_inventory(entity: str) -> dict[str, set[str]]:
             kinds.add("required")
         branches = ps.get("anyOf", [ps])
         if any(_is_constrained(b) for b in branches):
-            kinds.add("format")
+            kinds.add(_rule_suffix(ps))
         if kinds:
             out[col_name] = kinds
     return out

@@ -32,10 +32,6 @@ EMAIL_REGEX = r"^[^@\s]+@[^@\s]+\.[^@\s]+$"
 URI_REGEX = r"^https?://\S+$"
 
 
-def _required(c: str) -> Column:
-    return F.col(c).isNotNull() & (F.trim(F.col(c)) != "")
-
-
 # Normalized-frame columns each entity materializes (catalog_json.py /
 # xlsx.py) — compile_rules skips schema properties without a column.
 _CATALOG_COLUMNS = [
@@ -95,25 +91,43 @@ def distribution_rules() -> dict[str, Column]:
     return rules
 
 
+_FIELD_COLUMNS = ["title", "type", "description"]
+
+
 def field_rules() -> dict[str, Column]:
-    """Field rules (``config/schemas/field.json`` + scraping extensions in
-    ``tests/project/mock/test1.json:52-60``): title required, type enum,
-    time-index frequency in the supported set (``processors.py:230-238``),
-    A1-coordinate syntax (``processors.py:223-228``)."""
+    """Field rules: BASE rules compiled from ``config/schemas/field.json``
+    (title required + minLength, type enum — the reference validates the
+    same document via pydatajson, ``base.py:434-441``), plus the
+    scraping-extension rules, which stay explicit because they are
+    instance-data extensions (``tests/project/mock/test1.json:52-60``),
+    not schema: time-index frequency in the supported set
+    (``processors.py:230-238``) is a cross-column conditional, and the
+    A1-coordinate checks (``processors.py:223-228``) guard scraping-only
+    keys that are not part of the public data.json field schema."""
+    from series_tiempo_ar_scraping_spark.operators.schema_rules import (
+        compile_rules,
+    )
+
     freqs = list(FREQ_ISO_TO_CODE)
-    return {
-        "field_title_required": _required("title"),
-        "field_type_enum": F.col("type").isNull()
-        | F.col("type").isin("date", "number", "string"),
-        "field_time_index_frequency": (
-            F.col("specialType").isNull() | (F.col("specialType") != "time_index")
-        )
-        | F.col("specialTypeDetail").isin(freqs),
-        "field_identifier_cell_coord": F.col("scrapingIdentifierCell").isNull()
-        | F.col("scrapingIdentifierCell").rlike(CELL_COORD_REGEX),
-        "field_data_start_cell_coord": F.col("scrapingDataStartCell").isNull()
-        | F.col("scrapingDataStartCell").rlike(CELL_COORD_REGEX),
-    }
+    rules = compile_rules("field", _FIELD_COLUMNS)
+    rules.update(
+        {
+            "field_time_index_frequency": (
+                F.col("specialType").isNull()
+                | (F.col("specialType") != "time_index")
+            )
+            | F.col("specialTypeDetail").isin(freqs),
+            "field_identifier_cell_coord": F.col(
+                "scrapingIdentifierCell"
+            ).isNull()
+            | F.col("scrapingIdentifierCell").rlike(CELL_COORD_REGEX),
+            "field_data_start_cell_coord": F.col(
+                "scrapingDataStartCell"
+            ).isNull()
+            | F.col("scrapingDataStartCell").rlike(CELL_COORD_REGEX),
+        }
+    )
+    return rules
 
 
 def apply_rules(df: DataFrame, rules: dict[str, Column], id_cols: list[str]) -> DataFrame:

@@ -154,8 +154,10 @@ _FIELD_FIXTURE_SQL = ", ".join(
     )
     SELECT distribution_id, rule, 'ERROR' AS status FROM (
       SELECT distribution_id,
-        CASE WHEN NOT (title IS NOT NULL AND trim(title) != '')
+        CASE WHEN NOT (title IS NOT NULL)
              THEN 'field_title_required' END AS r1,
+        CASE WHEN NOT (title IS NULL OR length(title) >= 1)
+             THEN 'field_title_format' END AS r1b,
         CASE WHEN NOT (type IS NULL OR type IN ('date', 'number', 'string'))
              THEN 'field_type_enum' END AS r2,
         CASE WHEN NOT ((specialType IS NULL OR specialType != 'time_index')
@@ -168,7 +170,7 @@ _FIELD_FIXTURE_SQL = ", ".join(
                        OR regexp_matches(scrapingDataStartCell, '^[A-Za-z]+(\\d+)$'))
              THEN 'field_data_start_cell_coord' END AS r5
       FROM fields
-    ) t, LATERAL (SELECT UNNEST([r1, r2, r3, r4, r5]) AS rule) u
+    ) t, LATERAL (SELECT UNNEST([r1, r1b, r2, r3, r4, r5]) AS rule) u
     WHERE rule IS NOT NULL
     """,
 )

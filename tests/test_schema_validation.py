@@ -19,6 +19,7 @@ from series_tiempo_ar_scraping_spark.operators.validation import (
 )
 
 ENTITY_COLUMNS = {
+    "field": ["title", "type", "description"],
     "catalog": [
         "title", "description", "publisher_name", "publisher_mbox",
         "superThemeTaxonomy", "issued", "modified", "license", "homepage",
@@ -36,7 +37,9 @@ ENTITY_COLUMNS = {
 }
 
 
-@pytest.mark.parametrize("entity", ["catalog", "dataset", "distribution"])
+@pytest.mark.parametrize(
+    "entity", ["catalog", "dataset", "distribution", "field"]
+)
 def test_every_schema_constraint_has_a_rule(spark, entity):
     """Walk the schema document: each required/format/pattern constraint
     on a materialized column must map to a compiled rule."""
@@ -189,3 +192,53 @@ def test_byte_size_empty_string_allowed(spark):
     )
     fired = _fired(spark, ok, distribution_rules())
     assert "distribution_byteSize_format" not in fired
+
+
+FIELD_SCHEMA_STR = (
+    "rid string, title string, type string, description string,"
+    " specialType string, specialTypeDetail string,"
+    " scrapingIdentifierCell string, scrapingDataStartCell string"
+)
+
+
+def test_field_negative_fixtures(spark):
+    """Field BASE rules now compile from config/schemas/field.json
+    (title required+minLength, type enum); the scraping-extension rules
+    stay explicit. One violating row per rule."""
+    from series_tiempo_ar_scraping_spark.operators.validation import (
+        field_rules,
+    )
+
+    bad = (
+        [
+            ("null_title", None, "number", None, None, None, None, None),
+            ("empty_title", "", "number", None, None, None, None, None),
+            ("bad_type", "s", "float", None, None, None, None, None),
+            ("bad_freq", "t", "date", None, "time_index", "R/P2M", None, None),
+            ("bad_coord", "u", "number", None, None, None, "8B", "Z0x"),
+        ],
+        FIELD_SCHEMA_STR,
+    )
+    df = spark.createDataFrame(*bad)
+    errs = apply_rules(df, field_rules(), ["rid"])
+    fired = {(r.rid, r.rule) for r in errs.collect()}
+    assert ("null_title", "field_title_required") in fired
+    assert ("empty_title", "field_title_format") in fired
+    assert ("empty_title", "field_title_required") not in fired
+    assert ("bad_type", "field_type_enum") in fired
+    assert ("bad_freq", "field_time_index_frequency") in fired
+    assert ("bad_coord", "field_identifier_cell_coord") in fired
+    assert ("bad_coord", "field_data_start_cell_coord") in fired
+
+
+def test_field_positive_fixture(spark):
+    from series_tiempo_ar_scraping_spark.operators.validation import (
+        field_rules,
+    )
+
+    good = (
+        [("x", "serie_a", "number", "desc", "time_index", "R/P3M", "B8", "B9")],
+        FIELD_SCHEMA_STR,
+    )
+    df = spark.createDataFrame(*good)
+    assert {r.rule for r in apply_rules(df, field_rules(), ["rid"]).collect()} == set()
