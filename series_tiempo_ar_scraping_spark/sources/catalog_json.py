@@ -147,49 +147,102 @@ def normalize_catalog(raw: DataFrame, catalog_id: str | None = None) -> dict[str
     }
 
 
+# Publication key order per entity (pydatajson document shape). Only keys
+# the frame actually carries are emitted — published frames have the
+# scraping keys scrubbed (K8), unpublished ones keep them.
+_FIELD_PUB_KEYS = [
+    ("field_id", "id"), ("title", "title"), ("type", "type"),
+    ("description", "description"), ("units", "units"),
+    ("specialType", "specialType"), ("specialTypeDetail", "specialTypeDetail"),
+    ("scrapingIdentifierCell", "scrapingIdentifierCell"),
+    ("scrapingDataStartCell", "scrapingDataStartCell"),
+]
+_DIST_PUB_KEYS = [
+    "title", "description", "fileName", "format", "downloadURL",
+    "accessURL", "scrapingFileURL", "scrapingFileSheet", "issued",
+    "byteSize",
+]
+_DS_PUB_KEYS = [
+    "title", "description", "accrualPeriodicity", "issued", "modified",
+    "temporal", "landingPage", "source", "superTheme", "theme", "keyword",
+]
+
+
+def _nest_publisher(df: DataFrame) -> DataFrame:
+    """Re-nest the flattened ``publisher_name``/``publisher_mbox`` columns
+    into the document's ``publisher: {name, mbox}`` object."""
+    if "publisher_name" not in df.columns:
+        return df
+    return df.withColumn(
+        "publisher",
+        F.when(
+            F.col("publisher_name").isNotNull()
+            | F.col("publisher_mbox").isNotNull(),
+            F.struct(
+                F.col("publisher_name").alias("name"),
+                F.col("publisher_mbox").alias("mbox"),
+            ),
+        ),
+    ).drop("publisher_name", "publisher_mbox")
+
+
 def renest_catalog(frames: dict[str, DataFrame]) -> DataFrame:
-    """K2 inverse-normalization — re-nest the relational frames back into the
-    catalog document shape for publication (``base.py:494-498``):
-    ``collect_list(struct(...))`` bottom-up.
-    """
+    """K2 inverse-normalization — re-nest the relational frames back into
+    the catalog document shape for publication (``base.py:494-498``):
+    ``collect_list(struct(...))`` bottom-up, full key fidelity (nested
+    ``publisher``, fields keyed ``id`` as in the source document, every
+    metadata key the frames carry). Entity arrays sort by identifier
+    (fields by declaration order) so the emitted document is
+    deterministic."""
+    fields = frames["fields"]
+    fkeys = [(c, out) for c, out in _FIELD_PUB_KEYS if c in fields.columns]
     fields_n = (
-        frames["fields"]
-        .groupBy("catalog_id", "dataset_id", "distribution_id")
+        fields.groupBy("catalog_id", "dataset_id", "distribution_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("field_order", *[c for c, _o in fkeys])
+                    )
+                ),
+                lambda s: F.struct(*[s[c].alias(out) for c, out in fkeys]),
+            ).alias("field")
+        )
+    )
+    dists = frames["distributions"]
+    dkeys = [c for c in _DIST_PUB_KEYS if c in dists.columns]
+    dist_n = (
+        dists.join(fields_n, ["catalog_id", "dataset_id", "distribution_id"], "left")
+        .groupBy("catalog_id", "dataset_id")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        "field_order", "field_id", "title", "type", "units",
-                        "specialType", "specialTypeDetail",
+                        F.col("distribution_id").alias("identifier"),
+                        *dkeys,
+                        "field",
                     )
-                )
-            ).alias("field")
-        )
-    )
-    dist_n = (
-        frames["distributions"]
-        .join(fields_n, ["catalog_id", "dataset_id", "distribution_id"], "left")
-        .groupBy("catalog_id", "dataset_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("distribution_id").alias("identifier"),
-                    "title", "fileName", "format", "downloadURL", "field",
                 )
             ).alias("distribution")
         )
     )
+    datasets = _nest_publisher(frames["datasets"])
+    dskeys = [c for c in _DS_PUB_KEYS if c in datasets.columns] + (
+        ["publisher"] if "publisher" in datasets.columns else []
+    )
     ds_n = (
-        frames["datasets"]
-        .join(dist_n, ["catalog_id", "dataset_id"], "left")
+        datasets.join(dist_n, ["catalog_id", "dataset_id"], "left")
         .groupBy("catalog_id")
         .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("dataset_id").alias("identifier"),
-                    "title", "description", "accrualPeriodicity", "distribution",
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("dataset_id").alias("identifier"),
+                        *dskeys,
+                        "distribution",
+                    )
                 )
             ).alias("dataset")
         )
     )
-    return frames["catalogs"].join(ds_n, "catalog_id", "left")
+    return _nest_publisher(frames["catalogs"]).join(ds_n, "catalog_id", "left")

@@ -118,41 +118,73 @@ def scrape_observations(cells: DataFrame, series_params: DataFrame, time_params:
     Plan shape: cells is the big frame; params are broadcast. Two joins
     (values→params, time→params), one join values⋈time on (distribution,
     row offset), one window for anchor synthesis — no Python UDFs.
+
+    Table bounding: a sheet can hold SEVERAL tables stacked vertically
+    (the reference mock's ``actividad_ied.xlsx`` declares the annual
+    table at rows 8-13 and the quarterly one at rows 46+ of the SAME
+    sheet). xlseries stops each table at the end of its contiguous run;
+    the relational analog keeps only the LEADING CONTIGUOUS RUN of cells
+    per column — a row belongs to the table iff every prior offset is
+    present, i.e. ``offset == row_number() - 1`` under (partition, order
+    by offset). Time and value columns are bounded independently so the
+    V6 trim signal (data rows extending past the last date row —
+    reference ``base.py:170-175``) still fires.
     """
-    # Value cells: slice each series' column from its start row down.
-    vals = cells.join(
-        F.broadcast(series_params),
-        (cells.file == series_params.file)
-        & (cells.sheet == series_params.sheet)
-        & (cells.col == series_params.data_col)
-        & (cells.row >= series_params.data_start_row),
-    ).select(
-        "catalog_id",
-        "dataset_id",
-        "distribution_id",
-        "field_id",
-        "series_title",
-        (cells.row - series_params.data_start_row).alias("offset"),
-        cells.row.alias("cell_row"),
-        missing_to_null(cells.value).alias("value"),
-        cells.value.alias("raw_value"),
+    # Value cells: each series' column from its start row down, bounded
+    # to the leading contiguous run (one gap ends the table).
+    wv = Window.partitionBy(
+        "catalog_id", "dataset_id", "distribution_id", "field_id"
+    ).orderBy("offset")
+    vals = (
+        cells.join(
+            F.broadcast(series_params),
+            (cells.file == series_params.file)
+            & (cells.sheet == series_params.sheet)
+            & (cells.col == series_params.data_col)
+            & (cells.row >= series_params.data_start_row),
+        )
+        .select(
+            "catalog_id",
+            "dataset_id",
+            "distribution_id",
+            "field_id",
+            "series_title",
+            (cells.row - series_params.data_start_row).alias("offset"),
+            cells.row.alias("cell_row"),
+            missing_to_null(cells.value).alias("value"),
+            cells.value.alias("raw_value"),
+        )
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("offset") == F.col("_rn") - 1)
+        .drop("_rn")
     )
 
-    # Time cells: slice the time column per distribution; parse dates.
-    times = cells.join(
-        F.broadcast(time_params),
-        (cells.file == time_params.file)
-        & (cells.sheet == time_params.sheet)
-        & (cells.col == time_params.time_col)
-        & (cells.row >= time_params.time_start_row),
-    ).select(
-        "catalog_id",
-        "dataset_id",
-        "distribution_id",
-        "freq_code",
-        (cells.row - time_params.time_start_row).alias("offset"),
-        cells.row.alias("time_row"),
-        _parse_date(cells.value).alias("parsed_ts"),
+    # Time cells: the time column per distribution, bounded the same way;
+    # unparseable cells still count as present (composed-time synthesis
+    # fills them), only a MISSING cell ends the table.
+    wt = Window.partitionBy(
+        "catalog_id", "dataset_id", "distribution_id"
+    ).orderBy("offset")
+    times = (
+        cells.join(
+            F.broadcast(time_params),
+            (cells.file == time_params.file)
+            & (cells.sheet == time_params.sheet)
+            & (cells.col == time_params.time_col)
+            & (cells.row >= time_params.time_start_row),
+        )
+        .select(
+            "catalog_id",
+            "dataset_id",
+            "distribution_id",
+            "freq_code",
+            (cells.row - time_params.time_start_row).alias("offset"),
+            cells.row.alias("time_row"),
+            _parse_date(cells.value).alias("parsed_ts"),
+        )
+        .withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("offset") == F.col("_rn") - 1)
+        .drop("_rn")
     )
 
     # Composed-time synthesis: anchor = first parsed date; unparsed rows get
