@@ -5,19 +5,25 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas functions over ``mapInPandas`` — the only sane shape at
 100 TB (per-batch Python, columnar transfer, no per-row pickling).
 
-The actual codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode kernel is stubbed: ``decode_stub=True`` computes deterministic fake
-features (byte length, md5-based checksum, fake dims) and the real-decode
-branch raises ``NotImplementedError`` behind an import gate. Everything
-Spark-side — schema, batching, partitioning, UDF signature — is real and
-tested.
+Compressed codecs (JPEG/PNG/video — PIL/ffmpeg) are NOT in this
+container, so that decode branch is import-gated and ``decode_stub=True``
+computes deterministic fake features (byte length, md5-based checksum,
+fake dims). Two *uncompressed* raster formats, however, are decoded for
+real with a pure-stdlib codec below — PPM (P6) and 24-bit uncompressed
+BMP — so the feature/resize kernels run on actual pixel data in-sandbox:
+``try_decode_image`` strictly validates headers + payload length and the
+kernels branch to real dimensions/pixels whenever a payload decodes,
+falling back to the stub otherwise. Everything Spark-side — schema,
+batching, partitioning, UDF signature — is real and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,6 +58,117 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("feat_height", T.IntegerType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# Pure-stdlib raster codec: PPM (P6) and uncompressed 24-bit BMP.
+#
+# Strictness is the contract: a payload only takes the real-decode branch
+# when the header parses AND the declared dimensions exactly account for the
+# payload length, so arbitrary text/binary blobs (e.g. the documents-table
+# adapter used by the oracled stub queries) can never be misread as images.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("PPM P6 requires 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row padding)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("BMP24 requires 3 channels")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    bgr = pixels[..., ::-1].astype(np.uint8)  # RGB -> BGR
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(rows)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(rows)
+
+
+def _decode_ppm(data: bytes) -> np.ndarray | None:
+    if not data.startswith(b"P6"):
+        return None
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comments not supported — strictness over completeness), then ONE
+    # whitespace byte, then exactly w*h*3 payload bytes.
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < min(len(data), 64):
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(data) and data[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            return None
+        tokens.append(int(data[start:pos]))
+    if len(tokens) < 3 or not data[pos : pos + 1].isspace():
+        return None
+    w, h, maxval = tokens
+    pos += 1
+    if maxval != 255 or w <= 0 or h <= 0 or len(data) - pos != w * h * 3:
+        return None
+    return np.frombuffer(data, dtype=np.uint8, offset=pos).reshape(h, w, 3)
+
+
+def _decode_bmp24(data: bytes) -> np.ndarray | None:
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    info_size = struct.unpack_from("<I", data, 14)[0]
+    if info_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(data) < pixel_offset + stride * h:
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, offset=pixel_offset, count=stride * h
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1]  # BGR -> RGB
+
+
+def try_decode_image(data: bytes) -> np.ndarray | None:
+    """Decode PPM P6 / 24-bit BMP payloads to (H, W, 3) uint8 RGB, or
+    ``None`` for anything else (including malformed headers and payloads
+    whose length contradicts the declared dimensions)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    return _decode_ppm(data) if data[:2] == b"P6" else _decode_bmp24(data)
+
+
+def nearest_resize(pixels: np.ndarray, max_dim: int) -> np.ndarray:
+    """Nearest-neighbor downscale capping the longer edge at ``max_dim``
+    (no-op when already within the cap) — index-gather only, no deps."""
+    h, w = pixels.shape[:2]
+    scale = min(1.0, max_dim / max(w, h))
+    if scale >= 1.0:
+        return pixels
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(np.int64)
+    xs = (np.arange(nw) * (w / nw)).astype(np.int64)
+    return pixels[ys][:, xs]
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
@@ -98,6 +215,13 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                         "real media decode requires codec libraries not in "
                         "this container; run with decode_stub=True"
                     ) from exc
+            def dims(b: bytes) -> tuple[int, int]:
+                img = try_decode_image(b)
+                if img is not None:  # real decode (PPM/BMP stdlib codec)
+                    return img.shape[1], img.shape[0]
+                d = hashlib.md5(b).hexdigest()  # checksum-derived stand-in
+                return 1 + int(d[:4], 16) % 4096, 1 + int(d[4:8], 16) % 4096
+            wh = pdf["content"].map(dims)
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -106,14 +230,8 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                     "checksum": pdf["content"].map(
                         lambda b: hashlib.md5(b).hexdigest()
                     ),
-                    # fake dims derived from the checksum — stable stand-in
-                    # for decoded width/height
-                    "feat_width": pdf["content"]
-                    .map(lambda b: 1 + int(hashlib.md5(b).hexdigest()[:4], 16) % 4096)
-                    .astype("int32"),
-                    "feat_height": pdf["content"]
-                    .map(lambda b: 1 + int(hashlib.md5(b).hexdigest()[4:8], 16) % 4096)
-                    .astype("int32"),
+                    "feat_width": wh.map(lambda t: t[0]).astype("int32"),
+                    "feat_height": wh.map(lambda t: t[1]).astype("int32"),
                 }
             )
             yield out
@@ -138,11 +256,14 @@ def resize_media(media: DataFrame, max_dim: int = 512,
                  decode_stub: bool = True) -> DataFrame:
     """Resize kernel: cap the longer edge at ``max_dim`` preserving aspect.
 
-    Stub path: dimensions come from the deterministic fake decode
-    (checksum-derived, same values ``extract_features`` reports) and are
-    rescaled arithmetically; content passes through untouched. Real path
-    (PIL) is import-gated. The Spark shape — mapInPandas projection,
-    binary in/out, no shuffle — is the real contract.
+    PPM/BMP payloads take the real path — decoded by the stdlib codec,
+    nearest-neighbor resampled on actual pixels, re-encoded as PPM. For
+    anything else the stub path applies: dimensions come from the
+    deterministic fake decode (checksum-derived, same values
+    ``extract_features`` reports) and are rescaled arithmetically with
+    content passing through untouched; the compressed-codec (PIL) branch
+    is import-gated. The Spark shape — mapInPandas projection, binary
+    in/out, no shuffle — is identical on every branch.
     """
     from series_tiempo_ar_scraping_spark.session import (
         ensure_package_on_executors,
@@ -160,19 +281,29 @@ def resize_media(media: DataFrame, max_dim: int = 512,
                         "real resize requires codec libraries not in this "
                         "container; run with decode_stub=True"
                     ) from exc
-            digests = pdf["content"].map(lambda b: hashlib.md5(b).hexdigest())
-            w = digests.map(lambda d: 1 + int(d[:4], 16) % 4096)
-            h = digests.map(lambda d: 1 + int(d[4:8], 16) % 4096)
-            scale = (max_dim / pd.concat([w, h], axis=1).max(axis=1)).clip(
-                upper=1.0
-            )
+            def one(b: bytes) -> tuple[bytes, int, int]:
+                img = try_decode_image(b)
+                if img is not None:  # real pixels: resample + re-encode
+                    small = nearest_resize(img, max_dim)
+                    return (
+                        encode_ppm(small),
+                        small.shape[1],
+                        small.shape[0],
+                    )
+                d = hashlib.md5(b).hexdigest()
+                w = 1 + int(d[:4], 16) % 4096
+                h = 1 + int(d[4:8], 16) % 4096
+                scale = min(1.0, max_dim / max(w, h))
+                return b, max(1, int(w * scale)), max(1, int(h * scale))
+
+            res = pdf["content"].map(one)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "content": pdf["content"],
-                    "width": (w * scale).map(lambda v: max(1, int(v))).astype("int32"),
-                    "height": (h * scale).map(lambda v: max(1, int(v))).astype("int32"),
+                    "content": res.map(lambda t: t[0]),
+                    "width": res.map(lambda t: t[1]).astype("int32"),
+                    "height": res.map(lambda t: t[2]).astype("int32"),
                 }
             )
 
@@ -249,3 +380,93 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
         "media_id", "content", F.col("meta.duration_ms").alias("duration_ms")
     )
     return vids.mapInPandas(run, FRAMES_SCHEMA)
+
+
+RASTER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def synthesize_raster_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: derive a deterministic solid-color raster per
+    document — BMP for even ids, PPM for odd — with dimensions and color
+    that are pure functions of ``doc_id``, so downstream decode results are
+    oracle-checkable in closed form (the decode provably inverts the
+    encode). Map-only Arrow batches; no shuffle."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 7, 1 + did % 5
+                color = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                px = np.full((h, w, 3), color, dtype=np.uint8)
+                payloads.append(
+                    encode_bmp24(px) if did % 2 == 0 else encode_ppm(px)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decodable", T.BooleanType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def image_stats(media: DataFrame) -> DataFrame:
+    """Real-pixel statistics via the stdlib codec: decoded width/height and
+    the mean over all RGB channel bytes (float64 accumulate → one division,
+    so the value is the correctly-rounded mean — deterministic across
+    engines and partitionings). Non-decodable payloads yield nulls with
+    ``decodable = false``. Map-only over Arrow batches: no shuffle, linear
+    in payload bytes — the profiling pass a 100 TB image corpus runs before
+    any training-set filter."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = try_decode_image(content)
+                if img is None:
+                    rows.append((mid, False, None, None, None))
+                else:
+                    mean = float(img.astype(np.float64).sum() / img.size)
+                    rows.append(
+                        (mid, True, img.shape[1], img.shape[0], mean)
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "decodable", "width", "height", "mean_luma",
+                ],
+            )
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(
+        run, IMAGE_STATS_SCHEMA
+    )

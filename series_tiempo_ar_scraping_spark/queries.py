@@ -41,6 +41,10 @@ from series_tiempo_ar_scraping_spark.session import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Queries that legitimately have no DuckDB oracle, each with a committed
+# justification. tools/check_queries.py fails if an oracle-less query is
+# registered without one — new queries must declare an oracle or a reason.
+NO_ORACLE_REASONS: dict[str, str] = {}
 
 DEC = "decimal(22,4)"  # exact-sum working type for money/measure columns
 
@@ -82,13 +86,22 @@ def det_round_sql(expr: str, n: int) -> str:
     return f"CAST(FLOOR(({expr}) * {p} + 0.5) / {p} AS DOUBLE)"
 
 
-def register(name: str, oracle: str | None = None):
-    """Decorator: add a query (and optionally its oracle) to the catalog."""
+def register(name: str, oracle: str | None = None,
+             no_oracle_reason: str | None = None):
+    """Decorator: add a query (and optionally its oracle) to the catalog.
+
+    A query registered with ``oracle=None`` must either have its oracle
+    assigned later (``ORACLES[name] = ...`` after shared fragments are
+    defined) or carry ``no_oracle_reason`` — the checker treats a reasonless
+    oracle-less query as a failure, so coverage can't silently erode.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if no_oracle_reason is not None:
+            NO_ORACLE_REASONS[name] = no_oracle_reason
         return fn
 
     return deco

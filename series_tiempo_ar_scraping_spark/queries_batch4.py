@@ -696,6 +696,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(docs), every_ms=1000)
 
 
+@register(
+    "multimodal_image_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(1 + doc_id % 7 AS INT) AS width,
+           CAST(1 + doc_id % 5 AS INT) AS height,
+           CAST(doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256
+                AS DOUBLE) / 3.0 AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, hash-oracled: synthesize a deterministic
+    solid-color raster per document (BMP for even ids, PPM for odd — both
+    branches of the stdlib codec), then decode with ``image_stats`` and
+    report actual width/height and the mean over all RGB bytes. The oracle
+    states the closed form, so any header/stride/channel-order bug in
+    either codec direction breaks the hash. The solid-color mean is an
+    exact rational (r+g+b)/3 whose float64 division is correctly rounded
+    identically in both engines. Map-only end to end: generate → decode →
+    project, zero shuffles at any scale."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        image_stats,
+        synthesize_raster_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(synthesize_raster_media(docs)).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 — Structured Streaming entry (oracle = the batch SQL)
 # ---------------------------------------------------------------------------
@@ -816,7 +848,15 @@ def streaming_enriched_nation_stats(spark: SparkSession, sf_dir: str) -> DataFra
     return result
 
 
-@register("approx_sketch_stats", oracle=None)  # approximate by design: rows-only
+@register(
+    "approx_sketch_stats",
+    no_oracle_reason=(
+        "approximate by design: HLL++/t-digest internals differ across "
+        "engines, so equal-hash is the wrong contract. The hard signal is "
+        "sketch_exact_twin (same input frame, fully hash-oracled) plus the "
+        "error-bound assertion vs that twin in tests/test_llm_ops.py."
+    ),
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: HyperLogLog++ distinct users and
     t-digest value percentiles. Both sketches are *mergeable*, so partial
@@ -824,13 +864,86 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     state instead of raw rows — at 100 TB this is the only viable shape for
     distinct-counting high-cardinality keys (exact COUNT(DISTINCT) shuffles
     every key). No DuckDB oracle: cross-engine sketch internals differ; the
-    error bound vs exact is asserted in tests/test_llm_ops.py instead."""
+    error bound vs the oracled exact twin (sketch_exact_twin, same input)
+    is asserted in tests/test_llm_ops.py instead."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("value", 0.99, 10000).alias("p99_approx"),
     )
+
+
+@register(
+    "sketch_exact_twin",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    quants AS (
+      SELECT event_type,
+             CAST(MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+                           THEN value END) AS DOUBLE) AS p50_exact,
+             CAST(MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                           THEN value END) AS DOUBLE) AS p99_exact
+      FROM ranked GROUP BY event_type
+    )
+    SELECT s.event_type, s.exact_users, q.p50_exact, q.p99_exact
+    FROM stats s JOIN quants q USING (event_type)
+    """,
+)
+def sketch_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact counterpart of approx_sketch_stats over the SAME input
+    frame: exact COUNT(DISTINCT user_id) and rank-selected order statistics
+    (lower median at rank floor((n+1)/2), p99 at rank ceil(0.99n), total
+    order broken by event_id so both engines pick the same row — avoiding
+    interpolation arithmetic whose last-bit behavior differs per engine).
+    This is the hard equality signal behind the sketch query: the
+    error-bound test compares the sketch against THIS oracled result.
+    Deliberately the anti-pattern at 100 TB — a full per-group sort + a
+    distinct shuffle of every key — which is exactly why the production
+    path is the mergeable-sketch shape next door."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    quants = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint"),
+                F.col("value"),
+            )
+        )
+        .cast("double")
+        .alias("p50_exact"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(0.99) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        )
+        .cast("double")
+        .alias("p99_exact"),
+    )
+    return stats.join(quants, "event_type")
 
 
 @register(

@@ -1,0 +1,138 @@
+"""Stdlib raster codec (PPM P6 / 24-bit BMP) + real-pixel multimodal path.
+
+The decode side is validated two ways: round-trip through our own encoders
+(stride padding, channel order) AND against a hand-constructed BMP byte
+string written out field by field — so an encoder/decoder bug pair that
+cancels out in round-trip cannot hide.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import multimodal as MM
+from series_tiempo_ar_scraping_spark.session import load_table
+
+
+def _rand_pixels(h, w, seed):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (5, 7), (4, 4)])
+def test_bmp_round_trip_with_stride_padding(h, w):
+    px = _rand_pixels(h, w, seed=h * 100 + w)
+    out = MM.try_decode_image(MM.encode_bmp24(px))
+    assert out is not None and out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 2), (6, 5)])
+def test_ppm_round_trip(h, w):
+    px = _rand_pixels(h, w, seed=h * 10 + w)
+    out = MM.try_decode_image(MM.encode_ppm(px))
+    assert out is not None and out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+def test_decode_hand_constructed_bmp():
+    """2x2 bottom-up BMP written field by field: decode must un-flip rows
+    and swap BGR->RGB. Top-left red, top-right green, bottom-left blue,
+    bottom-right white; width 2 -> stride 8 (2 pad bytes per row)."""
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + 16, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    bottom_row = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # BGR!
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    img = MM.try_decode_image(header + info + bottom_row + top_row)
+    assert img is not None
+    assert img[0, 0].tolist() == [255, 0, 0]  # red
+    assert img[0, 1].tolist() == [0, 255, 0]  # green
+    assert img[1, 0].tolist() == [0, 0, 255]  # blue
+    assert img[1, 1].tolist() == [255, 255, 255]  # white
+
+
+def test_decode_hand_constructed_ppm():
+    raw = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 4, 5, 6])
+    img = MM.try_decode_image(raw)
+    assert img is not None and img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [1, 2, 3]
+    assert img[0, 1].tolist() == [4, 5, 6]
+
+
+def test_decode_rejects_malformed():
+    good = MM.encode_ppm(_rand_pixels(2, 2, seed=1))
+    assert MM.try_decode_image(good) is not None
+    # truncated payload contradicts declared dims
+    assert MM.try_decode_image(good[:-1]) is None
+    # plain text that merely starts with the magic
+    assert MM.try_decode_image(b"P6 is a nice format, actually") is None
+    assert MM.try_decode_image(b"BMW makes cars") is None
+    # wrong maxval
+    assert MM.try_decode_image(b"P6\n1 1\n65535\n" + b"\x00" * 3) is None
+    # BMP with a compression flag set (BI_RLE8)
+    bad = bytearray(MM.encode_bmp24(_rand_pixels(2, 2, seed=2)))
+    struct.pack_into("<I", bad, 30, 1)
+    assert MM.try_decode_image(bytes(bad)) is None
+    assert MM.try_decode_image(b"") is None
+
+
+def test_nearest_resize_caps_long_edge():
+    px = _rand_pixels(10, 20, seed=3)
+    small = MM.nearest_resize(px, 5)
+    assert small.shape == (2, 5, 3)  # aspect preserved, floor
+    # corners map to source corners-ish cells (nearest gather, no blend)
+    assert small.dtype == np.uint8
+    assert MM.nearest_resize(px, 100) is px  # no upscale
+
+
+def test_resize_media_real_pixels_reencode(spark):
+    px = _rand_pixels(8, 1024, seed=4)
+    rows = [(1, "image", bytearray(MM.encode_bmp24(px)),
+             (None, None, None, None)),
+            (2, "image", bytearray(b"not an image"),
+             (None, None, None, None))]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in MM.resize_media(media, max_dim=512).collect()}
+    # real branch: actual downscale, PPM re-encode that decodes back
+    assert (out[1].width, out[1].height) == (512, 4)
+    again = MM.try_decode_image(bytes(out[1].content))
+    assert again is not None and again.shape == (4, 512, 3)
+    assert np.array_equal(again, MM.nearest_resize(px, 512))
+    # stub branch untouched content
+    assert bytes(out[2].content) == b"not an image"
+
+
+def test_extract_features_real_dims(spark):
+    px = _rand_pixels(33, 17, seed=5)
+    rows = [(7, "image", bytearray(MM.encode_ppm(px)),
+             (None, None, None, None))]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    feat = MM.extract_features(media).collect()[0]
+    assert (feat.feat_width, feat.feat_height) == (17, 33)
+
+
+def test_image_stats_on_synthesized_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    stats = MM.image_stats(MM.synthesize_raster_media(docs)).collect()
+    assert len(stats) == 40
+    for r in stats:
+        did = r.media_id
+        assert r.decodable
+        assert (r.width, r.height) == (1 + did % 7, 1 + did % 5)
+        want = (did % 256 + (did * 7) % 256 + (did * 13) % 256) / 3.0
+        assert r.mean_luma == pytest.approx(want, abs=0)
+
+
+def test_image_stats_null_for_undecodable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    media = MM.documents_as_media(docs)
+    stats = MM.image_stats(media).collect()
+    assert stats and all(
+        (not r.decodable) and r.width is None and r.mean_luma is None
+        for r in stats
+    )

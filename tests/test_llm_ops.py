@@ -152,20 +152,19 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     from series_tiempo_ar_scraping_spark.queries import QUERIES
 
     approx = {r.event_type: r for r in QUERIES["approx_sketch_stats"](spark, sf_dir).collect()}
-    e = load_table(spark, sf_dir, "events")
+    # The exact side is the ORACLED twin query (sketch_exact_twin shares the
+    # input frame and is hash-checked vs DuckDB), so this bound is anchored
+    # to a hard equality signal, not a second unverified Spark aggregate.
     exact = {
         r.event_type: r
-        for r in e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-        )
-        .collect()
+        for r in QUERIES["sketch_exact_twin"](spark, sf_dir).collect()
     }
+    assert set(approx) == set(exact)
     for et, ex in exact.items():
         ap = approx[et]
-        assert abs(ap.approx_users - ex.users) <= max(1, 0.05 * ex.users)
-        assert abs(ap.p50_approx - ex.p50) <= max(0.01, 0.05 * abs(ex.p50))
+        assert abs(ap.approx_users - ex.exact_users) <= max(1, 0.05 * ex.exact_users)
+        assert abs(ap.p50_approx - ex.p50_exact) <= max(0.01, 0.05 * abs(ex.p50_exact))
+        assert abs(ap.p99_approx - ex.p99_exact) <= max(0.01, 0.05 * abs(ex.p99_exact))
 
 
 def test_star_cc_matches_min_label_on_neardup_graph(spark, sf_dir):

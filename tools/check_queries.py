@@ -10,7 +10,10 @@ import sys
 
 sys.path.insert(0, ".")
 
-from series_tiempo_ar_scraping_spark.queries import QUERIES  # noqa: E402
+from series_tiempo_ar_scraping_spark.queries import (  # noqa: E402
+    NO_ORACLE_REASONS,
+    QUERIES,
+)
 from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
 from series_tiempo_ar_scraping_spark.testing import compare_query  # noqa: E402
 
@@ -56,6 +59,13 @@ def main() -> int:
                     print(f"    {k}: {r[k]}")
     n_ok = len(names) - len(failed) - len(untested)
     print(f"\n{n_ok}/{len(names)} ok; failed: {failed}; untested (no oracle): {untested}")
+    # Oracle coverage may not silently erode: an oracle-less query is only
+    # acceptable with a committed justification (register(...,
+    # no_oracle_reason=...)). New queries must declare one or an oracle.
+    unjustified = [n for n in untested if n not in NO_ORACLE_REASONS]
+    if unjustified:
+        print(f"FAIL: oracle-less queries without a committed justification: {unjustified}")
+        return 1
     return 1 if failed else 0
 
 
