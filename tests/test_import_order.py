@@ -23,6 +23,7 @@ MODULES = [
     "queries_batch4",
     "queries_batch5",
     "queries_batch6",
+    "queries_batch7",
 ]
 
 
