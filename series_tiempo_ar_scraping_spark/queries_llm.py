@@ -27,10 +27,16 @@ from series_tiempo_ar_scraping_spark.session import load_table
 # Shared SQL fragments live in the leaf module sqlfrags (circular-import
 # safe); re-exported here for existing importers.
 from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: F401
+    _EN,
+    _ES,
     _HEX60,
+    _NEAR_CORPUS_SQL,
     _NORM_SQL,
     _SHINGLES_SQL,
     _TOKS_SQL,
+    _cc_oracle,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
     _toks_of_norm,
 )
 
@@ -38,9 +44,6 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: F401
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-
-_EN = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
-_ES = ", ".join(f"'{w}'" for w in TX.STOPWORDS["es"])
 
 
 @register(
@@ -155,12 +158,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup(_exact_corpus(spark, sf_dir))
 
 
-_NEAR_CORPUS_SQL = """
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 100000 AS doc_id, substr(text, 13) AS text
-      FROM documents WHERE doc_id % 5 = 0
-"""
 
 
 def _near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,36 +206,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql() -> str:
-    """Generated DuckDB signature expressions from the shared constants —
-    universal-hash family over one md5 base hash (mirrors
-    ``dedup.minhash_signatures``)."""
-    h = "((" + _HEX60.format(x="'0' || '|' || s") + f") % {D.MINHASH_H_MOD})"
-    sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> "
-        f"({a} * {h} + {b}) % {D.MINHASH_P})) AS sig{i}"
-        for i, (a, b) in enumerate(D.MINHASH_AB[: D.MINHASH_K])
-    )
-    return sig_cols
-
-
-def _minhash_bands_sql() -> str:
-    n_bands = D.MINHASH_K // D.MINHASH_BAND_ROWS
-    bands = ", ".join(
-        "("
-        + str(b)
-        + ", concat_ws(',', "
-        + ", ".join(
-            f"CAST(sig{b * D.MINHASH_BAND_ROWS + r} AS VARCHAR)"
-            for r in range(D.MINHASH_BAND_ROWS)
-        )
-        + "))"
-        for b in range(n_bands)
-    )
-    return bands
-
-
-# dedup_ngram_jaccard oracle needs the minhash fragments — register late.
 def _ngram_jaccard_oracle() -> str:
     return f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
@@ -298,54 +265,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_corpus(spark, sf_dir)
     sigs = D.minhash_signatures(corpus)
     return D.lsh_candidate_pairs(sigs)
-
-
-def _cc_oracle() -> str:
-    """Recursive-CTE connected components over the verified near-dup pairs
-    — the set-semantics UNION makes the fixpoint enumerate every
-    (node, reachable-component-label) pair; MIN collapses to the canonical
-    min-id label. Tractable because near-dup clusters are tiny."""
-    return f"""
-    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
-      FROM corpus
-    ),
-    sigs AS (
-      SELECT doc_id, {_minhash_sig_sql()} FROM sh
-    ),
-    banded AS (
-      SELECT doc_id, band.* FROM sigs,
-      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
-    scored AS (
-      SELECT p.doc_a, p.doc_b,
-        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS jac
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.doc_a
-      JOIN sh sb ON sb.doc_id = p.doc_b
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM scored
-      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
-      UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM scored
-      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
-    ),
-    reach(id, comp) AS (
-      SELECT doc_id, doc_id FROM corpus
-      UNION
-      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
-    )
-    SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
-    """
 
 
 @register("dedup_connected_components", oracle=None)  # assigned below (_cc_oracle)

@@ -25,3 +25,98 @@ _SHINGLES_SQL = """
 
 def _toks_of_norm(col: str) -> str:
     return _TOKS_SQL.format(c=_NORM_SQL.format(c=col))
+
+
+# --- stopword lists + near-dup corpus/minhash/CC fragments ----------------
+# (moved here from queries_llm so later batches can compose them without
+# import-order hazards; textops/dedup are operator leaf modules)
+
+from series_tiempo_ar_scraping_spark.operators import dedup as _D
+from series_tiempo_ar_scraping_spark.operators import textops as _TX
+
+_EN = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["en"])
+_ES = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["es"])
+
+_NEAR_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, substr(text, 13) AS text
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _minhash_sig_sql() -> str:
+    """Generated DuckDB signature expressions from the shared constants —
+    universal-hash family over one md5 base hash (mirrors
+    ``dedup.minhash_signatures``)."""
+    h = "((" + _HEX60.format(x="'0' || '|' || s") + f") % {_D.MINHASH_H_MOD})"
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> "
+        f"({a} * {h} + {b}) % {_D.MINHASH_P})) AS sig{i}"
+        for i, (a, b) in enumerate(_D.MINHASH_AB[: _D.MINHASH_K])
+    )
+    return sig_cols
+
+
+def _minhash_bands_sql() -> str:
+    n_bands = _D.MINHASH_K // _D.MINHASH_BAND_ROWS
+    bands = ", ".join(
+        "("
+        + str(b)
+        + ", concat_ws(',', "
+        + ", ".join(
+            f"CAST(sig{b * _D.MINHASH_BAND_ROWS + r} AS VARCHAR)"
+            for r in range(_D.MINHASH_BAND_ROWS)
+        )
+        + "))"
+        for b in range(n_bands)
+    )
+    return bands
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE connected components over the verified near-dup pairs
+    — the set-semantics UNION makes the fixpoint enumerate every
+    (node, reachable-component-label) pair; MIN collapses to the canonical
+    min-id label. Tractable because near-dup clusters are tiny."""
+    return f"""
+    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    sigs AS (
+      SELECT doc_id, {_minhash_sig_sql()} FROM sh
+    ),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1) AS jac
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
+    """
