@@ -136,13 +136,12 @@ def _minhash_from_exploded(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing ≥1 band.
-
-    Self-equi-join on (band_idx, band_key): only bucket collisions join —
-    the property that makes MinHash-LSH subquadratic at corpus scale.
-    """
+def band_signatures(signatures: DataFrame, id_col: str = "doc_id",
+                    k: int = MINHASH_K,
+                    band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
+    """Explode a signature frame into (id, band_idx, band_key) rows — the
+    LSH bucket keys. Shared by the self-join candidate generator and the
+    incremental new-vs-index matcher."""
     n_bands = k // band_rows
     bands = F.array(
         *[
@@ -159,9 +158,24 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(bands).alias("band")
-    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    ).select(
+        id_col,
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        k: int = MINHASH_K, band_rows: int = MINHASH_BAND_ROWS) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band.
+
+    Self-equi-join on (band_idx, band_key): only bucket collisions join —
+    the property that makes MinHash-LSH subquadratic at corpus scale.
+    """
+    banded = band_signatures(signatures, id_col=id_col, k=k,
+                             band_rows=band_rows)
     # groupBy-bucket + in-bucket pair expansion instead of a self-join: the
     # signature pipeline is evaluated ONCE (a self-join would recompute it
     # per side), and pair generation is an array expression over each
@@ -185,6 +199,32 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def incremental_match_candidates(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    new_id: str = "new_id",
+    index_id: str = "doc_id",
+    k: int = MINHASH_K,
+    band_rows: int = MINHASH_BAND_ROWS,
+) -> DataFrame:
+    """LSH candidates for a NEW batch against an existing INDEX: band both
+    sides and equi-join on (band_idx, band_key), new side driving.
+
+    This is the incremental-ingest shape at corpus scale — the index is
+    never self-joined (its banded form is a materialized store in a real
+    deployment; here it is derived in-plan), so per-cycle cost scales with
+    the new batch, not the corpus. Output: distinct (new_id, index_id)
+    collision pairs, to be verified by exact Jaccard."""
+    bn = band_signatures(new_sigs, id_col=new_id, k=k, band_rows=band_rows)
+    bi = band_signatures(index_sigs, id_col=index_id, k=k,
+                         band_rows=band_rows)
+    return (
+        bn.join(bi, ["band_idx", "band_key"])
+        .select(new_id, index_id)
+        .distinct()
+    )
 
 
 def jaccard(shingles_a: Column, shingles_b: Column) -> Column:

@@ -244,3 +244,194 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(stage.alias("stage")).groupBy("stage").agg(
         F.count("*").alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing index — the ingest-cycle shape.
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.operators import dedup as D  # noqa: E402
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _SHINGLES_SQL,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    _toks_of_norm,
+)
+
+# The planted new batch: exact copies, near copies (prefix strip), and
+# novel docs whose text is hash-derived gibberish (identical md5 output in
+# both engines, guaranteed shingle-disjoint from real text).
+_NEW_BATCH_SQL = """
+      SELECT doc_id + 200000 AS new_id, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 300000 AS new_id, substr(text, 13) AS text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 400000 AS new_id,
+             'novel doc ' || md5(text) || ' ' || md5(text || 'x') || ' tail'
+               AS text
+      FROM documents WHERE doc_id % 11 = 3
+"""
+
+_JAC_SQL = (
+    "CAST(FLOOR(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    " / greatest(len(list_distinct(a.shingles || b.shingles)), 1)"
+    " * 10000 + 0.5) / 10000 AS DOUBLE)"
+)
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+    WITH idx AS (SELECT doc_id, text FROM documents),
+    newb AS ({_NEW_BATCH_SQL}),
+    exact AS (
+      SELECT n.new_id, MIN(i.doc_id) AS match_id
+      FROM newb n JOIN idx i ON md5(n.text) = md5(i.text)
+      GROUP BY 1
+    ),
+    surv AS (
+      SELECT n.* FROM newb n LEFT JOIN exact e USING (new_id)
+      WHERE e.new_id IS NULL
+    ),
+    shn AS (
+      SELECT new_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM surv
+    ),
+    shi AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM idx
+    ),
+    sign AS (SELECT new_id, {_minhash_sig_sql()} FROM shn),
+    sigi AS (SELECT doc_id, {_minhash_sig_sql()} FROM shi),
+    bn AS (
+      SELECT new_id, band.* FROM sign,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    ),
+    bi AS (
+      SELECT doc_id, band.* FROM sigi,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
+    ),
+    cand AS (
+      SELECT DISTINCT bn.new_id, bi.doc_id AS match_id
+      FROM bn JOIN bi
+        ON bn.band_idx = bi.band_idx AND bn.band_key = bi.band_key
+    ),
+    scored AS (
+      SELECT c.new_id, c.match_id, {_JAC_SQL} AS jac
+      FROM cand c
+      JOIN shn a ON a.new_id = c.new_id
+      JOIN shi b ON b.doc_id = c.match_id
+    ),
+    near AS (
+      SELECT new_id, match_id, jac FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY new_id ORDER BY jac DESC, match_id ASC
+        ) AS rk
+        FROM scored WHERE jac >= 0.3
+      ) WHERE rk = 1
+    )
+    SELECT n.new_id,
+           CASE WHEN e.new_id IS NOT NULL THEN 'exact_dup'
+                WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'novel' END AS verdict,
+           COALESCE(e.match_id, nr.match_id) AS match_id,
+           nr.jac AS jac
+    FROM newb n
+    LEFT JOIN exact e USING (new_id)
+    LEFT JOIN near nr USING (new_id)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-cycle dedup: classify every NEW document against the
+    existing corpus as exact_dup / near_dup / novel without ever
+    re-deduping the index against itself. Stage 1 drops exact copies by
+    content-hash join (at scale: a fingerprint store lookup). Stage 2
+    runs MinHash-LSH of the survivors against the index's banded
+    signatures — new side drives the bucket join, so per-cycle cost
+    scales with the batch, not the 100 TB corpus — then verifies
+    candidates with exact n-gram Jaccard and picks the best match
+    deterministically (jac desc, match_id asc). Novel docs are planted
+    as md5-derived gibberish so both engines agree on the corpus
+    byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_new = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("new_id"), "text"
+    )
+    near_new = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("new_id"),
+        F.expr("substring(text, 13)").alias("text"),
+    )
+    novel_new = docs.filter(F.col("doc_id") % 11 == 3).select(
+        (F.col("doc_id") + 400000).alias("new_id"),
+        F.concat(
+            F.lit("novel doc "), F.md5("text"), F.lit(" "),
+            F.md5(F.concat(F.col("text"), F.lit("x"))), F.lit(" tail"),
+        ).alias("text"),
+    )
+    newb = exact_new.unionByName(near_new).unionByName(novel_new)
+
+    exact = (
+        newb.select("new_id", F.md5("text").alias("_h"))
+        .join(docs.select(F.md5("text").alias("_h"), "doc_id"), "_h")
+        .groupBy("new_id")
+        .agg(F.min("doc_id").alias("match_id"))
+    )
+    surv = newb.join(exact, "new_id", "left_anti")
+
+    # Shingle each side ONCE and feed signatures + the verify join from
+    # the same materialized frame (the dedup_ngram_jaccard lesson).
+    shn = surv.select(
+        "new_id",
+        TX.shingles_from_tokens(
+            TX.tokens(TX.normalize_text(F.col("text"))), 3
+        ).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    shi = docs.select(
+        "doc_id",
+        TX.shingles_from_tokens(
+            TX.tokens(TX.normalize_text(F.col("text"))), 3
+        ).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    sign = D.minhash_signatures_from_shingles(shn, id_col="new_id")
+    sigi = D.minhash_signatures_from_shingles(shi, id_col="doc_id")
+    cand = D.incremental_match_candidates(sign, sigi).select(
+        "new_id", F.col("doc_id").alias("match_id")
+    )
+
+    scored = (
+        cand.join(shn.select("new_id", F.col("shingles").alias("sh_a")), "new_id")
+        .join(
+            shi.select(F.col("doc_id").alias("match_id"),
+                       F.col("shingles").alias("sh_b")),
+            "match_id",
+        )
+        .select(
+            "new_id", "match_id",
+            det_round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.3)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.desc("jac"), F.asc("match_id")
+    )
+    near = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("new_id", F.col("match_id").alias("near_match_id"), "jac")
+    )
+
+    return (
+        newb.select("new_id")
+        .join(exact, "new_id", "left")
+        .join(near, "new_id", "left")
+        .select(
+            "new_id",
+            F.when(F.col("match_id").isNotNull(), "exact_dup")
+            .when(F.col("near_match_id").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("match_id", "near_match_id").alias("match_id"),
+            "jac",
+        )
+    )

@@ -236,3 +236,33 @@ def test_connected_components_string_ids(spark):
         for r in D.connected_components(nodes, edges).collect()
     }
     assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"), ("z", "z")}
+
+
+def test_incremental_dedup_classifies_planted_batches(spark, sf_dir):
+    """Every planted class lands in its verdict: exact copies ->
+    exact_dup matching their source, prefix-stripped copies -> near_dup,
+    hash-gibberish docs -> novel with no match."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    rows = {r.new_id: r for r in QUERIES["incremental_dedup"](spark, sf_dir).collect()}
+    assert rows
+    for nid, r in rows.items():
+        src = nid % 100000
+        if nid >= 400000:
+            assert r.verdict == "novel" and r.match_id is None and r.jac is None
+        elif nid >= 300000:
+            # prefix-strip keeps most shingles; must match its source doc
+            assert r.verdict in ("near_dup", "novel")
+            if r.verdict == "near_dup":
+                assert r.jac >= 0.3
+        else:
+            assert r.verdict == "exact_dup", (nid, r)
+            assert r.match_id is not None
+            # the matched index doc has identical content; min-id tiebreak
+            # may pick an identical twin, but the source doc qualifies
+            assert r.jac is None
+    near = [r for r in rows.values() if r.verdict == "near_dup"]
+    assert near, "no near_dup found — LSH stage is broken"
+    # near matches overwhelmingly point at the stripped doc's source
+    hits = sum(1 for r in near if r.match_id == r.new_id % 100000)
+    assert hits >= 0.9 * len(near)

@@ -273,3 +273,24 @@ def test_quantization_is_map_only(plans):
     p = plans("embedding_int8_quantization", "simple")
     assert "EvalPython" not in p
     assert "Exchange" not in p  # map-only: scan -> project -> filter
+
+
+def test_zorder_is_jvm_only_bounded_shuffle(plans):
+    """Morton interleave must stay whole-stage-codegen'd column math: no
+    Python anywhere, and the only wide operations are the 1-row bounds
+    aggregate plus the final bounded (<=1024 group) hash aggregate."""
+    p = plans("zorder_bucket_stats", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p  # bounds join is broadcast
+    assert p.count("Exchange") <= 3, p
+
+
+def test_incremental_dedup_no_index_self_join(plans):
+    """The incremental matcher joins NEW bands against INDEX bands once;
+    an index self-join (the thing this operator exists to avoid) would
+    show as an extra join over the same banded subtree."""
+    p = plans("incremental_dedup", "simple")
+    assert "EvalPython" not in p
+    # exact stage + band join + two shingle-verify joins + final assembly:
+    # bounded join count guards against an accidental index x index blowup
+    assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 8, p
