@@ -382,12 +382,158 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     return vids.mapInPandas(run, FRAMES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib audio codec: WAV (RIFF, PCM16). Same contract as the raster
+# codec: strict header + length validation, so only genuine WAV payloads
+# take the real-decode branch.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames,) or (n_frames, channels) int16 array as a
+    PCM16 RIFF/WAVE file."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def try_decode_wav(data: bytes) -> tuple[int, np.ndarray] | None:
+    """Decode a PCM16 RIFF/WAVE payload to (sample_rate, int16 array of
+    shape (n_frames, channels)); ``None`` for anything that is not a
+    well-formed PCM16 WAV (wrong magic, non-PCM format, truncated data
+    chunk, misaligned frame size)."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        return None
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if (audio_format != 1 or bits != 16 or channels < 1
+            or block_align != channels * 2 or sample_rate <= 0):
+        return None
+    if len(pcm) % (channels * 2) != 0:
+        return None
+    frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    return sample_rate, frames
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decodable", T.BooleanType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Real-sample audio statistics via the stdlib WAV codec: sample
+    rate, frame count, peak amplitude and RMS (float64 accumulate over
+    exact int squares → one sqrt, deterministic across engines and
+    partitionings). Non-WAV payloads yield nulls with ``decodable =
+    false``. Map-only over Arrow batches — the audio profiling pass of a
+    100 TB speech corpus."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = try_decode_wav(content)
+                if decoded is None:
+                    rows.append((mid, False, None, None, None, None))
+                else:
+                    rate, frames = decoded
+                    sq = frames.astype(np.float64) ** 2
+                    rms = float(np.sqrt(sq.sum() / sq.size))
+                    rows.append(
+                        (
+                            mid, True, rate, frames.shape[0],
+                            int(np.abs(frames.astype(np.int64)).max()), rms,
+                        )
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["media_id", "decodable", "sample_rate",
+                         "n_frames", "peak", "rms"],
+            )
+            for c in ("sample_rate", "n_frames", "peak"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_STATS_SCHEMA
+    )
+
+
 RASTER_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
     ]
 )
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: derive a deterministic mono square-wave WAV per
+    document — amplitude and frame count are pure functions of ``doc_id``,
+    so decoded peak (=A), RMS (=A exactly, every |sample| is A) and frame
+    count are oracle-checkable in closed form. Map-only Arrow batches."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                amp = 1 + did % 997
+                n = 80 + did % 50
+                wave = np.where(np.arange(n) % 2 == 0, amp, -amp).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav_pcm16(wave, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
 
 
 def synthesize_raster_media(docs: DataFrame) -> DataFrame:

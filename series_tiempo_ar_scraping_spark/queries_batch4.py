@@ -728,6 +728,37 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(80 + doc_id % 50 AS INT) AS n_frames,
+           CAST(1 + doc_id % 997 AS INT) AS peak,
+           CAST(1 + doc_id % 997 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-oracled: synthesize a deterministic mono
+    square-wave WAV per document (PCM16 RIFF via the stdlib codec), decode
+    it back with ``audio_stats`` and report sample rate, frame count,
+    peak, and RMS. The square wave makes RMS exact (every |sample| equals
+    the amplitude, so sqrt(mean(s^2)) = A with zero float error), so any
+    header/chunk/endianness bug in either codec direction breaks the
+    hash. Map-only end to end — generate → decode → project, zero
+    shuffles at any scale."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(synthesize_wav_media(docs)).select(
+        "media_id", "sample_rate", "n_frames", "peak", "rms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.11 — Structured Streaming entry (oracle = the batch SQL)
 # ---------------------------------------------------------------------------

@@ -136,3 +136,67 @@ def test_image_stats_null_for_undecodable(spark, sf_dir):
         (not r.decodable) and r.width is None and r.mean_luma is None
         for r in stats
     )
+
+
+# --- WAV (RIFF PCM16) codec ------------------------------------------------
+
+
+def test_wav_round_trip_mono_and_stereo():
+    mono = np.array([100, -100, 32767, -32768, 0], dtype=np.int16)
+    rate, frames = MM.try_decode_wav(MM.encode_wav_pcm16(mono, 8000))
+    assert rate == 8000 and frames.shape == (5, 1)
+    assert np.array_equal(frames[:, 0], mono)
+    stereo = np.array([[1, -1], [2, -2], [3, -3]], dtype=np.int16)
+    rate, frames = MM.try_decode_wav(MM.encode_wav_pcm16(stereo, 44100))
+    assert rate == 44100 and frames.shape == (3, 2)
+    assert np.array_equal(frames, stereo)
+
+
+def test_decode_hand_constructed_wav():
+    """44-byte canonical WAV written field by field: 2 mono frames,
+    little-endian samples 258 (0x0102) and -2."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    data = b"\x02\x01" + b"\xfe\xff"
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+        + b"data" + struct.pack("<I", 4) + data
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, frames = MM.try_decode_wav(raw)
+    assert rate == 16000
+    assert frames[:, 0].tolist() == [258, -2]
+
+
+def test_wav_decode_rejects_malformed():
+    good = MM.encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16), 8000)
+    assert MM.try_decode_wav(good) is not None
+    assert MM.try_decode_wav(good[:-1]) is None  # truncated data chunk
+    assert MM.try_decode_wav(b"RIFFxxxxWAVE") is None  # no chunks
+    assert MM.try_decode_wav(b"not audio at all") is None
+    # non-PCM format code
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)  # fmt chunk body starts at 20
+    assert MM.try_decode_wav(bytes(bad)) is None
+    # image codec must not claim WAVs and vice versa
+    assert MM.try_decode_image(good) is None
+
+
+def test_audio_stats_on_synthesized_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    stats = MM.audio_stats(MM.synthesize_wav_media(docs)).collect()
+    assert len(stats) == 30
+    for r in stats:
+        did = r.media_id
+        amp = 1 + did % 997
+        assert r.decodable
+        assert r.sample_rate == 8000
+        assert r.n_frames == 80 + did % 50
+        assert r.peak == amp
+        assert r.rms == float(amp)  # square wave: exact
+
+
+def test_audio_stats_null_for_undecodable(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    stats = MM.audio_stats(MM.documents_as_media(docs)).collect()
+    assert stats and all(
+        (not r.decodable) and r.rms is None and r.sample_rate is None
+        for r in stats
+    )
