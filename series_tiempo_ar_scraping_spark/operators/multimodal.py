@@ -443,6 +443,166 @@ def try_decode_wav(data: bytes) -> tuple[int, np.ndarray] | None:
     return sample_rate, frames
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib video codec: YUV4MPEG2 (.y4m), C420 — the standard
+# uncompressed raw-video interchange container (what ffmpeg/x264 pipe to
+# each other). Strict header + per-frame length validation, as with the
+# raster/WAV codecs.
+# ---------------------------------------------------------------------------
+
+
+def encode_y4m(y_frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode a list of (H, W) uint8 luma planes as YUV4MPEG2 C420 with
+    neutral chroma (U = V = 128). W and H must be even (420 subsampling)."""
+    if not y_frames:
+        raise ValueError("need at least one frame")
+    h, w = y_frames[0].shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 requires even dimensions")
+    uv = b"\x80" * ((w // 2) * (h // 2))
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\n" % (w, h, *fps)]
+    for f in y_frames:
+        if f.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def try_decode_y4m(
+    data: bytes,
+) -> tuple[int, int, int, int, list[np.ndarray]] | None:
+    """Decode a YUV4MPEG2 C420 payload to (width, height, fps_num,
+    fps_den, [luma planes]); ``None`` unless the header parses, the
+    colorspace is 4:2:0, and every frame's payload length is exact."""
+    if data is None:
+        return None
+    data = bytes(data)
+    if not data.startswith(b"YUV4MPEG2 "):
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = num = den = None
+    c420 = True
+    for tok in data[10:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = (int(x) for x in val.split(b":"))
+            elif tag == b"C":
+                c420 = val.startswith(b"420")
+        except ValueError:
+            return None
+    if not (w and h and num and den) or w % 2 or h % 2 or not c420:
+        return None
+    frame_len = w * h + 2 * ((w // 2) * (h // 2))
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            return None
+        start = fnl + 1
+        if start + frame_len > len(data):
+            return None
+        frames.append(
+            np.frombuffer(data, np.uint8, count=w * h, offset=start).reshape(
+                h, w
+            )
+        )
+        pos = start + frame_len
+    if not frames:
+        return None
+    return w, h, num, den, frames
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("mean_y", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame) -> DataFrame:
+    """Real per-frame video statistics via the stdlib Y4M codec: one row
+    per decoded frame with its timestamp (frame_idx · 1000 · den / num)
+    and mean luma (float64 accumulate → one division). The fan-out shape
+    of ``sample_frames`` running on ACTUAL frames. Non-Y4M payloads are
+    dropped (profiling selects its modality upstream). Map-only Arrow
+    batches; output rows ∝ total frames, no shuffle."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = try_decode_y4m(content)
+                if decoded is None:
+                    continue
+                _, _, num, den, frames = decoded
+                for i, y in enumerate(frames):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            (i * 1000 * den) // num,
+                            float(y.astype(np.float64).sum() / y.size),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "mean_y"]
+            ).astype({"frame_idx": "int32", "ts_ms": "int32"})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
+    )
+
+
+def synthesize_y4m_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: derive a deterministic solid-luma Y4M video per
+    document (even dims, 25 fps, per-frame luma a pure function of
+    (doc_id, frame_idx)), so decoded frame count, timestamps and mean
+    luma are oracle-checkable in closed form."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + 2 * (did % 3), 2 + 2 * (did % 2)
+                n = 3 + did % 4
+                frames = [
+                    np.full((h, w), (did * 31 + i * 7) % 256, dtype=np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(encode_y4m(frames, fps=(25, 1)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

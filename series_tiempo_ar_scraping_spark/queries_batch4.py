@@ -759,6 +759,36 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_video_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 40 AS INT) AS ts_ms,
+           CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE) AS mean_y
+    FROM documents, LATERAL (
+      SELECT unnest(generate_series(0, CAST(2 + doc_id % 4 AS BIGINT))) AS i
+    ) g
+    """,
+)
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, hash-oracled: synthesize a deterministic
+    solid-luma YUV4MPEG2 (C420) clip per document with the stdlib Y4M
+    codec, decode it back with ``video_frame_stats`` and emit one row per
+    actual frame — timestamp from the container's fps header (25 fps →
+    40 ms/frame) and mean luma (exact: solid planes). Any header-parse,
+    plane-length or frame-walk bug in either codec direction breaks the
+    hash. The fan-out mapInPandas shape of ``sample_frames``, running on
+    real frames; map-only, zero shuffles."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        synthesize_y4m_media,
+        video_frame_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return video_frame_stats(synthesize_y4m_media(docs))
+
+
 # ---------------------------------------------------------------------------
 # §2.11 — Structured Streaming entry (oracle = the batch SQL)
 # ---------------------------------------------------------------------------

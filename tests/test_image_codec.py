@@ -200,3 +200,59 @@ def test_audio_stats_null_for_undecodable(spark, sf_dir):
         (not r.decodable) and r.rms is None and r.sample_rate is None
         for r in stats
     )
+
+
+# --- Y4M (YUV4MPEG2 C420) codec --------------------------------------------
+
+
+def test_y4m_round_trip():
+    frames = [
+        np.arange(4 * 6, dtype=np.uint8).reshape(4, 6),
+        np.full((4, 6), 200, dtype=np.uint8),
+    ]
+    w, h, num, den, got = MM.try_decode_y4m(MM.encode_y4m(frames, fps=(30, 1)))
+    assert (w, h, num, den) == (6, 4, 30, 1)
+    assert len(got) == 2
+    assert np.array_equal(got[0], frames[0])
+    assert np.array_equal(got[1], frames[1])
+
+
+def test_decode_hand_constructed_y4m():
+    """2x2, 1 frame, built byte by byte: luma plane [1,2,3,4], one U and
+    one V byte (C420 at 2x2 -> 1x1 chroma planes)."""
+    raw = (b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C420\n"
+           b"FRAME\n" + bytes([1, 2, 3, 4]) + b"\x80\x80")
+    w, h, num, den, frames = MM.try_decode_y4m(raw)
+    assert (w, h, num, den) == (2, 2, 25, 1)
+    assert frames[0].tolist() == [[1, 2], [3, 4]]
+
+
+def test_y4m_decode_rejects_malformed():
+    good = MM.encode_y4m([np.zeros((2, 2), dtype=np.uint8)])
+    assert MM.try_decode_y4m(good) is not None
+    assert MM.try_decode_y4m(good[:-1]) is None  # truncated frame
+    assert MM.try_decode_y4m(b"YUV4MPEG2 W2 H2\n") is None  # no fps/frames
+    assert MM.try_decode_y4m(b"YUV4MPEG2 is a format") is None
+    # odd dims are not C420-legal
+    assert MM.try_decode_y4m(b"YUV4MPEG2 W3 H2 F25:1\nFRAME\n" + b"\0" * 9) is None
+    # 4:2:2 colorspace refused
+    assert MM.try_decode_y4m(
+        b"YUV4MPEG2 W2 H2 F25:1 C422\nFRAME\n" + b"\0" * 8
+    ) is None
+    # cross-codec confusion
+    assert MM.try_decode_wav(good) is None
+    assert MM.try_decode_image(good) is None
+
+
+def test_video_frame_stats_on_synthesized_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = MM.video_frame_stats(MM.synthesize_y4m_media(docs)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.media_id, []).append(r)
+    assert len(by_doc) == 20
+    for did, frames in by_doc.items():
+        assert len(frames) == 3 + did % 4
+        for r in frames:
+            assert r.ts_ms == r.frame_idx * 40
+            assert r.mean_y == float((did * 31 + r.frame_idx * 7) % 256)
