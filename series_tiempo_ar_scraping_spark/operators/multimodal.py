@@ -330,7 +330,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     driver involvement, no shuffle until someone aggregates.
 
     Stub: duration is ``meta.duration_ms`` when present else derived from
-    byte length; frame checksums are md5(content ∥ frame_idx).
+    byte length; frame checksums are md5(content ∥ frame_idx). The REAL
+    per-frame path for uncompressed video is ``video_frame_stats`` (Y4M
+    stdlib codec); compressed containers stay import-gated on ffmpeg.
     """
     from series_tiempo_ar_scraping_spark.session import (
         ensure_package_on_executors,

@@ -256,3 +256,41 @@ def test_video_frame_stats_on_synthesized_corpus(spark, sf_dir):
         for r in frames:
             assert r.ts_ms == r.frame_idx * 40
             assert r.mean_y == float((did * 31 + r.frame_idx * 7) % 256)
+
+
+# --- fuzz: decoders must never raise ---------------------------------------
+# At 100 TB a malformed payload must become a None/null row, never an
+# executor-killing exception; hypothesis hammers the parsers with raw
+# bytes and with corrupted prefixes of VALID payloads (the nastier case:
+# plausible headers, broken bodies).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VALID = [
+    MM.encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8)),
+    MM.encode_bmp24(np.zeros((3, 2, 3), dtype=np.uint8)),
+    MM.encode_wav_pcm16(np.array([1, -1, 2], dtype=np.int16), 8000),
+    MM.encode_y4m([np.zeros((2, 4), dtype=np.uint8)]),
+]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_decoders_never_raise_on_raw_bytes(data):
+    MM.try_decode_image(data)
+    MM.try_decode_wav(data)
+    MM.try_decode_y4m(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(_VALID),
+    st.integers(min_value=0, max_value=200),
+    st.binary(max_size=32),
+)
+def test_decoders_never_raise_on_corrupted_valid(payload, cut, tail):
+    data = payload[: cut % (len(payload) + 1)] + tail
+    MM.try_decode_image(data)
+    MM.try_decode_wav(data)
+    MM.try_decode_y4m(data)
