@@ -435,3 +435,124 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jac",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: ordered funnels + cohort retention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS mv FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS mc
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.mv
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS mp
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.mc
+      GROUP BY 1
+    )
+    SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'view>click', COUNT(*) FROM c
+    UNION ALL
+    SELECT 3, 'view>click>purchase', COUNT(*) FROM p
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose first view precedes a click that
+    precedes a purchase — the sequence constraint is the point (a plain
+    GROUP BY set-intersection would count out-of-order users). Shape:
+    three per-user min-aggregates chained by user-keyed joins, each a
+    hash aggregate + one co-partitioned shuffle on user_id — no window
+    over raw events, no per-user sort. At 100 TB each stage's frame is
+    |users|, not |events|, after the first map-side combine."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("mc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    return (
+        v.agg(F.lit(1).alias("step"), F.lit("view").alias("step_name"),
+              F.count("*").alias("n_users"))
+        .unionByName(
+            c.agg(F.lit(2).alias("step"),
+                  F.lit("view>click").alias("step_name"),
+                  F.count("*").alias("n_users"))
+        )
+        .unionByName(
+            p.agg(F.lit(3).alias("step"),
+                  F.lit("view>click>purchase").alias("step_name"),
+                  F.count("*").alias("n_users"))
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    )
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, a.w) // 7 AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in every later week they reappear. Two aggregates (first-seen
+    per user; distinct user-weeks) joined on user_id and re-aggregated —
+    the per-user frames are |users|-sized after map-side combine, and the
+    offset arithmetic is exact integer day math (both week bounds are
+    Mondays, so the difference is a clean multiple of 7)."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("w"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )

@@ -27,7 +27,9 @@ qs = e.queries()
 # one representative per executor-Python class: mapInPandas kernel,
 # applyInPandasWithState, Arrow UDAF, Python UDTF, Python DataSource-free
 for name in ("multimodal_frame_sample", "streaming_stateful_sessions",
-             "weighted_avg_discount_udaf", "udtf_expand_series_calendar"):
+             "weighted_avg_discount_udaf", "udtf_expand_series_calendar",
+             "multimodal_image_stats", "multimodal_audio_stats",
+             "multimodal_video_stats"):
     assert len(qs[name](spark, "/root/testdata/sf0.001").collect()) > 0, name
 print("DRIVER_CONTRACT_OK")
 """
