@@ -1,13 +1,15 @@
-"""Batch-7 queries: physical layout & scan-pruning techniques.
+"""Batch-7 queries (round 4): physical layout, curation completion,
+behavioral analytics, and the ANSI-SQL parity surface.
 
-Data-skipping is the scale lever the logical plan can't see: at 100 TB a
-well-clustered layout turns a two-dimensional predicate into a file-list
-prune before a single byte is scanned. These entries make the layout
-math itself hash-checkable — the Z-value (Morton) computation is pure
-bit arithmetic, so DuckDB can verify every cell assignment — while the
-write-path effects (per-file footer spans, dynamic partition pruning,
-runtime bloom filters) are pinned by tests/test_layout.py, which
-measures real parquet footers and physical plans.
+- **Layout / data skipping**: the Z-value (Morton) computation is pure
+  bit arithmetic, so DuckDB verifies every cell assignment; write-path
+  effects (per-file footer spans, dynamic partition pruning, runtime
+  bloom filters) are pinned by tests/test_layout.py against real parquet
+  footers and physical plans.
+- **Curation completion**: canonical selection after near-dup CC, the
+  quality-filter funnel, and incremental (new-batch-vs-index) dedup.
+- **Behavioral analytics**: ordered funnel conversion, cohort retention.
+- **ANSI parity**: one SQL text executed verbatim by both engines.
 """
 
 from __future__ import annotations
@@ -556,3 +558,41 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL parity surface: one SQL text, two engines.
+# ---------------------------------------------------------------------------
+
+_ANSI_SHARED_SQL = """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS total_revenue,
+           CAST(RANK() OVER (
+             PARTITION BY CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+             ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                           AS DOUBLE) DESC, n_name ASC
+           ) AS BIGINT) AS revenue_rank
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+"""
+
+
+@register("sql_ansi_shared", oracle=_ANSI_SHARED_SQL)
+def sql_ansi_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` surface, proven by construction: this query's
+    implementation executes the EXACT SQL text the DuckDB oracle runs —
+    one ANSI string (joins, decimal-exact aggregation, windowed RANK
+    with deterministic tiebreak), zero dialect forks. Registers the
+    tables as temp views and hands the text to Catalyst; the planner
+    still broadcasts the dims and partial-aggregates exactly as the
+    DataFrame variants do, because it is the same optimizer underneath.
+    A user who prefers SQL over the DataFrame API gets the entire engine
+    through this door."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_ANSI_SHARED_SQL)
