@@ -596,3 +596,95 @@ def sql_ansi_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("orders", "customer", "nation"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_ANSI_SHARED_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Graph metrics over the near-dup graph.
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _neardup_edges_ctes,
+)
+
+
+@register(
+    "graph_triangle_stats",
+    oracle=f"""
+    WITH {_neardup_edges_ctes()},
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM verified e1
+      JOIN verified e2 ON e2.doc_a = e1.doc_b
+      JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS d FROM (
+        SELECT doc_a AS id FROM verified
+        UNION ALL
+        SELECT doc_b AS id FROM verified
+      ) GROUP BY 1
+    ),
+    wedge AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             COUNT(*) AS n_nodes
+      FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM verified) AS n_edges,
+           w.n_nodes,
+           t.n_triangles,
+           w.n_wedges,
+           CAST(FLOOR(CASE WHEN w.n_wedges > 0
+                 THEN 3.0 * t.n_triangles / w.n_wedges ELSE 0.0 END
+                 * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS clustering_coeff
+    FROM tri t, wedge w
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    verified near-dup graph — the standard distributed formulation: with
+    edges oriented doc_a < doc_b, each triangle a<b<c is found exactly
+    once by joining (a,b)⋈(b,c) and closing with (a,c); wedges come from
+    the degree frame (sum of C(d,2)). The edge list is derived ONCE
+    (checkpointed) and reused by all three joins — at corpus scale the
+    orientation bounds each join's fan-out by the max out-degree of the
+    ordering, the classic skew guard. Near-dup clusters are cliques, so
+    planted duplicates show up as a high clustering coefficient."""
+    from series_tiempo_ar_scraping_spark.queries_llm import (
+        dedup_ngram_jaccard,
+    )
+
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("id"))
+        .unionAll(edges.select(F.col("doc_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+        F.count("*").alias("n_nodes"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    coeff = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+    ).otherwise(F.lit(0.0))
+    return (
+        n_edges.crossJoin(wedge)
+        .crossJoin(tri)
+        .select(
+            "n_edges", "n_nodes", "n_triangles", "n_wedges",
+            det_round(coeff, 6).alias("clustering_coeff"),
+        )
+    )

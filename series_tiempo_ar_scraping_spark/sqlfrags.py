@@ -74,13 +74,13 @@ def _minhash_bands_sql() -> str:
     return bands
 
 
-def _cc_oracle() -> str:
-    """Recursive-CTE connected components over the verified near-dup pairs
-    — the set-semantics UNION makes the fixpoint enumerate every
-    (node, reachable-component-label) pair; MIN collapses to the canonical
-    min-id label. Tractable because near-dup clusters are tiny."""
-    return f"""
-    WITH RECURSIVE corpus AS ({_NEAR_CORPUS_SQL}),
+def _neardup_edges_ctes() -> str:
+    """The shared CTE prefix deriving the verified near-dup edge list
+    (``verified(doc_a, doc_b)`` with doc_a < doc_b, Jaccard ≥ 0.3) from
+    the planted near-dup corpus — composed by the CC oracle, the
+    canonical-selection oracle, and the graph-metrics oracle so every
+    consumer sees the identical edge derivation."""
+    return f"""corpus AS ({_NEAR_CORPUS_SQL}),
     sh AS (
       SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
       FROM corpus
@@ -106,12 +106,23 @@ def _cc_oracle() -> str:
       JOIN sh sa ON sa.doc_id = p.doc_a
       JOIN sh sb ON sb.doc_id = p.doc_b
     ),
+    verified AS (
+      SELECT doc_a, doc_b FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+    )"""
+
+
+def _cc_oracle() -> str:
+    """Recursive-CTE connected components over the verified near-dup pairs
+    — the set-semantics UNION makes the fixpoint enumerate every
+    (node, reachable-component-label) pair; MIN collapses to the canonical
+    min-id label. Tractable because near-dup clusters are tiny."""
+    return f"""
+    WITH RECURSIVE {_neardup_edges_ctes()},
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM scored
-      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+      SELECT doc_a AS src, doc_b AS dst FROM verified
       UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM scored
-      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+      SELECT doc_b AS src, doc_a AS dst FROM verified
     ),
     reach(id, comp) AS (
       SELECT doc_id, doc_id FROM corpus
