@@ -134,11 +134,20 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 hour",
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
-    return src.groupBy(
-        F.window("ts", window_len).start.alias("bucket"), "event_type"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(22,4)")).cast("double").alias("sum_value"),
+    # group by the FULL window column (projecting .start inside the key
+    # strips the event-time/watermark metadata, which forbids append-mode
+    # output); the bucket projection happens after the aggregate.
+    return (
+        src.groupBy(F.window("ts", window_len).alias("_w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(22,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("_w.start").alias("bucket"), "event_type", "n", "sum_value"
+        )
     )
 
 

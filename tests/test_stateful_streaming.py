@@ -154,3 +154,69 @@ def test_foreach_batch_parquet_sink_exactly_once(spark, tmp_path, sf_dir):
     )
     stream_append_parquet(stream2, out, ckpt, partition_cols=["event_type"])
     assert spark.read.parquet(out).count() == want
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The watermark contract, observed end to end: after the first
+    microbatch advances the watermark past a window's end, that window
+    is emitted (append mode) and a later-arriving row for it is DROPPED
+    — bounded state means late data beyond the horizon is sacrificed,
+    by design. Two single-file microbatches with forced mtime order."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+
+    d = str(tmp_path / "late_src")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = time.time() - 1000
+    # batch 1: one 10:30 event + a 13:30 event that pushes the watermark
+    # (2h delay) to 11:30 — past the [10:00, 11:00) window end.
+    write_file("b1", [
+        (1, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 13:30:00", 1, "click", 1.0, "{}"),
+    ], t0)
+    # batch 2: on-time row. The watermark ADVANCES one trigger behind the
+    # data (it is computed from the previous batch's max event time), so
+    # this intermediate batch is what makes 11:30 effective for batch 3.
+    write_file("b2", [
+        (3, "2024-01-01 13:40:00", 1, "click", 1.0, "{}"),
+    ], t0 + 100)
+    # batch 3: a LATE 10:40 row for the long-closed window, plus a fresh
+    # 14:00 row whose window stays open (never emitted in append mode).
+    write_file("b3", [
+        (4, "2024-01-01 10:40:00", 1, "click", 1.0, "{}"),
+        (5, "2024-01-01 14:00:00", 1, "click", 1.0, "{}"),
+    ], t0 + 200)
+
+    agg = SE.tumbling_counts(
+        SE.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_test").collect()
+    # exactly the closed 10:00 window, with ONLY the on-time row counted
+    assert len(rows) == 1, rows
+    assert rows[0].bucket.hour == 10 and rows[0].n == 1, rows
