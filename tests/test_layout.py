@@ -146,3 +146,40 @@ def test_runtime_bloom_filter_in_plan(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_parquet_aggregate_pushdown_stats_only(spark, sf_dir):
+    """MIN/MAX/COUNT with no filter can be answered from parquet footer
+    statistics alone — with the v2 source + aggregatePushdown the scan
+    shows PushedAggregation and reads zero data pages. At 100 TB this is
+    the difference between a metadata operation and a full-corpus scan
+    for profiling-style queries."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in ("spark.sql.parquet.aggregatePushdown",
+                  "spark.sql.sources.useV1SourceList")
+    }
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        agg = df.selectExpr("MIN(o_totalprice) AS lo",
+                            "MAX(o_totalprice) AS hi", "COUNT(*) AS n")
+        p = _plan(agg, "simple")
+        assert "PushedAggregation: [MIN(o_totalprice), MAX(o_totalprice), COUNT(*)]" in p
+        row = agg.collect()[0]
+        # values must agree with the computed (non-pushed) aggregate
+        want = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .selectExpr("MIN(o_totalprice)", "MAX(o_totalprice)", "COUNT(*)")
+        )
+        conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        w = want.collect()[0]
+        assert (row.lo, row.hi, row.n) == (w[0], w[1], w[2])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
