@@ -688,3 +688,87 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             det_round(coeff, 6).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (ADC) — hash-oracled.
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.operators import similarity as S  # noqa: E402
+
+_PQ_SUB = 16  # 64-dim / 4 subspaces
+
+
+def _pq_l2_sql(a: str, b: str, m: int) -> str:
+    off = m * _PQ_SUB
+    x = f"CAST({a}[{off} + i] AS DOUBLE)"
+    y = f"CAST({b}[{off} + i] AS DOUBLE)"
+    return (
+        f"list_sum(list_transform(generate_series(1, {_PQ_SUB}),"
+        f" i -> ({x} - {y}) * ({x} - {y})))"
+    )
+
+
+@register(
+    "pq_ann_topk",
+    oracle=f"""
+    WITH cb AS (
+      SELECT centroid_id, cvec FROM (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+               embedding AS cvec
+        FROM embeddings WHERE vec_id % 37 = 1
+      ) WHERE centroid_id < 16
+    ),
+    pd AS (
+      SELECT e.vec_id, cb.centroid_id,
+             {", ".join(f"{_pq_l2_sql('e.embedding', 'cb.cvec', m)} AS d{m}" for m in range(4))}
+      FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id,
+             {", ".join(f"(MIN({{'d': d{m}, 'c': centroid_id}})).c AS code{m}" for m in range(4))}
+      FROM pd GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, cb.centroid_id,
+             {", ".join(f"{_pq_l2_sql('e.embedding', 'cb.cvec', m)} AS qd{m}" for m in range(4))}
+      FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 8
+    ),
+    qt AS (
+      SELECT query_id,
+             {", ".join(f"list_transform(list_sort(list({{'c': centroid_id, 'q': qd{m}}})), s -> s.q) AS t{m}" for m in range(4))}
+      FROM qd GROUP BY query_id
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             t0[code0 + 1] + t1[code1 + 1] + t2[code2 + 1] + t3[code3 + 1]
+               AS approx_dist
+      FROM codes c CROSS JOIN qt q
+      WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+      ) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rk AS rank,
+           CAST(FLOOR(approx_dist * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS approx_dist
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, hash-oracled end to end: corpus vectors
+    collapse to 4 subspace codes against a deterministic codebook
+    (argmin by (L2², centroid) struct-min — ties break identically in
+    both engines), queries precompute 4×K ADC tables, and scoring is
+    four array lookups per candidate instead of a 64-dim dot product.
+    This is THE memory/compute shape for warehouse-scale ANN (IVF-PQ):
+    the search structure is bytes per vector, the codebook broadcasts,
+    and per-pair cost is O(M). The oracle reproduces codebook, codes,
+    tables and ranking exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.pq_topk(emb, queries, dim=64, k=5)
+    return out.withColumn("approx_dist", det_round(F.col("approx_dist"), 6))

@@ -266,3 +266,44 @@ def test_incremental_dedup_classifies_planted_batches(spark, sf_dir):
     # near matches overwhelmingly point at the stripped doc's source
     hits = sum(1 for r in near if r.match_id == r.new_id % 100000)
     assert hits >= 0.9 * len(near)
+
+
+def test_pq_ann_recall_vs_exact(spark, sf_dir):
+    """PQ is approximate by construction — assert the mechanism: codes in
+    range, dense ranks, and meaningful overlap with exact L2 top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = S.pq_topk(emb, queries, dim=64, k=5).collect()
+    assert approx
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+        assert r.approx_dist >= 0.0
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # exact L2 top-5 (self excluded) for overlap
+    import itertools
+
+    qrows = {r.vec_id: r.embedding for r in queries.collect()}
+    crows = {r.vec_id: r.embedding for r in emb.collect()}
+    exact_set = set()
+    for qid, qv in qrows.items():
+        d = sorted(
+            (
+                (sum((float(a) - float(b)) ** 2 for a, b in zip(qv, cv)), cid)
+                for cid, cv in crows.items() if cid != qid
+            )
+        )[:5]
+        exact_set |= {(qid, cid) for _, cid in d}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_set & approx_set) > 0
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.pq_codebook(emb)
+    n_centroids = cb.count()
+    codes = S.pq_encode(emb, cb, dim=64).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        for i in range(4):
+            assert 0 <= r[f"code{i}"] < n_centroids
