@@ -252,16 +252,19 @@ def _sub(vec: Column, m: int, sub_dim: int) -> Column:
 def pq_codebook(vectors: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", k: int = 16,
                 stride: int = 37) -> DataFrame:
-    """Deterministic codebook: the first ``k`` vectors with
-    ``id % stride == 1`` in id order (a k-means stand-in, as with the IVF
+    """Deterministic codebook: vectors with ``id % stride == 1`` below
+    ``stride * k`` in id order (a k-means stand-in, as with the IVF
     centroids — the encode/ADC dataflow is what's under test and what
-    scales). Output: (centroid_id 0..k-1, centroid_vec)."""
+    scales). The id bound caps the candidate set at ``k`` rows BEFORE the
+    global row_number window, so the single-partition sort is over ≤ k
+    rows no matter the corpus size. Output: (centroid_id, centroid_vec)."""
     w = Window.orderBy(id_col)
     return (
-        vectors.filter(F.col(id_col) % stride == 1)
+        vectors.filter(
+            (F.col(id_col) % stride == 1) & (F.col(id_col) < stride * k)
+        )
         .select(id_col, F.col(vec_col).alias("centroid_vec"))
         .withColumn("centroid_id", F.row_number().over(w) - 1)
-        .filter(F.col("centroid_id") < k)
         .select("centroid_id", "centroid_vec")
     )
 

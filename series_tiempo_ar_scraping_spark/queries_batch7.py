@@ -713,11 +713,9 @@ def _pq_l2_sql(a: str, b: str, m: int) -> str:
     "pq_ann_topk",
     oracle=f"""
     WITH cb AS (
-      SELECT centroid_id, cvec FROM (
-        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-               embedding AS cvec
-        FROM embeddings WHERE vec_id % 37 = 1
-      ) WHERE centroid_id < 16
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding AS cvec
+      FROM embeddings WHERE vec_id % 37 = 1 AND vec_id < 37 * 16
     ),
     pd AS (
       SELECT e.vec_id, cb.centroid_id,
