@@ -303,23 +303,17 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, dim: int,
     )
 
 
-def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-            m: int = PQ_M, id_col: str = "vec_id",
-            vec_col: str = "embedding") -> DataFrame:
-    """PQ ANN via ADC: corpus vectors are replaced by their M codes; each
-    query precomputes an M×K distance table against the codebook and
-    scores a candidate with M array lookups — no full-dimension math per
-    pair. The table frame is |queries|·K rows collapsed to one row per
-    query (arrays indexed by centroid_id), broadcast against the coded
-    corpus: per-pair cost is O(M) element_at calls. Output contract
-    matches cosine_topk (rank by approx distance asc, id asc)."""
+def pq_query_tables(queries: DataFrame, codebook: DataFrame, dim: int,
+                    m: int = PQ_M, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Per-query ADC distance tables: one row per query with M arrays
+    (indexed by centroid_id) of subspace L2² distances — |queries|·K
+    intermediate rows collapsed by one grouped aggregate, then broadcast
+    to wherever candidates are scored."""
     sub_dim = dim // m
-    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
-
     qd = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    ).crossJoin(F.broadcast(cb)).select(
+    ).crossJoin(F.broadcast(codebook)).select(
         "query_id",
         "centroid_id",
         *[
@@ -328,8 +322,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             for i in range(m)
         ],
     )
-    # one row per query: per-subspace distance arrays ordered by centroid
-    qtable = qd.groupBy("query_id").agg(
+    return qd.groupBy("query_id").agg(
         *[
             F.transform(
                 F.sort_array(
@@ -340,9 +333,79 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
             for i in range(m)
         ]
     )
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+            m: int = PQ_M, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ ANN via ADC: corpus vectors are replaced by their M codes; each
+    query precomputes an M×K distance table against the codebook and
+    scores a candidate with M array lookups — no full-dimension math per
+    pair. The table frame is |queries|·K rows collapsed to one row per
+    query (arrays indexed by centroid_id), broadcast against the coded
+    corpus: per-pair cost is O(M) element_at calls. Output contract
+    matches cosine_topk (rank by approx distance asc, id asc)."""
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
+    qtable = pq_query_tables(
+        queries, cb, dim, m=m, id_col=id_col, vec_col=vec_col
+    )
     scored = codes.withColumnRenamed(id_col, "neighbor_id").crossJoin(
         F.broadcast(qtable)
     ).filter(F.col("neighbor_id") != F.col("query_id"))
+    approx = None
+    for i in range(m):
+        term = F.element_at(F.col(f"t{i}"), F.col(f"code{i}") + 1)
+        approx = term if approx is None else approx + term
+    scored = scored.select(
+        "query_id", "neighbor_id", approx.alias("approx_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+    )
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+               dim: int, k: int = 5, nprobe: int = 2, m: int = PQ_M,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the production warehouse-ANN composition. IVF restricts
+    WHICH candidates are scored (each query probes its ``nprobe`` nearest
+    coarse lists — the scan shrinks to |corpus|·nprobe/|lists|); PQ
+    restricts WHAT scoring costs (M table lookups against byte codes
+    instead of a full-dimension distance). The probe is an equi-join on
+    ``centroid_id``; the ADC tables broadcast; nothing in the plan grows
+    with the corpus except the coded list store itself."""
+    corpus_lists = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, n_assign=1
+    ).drop("crank")
+    probes = assign_clusters(
+        queries, centroids, id_col=id_col, vec_col=vec_col, n_assign=nprobe
+    ).select(F.col(id_col).alias("query_id"), "centroid_id")
+
+    cb = pq_codebook(corpus, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(corpus, cb, dim, m=m, id_col=id_col, vec_col=vec_col)
+    qtable = pq_query_tables(
+        queries, cb, dim, m=m, id_col=id_col, vec_col=vec_col
+    )
+
+    cand = probes.join(
+        corpus_lists.select(
+            F.col(id_col).alias("neighbor_id"), "centroid_id"
+        ),
+        "centroid_id",
+    ).select("query_id", "neighbor_id")
+    scored = (
+        cand.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(F.broadcast(qtable), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     approx = None
     for i in range(m):
         term = F.element_at(F.col(f"t{i}"), F.col(f"code{i}") + 1)

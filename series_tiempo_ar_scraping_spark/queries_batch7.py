@@ -770,3 +770,104 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     out = S.pq_topk(emb, queries, dim=64, k=5)
     return out.withColumn("approx_dist", det_round(F.col("approx_dist"), 6))
+
+
+_COS64 = """
+      list_sum(list_transform(generate_series(1, 64),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS list_id, embedding AS lvec
+      FROM embeddings WHERE vec_id % 61 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS64.format(a='v.embedding', b='c.lvec')} DESC,
+                          c.list_id
+               ) AS crank
+        FROM embeddings v, cent c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.vec_id AS query_id, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS64.format(a='q.embedding', b='c.lvec')} DESC,
+                          c.list_id
+               ) AS crank
+        FROM embeddings q, cent c WHERE q.vec_id < 8
+      ) WHERE crank <= 2
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding AS cvec
+      FROM embeddings WHERE vec_id % 37 = 1 AND vec_id < 37 * 16
+    ),
+    pd AS (
+      SELECT e.vec_id, cb.centroid_id,
+             {", ".join(f"{_pq_l2_sql('e.embedding', 'cb.cvec', m)} AS d{m}" for m in range(4))}
+      FROM embeddings e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id,
+             {", ".join(f"(MIN({{'d': d{m}, 'c': centroid_id}})).c AS code{m}" for m in range(4))}
+      FROM pd GROUP BY vec_id
+    ),
+    qd AS (
+      SELECT e.vec_id AS query_id, cb.centroid_id,
+             {", ".join(f"{_pq_l2_sql('e.embedding', 'cb.cvec', m)} AS qd{m}" for m in range(4))}
+      FROM embeddings e CROSS JOIN cb WHERE e.vec_id < 8
+    ),
+    qt AS (
+      SELECT query_id,
+             {", ".join(f"list_transform(list_sort(list({{'c': centroid_id, 'q': qd{m}}})), s -> s.q) AS t{m}" for m in range(4))}
+      FROM qd GROUP BY query_id
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             t0[code0 + 1] + t1[code1 + 1] + t2[code2 + 1] + t3[code3 + 1]
+               AS approx_dist
+      FROM probes p
+      JOIN assigned a ON a.list_id = p.list_id
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN qt ON qt.query_id = p.query_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+      ) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rk AS rank,
+           CAST(FLOOR(approx_dist * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS approx_dist
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the capstone composition and THE warehouse-scale ANN
+    shape (FAISS-style): IVF coarse lists bound WHICH candidates are
+    scored (each query probes its 2 nearest lists; the candidate set is
+    |corpus|·nprobe/|lists|), PQ bounds WHAT scoring costs (4 ADC table
+    lookups per candidate against byte codes). The oracle reproduces the
+    full composition — list assignment, probes, codebook, codes, ADC
+    tables, ranking — so both pruning layers are hash-checked at once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 61 == 0)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.ivfpq_topk(emb, queries, centroids, dim=64, k=5, nprobe=2)
+    return out.withColumn("approx_dist", det_round(F.col("approx_dist"), 6))
