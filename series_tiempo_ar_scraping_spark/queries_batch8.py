@@ -1,0 +1,190 @@
+"""Batch-8 queries: time-series analytics on the engine's home domain.
+
+Trend, anomaly and seasonality primitives over the per-type daily
+series — the analyses a time-series portal runs over its whole corpus.
+Determinism recipe (the repo standard): every aggregate is computed
+EXACTLY (decimal sums for values, bigint sums for day indices), each
+exact aggregate is cast to double once, and the closed-form combination
+uses the identical expression tree in both engines — so single-rounded
+doubles match bit-for-bit with no dependence on shuffle or fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.queries import (
+    det_round,
+    load_table,
+    register,
+)
+
+_DAILY_SQL = """
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
+             SUM(CAST(value AS DECIMAL(22,4))) AS v
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("dday"),
+    ).agg(F.sum(F.col("value").cast("decimal(22,4)")).alias("v"))
+
+
+@register(
+    "series_linear_trend",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    agg AS (
+      SELECT series_id,
+             COUNT(*) AS n,
+             CAST(SUM(dday) AS DOUBLE) AS sx,
+             CAST(SUM(v) AS DOUBLE) AS sy,
+             CAST(SUM(dday * v) AS DOUBLE) AS sxy,
+             CAST(SUM(dday * dday) AS DOUBLE) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT series_id, n,
+           CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS slope,
+           CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n * 1000000 + 0.5) / 1000000 AS DOUBLE) AS intercept
+    FROM agg
+    """,
+)
+def series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line in closed form: slope =
+    (nΣxy − ΣxΣy)/(nΣxx − Σx²) from ONE grouped aggregate over the daily
+    series — no iteration, no ML library, map-side combinable (this is
+    how you fit a million series in one pass at 100 TB). The component
+    sums are exact (decimal×int terms), so the final double arithmetic
+    is identically rounded in both engines."""
+    daily = _daily(spark, sf_dir)
+    agg = daily.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum("dday").cast("double").alias("sx"),
+        F.sum("v").cast("double").alias("sy"),
+        F.sum(F.col("dday") * F.col("v")).cast("double").alias("sxy"),
+        F.sum(F.col("dday") * F.col("dday")).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "series_id",
+        "n",
+        det_round(slope, 6).alias("slope"),
+        det_round(intercept, 6).alias("intercept"),
+    )
+
+
+@register(
+    "series_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    stats AS (
+      SELECT series_id,
+             COUNT(*) AS n,
+             CAST(SUM(v) AS DOUBLE) AS sy,
+             CAST(SUM(v * v) AS DOUBLE) AS syy
+      FROM daily GROUP BY 1
+    ),
+    z AS (
+      SELECT d.series_id, d.dday, CAST(d.v AS DOUBLE) AS v,
+             (CAST(d.v AS DOUBLE) - sy / n)
+               / sqrt((syy - sy * sy / n) / n) AS zscore
+      FROM daily d JOIN stats s USING (series_id)
+      WHERE n > 1 AND (syy - sy * sy / n) > 0
+    )
+    SELECT series_id, dday, v,
+           CAST(FLOOR(zscore * 10000 + 0.5) / 10000 AS DOUBLE) AS zscore
+    FROM z
+    WHERE zscore > 2.5 OR zscore < -2.5
+    """,
+)
+def series_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point anomaly flagging: |z| > 2.5 against the series' own
+    population mean/σ. Two passes — one grouped aggregate for the exact
+    moment sums, one broadcast-join back — never a window carrying the
+    whole series through a sort. The z expression combines exact sums
+    cast once to double, so the >2.5 boundary decision is identical in
+    both engines (no half-computed variance drift)."""
+    daily = _daily(spark, sf_dir)
+    stats = daily.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sy"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("syy"),
+    )
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    z = (F.col("v").cast("double") - sy / n) / F.sqrt(
+        (syy - sy * sy / n) / n
+    )
+    joined = daily.join(F.broadcast(stats), "series_id").filter(
+        (n > 1) & ((syy - sy * sy / n) > 0)
+    )
+    return (
+        joined.select(
+            "series_id",
+            "dday",
+            F.col("v").cast("double").alias("v"),
+            z.alias("zscore"),
+        )
+        .filter((F.col("zscore") > 2.5) | (F.col("zscore") < -2.5))
+        .withColumn("zscore", det_round(F.col("zscore"), 4))
+    )
+
+
+@register(
+    "series_seasonal_profile",
+    oracle="""
+    WITH monthly AS (
+      SELECT event_type AS series_id,
+             CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS month,
+             SUM(CAST(value AS DECIMAL(22,4))) AS mv,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT series_id, SUM(mv) AS tv FROM monthly GROUP BY 1
+    )
+    SELECT m.series_id, m.month, m.n_events,
+           CAST(m.mv AS DOUBLE) AS month_value,
+           CAST(FLOOR(CAST(m.mv AS DOUBLE) / CAST(t.tv AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS share
+    FROM monthly m JOIN tot t USING (series_id)
+    """,
+)
+def series_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality fingerprint: each calendar month's share of the
+    series total — the profile a frequency/periodicity validator (or a
+    seasonal-adjustment step) consumes. Two bounded aggregates (≤12 rows
+    per series after the first) and a broadcast join; exact decimal sums
+    make the share division single-rounded identically."""
+    e = load_table(spark, sf_dir, "events")
+    monthly = e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.month("ts").cast("long").alias("month"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)")).alias("mv"),
+        F.count("*").alias("n_events"),
+    )
+    tot = monthly.groupBy("series_id").agg(F.sum("mv").alias("tv"))
+    return monthly.join(F.broadcast(tot), "series_id").select(
+        "series_id",
+        "month",
+        "n_events",
+        F.col("mv").cast("double").alias("month_value"),
+        det_round(
+            F.col("mv").cast("double") / F.col("tv").cast("double"), 6
+        ).alias("share"),
+    )

@@ -24,6 +24,7 @@ MODULES = [
     "queries_batch5",
     "queries_batch6",
     "queries_batch7",
+    "queries_batch8",
 ]
 
 
