@@ -188,3 +188,146 @@ def series_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mv").cast("double") / F.col("tv").cast("double"), 6
         ).alias("share"),
     )
+
+
+# Exact power-of-two EWMA weights (alpha = 0.5): literals, not pow() —
+# libm pow is not bit-identical across engines, literal halves are.
+_PW = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625]
+# normalization sum for frame length L: 2 - 2^(1-L), exact
+_NRM = [1.0, 1.5, 1.75, 1.875, 1.9375, 1.96875, 1.984375]
+_PW_SQL = "[" + ", ".join(str(x) for x in _PW) + "]"
+_NRM_SQL = "[" + ", ".join(str(x) for x in _NRM) + "]"
+
+
+@register(
+    "rolling_ewma",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    framed AS (
+      SELECT series_id, dday,
+             list(CAST(v AS DOUBLE)) OVER (
+               PARTITION BY series_id ORDER BY dday
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) AS fr
+      FROM daily
+    )
+    SELECT series_id, dday,
+           CAST(FLOOR(
+             list_sum(list_transform(generate_series(1, len(fr)),
+               i -> fr[i] * ({_PW_SQL})[len(fr) - i + 1]))
+             / ({_NRM_SQL})[len(fr)]
+             * 1000000 + 0.5) / 1000000 AS DOUBLE) AS ewma_7d
+    FROM framed
+    """,
+)
+def rolling_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row exponentially-weighted moving average (α = ½) — composed
+    from a bounded window frame + a fixed-coefficient fold, NOT a
+    recursive scan: the weights are power-of-two literals (exact in
+    IEEE double; ``pow()`` would not be cross-engine bit-stable) and
+    the frame is ≤7 elements, so the per-row cost is constant and the
+    only shuffle is the per-series sort every rolling operator shares.
+    The recursive EWMA definition needs a sequential scan per series —
+    at 100 TB you either bound the window like this (the tail weight
+    beyond 7 halvings is < 1%) or run it as a stateful streaming op."""
+    daily = _daily(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    pw = F.array(*[F.lit(x) for x in _PW])
+    nrm = F.array(*[F.lit(x) for x in _NRM])
+    framed = daily.select(
+        "series_id",
+        "dday",
+        F.collect_list(F.col("v").cast("double")).over(w).alias("fr"),
+    )
+    L = F.size("fr")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.col("fr"),
+            F.transform(
+                F.col("fr"),
+                lambda _, i: F.element_at(pw, L - i),
+            ),
+            lambda v, wt: v * wt,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return framed.select(
+        "series_id",
+        "dday",
+        det_round(weighted / F.element_at(nrm, L), 6).alias("ewma_7d"),
+    )
+
+
+@register(
+    "series_autocorr_lag1",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT a.series_id, a.v AS v0, b.v AS v1
+      FROM daily a JOIN daily b
+        ON b.series_id = a.series_id AND b.dday = a.dday + 1
+    ),
+    agg AS (
+      SELECT series_id,
+             COUNT(*) AS n,
+             CAST(SUM(v0) AS DOUBLE) AS s0,
+             CAST(SUM(v1) AS DOUBLE) AS s1,
+             CAST(SUM(v0 * v1) AS DOUBLE) AS s01,
+             CAST(SUM(v0 * v0) AS DOUBLE) AS s00,
+             CAST(SUM(v1 * v1) AS DOUBLE) AS s11
+      FROM pairs GROUP BY 1
+    )
+    SELECT series_id, n,
+           CAST(FLOOR(
+             (n * s01 - s0 * s1)
+             / (sqrt(n * s00 - s0 * s0) * sqrt(n * s11 - s1 * s1))
+             * 1000000 + 0.5) / 1000000 AS DOUBLE) AS autocorr_lag1
+    FROM agg
+    WHERE n > 1 AND (n * s00 - s0 * s0) > 0 AND (n * s11 - s1 * s1) > 0
+    """,
+)
+def series_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per series (Pearson r over consecutive-day
+    pairs): the pairing is an equi-join on (series, dday+1) — a hash
+    join, NOT a per-series sort+lag window, so gaps pair nothing and
+    nothing orders the full series. Moment sums are exact decimals cast
+    once; the correlation combines them with the identical tree in both
+    engines."""
+    daily = _daily(spark, sf_dir)
+    b = daily.select(
+        "series_id",
+        (F.col("dday") - 1).alias("dday"),
+        F.col("v").alias("v1"),
+    )
+    pairs = daily.withColumnRenamed("v", "v0").join(
+        b, ["series_id", "dday"]
+    )
+    agg = pairs.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v0").cast("double").alias("s0"),
+        F.sum("v1").cast("double").alias("s1"),
+        F.sum(F.col("v0") * F.col("v1")).cast("double").alias("s01"),
+        F.sum(F.col("v0") * F.col("v0")).cast("double").alias("s00"),
+        F.sum(F.col("v1") * F.col("v1")).cast("double").alias("s11"),
+    )
+    n = F.col("n")
+    num = n * F.col("s01") - F.col("s0") * F.col("s1")
+    d0 = n * F.col("s00") - F.col("s0") * F.col("s0")
+    d1 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    return (
+        agg.filter((n > 1) & (d0 > 0) & (d1 > 0))
+        .select(
+            "series_id",
+            "n",
+            det_round(num / (F.sqrt(d0) * F.sqrt(d1)), 6).alias(
+                "autocorr_lag1"
+            ),
+        )
+    )
