@@ -331,3 +331,140 @@ def series_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: online anomaly scoring (stream-static enrichment).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_anomaly_scores",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))
+                      * CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS syy
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(e.value AS DOUBLE) AS value,
+           CAST(FLOOR(
+             (CAST(e.value AS DOUBLE) - sy / n)
+             / sqrt((syy - sy * sy / n) / n)
+             * 10000 + 0.5) / 10000 AS DOUBLE) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE n > 1 AND (syy - sy * sy / n) > 0
+      AND ((CAST(e.value AS DOUBLE) - sy / n)
+           / sqrt((syy - sy * sy / n) / n) > 3.0
+           OR (CAST(e.value AS DOUBLE) - sy / n)
+           / sqrt((syy - sy * sy / n) / n) < -3.0)
+    """,
+)
+def streaming_anomaly_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online anomaly scoring, the stream-static enrichment shape: the
+    per-type moment statistics are a STATIC frame (in production, a
+    periodically-refreshed history store) broadcast into every
+    microbatch; each arriving event gets its z-score with zero streaming
+    state — no watermark, no aggregation buffer, unbounded uptime. The
+    drained availableNow output hash-matches the batch SQL twin. Exact
+    decimal moments make the |z| > 3 boundary identical in both
+    engines."""
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream_native,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(22,4)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(
+            F.col("value").cast("decimal(22,4)")
+            * F.col("value").cast("decimal(22,4)")
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    stream = read_events_stream_native(spark, sf_dir)
+    n, sy, syy = F.col("n"), F.col("sy"), F.col("syy")
+    z = (F.col("value").cast("double") - sy / n) / F.sqrt(
+        (syy - sy * sy / n) / n
+    )
+    scored = (
+        stream.join(F.broadcast(stats), "event_type")
+        .filter((n > 1) & ((syy - sy * sy / n) > 0))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            z.alias("zscore"),
+        )
+        .filter((F.col("zscore") > 3.0) | (F.col("zscore") < -3.0))
+        .withColumn("zscore", det_round(F.col("zscore"), 4))
+    )
+    name = "streaming_anomaly_scores_sink"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.table(name).localCheckpoint()
+    q.stop()
+    return result
+
+
+@register(
+    "interval_overlap_coactivity",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           COUNT(*) AS n_overlap_days
+    FROM iv a JOIN iv b
+      ON a.day = b.day AND a.user_id < b.user_id
+     AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+)
+def interval_overlap_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (range × range): per-user daily purchase
+    activity intervals [first, last], paired when they overlap in time.
+    The scale discipline is BIN-FIRST: intervals are keyed by the day
+    they live in, so candidate pairs meet on a calendar-bin equi-join
+    and the overlap inequality only prunes within bins — never a
+    broadcast nested loop over the full interval × interval space (the
+    same shape as the point-in-range entries, one level up). Output is
+    the co-activity pair list with overlap-day counts."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    iv = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    a = iv.select(
+        F.col("user_id").alias("user_a"), "day",
+        F.col("s").alias("sa"), F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"), "day",
+        F.col("s").alias("sb"), F.col("e").alias("eb"),
+    )
+    pairs = a.join(b, "day").filter(
+        (F.col("user_a") < F.col("user_b"))
+        & (F.col("sa") <= F.col("eb"))
+        & (F.col("sb") <= F.col("ea"))
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count("*").alias("n_overlap_days")
+    )
