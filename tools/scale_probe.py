@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Scale probe: measure core operator shapes at geometrically growing
+sizes and report rows/sec — the empirical check behind SCALE.md's
+claims. A shape whose throughput degrades as data grows has a
+super-linear term (driver round-trip, unbounded state, quadratic join)
+that 100 TB will find; constant-ish rows/sec across sizes is the
+signature of a plan that scales out.
+
+Usage: python tools/scale_probe.py [sizes...]   (default 2 8 32, in
+millions of rows; synthetic data is written under /tmp/scale_probe)
+
+Prints one JSON line: {"shape": {"rows_per_sec_by_size": {...}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
+
+BASE = "/tmp/scale_probe"
+
+
+def synth_events(spark, n_rows: int, path: str) -> None:
+    """Deterministic events-shaped frame: ~1000 hot users (skew), 5
+    types, 90 days of seconds-resolution timestamps, text-ish props."""
+    df = (
+        spark.range(n_rows)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.hash(F.col("id").cast("string")) % 100000).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in
+                          ("click", "view", "purchase", "signup", "error")]),
+                (F.col("id") % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("id") % 9973).cast("double").alias("value"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=(F.col("id") % 7776000).cast("double"))
+            ).alias("ts"),
+            F.md5(F.col("id").cast("string")).alias("props"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sizes_m = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()  # JVM warm-up
+
+    shapes = {
+        "hash_agg": lambda e: e.groupBy("event_type", "user_id")
+        .agg(F.count("*"), F.sum(F.col("value").cast("decimal(22,4)")))
+        .write.mode("overwrite").format("noop").save(),
+        "window_per_key": lambda e: e.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        ).filter(F.col("rn") <= 3)
+        .write.mode("overwrite").format("noop").save(),
+        "md5_expr_scan": lambda e: e.select(
+            F.md5(F.concat_ws("|", "props", "event_type")).alias("h")
+        ).groupBy(F.substring("h", 1, 2)).count()
+        .write.mode("overwrite").format("noop").save(),
+        "broadcast_join": lambda e: e.join(
+            F.broadcast(
+                e.sparkSession.createDataFrame(
+                    [(t, i) for i, t in enumerate(
+                        ("click", "view", "purchase", "signup", "error"))],
+                    "event_type string, type_code int",
+                )
+            ),
+            "event_type",
+        ).groupBy("type_code").agg(F.count("*"))
+        .write.mode("overwrite").format("noop").save(),
+    }
+
+    report: dict[str, dict[str, float]] = {k: {} for k in shapes}
+    for m in sizes_m:
+        n = m * 1_000_000
+        path = f"{BASE}/events_{m}m"
+        synth_events(spark, n, path)
+        e = spark.read.parquet(path)
+        for name, fn in shapes.items():
+            fn(e)  # untimed warm-up (codegen)
+            dt = timed(lambda: fn(e))
+            report[name][f"{m}m"] = round(n / dt)
+    print(json.dumps({"rows_per_sec_by_size": report}))
+    shutil.rmtree(BASE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
