@@ -294,3 +294,35 @@ def test_incremental_dedup_no_index_self_join(plans):
     # exact stage + band join + two shingle-verify joins + final assembly:
     # bounded join count guards against an accidental index x index blowup
     assert p.count("SortMergeJoin") + p.count("BroadcastHashJoin") <= 8, p
+
+
+def test_series_trend_two_exchanges_partial_agg(plans):
+    """One-pass OLS: daily rollup + per-series moment aggregate — two
+    shuffles total, both with map-side partial aggregation; anything
+    more means the closed form degraded into iteration or a window."""
+    p = plans("series_linear_trend", "simple")
+    assert "partial_sum" in p
+    assert p.count("Exchange") <= 2, p
+    assert "Window" not in p
+
+
+def test_interval_overlap_is_equi_join(plans):
+    """The range x range overlap must pair on the day-bin equi-key; a
+    BroadcastNestedLoopJoin/CartesianProduct here is the quadratic
+    interval join this operator exists to avoid."""
+    p = plans("interval_overlap_coactivity", "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_funnel_no_cartesian(plans):
+    p = plans("event_funnel_conversion", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_anomaly_zscore_broadcasts_stats(plans):
+    """Per-point scoring joins the tiny per-series stats frame back by
+    broadcast — the fact side never shuffles for the join."""
+    p = plans("series_anomaly_zscore", "simple")
+    assert "BroadcastHashJoin" in p
