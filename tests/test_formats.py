@@ -179,3 +179,26 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert stats["files_after"] < stats["files_before"]
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
     assert os.path.isdir(os.path.join(path, "catalog_id=c1", "freq_code=M"))
+
+
+def test_parquet_store_schema_evolution(spark, tmp_path):
+    """A long-lived store accretes columns across ingest generations;
+    mergeSchema reads must surface the union schema with nulls for
+    files written before a column existed — and NOT silently drop the
+    new column when an old file is read first."""
+    store = str(tmp_path / "obs_evolving")
+    gen1 = spark.createDataFrame(
+        [(1, "a", 1.0)], "series_id long, freq string, value double"
+    )
+    gen1.write.mode("append").parquet(store)
+    gen2 = spark.createDataFrame(
+        [(2, "a", 2.0, "rev3")],
+        "series_id long, freq string, value double, source_rev string",
+    )
+    gen2.write.mode("append").parquet(store)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(store)
+    assert set(merged.columns) == {"series_id", "freq", "value", "source_rev"}
+    rows = {r.series_id: r for r in merged.collect()}
+    assert rows[1].source_rev is None
+    assert rows[2].source_rev == "rev3"
