@@ -202,3 +202,41 @@ def test_parquet_store_schema_evolution(spark, tmp_path):
     rows = {r.series_id: r for r in merged.collect()}
     assert rows[1].source_rev is None
     assert rows[2].source_rev == "rev3"
+
+
+def test_gzip_compressed_distribution_csv(spark, tmp_path):
+    """Portals serve gzip-compressed CSVs; the reader must melt them
+    identically to the plain file (Spark decompresses .gz by extension
+    — pinned here so a reader rewrite never loses it)."""
+    import gzip
+
+    from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+        read_distribution_csv,
+    )
+
+    body = (
+        "indice_tiempo,serie_a,serie_b\n"
+        "2024-01-01,1.5,2.5\n"
+        "2024-01-02,3.0,\n"
+    )
+    plain = tmp_path / "d.csv"
+    plain.write_text(body)
+    gz = tmp_path / "d_gz.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(body)
+
+    def rows(p):
+        return sorted(
+            (r.series_id, str(r.ts), r.value)
+            for r in read_distribution_csv(
+                spark, str(p), "c1", "ds1", "dist1"
+            ).collect()
+        )
+
+    got = rows(gz)
+    assert got == rows(plain)
+    # 2 dates x 2 series; the empty cell melts to an explicit null row
+    assert len(got) == 4
+    assert ("serie_b", "2024-01-02", None) in [
+        (s, t[:10], v) for s, t, v in got
+    ]
