@@ -871,3 +871,55 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     out = S.ivfpq_topk(emb, queries, centroids, dim=64, k=5, nprobe=2)
     return out.withColumn("approx_dist", det_round(F.col("approx_dist"), 6))
+
+
+@register(
+    "source_cap_sample",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    q AS ({_QUALITY_SQL}),
+    scored AS (
+      SELECT d.source, d.doc_id, q.quality
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY quality DESC, doc_id ASC
+      ) AS rk
+      FROM scored
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(MIN(CASE WHEN rk <= 10 THEN quality END) AS DOUBLE)
+             AS kept_quality_floor
+    FROM r GROUP BY 1
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source capping: keep at most 10 documents per source, best
+    quality first (deterministic doc_id tiebreak) — the mix-balancing
+    step that stops one crawl domain from dominating a training set.
+    One window per source (bounded partitions, keyed shuffle) + one
+    aggregate reporting kept counts and the per-source quality floor —
+    the numbers a curation review reads before committing the cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.select(
+        "doc_id",
+        "source",
+        det_round(TX.quality_score(F.col("text")), 4).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    r = quality.withColumn("rk", F.row_number().over(w))
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.min(F.when(F.col("rk") <= 10, F.col("quality")))
+        .cast("double")
+        .alias("kept_quality_floor"),
+    )
