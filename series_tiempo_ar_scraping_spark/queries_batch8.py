@@ -468,3 +468,106 @@ def interval_overlap_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("user_a", "user_b").agg(
         F.count("*").alias("n_overlap_days")
     )
+
+
+@register(
+    "series_cross_correlation",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    pairs AS (
+      SELECT a.series_id AS series_a, b.series_id AS series_b,
+             a.v AS va, b.v AS vb
+      FROM daily a JOIN daily b
+        ON a.dday = b.dday AND a.series_id < b.series_id
+    ),
+    agg AS (
+      SELECT series_a, series_b,
+             COUNT(*) AS n,
+             CAST(SUM(va) AS DOUBLE) AS s0,
+             CAST(SUM(vb) AS DOUBLE) AS s1,
+             CAST(SUM(va * vb) AS DOUBLE) AS s01,
+             CAST(SUM(va * va) AS DOUBLE) AS s00,
+             CAST(SUM(vb * vb) AS DOUBLE) AS s11
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT series_a, series_b, n,
+           CAST(FLOOR(
+             (n * s01 - s0 * s1)
+             / (sqrt(n * s00 - s0 * s0) * sqrt(n * s11 - s1 * s1))
+             * 1000000 + 0.5) / 1000000 AS DOUBLE) AS corr
+    FROM agg
+    WHERE n > 1 AND (n * s00 - s0 * s0) > 0 AND (n * s11 - s1 * s1) > 0
+    """,
+)
+def series_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-movement matrix: Pearson r between every pair of
+    series over their common days. The pairing joins the daily frame to
+    itself on the DAY key (each day contributes |series|² pairs — fine
+    because |series| is small relative to days; for thousands of series
+    you'd pivot to a day×series matrix and let a block-matrix multiply
+    do this), ordered a < b so each pair appears once. Exact decimal
+    moment sums → identical double combination, as the batch standard."""
+    daily = _daily(spark, sf_dir)
+    a = daily.select(
+        F.col("series_id").alias("series_a"), "dday", F.col("v").alias("va")
+    )
+    b = daily.select(
+        F.col("series_id").alias("series_b"), "dday", F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "dday").filter(F.col("series_a") < F.col("series_b"))
+    agg = pairs.groupBy("series_a", "series_b").agg(
+        F.count("*").alias("n"),
+        F.sum("va").cast("double").alias("s0"),
+        F.sum("vb").cast("double").alias("s1"),
+        F.sum(F.col("va") * F.col("vb")).cast("double").alias("s01"),
+        F.sum(F.col("va") * F.col("va")).cast("double").alias("s00"),
+        F.sum(F.col("vb") * F.col("vb")).cast("double").alias("s11"),
+    )
+    n = F.col("n")
+    num = n * F.col("s01") - F.col("s0") * F.col("s1")
+    d0 = n * F.col("s00") - F.col("s0") * F.col("s0")
+    d1 = n * F.col("s11") - F.col("s1") * F.col("s1")
+    return (
+        agg.filter((n > 1) & (d0 > 0) & (d1 > 0))
+        .select(
+            "series_a", "series_b", "n",
+            det_round(num / (F.sqrt(d0) * F.sqrt(d1)), 6).alias("corr"),
+        )
+    )
+
+
+@register(
+    "series_gap_histogram",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    gaps AS (
+      SELECT series_id,
+             dday - lag(dday) OVER (
+               PARTITION BY series_id ORDER BY dday
+             ) - 1 AS gap_len
+      FROM daily
+    )
+    SELECT series_id, gap_len, COUNT(*) AS n_gaps
+    FROM gaps WHERE gap_len > 0
+    GROUP BY 1, 2
+    """,
+)
+def series_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data profile: the distribution of gap lengths (runs of
+    absent days) per series — what V4's boolean continuity check becomes
+    when you need to *characterize* the holes rather than just flag
+    them. One per-series lag window over the daily frame (the same sort
+    every per-series operator shares) and a bounded aggregate."""
+    daily = _daily(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id").orderBy("dday")
+    gaps = daily.select(
+        "series_id",
+        (F.col("dday") - F.lag("dday").over(w) - 1).alias("gap_len"),
+    )
+    return (
+        gaps.filter(F.col("gap_len") > 0)
+        .groupBy("series_id", "gap_len")
+        .agg(F.count("*").alias("n_gaps"))
+    )
