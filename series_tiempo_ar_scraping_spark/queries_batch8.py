@@ -571,3 +571,110 @@ def series_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("series_id", "gap_len")
         .agg(F.count("*").alias("n_gaps"))
     )
+
+
+@register(
+    "series_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    tr AS (
+      SELECT series_id, dday, v,
+             CAST(SUM(v) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS trend
+      FROM daily
+      WINDOW w AS (PARTITION BY series_id ORDER BY dday
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT series_id, dday, v, trend,
+             CAST(v AS DOUBLE) - trend AS detrended,
+             dday % 7 AS dow
+      FROM tr
+    ),
+    ranked AS (
+      SELECT series_id, dow, detrended,
+             ROW_NUMBER() OVER (PARTITION BY series_id, dow
+                                ORDER BY detrended, dday) AS rn,
+             COUNT(*) OVER (PARTITION BY series_id, dow) AS cnt
+      FROM det
+    ),
+    seasonal AS (
+      SELECT series_id, dow,
+             MAX(CASE WHEN rn = CAST(FLOOR((cnt + 1) / 2.0) AS BIGINT)
+                      THEN detrended END) AS seas
+      FROM ranked GROUP BY 1, 2
+    )
+    SELECT d.series_id, d.dday,
+           CAST(d.v AS DOUBLE) AS v,
+           CAST(FLOOR(d.trend * 10000 + 0.5) / 10000 AS DOUBLE) AS trend,
+           CAST(FLOOR(s.seas * 10000 + 0.5) / 10000 AS DOUBLE) AS seasonal,
+           CAST(FLOOR((CAST(d.v AS DOUBLE) - d.trend - s.seas)
+                 * 10000 + 0.5) / 10000 AS DOUBLE) AS residual
+    FROM det d JOIN seasonal s
+      ON s.series_id = d.series_id AND s.dow = d.dow
+    """,
+)
+def series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition (trend + seasonal + residual) — an
+    operator Spark has no primitive for, composed STL-style from ones it
+    does: trend is a 7-day centered moving average (window sum of EXACT
+    decimals / count, so the division is single-rounded identically);
+    the seasonal component is the per-(series, weekday-class) MEDIAN of
+    the detrended values — an order statistic picked by rank selection
+    with a dday tiebreak, deterministic where a mean of derived doubles
+    would be fold-order-dependent (and median is the robust choice
+    anyway); the residual is what remains. Costs: the per-series sort
+    every rolling operator shares, a bounded median window, and a
+    broadcast-sized seasonal join back (|series|·7 rows)."""
+    daily = _daily(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("dday")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "series_id",
+        "dday",
+        "v",
+        (F.sum("v").over(w).cast("double") / F.count("*").over(w)).alias(
+            "trend"
+        ),
+    )
+    det = tr.select(
+        "series_id",
+        "dday",
+        "v",
+        "trend",
+        (F.col("v").cast("double") - F.col("trend")).alias("detrended"),
+        (F.col("dday") % 7).alias("dow"),
+    )
+    wr = Window.partitionBy("series_id", "dow").orderBy("detrended", "dday")
+    wc = Window.partitionBy("series_id", "dow")
+    ranked = det.select(
+        "series_id",
+        "dow",
+        "detrended",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    seasonal = ranked.groupBy("series_id", "dow").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("cnt") + 1) / F.lit(2.0)).cast("bigint"),
+                F.col("detrended"),
+            )
+        ).alias("seas")
+    )
+    return det.join(F.broadcast(seasonal), ["series_id", "dow"]).select(
+        "series_id",
+        "dday",
+        F.col("v").cast("double").alias("v"),
+        det_round(F.col("trend"), 4).alias("trend"),
+        det_round(F.col("seas"), 4).alias("seasonal"),
+        det_round(
+            F.col("v").cast("double") - F.col("trend") - F.col("seas"), 4
+        ).alias("residual"),
+    )
