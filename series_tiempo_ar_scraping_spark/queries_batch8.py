@@ -678,3 +678,77 @@ def series_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double") - F.col("trend") - F.col("seas"), 4
         ).alias("residual"),
     )
+
+
+@register(
+    "series_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE daily AS ({_DAILY_SQL}),
+    base AS (
+      SELECT series_id, CAST(v AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY dday) AS rn
+      FROM daily
+    ),
+    holt(series_id, rn, l, b) AS (
+      SELECT series_id, rn, v, CAST(0.0 AS DOUBLE) FROM base WHERE rn = 1
+      UNION ALL
+      SELECT n.series_id, n.rn,
+             0.5 * n.v + 0.5 * (h.l + h.b),
+             0.5 * ((0.5 * n.v + 0.5 * (h.l + h.b)) - h.l) + 0.5 * h.b
+      FROM holt h JOIN base n
+        ON n.series_id = h.series_id AND n.rn = h.rn + 1
+    )
+    SELECT series_id, MAX(rn) AS n,
+           CAST(FLOOR(MAX_BY(l, rn) * 10000 + 0.5) / 10000 AS DOUBLE)
+             AS level_end,
+           CAST(FLOOR(MAX_BY(b, rn) * 10000 + 0.5) / 10000 AS DOUBLE)
+             AS trend_end,
+           CAST(FLOOR((MAX_BY(l, rn) + 7 * MAX_BY(b, rn)) * 10000 + 0.5)
+                / 10000 AS DOUBLE) AS forecast_7d
+    FROM holt GROUP BY series_id
+    """,
+)
+def series_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level + trend) exponential smoothing with a 7-step
+    forecast — an inherently SEQUENTIAL recursion, expressed as a
+    per-series fold over the sorted observation array (series are
+    bounded; a years-long series would chunk with carried state or run
+    as a stateful stream). α = β = ½ makes every smoothing step
+    exact-halves arithmetic: each update is one addition rounding,
+    identical in both engines — the DuckDB oracle walks the SAME
+    recursion via a recursive CTE and lands on the same bits. The only
+    shuffle is the per-series collect; the fold is a single codegen'd
+    higher-order expression per row."""
+    daily = _daily(spark, sf_dir)
+    pts = daily.groupBy("series_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("dday"), F.col("v").cast("double").alias("v"))
+            )
+        ).alias("pts")
+    )
+    first_v = F.element_at("pts", 1)["v"]
+    rest = F.slice(F.col("pts"), 2, F.size("pts") - 1)
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x["v"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        new_b = (
+            F.lit(0.5)
+            * ((F.lit(0.5) * x["v"] + F.lit(0.5) * (acc["l"] + acc["b"]))
+               - acc["l"])
+            + F.lit(0.5) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    acc = F.aggregate(
+        rest,
+        F.struct(first_v.alias("l"), F.lit(0.0).alias("b")),
+        step,
+    )
+    return pts.select(
+        "series_id",
+        F.size("pts").cast("bigint").alias("n"),
+        det_round(acc["l"], 4).alias("level_end"),
+        det_round(acc["b"], 4).alias("trend_end"),
+        det_round(acc["l"] + F.lit(7) * acc["b"], 4).alias("forecast_7d"),
+    )
