@@ -326,3 +326,19 @@ def test_anomaly_zscore_broadcasts_stats(plans):
     broadcast — the fact side never shuffles for the join."""
     p = plans("series_anomaly_zscore", "simple")
     assert "BroadcastHashJoin" in p
+
+
+def test_holt_single_collect_no_python(plans):
+    """The sequential recursion must stay one grouped collect + one
+    codegen'd fold expression — no Python island, no extra shuffles."""
+    p = plans("series_holt_forecast", "simple")
+    assert "EvalPython" not in p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_decompose_broadcast_seasonal_join(plans):
+    """The seasonal frame (|series| x 7 rows) must broadcast back; the
+    daily frame never shuffles for that join."""
+    p = plans("series_seasonal_decompose", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
