@@ -752,3 +752,120 @@ def series_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(acc["b"], 4).alias("trend_end"),
         det_round(acc["l"] + F.lit(7) * acc["b"], 4).alias("forecast_7d"),
     )
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts AS valid_from, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to,
+           CAST(lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from
+           ) IS NULL AS BIGINT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: collapse each user's
+    event stream into state intervals — a row per *change* of state with
+    [valid_from, valid_to) bounds and a current-flag, the standard
+    warehouse temporal model. Change detection is a lag window with a
+    total order (ts, event_id tiebreak — SURVEY §7 hard part (c));
+    interval closing is a lead over the change rows only (a frame
+    already collapsed to changes, far smaller than the event stream).
+    One per-user sort, reused by both windows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select("user_id", F.col("ts").alias("valid_from"), "event_type")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().cast("bigint").alias(
+            "is_current"
+        ),
+    )
+
+
+@register(
+    "merge_sources_by_priority",
+    oracle="""
+    WITH src_a AS (
+      SELECT event_type AS series_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS value,
+             1 AS priority, 'primary' AS source
+      FROM events WHERE event_id % 3 <> 0
+      GROUP BY 1, 2
+    ),
+    src_b AS (
+      SELECT event_type AS series_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(22,4))) AS DOUBLE) AS value,
+             2 AS priority, 'fallback' AS source
+      FROM events
+      GROUP BY 1, 2
+    ),
+    unioned AS (SELECT * FROM src_a UNION ALL SELECT * FROM src_b)
+    SELECT series_id, day,
+           MAX_BY(value, -priority) AS value,
+           MAX_BY(source, -priority) AS chosen_source,
+           COUNT(*) AS n_sources
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def merge_sources_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source merge with precedence: several publishers carry the
+    same series (a partial primary feed and a complete fallback here);
+    per (series, day) the highest-priority available value wins via ONE
+    hash aggregate with max_by on negated priority — no join, no window,
+    no per-source branching, and adding a publisher is adding a UNION
+    branch. The shape every multi-catalog consolidation (the reference
+    federates many catalogs) needs at scale."""
+    e = load_table(spark, sf_dir, "events")
+
+    def daily(df, priority, source):
+        return df.groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("day", "ts").alias("day"),
+        ).agg(
+            F.sum(F.col("value").cast("decimal(22,4)"))
+            .cast("double")
+            .alias("value"),
+        ).select(
+            "series_id", "day", "value",
+            F.lit(priority).alias("priority"),
+            F.lit(source).alias("source"),
+        )
+
+    src_a = daily(e.filter(F.col("event_id") % 3 != 0), 1, "primary")
+    src_b = daily(e, 2, "fallback")
+    unioned = src_a.unionByName(src_b)
+    return unioned.groupBy("series_id", "day").agg(
+        F.max_by("value", -F.col("priority")).alias("value"),
+        F.max_by("source", -F.col("priority")).alias("chosen_source"),
+        F.count("*").alias("n_sources"),
+    )
