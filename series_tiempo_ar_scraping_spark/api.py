@@ -59,11 +59,14 @@ def series_summary(spark: SparkSession, store: str,
                    catalog_id: str | None = None) -> DataFrame:
     """Per-series inventory: observation count, time extent, value range
     — the `/series` listing endpoint's backing query. One partial-agg
-    shuffle keyed by series."""
+    shuffle. Series identifiers are CATALOG-scoped in the reference data
+    model, so the grouping key always includes ``catalog_id`` — without
+    it a multi-catalog store would silently merge same-named series
+    (the defect class the CSV sink had in round 3)."""
     df = read_observations(spark, store)
     if catalog_id is not None:
         df = df.filter(F.col("catalog_id") == catalog_id)
-    return df.groupBy("series_id").agg(
+    return df.groupBy("catalog_id", "series_id").agg(
         F.count("*").alias("n_obs"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
@@ -76,20 +79,24 @@ def resample(df: DataFrame, freq: str = "month",
              how: str = "avg") -> DataFrame:
     """Downsample observations to a coarser calendar frequency —
     the API's `collapse` parameter. ``freq`` is any `date_trunc` unit;
-    ``how`` ∈ {avg, sum, min, max, last}. `last` uses max_by(ts) — the
-    end-of-period convention. One hash aggregate."""
+    ``how`` ∈ {avg, sum, min, max, last}. `last` is the end-of-period
+    convention, deterministic under timestamp ties (max_by on a
+    (ts, value) struct — the larger value wins a tied ts instead of an
+    arbitrary one). The key includes ``catalog_id`` when the frame
+    carries it (series ids are catalog-scoped). One hash aggregate."""
     aggs = {
         "avg": F.avg("value"),
         "sum": F.sum("value"),
         "min": F.min("value"),
         "max": F.max("value"),
-        "last": F.max_by("value", "ts"),
+        "last": F.max_by("value", F.struct("ts", "value")),
     }
     if how not in aggs:
         raise ValueError(f"unknown how={how!r}; expected one of {sorted(aggs)}")
+    keys = (["catalog_id"] if "catalog_id" in df.columns else []) + [
+        "series_id"
+    ]
     return (
-        df.groupBy(
-            "series_id", F.date_trunc(freq, "ts").alias("period")
-        )
+        df.groupBy(*keys, F.date_trunc(freq, "ts").alias("period"))
         .agg(aggs[how].alias("value"), F.count("*").alias("n_source_obs"))
     )

@@ -129,8 +129,8 @@ def _decode_bmp24(data: bytes) -> np.ndarray | None:
         return None
     pixel_offset = struct.unpack_from("<I", data, 10)[0]
     info_size = struct.unpack_from("<I", data, 14)[0]
-    if info_size < 40:
-        return None
+    if info_size < 40 or pixel_offset < 14 + info_size:
+        return None  # pixels may not alias the headers
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
@@ -138,7 +138,10 @@ def _decode_bmp24(data: bytes) -> np.ndarray | None:
         return None
     bottom_up, h = h > 0, abs(h)
     stride = (w * 3 + 3) // 4 * 4
-    if len(data) < pixel_offset + stride * h:
+    # exact-length contract, as the PPM branch: declared dimensions must
+    # account for the whole payload — trailing garbage is a reject, not
+    # silently-dropped bytes
+    if len(data) != pixel_offset + stride * h:
         return None
     rows = np.frombuffer(
         data, dtype=np.uint8, offset=pixel_offset, count=stride * h

@@ -106,17 +106,23 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
         norm(F.col(vec_col)).alias("c_norm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vvec")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        norm(F.col(vec_col)).alias("v_norm"),
     )
-    # Ranking is scale-invariant in the vector's own norm (positive
-    # constant per vid) — skip dividing by norm(v): same argmax, same
-    # ties, ~1/3 the flops of full cosine per pair.
+    # FULL cosine, same expression tree as the SQL oracles (_COS64:
+    # dot / (sqrt·sqrt)). Dropping the vector's own norm would be
+    # scale-invariant in exact arithmetic but is a DIFFERENT float tree:
+    # the extra division can collapse 1-ulp csim gaps into ties the two
+    # engines then break differently, flipping a list assignment — the
+    # determinism rule (identical trees) outranks the ~1/3 flops saving.
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid",
         "centroid_id",
-        (dot(F.col("vvec"), F.col("centroid_vec")) / F.col("c_norm")).alias(
-            "csim"
-        ),
+        (
+            dot(F.col("vvec"), F.col("centroid_vec"))
+            / (F.col("v_norm") * F.col("c_norm"))
+        ).alias("csim"),
     )
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (

@@ -75,10 +75,18 @@ def det_round(col: F.Column, n: int) -> F.Column:
     (HALF_UP on BigDecimal.valueOf), DuckDB rounds the binary value — they
     disagree whenever the shortest repr lands exactly on a half. floor() is
     exact on both engines, so this formula is bit-identical everywhere.
-    Only valid for non-negative values (all ours are).
+    For negative inputs halves round toward +∞ (see NOTE below) — still
+    deterministic because every oracle mirrors the identical formula.
     """
     p = 10 ** n
     return (F.floor(col * p + F.lit(0.5)) / p).cast("double")
+
+
+# NOTE on negative inputs: floor(x·10^n + 0.5) rounds halves toward +∞
+# for negatives (-2.00005 → -2.0000, not -2.0001). That convention is
+# unusual but CROSS-ENGINE SAFE — every oracle mirrors the same formula,
+# so both engines land on identical bits; the original "non-negative
+# only" wording described the early catalog, not a correctness limit.
 
 
 def det_round_sql(expr: str, n: int) -> str:

@@ -382,19 +382,22 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = newb.join(exact, "new_id", "left_anti")
 
     # Shingle each side ONCE and feed signatures + the verify join from
-    # the same materialized frame (the dedup_ngram_jaccard lesson).
-    shn = surv.select(
-        "new_id",
-        TX.shingles_from_tokens(
-            TX.tokens(TX.normalize_text(F.col("text"))), 3
-        ).alias("shingles"),
-    ).localCheckpoint(eager=True)
-    shi = docs.select(
-        "doc_id",
-        TX.shingles_from_tokens(
-            TX.tokens(TX.normalize_text(F.col("text"))), 3
-        ).alias("shingles"),
-    ).localCheckpoint(eager=True)
+    # the same materialized frame — BOTH halves of the dedup_ngram_jaccard
+    # lesson: tokens materialize in their own projection first (inlining
+    # the tokenizer into shingles_from_tokens re-runs the regex per
+    # element), then the shingle frame checkpoints.
+    def _shingled(df, id_name):
+        toked = df.select(
+            id_name,
+            TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks"),
+        )
+        return toked.select(
+            id_name,
+            TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
+        ).localCheckpoint(eager=True)
+
+    shn = _shingled(surv, "new_id")
+    shi = _shingled(docs, "doc_id")
     sign = D.minhash_signatures_from_shingles(shn, id_col="new_id")
     sigi = D.minhash_signatures_from_shingles(shi, id_col="doc_id")
     cand = D.incremental_match_candidates(sign, sigi).select(

@@ -20,13 +20,9 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 
-_DAILY_SQL = """
-      SELECT event_type AS series_id,
-             date_diff('day', DATE '1992-01-01',
-                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
-             SUM(CAST(value AS DECIMAL(22,4))) AS v
-      FROM events GROUP BY 1, 2
-"""
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
+)
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,6 +54,7 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                  / n * 1000000 + 0.5) / 1000000 AS DOUBLE) AS intercept
     FROM agg
+    WHERE n > 1 AND (n * sxx - sx * sx) > 0
     """,
 )
 def series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,11 +73,12 @@ def series_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dday") * F.col("dday")).cast("double").alias("sxx"),
     )
     n = F.col("n")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     intercept = (F.col("sy") - slope * F.col("sx")) / n
-    return agg.select(
+    # degenerate series (single distinct day) have no defined trend —
+    # and engines disagree on double 0/0 (Spark NaN vs DuckDB NULL)
+    return agg.filter((n > 1) & (denom > 0)).select(
         "series_id",
         "n",
         det_round(slope, 6).alias("slope"),
@@ -758,23 +756,23 @@ def series_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_user_state_history",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts, event_type,
+      SELECT user_id, ts, event_id, event_type,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev_type
       FROM events
     ),
     changes AS (
-      SELECT user_id, ts AS valid_from, event_type
+      SELECT user_id, ts AS valid_from, event_id, event_type
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type, valid_from,
            lead(valid_from) OVER (
-             PARTITION BY user_id ORDER BY valid_from
+             PARTITION BY user_id ORDER BY valid_from, event_id
            ) AS valid_to,
            CAST(lead(valid_from) OVER (
-             PARTITION BY user_id ORDER BY valid_from
+             PARTITION BY user_id ORDER BY valid_from, event_id
            ) IS NULL AS BIGINT) AS is_current
     FROM changes
     """,
@@ -793,14 +791,18 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = e.select(
-        "user_id", "ts", "event_type",
+        "user_id", "ts", "event_id", "event_type",
         F.lag("event_type").over(w).alias("prev_type"),
     )
     changes = ordered.filter(
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
-    ).select("user_id", F.col("ts").alias("valid_from"), "event_type")
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "event_id", "event_type"
+    )
+    # event_id tiebreak: two state changes at the same timestamp must
+    # close in a deterministic order (the repo's total-order rule)
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         "event_type",

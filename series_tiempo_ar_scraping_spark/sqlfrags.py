@@ -131,3 +131,16 @@ def _cc_oracle() -> str:
     )
     SELECT id AS doc_id, MIN(comp) AS component_id FROM reach GROUP BY id
     """
+
+
+# Canonical daily-series frame (dday since 1992-01-01, exact decimal
+# sums) — the batch-8 analytics consume this; queries_batch5 predates it
+# and carries byte-identical inline copies inside already-pinned oracles
+# (change THIS one and migrate those oracles together, or they drift).
+_DAILY_SERIES_DDAY_SQL = """
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday,
+             SUM(CAST(value AS DECIMAL(22,4))) AS v
+      FROM events GROUP BY 1, 2
+"""

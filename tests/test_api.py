@@ -65,6 +65,13 @@ def test_get_series_slice_and_pruning(spark, sf_dir, tmp_path):
 
 def test_series_summary_matches_direct_agg(spark, sf_dir, tmp_path):
     store = _store(spark, sf_dir, tmp_path)
+    # catalog-scoped keying: an unfiltered multi-catalog summary keeps
+    # same-named series from different catalogs apart (2 rows per name)
+    unfiltered = api.series_summary(spark, store).collect()
+    per_name = {}
+    for r in unfiltered:
+        per_name.setdefault(r.series_id, set()).add(r.catalog_id)
+    assert all(cats == {"cat1", "cat2"} for cats in per_name.values())
     got = {
         r.series_id: r
         for r in api.series_summary(spark, store, catalog_id="cat1").collect()

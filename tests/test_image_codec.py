@@ -294,3 +294,14 @@ def test_decoders_never_raise_on_corrupted_valid(payload, cut, tail):
     MM.try_decode_image(data)
     MM.try_decode_wav(data)
     MM.try_decode_y4m(data)
+
+
+def test_bmp_rejects_trailing_garbage_and_aliased_offset():
+    good = MM.encode_bmp24(_rand_pixels(2, 2, seed=9))
+    assert MM.try_decode_image(good) is not None
+    # exact-length contract: appended junk is a reject
+    assert MM.try_decode_image(good + b"junk") is None
+    # pixel_offset pointing into the headers is a reject
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 0)
+    assert MM.try_decode_image(bytes(bad)) is None
