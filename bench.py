@@ -84,11 +84,14 @@ def main() -> None:
     ):
         load_table(spark, sf_dir, t)
 
+    missing = [n for n in BENCH_QUERIES if n not in QUERIES]
+    if missing:
+        # a renamed/removed headline query must fail loudly — silently
+        # summing fewer queries would read as a throughput win
+        raise SystemExit(f"bench queries missing from catalog: {missing}")
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = QUERIES[name]
         # Two executions per query; the FIRST is an untimed warm-up.
         # A plan's first run pays one-time costs that have nothing to do
         # with data throughput — whole-stage-codegen compilation, JVM JIT

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from series_tiempo_ar_scraping_spark.operators.textops import word_shingles
 
 # MinHash configuration shared with the DuckDB oracle generator.
 MINHASH_K = 12  # hash functions

@@ -90,6 +90,13 @@ def _branch_ok(col: Column, branch: dict) -> Column | None:
         return _string_branch_ok(col, branch)
     if t == "object":
         return None  # handled via path flattening
+    if t is None and _is_constrained(branch):
+        # draft-04 allows type-less constrained branches (e.g.
+        # {"format": "uri"}): the string-class keywords still apply.
+        # Falling through to lit(True) here would silently compile the
+        # constraint into an always-pass rule that the coverage
+        # inventory still counts as covered.
+        return _string_branch_ok(col, branch)
     return F.lit(True)
 
 

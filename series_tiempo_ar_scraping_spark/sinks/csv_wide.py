@@ -212,13 +212,26 @@ def write_wide_csvs_bulk(
             parts = [f for f in files if f.startswith("part-")]
             if not parts:
                 continue
-            kv = dict(
-                seg.split("=", 1)
-                for seg in root[len(staging):].strip("/").split("/")
-                if "=" in seg
-            )
-            cid = kv.get("catalog_id", "_")
-            did = kv.get("dataset_id", "_")
+            # partition dir names are Hive-escaped (space → %20, ':' →
+            # %3A, …) — unescape so ids with special characters resolve
+            # to their declared fileName targets instead of literal
+            # percent-encoded paths; a null id partition dir
+            # (__HIVE_DEFAULT_PARTITION__) maps back to None.
+            from urllib.parse import unquote
+
+            def _unescape(v: str) -> str | None:
+                return None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+
+            kv = {
+                k: _unescape(v)
+                for k, v in (
+                    seg.split("=", 1)
+                    for seg in root[len(staging):].strip("/").split("/")
+                    if "=" in seg
+                )
+            }
+            cid = kv.get("catalog_id") or "_"
+            did = kv.get("dataset_id") or "_"
             rid = kv.get("distribution_id")
             out = targets.get((cid, did, rid)) or os.path.join(
                 distribution_dir(output_dir, cid, did, rid or "_"),
@@ -321,6 +334,32 @@ def compact_observations_parquet(
         if f.name in ("catalog_id", "freq_code")
     ]
     n_files = max(1, -(-size_bytes // (target_file_mb * 1024 * 1024)))
+    if "batch_id" in df.columns:
+        # A store written by stream_append_parquet partitions by
+        # batch_id first; compaction FOLDS that level away. An in-place
+        # dynamic overwrite would leave the old batch_id=N trees beside
+        # the new catalog_id=X trees (duplicated rows + a conflicting
+        # partition layout on the next read), so the rewrite goes to a
+        # staging dir and swaps in atomically-enough via renames.
+        import shutil as _shutil
+
+        staging = path.rstrip("/") + "__compacting"
+        (
+            df.drop("batch_id")
+            .repartition(n_files, *(parts or ["series_id"]))
+            .sortWithinPartitions("series_id", "ts")
+            .write.mode("overwrite")
+            .partitionBy(*parts)
+            .parquet(staging)
+        )
+        old = path.rstrip("/") + "__precompact"
+        os.rename(path, old)
+        os.rename(staging, path)
+        _shutil.rmtree(old, ignore_errors=True)
+        return {
+            "files_before": before,
+            "files_after": count_parquet_files(path),
+        }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -30,6 +30,37 @@ def _opt(df: DataFrame, name: str, dtype: str = "string"):
     return F.col(name).cast(dtype)
 
 
+def _has(df: DataFrame, name: str) -> bool:
+    """Whether a (possibly dotted) path exists in the inferred schema."""
+    cur = df.schema
+    for p in name.split("."):
+        names = [f.name for f in cur.fields] if hasattr(cur, "fields") else []
+        if p not in names:
+            return False
+        cur = dict(zip(names, [f.dataType for f in cur.fields]))[p]
+    return True
+
+
+# A present-but-empty stand-in for a missing array-of-objects key:
+# explode_outer yields one all-null struct row, every _opt() projection
+# of it is NULL, and the not-null id filters drop it — so a catalog that
+# omits `dataset`/`distribution`/`field`/`themeTaxonomy` (all optional
+# per the schemas) normalizes to EMPTY frames instead of crashing on an
+# unresolved column.
+_MISSING_ARRAY = "array<struct<__missing:string>>"
+
+
+def _opt_explode(df: DataFrame, name: str, alias: str, pos: bool = False):
+    col = (
+        F.col(name)
+        if _has(df, name)
+        else F.lit(None).cast(_MISSING_ARRAY)
+    )
+    if pos:
+        return F.posexplode_outer(col).alias("pos", alias)
+    return F.explode_outer(col).alias(alias)
+
+
 def read_catalog_json(spark: SparkSession, path: str, catalog_id: str | None = None) -> dict[str, DataFrame]:
     """Read one ``data.json`` catalog file → normalized frames.
 
@@ -65,7 +96,7 @@ def normalize_catalog(raw: DataFrame, catalog_id: str | None = None) -> dict[str
     with_cid = raw.select(cid.alias("catalog_id"), "*")
 
     ds_exploded = with_cid.select(
-        "catalog_id", F.explode_outer("dataset").alias("ds")
+        "catalog_id", _opt_explode(with_cid, "dataset", "ds")
     )
     datasets = ds_exploded.select(
         "catalog_id",
@@ -87,8 +118,8 @@ def normalize_catalog(raw: DataFrame, catalog_id: str | None = None) -> dict[str
 
     dist_exploded = ds_exploded.select(
         "catalog_id",
-        F.col("ds.identifier").alias("dataset_id"),
-        F.explode_outer("ds.distribution").alias("di"),
+        _opt(ds_exploded, "ds.identifier").alias("dataset_id"),
+        _opt_explode(ds_exploded, "ds.distribution", "di"),
     )
     distributions = dist_exploded.select(
         "catalog_id",
@@ -109,8 +140,8 @@ def normalize_catalog(raw: DataFrame, catalog_id: str | None = None) -> dict[str
     field_exploded = dist_exploded.select(
         "catalog_id",
         "dataset_id",
-        F.col("di.identifier").alias("distribution_id"),
-        F.posexplode_outer("di.field").alias("pos", "f"),
+        _opt(dist_exploded, "di.identifier").alias("distribution_id"),
+        _opt_explode(dist_exploded, "di.field", "f", pos=True),
     )
     fields = field_exploded.select(
         "catalog_id",
@@ -129,7 +160,7 @@ def normalize_catalog(raw: DataFrame, catalog_id: str | None = None) -> dict[str
     ).filter(F.col("title").isNotNull() | F.col("field_id").isNotNull())
 
     theme_exploded = with_cid.select(
-        "catalog_id", F.explode_outer("themeTaxonomy").alias("t")
+        "catalog_id", _opt_explode(with_cid, "themeTaxonomy", "t")
     )
     themes = theme_exploded.select(
         "catalog_id",

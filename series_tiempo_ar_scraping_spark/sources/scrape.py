@@ -122,41 +122,35 @@ def scrape_observations(cells: DataFrame, series_params: DataFrame, time_params:
     Table bounding: a sheet can hold SEVERAL tables stacked vertically
     (the reference mock's ``actividad_ied.xlsx`` declares the annual
     table at rows 8-13 and the quarterly one at rows 46+ of the SAME
-    sheet). xlseries stops each table at the end of its contiguous run;
-    the relational analog keeps only the LEADING CONTIGUOUS RUN of cells
-    per column — a row belongs to the table iff every prior offset is
-    present, i.e. ``offset == row_number() - 1`` under (partition, order
-    by offset). Time and value columns are bounded independently so the
-    V6 trim signal (data rows extending past the last date row —
-    reference ``base.py:170-175``) still fires.
+    sheet). The TIME column defines the table's extent: it is bounded at
+    its leading contiguous run (a blank time cell ends the table —
+    ``offset == row_number() - 1`` under (partition, order by offset)).
+    Value cells are NOT run-bounded on their own column — a genuinely
+    blank observation mid-series is a missing value, not the end of the
+    table (per-column run-bounding would silently truncate every later
+    observation). Instead a value row belongs to the table iff its
+    offset is within the time extent OR in the contiguous continuation
+    just past it — the latter is exactly the V6 trim signal (data rows
+    extending beyond the last date row, reference ``base.py:170-175``),
+    while a stacked second table further down the same column stays
+    excluded (its offsets are not contiguous with the time end).
     """
-    # Value cells: each series' column from its start row down, bounded
-    # to the leading contiguous run (one gap ends the table).
-    wv = Window.partitionBy(
-        "catalog_id", "dataset_id", "distribution_id", "field_id"
-    ).orderBy("offset")
-    vals = (
-        cells.join(
-            F.broadcast(series_params),
-            (cells.file == series_params.file)
-            & (cells.sheet == series_params.sheet)
-            & (cells.col == series_params.data_col)
-            & (cells.row >= series_params.data_start_row),
-        )
-        .select(
-            "catalog_id",
-            "dataset_id",
-            "distribution_id",
-            "field_id",
-            "series_title",
-            (cells.row - series_params.data_start_row).alias("offset"),
-            cells.row.alias("cell_row"),
-            missing_to_null(cells.value).alias("value"),
-            cells.value.alias("raw_value"),
-        )
-        .withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("offset") == F.col("_rn") - 1)
-        .drop("_rn")
+    vals_raw = cells.join(
+        F.broadcast(series_params),
+        (cells.file == series_params.file)
+        & (cells.sheet == series_params.sheet)
+        & (cells.col == series_params.data_col)
+        & (cells.row >= series_params.data_start_row),
+    ).select(
+        "catalog_id",
+        "dataset_id",
+        "distribution_id",
+        "field_id",
+        "series_title",
+        (cells.row - series_params.data_start_row).alias("offset"),
+        cells.row.alias("cell_row"),
+        missing_to_null(cells.value).alias("value"),
+        cells.value.alias("raw_value"),
     )
 
     # Time cells: the time column per distribution, bounded the same way;
@@ -187,6 +181,33 @@ def scrape_observations(cells: DataFrame, series_params: DataFrame, time_params:
         .drop("_rn")
     )
 
+    # Bound value rows by the time extent + contiguous continuation (see
+    # docstring). A distribution with no time rows falls back to the old
+    # per-column leading-run rule (time_end = -1 ⇒ continuation from 0).
+    time_ends = times.groupBy(
+        "catalog_id", "dataset_id", "distribution_id"
+    ).agg(F.max("offset").alias("_time_end"))
+    wb = Window.partitionBy(
+        "catalog_id", "dataset_id", "distribution_id", "field_id", "_beyond"
+    ).orderBy("offset")
+    vals = (
+        vals_raw.join(
+            F.broadcast(time_ends),
+            ["catalog_id", "dataset_id", "distribution_id"],
+            "left",
+        )
+        .withColumn("_time_end", F.coalesce("_time_end", F.lit(-1)))
+        .withColumn(
+            "_beyond", (F.col("offset") > F.col("_time_end")).cast("int")
+        )
+        .withColumn("_rnb", F.row_number().over(wb))
+        .filter(
+            (F.col("_beyond") == 0)
+            | (F.col("offset") == F.col("_time_end") + F.col("_rnb"))
+        )
+        .drop("_time_end", "_beyond", "_rnb")
+    )
+
     # Composed-time synthesis: anchor = first parsed date; unparsed rows get
     # anchor advanced `offset` periods (xlseries time_composed analog).
     w = Window.partitionBy("catalog_id", "dataset_id", "distribution_id").orderBy(
@@ -201,7 +222,9 @@ def scrape_observations(cells: DataFrame, series_params: DataFrame, time_params:
     months_map = F.create_map(
         *[F.lit(x) for kv in FREQ_CODE_MONTHS.items() for x in kv]
     )
-    delta = F.col("offset") - anchor_off
+    # int cast: date_add rejects BIGINT deltas (offsets are int when cells
+    # come from the workbook datasource, but callers may supply long rows)
+    delta = (F.col("offset") - anchor_off).cast("int")
     synthesized = F.when(
         F.col("freq_code") == "D", F.date_add(anchor, delta)
     ).otherwise(F.add_months(anchor, delta * months_map[F.col("freq_code")]))

@@ -87,6 +87,11 @@ def read_events_stream_native(spark: SparkSession, sf_dir: str,
     if pa_types.is_integer(ts_type):
         # Legacy INT64 TIMESTAMP(NANOS): read nanos as long, truncate to µs
         # exactly like load_table (and DuckDB's ns→µs truncation).
+        # SESSION-SCOPED side effect, deliberately not restored: the
+        # legacy conf must still be set when the stream EXECUTES (reads
+        # are lazy), so it stays for the session. Mixed-generation
+        # sessions don't occur in practice (one fixture generation per
+        # harness run); the non-nanos branch below resets it defensively.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(EVENTS_SCHEMA_NANOS)
@@ -99,6 +104,10 @@ def read_events_stream_native(spark: SparkSession, sf_dir: str,
     # — read at the file's own type, then cast: under the engine's pinned
     # UTC session timezone the NTZ→LTZ cast is instant-preserving, so
     # windows/gaps agree with the batch oracles bit-for-bit.
+    # defensive reset: a prior nanos-generation call in this session must
+    # not leak the legacy long-read mode into a real-timestamp fixture
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark_ts = (
         T.TimestampType() if getattr(ts_type, "tz", None) else T.TimestampNTZType()
     )
@@ -122,9 +131,14 @@ def read_events_stream_native(spark: SparkSession, sf_dir: str,
 
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once-ish ingest: drop duplicate event_ids within the
-    watermark horizon (state is bounded by the watermark — unbounded
-    dedup state would OOM a real cluster)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    watermark horizon. MUST be ``dropDuplicatesWithinWatermark`` — plain
+    ``dropDuplicates(['event_id'])`` only evicts state when the
+    event-time column is part of the dedup key, so it would accumulate
+    one state entry per distinct event_id forever (the exact OOM this
+    operator exists to prevent)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def tumbling_counts(events: DataFrame, window_len: str = "1 hour",
@@ -151,12 +165,17 @@ def tumbling_counts(events: DataFrame, window_len: str = "1 hour",
     )
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str) -> None:
-    """Drain an availableNow pass into an in-memory table (test harness)."""
+def run_to_memory(stream_df: DataFrame, query_name: str,
+                  output_mode: str = "complete") -> None:
+    """Drain an availableNow pass into an in-memory table (test harness).
+
+    ``output_mode`` defaults to complete (the aggregate-query case);
+    pass ``"append"`` for non-aggregate streams such as ``dedup_events``
+    output — complete mode is rejected for those."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

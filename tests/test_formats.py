@@ -240,3 +240,36 @@ def test_gzip_compressed_distribution_csv(spark, tmp_path):
     assert ("serie_b", "2024-01-02", None) in [
         (s, t[:10], v) for s, t, v in got
     ]
+
+
+def test_compaction_folds_streamed_batch_id_store(spark, sf_dir, tmp_path):
+    """A store written by the streaming sink partitions by batch_id
+    first; compaction must FOLD that level away completely — leaving old
+    batch_id=N trees beside new catalog_id=X trees would duplicate rows
+    and break the next read with a conflicting partition layout."""
+    import os
+
+    from series_tiempo_ar_scraping_spark.session import load_table
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        compact_observations_parquet,
+    )
+
+    e = load_table(spark, sf_dir, "events").limit(200)
+    obs = e.selectExpr(
+        "'c1' AS catalog_id", "event_type AS series_id", "ts", "value"
+    )
+    store = str(tmp_path / "streamed_store")
+    # simulate two microbatches of the idempotent streaming sink layout
+    obs.limit(120).write.mode("overwrite").partitionBy("catalog_id").parquet(
+        os.path.join(store, "batch_id=0")
+    )
+    spark.createDataFrame(obs.collect()[120:]).write.mode(
+        "overwrite"
+    ).partitionBy("catalog_id").parquet(os.path.join(store, "batch_id=1"))
+    before = spark.read.parquet(store).count()
+
+    compact_observations_parquet(spark, store, target_file_mb=128)
+    after_df = spark.read.parquet(store)
+    assert after_df.count() == before
+    assert "batch_id" not in after_df.columns
+    assert not any(d.startswith("batch_id=") for d in os.listdir(store))

@@ -262,3 +262,43 @@ def test_bulk_csv_writer_multi_catalog_same_distribution_id(spark, tmp_path):
     assert [p for p in again if "catB" in p] and not [
         p for p in again if "catA" in p
     ]
+
+
+def test_blank_value_cell_is_missing_not_table_end(spark):
+    """A genuinely blank observation cell mid-series must NOT truncate
+    the series (it is a missing value); the table is bounded by the TIME
+    column's extent plus its contiguous continuation, so a second table
+    stacked further down the same column still stays out and the V6
+    trailing-data row still counts."""
+    from series_tiempo_ar_scraping_spark.sources.scrape import (
+        scrape_observations,
+    )
+
+    # time col A rows 1-5 (annual); value col B with row 3 BLANK (absent),
+    # a trailing no-date data row at 6 (V6), and a stacked table at 10-12
+    cells = spark.createDataFrame(
+        [("f", "s", "A", r, f"{2019 + r}") for r in range(1, 6)]
+        + [("f", "s", "B", r, str(float(r))) for r in (1, 2, 4, 5)]
+        + [("f", "s", "B", 6, "6.0")]          # past last date: V6 trim
+        + [("f", "s", "B", r, "99.0") for r in (10, 11, 12)],  # 2nd table
+        "file string, sheet string, col string, row long, value string",
+    )
+    series_params = spark.createDataFrame(
+        [("f", "s", "B", 1, "c", "d", "r1", "fld", "Serie")],
+        "file string, sheet string, data_col string, data_start_row long,"
+        " catalog_id string, dataset_id string, distribution_id string,"
+        " field_id string, series_title string",
+    )
+    time_params = spark.createDataFrame(
+        [("f", "s", "A", 1, "c", "d", "r1", "Y")],
+        "file string, sheet string, time_col string, time_start_row long,"
+        " catalog_id string, dataset_id string, distribution_id string,"
+        " freq_code string",
+    )
+    obs, ends = scrape_observations(cells, series_params, time_params)
+    got = {(r.ts.year, r.value) for r in obs.collect()}
+    # rows 1,2,4,5 observed; 2021 (row 3) simply missing; no 99s leak
+    assert got == {(2020, 1.0), (2021, 2.0), (2023, 4.0), (2024, 5.0)}
+    e = ends.collect()[0]
+    assert e.table_end == 6   # the trailing data row counts (V6)
+    assert e.end == 5         # last dated row
