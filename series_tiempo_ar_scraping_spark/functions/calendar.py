@@ -51,8 +51,22 @@ def period_start(ts: Column, freq_code: Column) -> Column:
     )
 
 
-def series_window() -> Window:
-    return Window.partitionBy("series_id").orderBy("ts")
+_SERIES_KEY = ["catalog_id", "dataset_id", "distribution_id", "series_id"]
+
+
+def series_window(obs: DataFrame | None = None) -> Window:
+    """Per-series window over the FULL identity key. ``series_id`` alone
+    is the column title on the CSV/TXT routes — NOT unique across
+    distributions — so partitioning only by it would interleave two
+    distributions' same-titled columns into one window and fire false
+    duplicate/out-of-order/gap flags on valid data. When a frame is
+    passed, only its present key columns are used (test frames may carry
+    a bare series_id)."""
+    if obs is None:
+        keys = _SERIES_KEY
+    else:
+        keys = [k for k in _SERIES_KEY if k in obs.columns]
+    return Window.partitionBy(*keys).orderBy("ts")
 
 
 def with_series_checks(obs: DataFrame, freq_code_col: str = "freq_code") -> DataFrame:
@@ -66,7 +80,7 @@ def with_series_checks(obs: DataFrame, freq_code_col: str = "freq_code") -> Data
       — always false after an orderBy window, kept for raw-ingest frames);
     - ``has_gap``: lag-based spacing differs from declared frequency.
     """
-    w = series_window()
+    w = series_window(obs)
     prev_ts = F.lag("ts").over(w)
     return (
         obs.withColumn("prev_ts", prev_ts)

@@ -62,8 +62,17 @@ def run_etl(
         def file_resolver(ref: str):
             if not ref.startswith(("http://", "https://")):
                 return ref
+            # landing path is namespaced by a hash of the FULL url, not
+            # just its basename: two distributions whose urls share a
+            # basename (data.csv on different hosts — common on portals)
+            # must not overwrite each other's downloads (and concurrent
+            # catalogs share this landing dir).
+            import hashlib
+
+            bucket = hashlib.md5(ref.encode()).hexdigest()[:12]
             local = os.path.join(
-                output_dir, "landing", "files", ref.rsplit("/", 1)[-1]
+                output_dir, "landing", "files", bucket,
+                ref.rsplit("/", 1)[-1],
             )
             try:
                 return download_to_file(
@@ -204,6 +213,8 @@ def cli(config_path, output_dir, replace, catalog_id_filter,
     # Relative metadata paths resolve against the index file, not the cwd.
     base = os.path.dirname(os.path.abspath(config_path))
     for cfg in (index.get("catalogs", index)).values():
+        if not isinstance(cfg, dict):
+            continue  # null/scalar index entries tolerated, as in run_etl
         p = cfg.get("metadata_path")
         if p and not os.path.isabs(p):
             cfg["metadata_path"] = os.path.join(base, p)

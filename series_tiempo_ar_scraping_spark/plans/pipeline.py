@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from series_tiempo_ar_scraping_spark.config import (
+    FREQ_ISO_TO_CODE,
     METHOD_CSV,
     METHOD_EXCEL,
     METHOD_TXT,
@@ -40,10 +41,8 @@ from series_tiempo_ar_scraping_spark.operators.validation import (
     validate_observations,
 )
 from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
-    distribution_dir,
     rewrite_download_urls,
     scrub_scraping_metadata,
-    write_wide_csv,
     write_wide_csvs_bulk,
 )
 from series_tiempo_ar_scraping_spark.sources.catalog_json import read_catalog_json
@@ -69,6 +68,9 @@ class PipelineResult:
     dataset_report: DataFrame
     indicators: DataFrame | None
     written_files: list[str] = field(default_factory=list)
+    processor_errors: list[tuple[str, str, str, str]] = field(
+        default_factory=list
+    )
 
 
 class CatalogPipeline:
@@ -137,8 +139,12 @@ class CatalogPipeline:
             frames[k] = frames[k].cache()
 
         meta_errors = validate_metadata(frames).cache()
-        frames["datasets"] = harvestable_datasets(frames["datasets"], meta_errors)
+        # report over the UNFILTERED datasets: a dataset with metadata
+        # errors must appear as an ERROR row (reference base.py:443-451),
+        # not vanish — the harvest filter applies only to further
+        # processing
         ds_report = datasets_report(frames["datasets"], meta_errors)
+        frames["datasets"] = harvestable_datasets(frames["datasets"], meta_errors)
         ts_dists = time_series_distributions(
             frames["distributions"], frames["fields"]
         ).cache()
@@ -213,6 +219,18 @@ class CatalogPipeline:
         dist_report = None
         indicators = None
         written: list[str] = []
+        if not obs_parts and ts_dists.limit(1).count() > 0:
+            # every routed file failed (V7: the reasons are in
+            # processor_errors) — the report still lists each routed
+            # distribution as ERROR instead of disappearing
+            dist_report = sort_reports_by_status(
+                ts_dists.select(
+                    F.col("dataset_id").alias("dataset_identifier"),
+                    F.col("distribution_id").alias("distribution_identifier"),
+                    F.lit("ERROR").alias("distribution_status"),
+                )
+            ).cache()
+            indicators = catalog_indicators(ds_report, dist_report)
         if obs_parts:
             observations = obs_parts[0]
             for p in obs_parts[1:]:
@@ -225,12 +243,17 @@ class CatalogPipeline:
                 .filter(F.col("specialType") == "time_index")
                 .select(
                     "distribution_id",
-                    F.when(F.col("specialTypeDetail") == "R/P1Y", "Y")
-                    .when(F.col("specialTypeDetail") == "R/P6M", "S")
-                    .when(F.col("specialTypeDetail") == "R/P3M", "Q")
-                    .when(F.col("specialTypeDetail") == "R/P1M", "M")
-                    .when(F.col("specialTypeDetail") == "R/P1D", "D")
-                    .alias("freq_code"),
+                    # built from FREQ_ISO_TO_CODE — the single source of
+                    # truth field validation also checks against, so a
+                    # newly supported frequency can't silently disable
+                    # gap checks here
+                    F.create_map(
+                        *[
+                            F.lit(x)
+                            for kv in FREQ_ISO_TO_CODE.items()
+                            for x in kv
+                        ]
+                    )[F.col("specialTypeDetail")].alias("freq_code"),
                 )
             )
             series_rep = validate_observations(
@@ -344,4 +367,5 @@ class CatalogPipeline:
             dataset_report=ds_report,
             indicators=indicators,
             written_files=written,
+            processor_errors=processor_errors,
         )

@@ -38,6 +38,7 @@ def write_json_catalog(frames: dict, path: str) -> str:
                 "distributions_published", frames["distributions"]
             ),
             "fields": frames.get("fields_published", frames["fields"]),
+            "themes": frames.get("themes"),
         }
     )
     rows = [json.loads(r) for r in nested.toJSON().collect()]

@@ -276,4 +276,25 @@ def renest_catalog(frames: dict[str, DataFrame]) -> DataFrame:
             ).alias("dataset")
         )
     )
-    return _nest_publisher(frames["catalogs"]).join(ds_n, "catalog_id", "left")
+    doc = _nest_publisher(frames["catalogs"]).join(ds_n, "catalog_id", "left")
+    # themeTaxonomy: dataset.theme ids reference it — dropping it on
+    # republication would dangle them (reference writes the full catalog,
+    # base.py:494-498)
+    themes = frames.get("themes")
+    if themes is not None and "theme_id" in themes.columns:
+        themes_n = themes.groupBy("catalog_id").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("theme_id").alias("id"),
+                        *[
+                            c
+                            for c in ("label", "description")
+                            if c in themes.columns
+                        ],
+                    )
+                )
+            ).alias("themeTaxonomy")
+        )
+        doc = doc.join(themes_n, "catalog_id", "left")
+    return doc

@@ -194,14 +194,17 @@ def read_distributions_bulk(
         " distribution_id string",
     )
     paths = sorted({os.path.abspath(p) for *_ids, p in items})
+    # input_file_name() returns the file URI with percent-encoded path
+    # characters (space → %20, accents → %C3%…) — url_decode restores the
+    # raw path so it joins os.path.abspath on the dim side; literal '+'
+    # is pre-escaped because url_decode form-decodes it to a space.
+    decoded_path = F.expr(
+        "url_decode(replace(regexp_replace(input_file_name(),"
+        " '^file:/*', '/'), '+', '%2B'))"
+    )
     raw = (
         spark.read.text(paths)
-        .select(
-            F.regexp_replace(F.input_file_name(), "^file:/*", "/").alias(
-                "abspath"
-            ),
-            "value",
-        )
+        .select(decoded_path.alias("abspath"), "value")
         .filter(F.length("value") > 0)
     )
     parts = F.split(F.col("value"), _re.escape(sep))

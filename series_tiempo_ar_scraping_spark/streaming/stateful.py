@@ -85,6 +85,18 @@ def _session_fn(gap_minutes: int):
                 if ss < 0:
                     ss = last = t
                     n = 1
+                elif t < ss:
+                    # allowed-late event (>= watermark) BEFORE the open
+                    # session: it only merges when within the gap of the
+                    # session START (extending it backward); otherwise it
+                    # is its own already-closed session — blindly
+                    # comparing against last_ts would absorb any earlier
+                    # event and corrupt session_start.
+                    if ss - t <= gap_us:
+                        ss = t
+                        n += 1
+                    else:
+                        emit(t, t, 1)
                 elif t - last > gap_us:
                     emit(ss, last, n)
                     ss = last = t

@@ -273,3 +273,23 @@ def test_compaction_folds_streamed_batch_id_store(spark, sf_dir, tmp_path):
     assert after_df.count() == before
     assert "batch_id" not in after_df.columns
     assert not any(d.startswith("batch_id=") for d in os.listdir(store))
+
+
+def test_bulk_read_handles_spaces_and_accents_in_paths(spark, tmp_path):
+    """input_file_name() percent-encodes the path; the bulk reader must
+    decode it so files named with spaces/accents/plus signs still join
+    their distribution ids instead of failing as 'no parseable header'."""
+    from series_tiempo_ar_scraping_spark.sources.distribution_csv import (
+        read_distributions_bulk,
+    )
+
+    names = ["serie histórica.csv", "a+b.csv"]
+    items = []
+    for i, n in enumerate(names):
+        p = tmp_path / n
+        p.write_text(f"indice_tiempo,x\n2024-01-0{i + 1},{i + 1}.5\n")
+        items.append(("c", "d", f"r{i}", str(p)))
+    obs, errs = read_distributions_bulk(spark, items)
+    assert errs == []
+    got = {(r.distribution_id, str(r.ts), r.value) for r in obs.collect()}
+    assert got == {("r0", "2024-01-01", 1.5), ("r1", "2024-01-02", 2.5)}

@@ -59,7 +59,11 @@ def test_metadata_validation_flags_broken_dataset(result):
         for e in errs
     )
     ds_rep = {r.dataset_identifier: r.dataset_status for r in res.dataset_report.collect()}
-    assert ds_rep == {"ds-energy": "OK", "ds-prices": "OK"}
+    # the broken dataset must APPEAR as an ERROR row (reference
+    # base.py:443-451 reports invalid datasets; it does not drop them)
+    assert ds_rep == {
+        "ds-energy": "OK", "ds-prices": "OK", "ds-broken": "ERROR",
+    }
 
 
 def test_observations_long_form(result):
@@ -115,7 +119,9 @@ def test_statuses(result):
 def test_indicators(result):
     res, _ = result
     ind = res.indicators.collect()[0]
-    assert ind.datasets == 2 and ind.datasets_ok == 2
+    # 3 datasets total: 2 OK + the metadata-broken one counted as error
+    assert ind.datasets == 3 and ind.datasets_ok == 2
+    assert ind.datasets_error == 1
     assert ind.distributions == 4
     assert ind.distributions_ok == 2
     assert ind.distributions_error == 1
@@ -302,3 +308,30 @@ def test_blank_value_cell_is_missing_not_table_end(spark):
     e = ends.collect()[0]
     assert e.table_end == 6   # the trailing data row counts (V6)
     assert e.end == 5         # last dated row
+
+
+def test_same_titled_series_across_distributions_not_cross_flagged(spark):
+    """series_id is the column TITLE on the CSV routes — two
+    distributions both having a 'total' column with overlapping dates
+    must validate independently (partitioning only by series_id would
+    interleave them and flag false duplicates on valid data)."""
+    from series_tiempo_ar_scraping_spark.functions.calendar import (
+        with_series_checks,
+    )
+
+    rows = []
+    for rid in ("r1", "r2"):
+        for d in ("2024-01-01", "2024-02-01", "2024-03-01"):
+            rows.append(("c", "d", rid, "total", d, 1.0, "M"))
+    obs = spark.createDataFrame(
+        rows,
+        "catalog_id string, dataset_id string, distribution_id string,"
+        " series_id string, ts string, value double, freq_code string",
+    ).withColumn("ts", F.col("ts").cast("date"))
+    checked = with_series_checks(obs)
+    flags = checked.select(
+        F.max(F.col("is_duplicate_ts").cast("int")).alias("dup"),
+        F.max(F.col("has_gap").cast("int")).alias("gap"),
+        F.max(F.col("is_out_of_order").cast("int")).alias("ooo"),
+    ).collect()[0]
+    assert (flags.dup, flags.gap, flags.ooo) == (0, 0, 0)

@@ -220,3 +220,50 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     # exactly the closed 10:00 window, with ONLY the on-time row counted
     assert len(rows) == 1, rows
     assert rows[0].bucket.hour == 10 and rows[0].n == 1, rows
+
+
+def test_session_fn_late_event_does_not_corrupt_session_start():
+    """An allowed-late event far before the open session must become its
+    own closed session; one within the gap of session_start extends the
+    session backward. Neither may be silently absorbed via last_ts."""
+    from series_tiempo_ar_scraping_spark.streaming.stateful import _session_fn
+
+    class FakeState:
+        hasTimedOut = False
+        exists = True
+
+        def __init__(self, tup):
+            self._v = tup
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def setTimeoutTimestamp(self, ms):
+            pass
+
+    fn = _session_fn(30)
+
+    def us(s):
+        return int(pd.Timestamp(s).value // 1_000)
+
+    # open session 12:00-12:10; late 11:15 is > gap before start
+    st = FakeState((us("2024-01-01 12:00:00"), us("2024-01-01 12:10:00"), 3))
+    ts = pd.Series(pd.to_datetime(["2024-01-01 11:15:00"]))
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ts})]), st))
+    assert len(out) == 1 and len(out[0]) == 1
+    r = out[0].iloc[0]
+    assert str(r["session_start"]) == "2024-01-01 11:15:00"
+    assert r["n_events"] == 1
+    assert st._v[0] == us("2024-01-01 12:00:00")  # open session untouched
+
+    # late 11:45 is within the 30-min gap of 12:00 -> extends backward
+    st2 = FakeState((us("2024-01-01 12:00:00"), us("2024-01-01 12:10:00"), 3))
+    ts2 = pd.Series(pd.to_datetime(["2024-01-01 11:45:00"]))
+    out2 = list(fn((7,), iter([pd.DataFrame({"ts": ts2})]), st2))
+    assert out2 == []  # nothing closes
+    assert st2._v[0] == us("2024-01-01 11:45:00")  # start extended
+    assert st2._v[2] == 4
