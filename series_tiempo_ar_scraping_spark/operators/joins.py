@@ -60,27 +60,7 @@ def datasets_of_distributions(distributions: DataFrame, datasets: DataFrame) -> 
     return datasets.join(F.broadcast(ids), on="dataset_id", how="left_semi")
 
 
-def header_id_check(cells: DataFrame, fields: DataFrame) -> DataFrame:
-    """J4/V5 — scraped header cell must equal the declared field id
-    (series-tiempo-ar ``validate_distribution_scraping`` invoked at
-    ``processors.py:147-148``).
-
-    Join cells to fields on declared coordinates; mismatches become error
-    rows (never exceptions — V7).
-    """
-    keyed = fields.select(
-        "distribution_id",
-        "field_id",
-        F.col("scrapingIdentifierCell").alias("coord"),
-        F.col("sheet").alias("sheet"),
-        F.col("file").alias("file"),
-    )
-    joined = keyed.join(
-        cells.select("file", "sheet", "coord", F.col("value").alias("cell_value")),
-        on=["file", "sheet", "coord"],
-        how="left",
-    )
-    return joined.withColumn(
-        "header_ok",
-        F.coalesce(F.trim("cell_value") == F.col("field_id"), F.lit(False)),
-    )
+# J4/V5 (header↔field-id check) lives in sources/scrape.py:check_headers —
+# it derives (file, sheet, col, row) from the distribution params and the
+# A1 coordinates; a cells-frame join keyed on a nonexistent 'coord' column
+# used to live here and could never run.

@@ -25,8 +25,12 @@ QUALITY_STOPWORDS = STOPWORDS["en"]
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (the BPE-ish regex variant is
-    ``bpe_ish_tokens``)."""
-    return F.split(F.trim(_col(text)), r"\s+")
+    ``bpe_ish_tokens``). Empty tokens are filtered: ``split`` of an
+    empty trimmed string yields ``['']``, which would count 1 token for
+    an empty document (the DuckDB fragment filters identically)."""
+    return F.filter(
+        F.split(F.trim(_col(text)), r"\s+"), lambda t: t != ""
+    )
 
 
 def token_count(text: Column | str) -> Column:
@@ -120,11 +124,21 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     regex tokenizer ~3×|shingles| times per row (measured 18s → 2s on the
     sf0.1 dedup bench when materialized)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    # try_element_at: documents SHORTER than n tokens index past the
+    # array end — under Spark's default ANSI mode plain element_at would
+    # kill the task (INVALID_ARRAY_INDEX_IN_ELEMENT_AT), one short doc
+    # aborting the whole dedup job. try_element_at yields NULL, which
+    # concat_ws skips — the exact semantics the DuckDB oracle fragment
+    # (_SHINGLES_SQL: out-of-range list index → NULL) already has.
     return F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                " ",
+                *[
+                    F.try_element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
             ),
         )
     )

@@ -42,7 +42,9 @@ def build_subject(catalog_id: str, stage: str, environment: str,
     dropped on prod (``base.py:863-871``)."""
     now = now or _dt.datetime.now()
     stamp = now.strftime("%d/%m/%Y %H:%M")
-    prefix = "" if "prod" in environment else f"[{environment}] "
+    # exact match: a substring test would strip the tag from 'preprod'
+    # and make its mail indistinguishable from production mail
+    prefix = "" if environment == "prod" else f"[{environment}] "
     return f"{prefix}{catalog_id} - {stage}: {stamp}"
 
 
@@ -67,12 +69,24 @@ def send_email(subject: str, message: str, recipients: list[str],
     if dry_run or not smtp_config:
         return mail
     import smtplib  # pragma: no cover - needs a live SMTP endpoint
+    from email.mime.application import MIMEApplication
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
     msg = MIMEMultipart()  # pragma: no cover
     msg["Subject"] = subject
+    msg["From"] = smtp_config.get("from", "etl@localhost")
+    msg["To"] = ", ".join(recipients)
     msg.attach(MIMEText(message))
+    for path in attachments or []:  # the reference attaches the reports
+        with open(path, "rb") as fh:  # (base.py:707-743)
+            part = MIMEApplication(fh.read())
+        part.add_header(
+            "Content-Disposition",
+            "attachment",
+            filename=os.path.basename(path),
+        )
+        msg.attach(part)
     host, port = smtp_config["host"], int(smtp_config.get("port", 465))
     cls = smtplib.SMTP_SSL if smtp_config.get("ssl", True) else smtplib.SMTP
     with cls(host, port) as server:

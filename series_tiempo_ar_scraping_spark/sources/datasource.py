@@ -67,14 +67,24 @@ class WorkbookCellsReader(DataSourceReader):
                 for line in fh:
                     if not line.strip():
                         continue
-                    rec = json.loads(line)
-                    yield (
-                        fname,
-                        rec["sheet"],
-                        int(rec["row"]),
-                        rec["col"],
-                        str(rec["value"]),
-                    )
+                    # mirror the workbook readers' cell semantics: null/
+                    # empty values are ABSENT cells (dropped, never the
+                    # string 'None'), and a structurally malformed line
+                    # is skipped rather than killing the task (V7)
+                    try:
+                        rec = json.loads(line)
+                        value = rec["value"]
+                        if value is None or value == "":
+                            continue
+                        yield (
+                            fname,
+                            rec["sheet"],
+                            int(rec["row"]),
+                            rec["col"],
+                            str(value),
+                        )
+                    except (KeyError, ValueError, TypeError):
+                        continue
         elif path.endswith(".xlsx"):
             from series_tiempo_ar_scraping_spark.sources.xlsx import iter_cells
 

@@ -52,7 +52,9 @@ def download_to_file(url: str, file_path: str, replace: bool = True, **kw) -> st
     ``replace`` is False (``base.py:155-163,922-925``)."""
     if os.path.exists(file_path) and not replace:
         return file_path
-    os.makedirs(os.path.dirname(file_path), exist_ok=True)
+    # abspath first: dirname of a bare filename is '' and makedirs('')
+    # raises — same pattern as the xlsx writer
+    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
     data = download(url, **kw)
     tmp = file_path + ".part"
     with open(tmp, "wb") as fh:

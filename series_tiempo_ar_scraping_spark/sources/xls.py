@@ -76,7 +76,10 @@ def _cfb_workbook_stream(data: bytes) -> bytes:
     n_difat = struct.unpack_from("<I", data, 72)[0]
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # sector 0 starts AFTER the 512-byte header only for 512-byte
+        # sectors; v4 compound files (4096-byte sectors) place it at
+        # offset 4096 — the general rule is (i + 1) * sector_size
+        off = (i + 1) * ssz
         return data[off : off + ssz]
 
     difat = [s for s in struct.unpack_from("<109I", data, 76)]

@@ -25,7 +25,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _NS_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
@@ -52,8 +52,14 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     for rel in ET.fromstring(zf.read("xl/_rels/workbook.xml.rels")).iter(
         f"{_NS_PKG}Relationship"
     ):
-        target = rel.get("Target", "")
-        rels[rel.get("Id")] = "xl/" + target.lstrip("/") if not target.startswith("xl/") else target
+        # targets may be workbook-relative ('worksheets/sheet1.xml') or
+        # absolute part names ('/xl/worksheets/sheet1.xml' — legal OOXML,
+        # emitted by several non-Excel writers): strip the leading slash
+        # FIRST, then prefix only when the part isn't already under xl/
+        target = rel.get("Target", "").lstrip("/")
+        rels[rel.get("Id")] = (
+            target if target.startswith("xl/") else "xl/" + target
+        )
     parts = []
     for sheet in ET.fromstring(zf.read("xl/workbook.xml")).iter(f"{_NS}sheet"):
         rid = sheet.get(f"{_NS_R}id")
@@ -307,7 +313,9 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> s
         zf.writestr("[Content_Types].xml", _CT.format(overrides=overrides))
         zf.writestr("_rels/.rels", _ROOT_RELS)
         sheet_tags = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+            # quoteattr, not escape: sheet names may legally contain '"'
+            # (escape() leaves quotes alone and would corrupt the XML)
+            f'<sheet name={quoteattr(n)} sheetId="{i+1}" r:id="rId{i+1}"/>'
             for i, n in enumerate(names)
         )
         zf.writestr(

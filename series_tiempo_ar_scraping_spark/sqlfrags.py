@@ -13,7 +13,12 @@ _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
     " ' +', ' ', 'g'))"
 )
-_TOKS_SQL = "regexp_split_to_array(trim({c}), '\\s+')"
+# empty-token filter mirrors textops.tokens: splitting an empty trimmed
+# string yields [''] in BOTH engines, which would count one token for an
+# empty document
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(trim({c}), '\\s+'), x -> x <> '')"
+)
 _HEX60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 _SHINGLES_SQL = """

@@ -120,3 +120,36 @@ def test_write_xlsx_catalog_roundtrip(spark, tmp_path):
     assert set(back) >= {"catalog", "dataset", "distribution", "field"}
     assert len(back["distribution"]) == 3
     assert len(back["field"]) == 22
+
+
+def test_absolute_rel_targets_and_quoted_sheet_names(tmp_path):
+    """OOXML corners: a relationship target given as an absolute part
+    name must resolve (no 'xl/xl/' mangling), and a sheet name with a
+    double quote must round-trip (quoteattr, not escape)."""
+    import zipfile
+
+    from series_tiempo_ar_scraping_spark.sources.xlsx import (
+        iter_cells,
+        write_xlsx,
+    )
+
+    p = str(tmp_path / "quoted.xlsx")
+    write_xlsx(p, {'My "Q1" Data': (["col1"], [["hello"]])})
+    cells = list(iter_cells(p))
+    assert cells and all(c[0] == 'My "Q1" Data' for c in cells)
+    assert any(c[3] == "hello" for c in cells)
+
+    # rewrite the rels with an ABSOLUTE target (legal OOXML)
+    src = zipfile.ZipFile(p)
+    out = str(tmp_path / "abs_target.xlsx")
+    with zipfile.ZipFile(out, "w") as zf:
+        for item in src.infolist():
+            data = src.read(item.filename)
+            if item.filename == "xl/_rels/workbook.xml.rels":
+                data = data.replace(
+                    b'Target="worksheets/', b'Target="/xl/worksheets/'
+                )
+                assert b'Target="/xl/worksheets/' in data
+            zf.writestr(item, data)
+    src.close()
+    assert list(iter_cells(out)) == cells
