@@ -53,6 +53,24 @@ def hash64_seeded(col: Column, seed: int) -> Column:
     ).cast("bigint")
 
 
+def upper_triangle_pairs(arr: Column, pair) -> Column:
+    """All (arr[i], arr[j]) with i < j, as ONE array expression: for each
+    element, pair it with the slice after it. ``pair(x, y)`` builds the
+    output struct. The shared shape behind every bucket-pair generation
+    in the repo (LSH candidates, SimHash near-pairs, market-basket
+    co-occurrence, PageRank edge derivation) — group-collect + this
+    expansion evaluates the upstream pipeline ONCE where a self-join
+    would run it per side and shuffle twice."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)), lambda y: pair(x, y)
+            ),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content hash: keep the min id per hash group."""
     return (
@@ -186,14 +204,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     ).filter(F.size("ids") > 1)
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                    ),
-                )
+            upper_triangle_pairs(
+                F.col("ids"),
+                lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             )
         ).alias("p")
     )
@@ -333,20 +346,15 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     ).filter(F.size("members") > 1)
     pairs = buckets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("members"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("members"), i + 2, F.size("members")),
-                        lambda y: F.struct(
-                            x["id"].alias("doc_a"),
-                            y["id"].alias("doc_b"),
-                            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias(
-                                "hamming"
-                            ),
-                        ),
+            upper_triangle_pairs(
+                F.col("members"),
+                lambda x, y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias(
+                        "hamming"
                     ),
-                )
+                ),
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.hamming").distinct()

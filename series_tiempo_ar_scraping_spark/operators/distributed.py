@@ -1,0 +1,68 @@
+"""Distributed scan patterns that avoid single-partition global sorts.
+
+The running-total (prefix sum) over a GLOBAL order is the textbook
+scale trap: a plain ``Window.orderBy`` funnels every row through one
+partition. The two-phase formulation here is the repo's sanctioned
+shape — range-partition on the order, per-partition local running sums,
+then broadcast the exclusive prefix of per-partition totals back; the
+only global window runs over #partitions rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "running_sum",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = inclusive running sum of ``value_col`` over the
+    global ``order_cols`` order, without ever sorting the data globally.
+
+    Mechanics: ``repartitionByRange`` on the order (so partition ranges
+    tile the order), a per-partition cumulative window, and an exclusive
+    carry — the prefix of per-partition totals — broadcast back. The
+    lazy ``localCheckpoint`` pins the partitioning so
+    ``spark_partition_id`` is consistent between the local window and
+    the totals aggregate. Output keeps a ``part_id`` column (callers may
+    drop it). Shared by ``sequence_packing_bins`` and
+    ``concurrent_sessions_by_day``.
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or max(spark.sparkContext.defaultParallelism, 8)
+    ranged = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("part_id", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    local_w = (
+        Window.partitionBy("part_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("_local", F.sum(value_col).over(local_w))
+    # exclusive prefix over per-partition totals: one row per partition,
+    # so this global window is O(#parts), never O(rows)
+    carry_w = Window.orderBy("part_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("part_id")
+        .agg(F.sum(value_col).alias("_part_total"))
+        .select(
+            "part_id",
+            F.coalesce(F.sum("_part_total").over(carry_w), F.lit(0)).alias(
+                "_carry"
+            ),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "part_id")
+        .withColumn(out_col, F.col("_local") + F.col("_carry"))
+        .drop("_local", "_carry")
+    )

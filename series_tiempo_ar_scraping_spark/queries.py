@@ -33,7 +33,6 @@ from series_tiempo_ar_scraping_spark.functions.scalars import (
     cell_coord_row,
     file_extension,
     missing_to_null,
-    status_sort_key,
     strip_spaces,
     url_basename,
 )
@@ -77,6 +76,9 @@ def det_round(col: F.Column, n: int) -> F.Column:
     exact on both engines, so this formula is bit-identical everywhere.
     For negative inputs halves round toward +∞ (see NOTE below) — still
     deterministic because every oracle mirrors the identical formula.
+    FINITE inputs only: Spark's floor(DOUBLE) returns BIGINT (Infinity
+    saturates, NaN → 0) while DuckDB keeps Inf/NaN as DOUBLE — callers
+    dividing must guard the divisor (NULL it out) before rounding.
     """
     p = 10 ** n
     return (F.floor(col * p + F.lit(0.5)) / p).cast("double")
@@ -322,7 +324,7 @@ def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT event_id, user_id, value
     FROM events
-    WHERE event_type = 'purchase' AND value > 500
+    WHERE event_type = 'purchase' AND value > 100
     """,
 )
 def filter_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,7 +332,10 @@ def filter_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``base.py:483-486``; verify with .explain → PushedFilters)."""
     return (
         load_table(spark, sf_dir, "events")
-        .filter((F.col("event_type") == "purchase") & (F.col("value") > 500))
+        # threshold chosen to SELECT rows at every scale factor — a
+        # predicate matching nothing compares empty-vs-empty and
+        # verifies neither pushdown nor the comparison
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 100))
         .select("event_id", "user_id", "value")
     )
 

@@ -203,14 +203,9 @@ def range_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity-search scale path: IVF (inverted-file) ANN
 # ---------------------------------------------------------------------------
 
-_COS = """
-      list_sum(list_transform(generate_series(1, 64),
-        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
-         * sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
-"""
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _COS64_SQL as _COS,
+)
 
 
 @register(
@@ -406,7 +401,8 @@ def _monthly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_MONTHLY_SERIES_SQL})
     SELECT series_id, ts, value,
-           CAST(FLOOR((value - lag(value) OVER w) / lag(value) OVER w
+           CAST(FLOOR((value - lag(value) OVER w)
+                / NULLIF(lag(value) OVER w, 0)
                 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS pct_change,
            CAST(value - lag(value) OVER w AS DOUBLE) AS abs_change
     FROM m
@@ -420,11 +416,15 @@ def series_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _monthly_series(spark, sf_dir)
     w = Window.partitionBy("series_id").orderBy("ts")
     prev = F.lag("value").over(w)
+    # divisor guard: a zero previous value must yield NULL, not Inf/NaN
+    # (det_round is finite-only; engines canonicalize non-finite
+    # doubles differently)
+    prev_nz = F.when(prev != 0, prev)
     return m.select(
         "series_id",
         "ts",
         "value",
-        det_round((F.col("value") - prev) / prev, 6).alias("pct_change"),
+        det_round((F.col("value") - prev) / prev_nz, 6).alias("pct_change"),
         (F.col("value") - prev).cast("double").alias("abs_change"),
     )
 
@@ -434,7 +434,8 @@ def series_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_MONTHLY_SERIES_SQL})
     SELECT series_id, ts, value,
-           CAST(FLOOR((value - lag(value, 12) OVER w) / lag(value, 12) OVER w
+           CAST(FLOOR((value - lag(value, 12) OVER w)
+                / NULLIF(lag(value, 12) OVER w, 0)
                 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS pct_change_yoy
     FROM m
     WINDOW w AS (PARTITION BY series_id ORDER BY ts)
@@ -446,11 +447,12 @@ def series_pct_change_year_ago(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _monthly_series(spark, sf_dir)
     w = Window.partitionBy("series_id").orderBy("ts")
     prev = F.lag("value", 12).over(w)
+    prev_nz = F.when(prev != 0, prev)  # divisor guard (see series_pct_change)
     return m.select(
         "series_id",
         "ts",
         "value",
-        det_round((F.col("value") - prev) / prev, 6).alias("pct_change_yoy"),
+        det_round((F.col("value") - prev) / prev_nz, 6).alias("pct_change_yoy"),
     )
 
 
@@ -459,7 +461,7 @@ def series_pct_change_year_ago(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS ({_MONTHLY_SERIES_SQL})
     SELECT series_id, ts,
-           CAST(FLOOR(value / first_value(value) OVER w * 100
+           CAST(FLOOR(value / NULLIF(first_value(value) OVER w, 0) * 100
                 * 10000 + 0.5) / 10000 AS DOUBLE) AS idx_base100
     FROM m
     WINDOW w AS (PARTITION BY series_id ORDER BY ts
@@ -478,9 +480,12 @@ def series_rebase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "series_id",
         "ts",
-        det_round(F.col("value") / F.first("value").over(w) * 100, 4).alias(
-            "idx_base100"
-        ),
+        det_round(
+            F.col("value")
+            / F.when(F.first("value").over(w) != 0, F.first("value").over(w))
+            * 100,
+            4,
+        ).alias("idx_base100"),  # divisor guard: zero base -> NULL, not Inf
     )
 
 
@@ -1128,8 +1133,13 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts,
+        -- microsecond-exact gap test, matching Spark session_window's
+        -- real semantics (split at gap >= 30min): date_diff('second')
+        -- counts whole-second BOUNDARY crossings and disagrees with the
+        -- native operator for gaps inside [1800s, 1801s)
         CASE WHEN LAG(ts) OVER w IS NULL
-                  OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                     >= 1800 * 1000000
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1363,18 +1373,15 @@ def part_co_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        upper_triangle_pairs,
+    )
+
     pairs = baskets.select(
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("parts"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("parts"), i + 2, F.size("parts")),
-                        lambda y: F.struct(
-                            x.alias("part_a"), y.alias("part_b")
-                        ),
-                    ),
-                )
+            upper_triangle_pairs(
+                F.col("parts"),
+                lambda x, y: F.struct(x.alias("part_a"), y.alias("part_b")),
             )
         ).alias("p")
     ).select("p.part_a", "p.part_b")

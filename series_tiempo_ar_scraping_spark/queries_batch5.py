@@ -449,17 +449,16 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = op.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        upper_triangle_pairs,
+    )
+
     pairs = (
         baskets.select(
             F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("parts"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("parts"), i + 2, F.size("parts")),
-                            lambda y: F.struct(x.alias("pa"), y.alias("pb")),
-                        ),
-                    )
+                upper_triangle_pairs(
+                    F.col("parts"),
+                    lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
                 )
             ).alias("p")
         )
@@ -601,16 +600,30 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
             F.lit("{}").alias("props"),
         )
+        # identify the sentinel's part file DETERMINISTICALLY via a
+        # before/after listing diff — picking "newest by mtime" could
+        # select the MAIN file on a coarse-mtime filesystem tie, making
+        # the sentinel batch run first and every real event drop as late
+        before = {
+            f for f in os.listdir(main_dir) if f.endswith(".parquet")
+        }
         sentinel.coalesce(1).write.mode("append").parquet(main_dir)
+        appended = [
+            f
+            for f in os.listdir(main_dir)
+            if f.endswith(".parquet") and f not in before
+        ]
         # FileStreamSource orders by modification time; make the sentinel
         # strictly newest so it forms the final watermark-advancing batch.
-        parts = sorted(
-            (os.path.getmtime(os.path.join(main_dir, f)), f)
+        latest = max(
+            os.path.getmtime(os.path.join(main_dir, f))
             for f in os.listdir(main_dir)
             if f.endswith(".parquet")
         )
-        newest = os.path.join(main_dir, parts[-1][1])
-        os.utime(newest, (parts[-1][0] + 1000, parts[-1][0] + 1000))
+        for f in appended:
+            os.utime(
+                os.path.join(main_dir, f), (latest + 1000, latest + 1000)
+            )
 
         stream = read_events_stream(spark, main_dir, max_files_per_trigger=1)
         out = sessionize_stream(stream, gap_minutes=30, watermark="1 hour")
@@ -902,35 +915,14 @@ def concurrent_sessions_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition delta totals — the only global window runs over
     # #partitions rows, never #endpoints). localCheckpoint pins the
     # partitioning so spark_partition_id is stable across both uses.
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
     sweep_cols = [F.col("ts"), F.col("delta").desc(), F.col("user_id")]
-    ranged = (
-        endpoints.repartitionByRange(n_parts, *sweep_cols)
-        .withColumn("part_id", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    local_w = (
-        Window.partitionBy("part_id")
-        .orderBy(*sweep_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    local = ranged.withColumn("local_sum", F.sum("delta").over(local_w))
-    carry_w = Window.orderBy("part_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        ranged.groupBy("part_id")
-        .agg(F.sum("delta").alias("part_total"))
-        .select(
-            "part_id",
-            F.coalesce(F.sum("part_total").over(carry_w), F.lit(0)).alias(
-                "carry"
-            ),
-        )
-    )
-    running = local.join(F.broadcast(offsets), "part_id").select(
-        "ts", (F.col("local_sum") + F.col("carry")).alias("concurrency")
-    )
+    running = two_phase_prefix_sum(
+        endpoints, sweep_cols, "delta", out_col="concurrency"
+    ).select("ts", "concurrency")
     return running.groupBy(F.to_date("ts").alias("day")).agg(
         F.max("concurrency").alias("peak_concurrent")
     )

@@ -775,14 +775,9 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("approx_dist", det_round(F.col("approx_dist"), 6))
 
 
-_COS64 = """
-      list_sum(list_transform(generate_series(1, 64),
-        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
-         * sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
-"""
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _COS64_SQL as _COS64,
+)
 
 
 @register(

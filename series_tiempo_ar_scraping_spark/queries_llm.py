@@ -37,6 +37,7 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: F401
     _cc_oracle,
     _minhash_bands_sql,
     _minhash_sig_sql,
+    _neardup_edges_ctes,
     _toks_of_norm,
 )
 
@@ -207,57 +208,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngram_jaccard_oracle() -> str:
+    """Composes the SHARED near-dup CTE prefix (sqlfrags) and rounds the
+    raw jac for output — the prefix's `verified` applies the identical
+    rounded threshold, so this oracle and the CC oracles provably see
+    the same edges."""
     return f"""
-    WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
-      FROM corpus
-    ),
-    sigs AS (
-      SELECT doc_id, {_minhash_sig_sql()} FROM sh
-    ),
-    banded AS (
-      SELECT doc_id, band.* FROM sigs,
-      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
-    ),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-       AND a.doc_id < b.doc_id
-    ),
-    scored AS (
-      SELECT p.doc_a, p.doc_b,
-        CAST(FLOOR(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)
-             * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
-      FROM pairs p
-      JOIN sh sa ON sa.doc_id = p.doc_a
-      JOIN sh sb ON sb.doc_id = p.doc_b
-    )
-    SELECT doc_a, doc_b, jac FROM scored WHERE jac >= 0.3
+    WITH {_neardup_edges_ctes()}
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
+    FROM scored
+    WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
     """
 
 
 @register(
     "dedup_minhash_lsh",
+    # composes the SHARED near-dup CTE prefix (sqlfrags) — its `pairs`
+    # CTE is exactly the LSH candidate set; one derivation, no drift
     oracle=f"""
-    WITH corpus AS ({_NEAR_CORPUS_SQL}),
-    sh AS (
-      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
-      FROM corpus
-    ),
-    sigs AS (
-      SELECT doc_id, {_minhash_sig_sql()} FROM sh
-    ),
-    banded AS (
-      SELECT doc_id, band.* FROM sigs,
-      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()}) v(band_idx, band_key)) band
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b
-      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-     AND a.doc_id < b.doc_id
+    WITH {_neardup_edges_ctes()}
+    SELECT doc_a, doc_b FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,14 +293,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-_COS_SQL = """
-      list_sum(list_transform(generate_series(1, 64),
-        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
-      / (sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
-         * sqrt(list_sum(list_transform(generate_series(1, 64),
-           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
-"""
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _COS64_SQL as _COS_SQL,
+)
 
 
 @register(
@@ -717,39 +682,19 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     )
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    ranged = (
-        toked.repartitionByRange(n_parts, "doc_id")
-        .withColumn("part_id", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
     )
-    local_w = (
-        Window.partitionBy("part_id")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+
+    running = two_phase_prefix_sum(
+        toked, ["doc_id"], "n_tokens", out_col="prefix_tokens"
     )
-    local = ranged.withColumn("local_prefix", F.sum("n_tokens").over(local_w))
-    # Carry offsets: one row per partition — the exclusive prefix over
-    # per-partition totals. Tiny frame; global window here is O(#parts).
-    carry_w = Window.orderBy("part_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        ranged.groupBy("part_id")
-        .agg(F.sum("n_tokens").alias("part_total"))
-        .select(
-            "part_id",
-            F.coalesce(F.sum("part_total").over(carry_w), F.lit(0)).alias(
-                "carry"
-            ),
-        )
-    )
-    packed = local.join(F.broadcast(offsets), "part_id").select(
+    packed = running.select(
         "doc_id",
         "n_tokens",
+        # bin by the EXCLUSIVE prefix (inclusive minus own count)
         F.floor(
-            (F.col("carry") + F.col("local_prefix") - F.col("n_tokens"))
-            / F.lit(2048.0)
+            (F.col("prefix_tokens") - F.col("n_tokens")) / F.lit(2048.0)
         ).alias("bin_id"),
     )
     return packed.groupBy("bin_id").agg(

@@ -149,3 +149,15 @@ _DAILY_SERIES_DDAY_SQL = """
              SUM(CAST(value AS DECIMAL(22,4))) AS v
       FROM events GROUP BY 1, 2
 """
+
+
+# 64-dim cosine similarity in DuckDB SQL (mirrors operators/similarity's
+# dot/norm fold order) — single canonical copy; batches alias it.
+_COS64_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, 64),
+           i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))
+"""

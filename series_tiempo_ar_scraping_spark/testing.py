@@ -112,15 +112,23 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
     if s_can == d_can:
         res.update(status="ok", match=True)
     else:
-        diff = [
-            (a, b) for a, b in zip(s_can, d_can) if a != b
-        ][:3] if len(s_can) == len(d_can) else []
+        # set-difference samples: positional zip over independently
+        # sorted lists mis-aligns after the first differing row and
+        # reports unrelated pairs (and nothing at all on a count
+        # mismatch) — show rows each engine has that the other lacks
+        from collections import Counter
+
+        s_ctr, d_ctr = Counter(s_can), Counter(d_can)
+        only_spark = list((s_ctr - d_ctr).elements())[:3]
+        only_duck = list((d_ctr - s_ctr).elements())[:3]
         res.update(
             status="value_mismatch",
             match=False,
             n_spark=len(s_can),
             n_duck=len(d_can),
-            sample_diff=diff,
+            sample_diff={
+                "only_spark": only_spark, "only_duck": only_duck,
+            },
             spark_head=s_can[:2],
             duck_head=d_can[:2],
         )
