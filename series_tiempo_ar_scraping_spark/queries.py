@@ -898,11 +898,12 @@ def apply_driver_gate_order(strict: bool = False) -> None:
     gate."""
     if strict:
         missing = [n for n in _DRIVER_GATE_PRIORITY if n not in QUERIES]
-        assert not missing, (
-            f"driver-gate priority names not registered: {missing} — "
-            "a gated query was renamed or deleted; update "
-            "_DRIVER_GATE_PRIORITY in the same change"
-        )
+        if missing:  # explicit raise: assert would vanish under python -O
+            raise RuntimeError(
+                f"driver-gate priority names not registered: {missing} — "
+                "a gated query was renamed or deleted; update "
+                "_DRIVER_GATE_PRIORITY in the same change"
+            )
     order = [n for n in _DRIVER_GATE_PRIORITY if n in QUERIES]
     prio = set(order)
     order += [n for n in QUERIES if n not in prio]

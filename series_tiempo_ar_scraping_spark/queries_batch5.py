@@ -1090,6 +1090,10 @@ def trailing_7d_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     is decimal-summed and divided once in doubles (identical expression
     tree both engines). One sort shuffle per series; RANGE frames cost the
     same as ROWS in Spark's window exec (running frame, not re-scan)."""
+    # daily-series frame: the canonical derivation is
+    # sqlfrags._DAILY_SERIES_DDAY_SQL / queries_batch8._daily; this site
+    # keeps v as DECIMAL for its exact window sums (the variants differ
+    # deliberately — change them together with the fragment)
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.col("event_type").alias("series_id"),

@@ -26,6 +26,10 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical Spark twin of sqlfrags._DAILY_SERIES_DDAY_SQL (the
+    decimal-exact daily-series frame). queries_batch5 carries deliberate
+    variants (double v, event-type filters) next to their own oracles —
+    edit this and the fragment together."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(
         F.col("event_type").alias("series_id"),
@@ -157,7 +161,8 @@ def series_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.series_id, m.month, m.n_events,
            CAST(m.mv AS DOUBLE) AS month_value,
-           CAST(FLOOR(CAST(m.mv AS DOUBLE) / CAST(t.tv AS DOUBLE)
+           CAST(FLOOR(CAST(m.mv AS DOUBLE)
+                 / NULLIF(CAST(t.tv AS DOUBLE), 0)
                  * 1000000 + 0.5) / 1000000 AS DOUBLE) AS share
     FROM monthly m JOIN tot t USING (series_id)
     """,
@@ -183,8 +188,10 @@ def series_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("mv").cast("double").alias("month_value"),
         det_round(
-            F.col("mv").cast("double") / F.col("tv").cast("double"), 6
-        ).alias("share"),
+            F.col("mv").cast("double")
+            / F.when(F.col("tv") != 0, F.col("tv").cast("double")),
+            6,
+        ).alias("share"),  # divisor guard (det_round is finite-only)
     )
 
 
@@ -537,13 +544,19 @@ def series_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "series_gap_histogram",
     oracle=f"""
-    WITH daily AS ({_DAILY_SQL}),
+    WITH sparse AS (
+      SELECT event_type AS series_id,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dday
+      FROM events WHERE event_id % 37 = 0
+      GROUP BY 1, 2
+    ),
     gaps AS (
       SELECT series_id,
              dday - lag(dday) OVER (
                PARTITION BY series_id ORDER BY dday
              ) - 1 AS gap_len
-      FROM daily
+      FROM sparse
     )
     SELECT series_id, gap_len, COUNT(*) AS n_gaps
     FROM gaps WHERE gap_len > 0
@@ -555,8 +568,19 @@ def series_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent days) per series — what V4's boolean continuity check becomes
     when you need to *characterize* the holes rather than just flag
     them. One per-series lag window over the daily frame (the same sort
-    every per-series operator shares) and a bounded aggregate."""
-    daily = _daily(spark, sf_dir)
+    every per-series operator shares) and a bounded aggregate. Runs over
+    a deterministic SPARSE subsample (event_id % 37) — the full fixture
+    has zero day gaps at every scale factor, which would make this an
+    empty-vs-empty compare carrying no correctness signal."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 37 == 0
+    )
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.datediff(F.to_date("ts"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("dday"),
+    ).agg(F.count("*").alias("_n")).drop("_n")
     from pyspark.sql import Window
 
     w = Window.partitionBy("series_id").orderBy("dday")

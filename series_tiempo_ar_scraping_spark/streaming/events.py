@@ -67,6 +67,12 @@ def _events_ts_field(sf_dir: str):
     path = os.path.join(sf_dir.rstrip("/"), "events.parquet")
     if os.path.isdir(path):
         inner = [p for p in sorted(os.listdir(path)) if p.endswith(".parquet")]
+        if not inner:
+            raise FileNotFoundError(
+                f"{path} is a directory with no part files — interrupted "
+                "write? the stream reader needs at least one footer to "
+                "probe the ts physical type"
+            )
         path = os.path.join(path, inner[0])
     return pa.types, pq.read_schema(path).field("ts").type
 

@@ -127,7 +127,7 @@ def test_gate_order_strict_rejects_missing_names():
 
     saved = q.QUERIES.pop("q01_pricing_summary")
     try:
-        with pytest.raises(AssertionError, match="q01_pricing_summary"):
+        with pytest.raises(RuntimeError, match="q01_pricing_summary"):
             q.apply_driver_gate_order(strict=True)
     finally:
         q.QUERIES["q01_pricing_summary"] = saved

@@ -20,7 +20,14 @@ from series_tiempo_ar_scraping_spark.testing import compare_query  # noqa: E402
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    # sf_dir may appear in ANY position (an arg containing '/'); dropping
+    # it silently would validate against the default scale while the user
+    # believes they ran the gate scale
+    dirs = [a for a in args if "/" in a]
+    if len(dirs) > 1:
+        print(f"multiple sf_dir arguments: {dirs}")
+        return 2
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.001"
     names = [a for a in args if "/" not in a] or list(QUERIES)
     unknown = [n for n in names if n not in QUERIES]
     if unknown:

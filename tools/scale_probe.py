@@ -9,7 +9,7 @@ signature of a plan that scales out.
 Usage: python tools/scale_probe.py [sizes...]   (default 2 8 32, in
 millions of rows; synthetic data is written under /tmp/scale_probe)
 
-Prints one JSON line: {"shape": {"rows_per_sec_by_size": {...}}}.
+Prints one JSON line: {"rows_per_sec_by_size": {shape: {size: rows_per_sec}}}.
 """
 
 from __future__ import annotations
@@ -30,13 +30,22 @@ BASE = "/tmp/scale_probe"
 
 
 def synth_events(spark, n_rows: int, path: str) -> None:
-    """Deterministic events-shaped frame: ~1000 hot users (skew), 5
-    types, 90 days of seconds-resolution timestamps, text-ish props."""
+    """Deterministic events-shaped frame: REAL skew — 30% of rows land
+    on 100 hot users, the rest spread over ~100k — plus 5 types, 90 days
+    of seconds-resolution timestamps, text-ish props. The hot keys are
+    what make the per-key window/agg shapes honest: a shape that
+    degrades under hot partitions must show it here."""
     df = (
         spark.range(n_rows)
         .select(
             F.col("id").alias("event_id"),
-            (F.hash(F.col("id").cast("string")) % 100000).alias("user_id"),
+            F.when(
+                F.col("id") % 10 < 3, F.col("id") % 100  # 100 hot users
+            )
+            .otherwise(
+                F.pmod(F.hash(F.col("id").cast("string")), F.lit(100000))
+            )
+            .alias("user_id"),
             F.element_at(
                 F.array(*[F.lit(t) for t in
                           ("click", "view", "purchase", "signup", "error")]),
