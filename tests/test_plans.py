@@ -175,7 +175,6 @@ def test_stream_static_join_broadcasts_dims(spark, sf_dir):
     # a per-microbatch repartition at scale.
     from pyspark.sql import functions as F
     from series_tiempo_ar_scraping_spark.session import load_table
-    from tests.test_plans import plan_of as _plan
 
     e = load_table(spark, sf_dir, "events")
     c = F.broadcast(load_table(spark, sf_dir, "customer"))

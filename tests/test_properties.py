@@ -23,6 +23,9 @@ from series_tiempo_ar_scraping_spark.sources.xlsx import (
 _cell_text = st.text(
     alphabet=st.characters(
         blacklist_categories=("Cs", "Cc"),  # surrogates, control chars
+        # U+FFFE/U+FFFF are category Cn but ILLEGAL in XML 1.0 — expat
+        # rejects them on read, so they are outside the writer's contract
+        blacklist_characters="\ufffe\uffff",
     ),
     min_size=1,
     max_size=40,
@@ -66,8 +69,9 @@ def test_xlsx_roundtrip_arbitrary_strings(tmp_path_factory, rows):
 def test_sheet_names_roundtrip(tmp_path_factory, name):
     import re
 
-    if re.search(r"[\x00-\x1f<>&\"']", name):
-        return  # sheet names with markup chars are escaped; covered above
+    if re.search(r"[\x00-\x1f<>&\"'\ufffe\uffff]", name):
+        return  # markup chars are escaped (covered above); U+FFFE/U+FFFF
+        # are XML-1.0-illegal and outside the writer's contract
     path = str(tmp_path_factory.mktemp("xl") / "t.xlsx")
     write_xlsx(path, {name: (["a"], [("x",)])})
     assert list(read_sheets(path)) == [name]
@@ -107,8 +111,12 @@ def test_minhash_universal_family_in_range(h):
     h30 = h % MINHASH_H_MOD
     for a, b in MINHASH_AB:
         v = a * h30 + b
-        assert 0 <= v < 2**63  # no overflow in either engine
-        assert 0 <= v % MINHASH_P < MINHASH_P
+        # BOTH operands nonnegative and below 2^63: this is what makes
+        # Spark (Java %) and DuckDB (%) agree — their semantics diverge
+        # only for negative operands. (A bare `0 <= v % P < P` would be
+        # a Python tautology carrying no cross-engine content.)
+        assert 0 <= v < 2**63
+        assert v >= 0 and MINHASH_P > 0
 
 
 # ---------------------------------------------------------------------------
@@ -160,11 +168,18 @@ def test_pagerank_invariants(spark, sf_dir):
     }
     assert out, "no ranks"
     assert all(r >= 150000 for r in out.values())
-    # re-run: bit-identical (integer math commutes across partitionings)
-    out2 = {
-        r.part_id: r.rank_micro
-        for r in QUERIES["pagerank_part_graph"](spark, sf_dir).collect()
-    }
+    # re-run under a DIFFERENT shuffle partitioning: integer math
+    # commutes across accumulation orders, so the ranks must be
+    # bit-identical (re-running the same plan would not test this)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        out2 = {
+            r.part_id: r.rank_micro
+            for r in QUERIES["pagerank_part_graph"](spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert out == out2
 
 

@@ -25,7 +25,17 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "fixtures", "reference_mock")
 
 SHEET = "1.2 OyD real s.e."
-COLS = "ABCDEFGH"
+
+
+def a1(cell: str) -> tuple[int, int]:
+    """'B8' -> (row=8, col=2)."""
+    import re
+
+    m = re.match(r"([A-Z]+)([0-9]+)$", cell)
+    col = 0
+    for ch in m.group(1):
+        col = col * 26 + ord(ch) - 64
+    return int(m.group(2)), col
 
 
 def annual_dates(n):
@@ -68,27 +78,39 @@ def main() -> None:
     # production S8 OOXML parse path, not the jsonl fixture shortcut.
     grid: dict[tuple[int, int], object] = {}
 
-    def block(dist_id, header_row, dates, base, frac):
+    def block(dist_id, dates, base, frac):
+        # every coordinate comes from the DECLARED metadata — header ids
+        # at each field's scrapingIdentifierCell, data at its
+        # scrapingDataStartCell downward. No hardcoded rows/columns: a
+        # regenerated reference catalog with shifted cells regenerates a
+        # workbook that still honors its own declarations.
         fields = dists[dist_id]["field"]
-        value_fields = [f for f in fields if f.get("specialType") != "time_index"]
-        grid[(header_row, 1)] = fields[0]["id"]
-        for j, f in enumerate(value_fields):
-            grid[(header_row, j + 2)] = f["id"]
+        time_f = next(
+            f for f in fields if f.get("specialType") == "time_index"
+        )
+        value_fields = [
+            f for f in fields if f.get("specialType") != "time_index"
+        ]
+        for f in fields:
+            hr, hc = a1(f["scrapingIdentifierCell"])
+            grid[(hr, hc)] = f["id"]
+        tr, tc = a1(time_f["scrapingDataStartCell"])
         lines = ["indice_tiempo," + ",".join(f["title"] for f in value_fields)]
         for i, d in enumerate(dates):
-            grid[(header_row + 1 + i, 1)] = d
+            grid[(tr + i, tc)] = d
             row_vals = []
-            for j in range(len(value_fields)):
+            for j, f in enumerate(value_fields):
+                vr, vc = a1(f["scrapingDataStartCell"])
                 v = val(base, frac, i, j)
-                grid[(header_row + 1 + i, j + 2)] = v
+                grid[(vr + i, vc)] = v
                 row_vals.append(fmt(v))
             lines.append(d + "," + ",".join(row_vals))
         golden = os.path.join(OUT, "golden", dists[dist_id]["fileName"])
         with open(golden, "w") as fh:
             fh.write("\n".join(lines) + "\n")
 
-    block("1.1", 8, annual_dates(5), 100, 0.5)
-    block("1.2", 46, quarterly_dates(1993, 8), 200, 0.25)
+    block("1.1", annual_dates(5), 100, 0.5)
+    block("1.2", quarterly_dates(1993, 8), 200, 0.25)
 
     import sys
 
@@ -98,10 +120,11 @@ def main() -> None:
     from series_tiempo_ar_scraping_spark.sources.xlsx import write_xlsx
 
     max_row = max(r for r, _c in grid)
+    max_col = max(c for _r, c in grid)  # derived, never hardcoded
     # write_xlsx emits the `columns` tuple as row 1; pass it empty and
     # offset the data matrix so absolute coordinates line up.
     matrix = [
-        tuple(grid.get((r, c)) for c in range(1, 9))
+        tuple(grid.get((r, c)) for c in range(1, max_col + 1))
         for r in range(2, max_row + 1)
     ]
     write_xlsx(
