@@ -895,3 +895,84 @@ def merge_sources_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("source", -F.col("priority")).alias("chosen_source"),
         F.count("*").alias("n_sources"),
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, ts AS valid_from, event_id, event_type AS state
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from,
+             lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, event_id
+             ) AS valid_to
+      FROM changes
+    ),
+    probes AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           h.state AS state_at_purchase,
+           h.valid_from AS state_since
+    FROM probes p JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) join against the Type-2 history: enrich each
+    purchase with the user's state AT that instant — the canonical
+    bitemporal lookup every warehouse fact-load runs against its
+    dimensions. Intervals are per-user and non-overlapping, so the join
+    is an equi-join on user_id with the containment inequality pruning
+    within each user's handful of intervals (never a cross-interval
+    nested loop); exactly one history row matches per probe. Composes
+    the scd2_user_state_history derivation verbatim."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "event_id",
+        F.col("event_type").alias("state"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    hist = changes.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    probes = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = probes.join(
+        hist,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("valid_from") <= F.col("p_ts"))
+        & (F.col("valid_to").isNull() | (F.col("p_ts") < F.col("valid_to"))),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("state").alias("state_at_purchase"),
+        F.col("valid_from").alias("state_since"),
+    )
