@@ -442,7 +442,11 @@ def try_decode_wav(data: bytes) -> tuple[int, np.ndarray] | None:
     if (audio_format != 1 or bits != 16 or channels < 1
             or block_align != channels * 2 or sample_rate <= 0):
         return None
-    if len(pcm) % (channels * 2) != 0:
+    # Zero-frame payloads are rejected like any other undecodable input:
+    # downstream stats (peak = max over samples, rms = sqrt(sum/size)) are
+    # undefined on an empty sample set, and the operator contract is
+    # "malformed/degenerate payload becomes a null row, never an exception".
+    if len(pcm) == 0 or len(pcm) % (channels * 2) != 0:
         return None
     frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
     return sample_rate, frames

@@ -104,7 +104,11 @@ def test_resample_last_and_sum(spark, sf_dir, tmp_path):
         (r.event_type, r.period): r.v
         for r in e.groupBy(
             "event_type", F.date_trunc("month", "ts").alias("period")
-        ).agg(F.max_by("value", "ts").alias("v")).collect()
+        ).agg(
+            # same deterministic tiebreak as api.resample: latest ts, then
+            # max value — a bare max_by(value, ts) could flake on tied ts
+            F.max_by("value", F.struct("ts", "value")).alias("v")
+        ).collect()
     }
     assert {(k[0], k[1]): v for k, v in monthly_last.items()} == {
         (k[0], k[1]): v for k, v in want.items()

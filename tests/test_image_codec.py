@@ -179,6 +179,22 @@ def test_wav_decode_rejects_malformed():
     assert MM.try_decode_image(good) is None
 
 
+def test_wav_empty_data_chunk_is_undecodable_not_a_crash(spark):
+    """A structurally valid PCM16 WAV whose data chunk is empty must decode
+    to None (null stats row), not crash audio_stats on max()/rms of an
+    empty sample set."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt \
+        + b"data" + struct.pack("<I", 0)
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert MM.try_decode_wav(raw) is None
+    # end-to-end: the null row comes out of audio_stats, no executor error
+    media = spark.createDataFrame([(1, bytearray(raw))], MM.RASTER_SCHEMA)
+    rows = MM.audio_stats(media).collect()
+    assert len(rows) == 1 and rows[0]["decodable"] is False
+    assert rows[0]["rms"] is None and rows[0]["peak"] is None
+
+
 def test_audio_stats_on_synthesized_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(30)
     stats = MM.audio_stats(MM.synthesize_wav_media(docs)).collect()

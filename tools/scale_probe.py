@@ -40,7 +40,10 @@ def synth_events(spark, n_rows: int, path: str) -> None:
         .select(
             F.col("id").alias("event_id"),
             F.when(
-                F.col("id") % 10 < 3, F.col("id") % 100  # 100 hot users
+                # 100 hot users: the hot-key expression must be independent
+                # of the 30%-selector digit (id % 10 < 3 keeps only ids
+                # ending 0/1/2, so id % 100 would yield just 30 keys)
+                F.col("id") % 10 < 3, F.floor(F.col("id") / 10) % 100
             )
             .otherwise(
                 F.pmod(F.hash(F.col("id").cast("string")), F.lit(100000))
