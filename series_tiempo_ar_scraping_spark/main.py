@@ -37,6 +37,9 @@ def run_etl(
     interactive: bool = False,
     download_config: dict | None = None,
     max_parallel_catalogs: int = 1,
+    email_config: dict | None = None,
+    environment: str = "dev",
+    email_dry_run: bool = True,
 ) -> dict:
     """Run every catalog in the index; returns per-catalog summaries.
 
@@ -131,6 +134,7 @@ def run_etl(
             "indicators": ind,
             "written": len(res.written_files),
             "reports": report_files,
+            "metadata_error_count": res.metadata_errors.count(),
         }
 
     entries = [
@@ -167,6 +171,45 @@ def run_etl(
                 results[cid] = process_catalog(cid, cfg)
             except Exception as exc:  # noqa: BLE001 — V7: isolate catalogs
                 results[cid] = {"error": repr(exc)}
+
+    # K6 — per-catalog stage emails (reference base.py:1058-1066 sends
+    # validation mail after extraction of every catalog, base.py:1121-1130
+    # scraping mail after scraping of every catalog; this engine's
+    # pipeline runs both phases inside process_catalog, so the two stage
+    # batches go out after the catalog loop, preserving the reference's
+    # ordering: all 'extraccion' mails, then all 'scraping' mails).
+    # Skip-with-warning semantics live in send_group_email; a catalog
+    # that failed or ran metadata-only sends nothing.
+    if email_config is not None:
+        from series_tiempo_ar_scraping_spark.sinks.reports import (
+            build_message,
+            build_validation_message,
+            send_group_email,
+        )
+
+        for stage, body in (
+            ("extraccion",
+             lambda cid, r: build_validation_message(
+                 cid, r.get("metadata_error_count", 0))),
+            ("scraping",
+             lambda cid, r: build_message(r.get("indicators", {}))),
+        ):
+            for cid, r in results.items():
+                if "reports" not in r:
+                    continue
+                mail = send_group_email(
+                    cid,
+                    stage,
+                    email_config,
+                    body(cid, r),
+                    r["reports"],
+                    environment=environment,
+                    dry_run=email_dry_run,
+                )
+                if mail is not None:
+                    r.setdefault("emails", []).append(
+                        dict(mail, stage=stage)
+                    )
     return results
 
 
@@ -202,10 +245,20 @@ def run_custom_steps(output_dir: str, script_path: str,
 @click.option("--parallel-catalogs", default=1, type=int,
               help="process up to N catalogs concurrently (independent "
                    "units; Spark interleaves their jobs)")
+@click.option("--email-config", "email_config_path", default=None,
+              help="K6: config_email.yaml path (mailer + per-catalog "
+                   "destinatarios per stage); omit to skip emails")
+@click.option("--environment", default="dev",
+              help="environment tag for email subjects (X9; 'prod' "
+                   "drops the tag)")
+@click.option("--send-emails", is_flag=True, default=False,
+              help="actually send K6 emails over SMTP (default composes "
+                   "them dry-run into the result JSON)")
 @click.option("--log-level", default="WARN")
 def cli(config_path, output_dir, replace, catalog_id_filter,
         distribution_id_filter, metadata_only, custom_steps, interactive,
-        parallel_catalogs, log_level):
+        parallel_catalogs, email_config_path, environment, send_emails,
+        log_level):
     """Run the catalog ETL (reference ``etl`` entry point)."""
     spark = get_spark("etl-cli")
     spark.sparkContext.setLogLevel(log_level)
@@ -229,6 +282,11 @@ def cli(config_path, output_dir, replace, catalog_id_filter,
         interactive=interactive,
         download_config=index.get("download_config"),
         max_parallel_catalogs=parallel_catalogs,
+        email_config=(
+            read_config(email_config_path) if email_config_path else None
+        ),
+        environment=environment,
+        email_dry_run=not send_emails,
     )
     if custom_steps:
         results["_custom_steps_exit"] = run_custom_steps(

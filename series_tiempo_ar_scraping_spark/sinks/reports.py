@@ -54,6 +54,93 @@ def build_message(indicators: dict) -> str:
     return "\n".join(lines)
 
 
+# Per-stage attachment manifests (reference GROUP_CONFIGS, base.py:43-61):
+# extraction mail carries the metadata-errors + datasets reports, scraping
+# mail the datasets + distributions reports. Names are this engine's
+# report basenames (main.py writes them per catalog under reports/<id>/).
+STAGE_ATTACHMENTS = {
+    "extraccion": ("reporte-errores-metadata", "reporte-datasets"),
+    "scraping": ("reporte-datasets", "reporte-distributions"),
+}
+# config_email.yaml stage key → human subject label (base.py:859-862:
+# get_validation_mail_subject / get_scraping_mail_subject).
+STAGE_LABELS = {"extraccion": "Validación", "scraping": "Scraping"}
+
+
+def send_group_email(
+    catalog_id: str,
+    stage: str,
+    email_config: dict | None,
+    message: str,
+    report_files: list[str],
+    environment: str = "dev",
+    dry_run: bool = True,
+    now: _dt.datetime | None = None,
+    log=None,
+) -> dict | None:
+    """K6 orchestration — one per-catalog stage email, reference
+    ``send_validation_group_email`` / ``send_scraping_group_email``
+    (``base.py:745-817``). ``email_config`` is the parsed
+    ``config_email.yaml``: ``{mailer: {...}, extraccion: {catalog_id:
+    {destinatarios: [...]}}, scraping: {...}}``. Skips with a warning —
+    returning ``None``, never raising — when the stage has no entry for
+    this catalog or the entry has no recipients (``base.py:750-756,
+    767-770``). Attachments are filtered to this stage's manifest
+    (``STAGE_ATTACHMENTS``) and to files that exist on disk
+    (``base.py:725-727`` warns on missing files)."""
+    import logging
+
+    log = log or logging.getLogger(__name__)
+    stage_cfg = (email_config or {}).get(stage) or {}
+    if catalog_id not in stage_cfg:
+        log.warning(
+            "no email config for catalog %s stage %s; skipping",
+            catalog_id, stage,
+        )
+        return None
+    recipients = (stage_cfg.get(catalog_id) or {}).get("destinatarios") or []
+    if not recipients:
+        log.warning(
+            "no recipients for catalog %s stage %s; skipping",
+            catalog_id, stage,
+        )
+        return None
+    wanted = STAGE_ATTACHMENTS[stage]
+    attachments = []
+    for path in report_files:
+        base = os.path.splitext(os.path.basename(path))[0]
+        if base not in wanted:
+            continue
+        if not os.path.isfile(path):
+            log.warning("report file %s does not exist; not attached", path)
+            continue
+        attachments.append(path)
+    subject = build_subject(
+        catalog_id, STAGE_LABELS[stage], environment, now=now
+    )
+    return send_email(
+        subject,
+        message,
+        recipients,
+        attachments,
+        smtp_config=(email_config or {}).get("mailer"),
+        dry_run=dry_run,
+    )
+
+
+def build_validation_message(catalog_id: str, n_metadata_errors: int) -> str:
+    """Validation-stage body. NOTE: the reference's
+    ``generate_validation_message`` (``base.py:840-848``) has its
+    conditional inverted (valid → "tiene errores"); this implements the
+    evident intent, keyed on the actual metadata-error count."""
+    if n_metadata_errors:
+        return (
+            f"El catálogo '{catalog_id}' tiene errores "
+            f"({n_metadata_errors})."
+        )
+    return f"El catálogo '{catalog_id}' no tiene errores."
+
+
 def send_email(subject: str, message: str, recipients: list[str],
                attachments: list[str] | None = None,
                smtp_config: dict | None = None, dry_run: bool = True) -> dict:

@@ -96,6 +96,82 @@ def test_report_csv_and_mail(spark, tmp_path):
     assert "datasets_ok: 2" in mail["message"]
 
 
+def test_etl_stage_group_emails(spark, tmp_path):
+    """K6 orchestration: a configured catalog gets TWO dry-run stage
+    emails (extraccion, then scraping) with the stage's attachment
+    manifest and env-tagged subjects (reference base.py:745-817 senders,
+    invoked at base.py:1058-1066 and 1121-1130); an unconfigured catalog
+    is skipped with a warning, not an error."""
+    index = {
+        "acme": {"metadata_path": os.path.join(FIX, "catalog.json")},
+        "acme2": {"metadata_path": os.path.join(FIX, "catalog.json")},
+    }
+    email_config = {
+        "mailer": {"host": "smtp.test", "port": 465, "ssl": True,
+                   "user": "etl@test", "password": "x"},
+        "extraccion": {"acme": {"destinatarios": ["val@acme.test"]}},
+        "scraping": {
+            "acme": {"destinatarios": ["ops@acme.test", "dba@acme.test"]},
+            # configured but empty recipient list → skip-with-warning
+            "acme2": {"destinatarios": []},
+        },
+    }
+    results = run_etl(
+        index, str(tmp_path / "out"), spark=spark, file_resolver=_resolver,
+        email_config=email_config, environment="staging",
+    )
+    mails = results["acme"]["emails"]
+    assert [m["stage"] for m in mails] == ["extraccion", "scraping"]
+    val, scr = mails
+    assert val["recipients"] == ["val@acme.test"]
+    assert val["subject"].startswith("[staging] acme - Validación: ")
+    # fixture catalog carries 3 deliberate metadata errors (the K5
+    # errors-report fixtures) → validation body reports them
+    assert "tiene errores (3)" in val["message"]
+    assert sorted(os.path.basename(p) for p in val["attachments"]) == [
+        "reporte-datasets.xlsx", "reporte-errores-metadata.xlsx",
+    ]
+    assert scr["recipients"] == ["ops@acme.test", "dba@acme.test"]
+    assert scr["subject"].startswith("[staging] acme - Scraping: ")
+    assert "distributions: 4" in scr["message"]
+    assert sorted(os.path.basename(p) for p in scr["attachments"]) == [
+        "reporte-datasets.xlsx", "reporte-distributions.xlsx",
+    ]
+    # acme2: no extraccion entry + empty scraping recipients → no mail,
+    # but the catalog itself processed fine
+    assert "emails" not in results["acme2"]
+    assert results["acme2"]["written"] > 0
+
+
+def test_send_group_email_skip_paths(tmp_path, caplog):
+    """Skip-with-warning unit semantics (base.py:750-756,767-770), plus
+    missing-attachment filtering (base.py:725-727)."""
+    import logging
+
+    from series_tiempo_ar_scraping_spark.sinks.reports import (
+        send_group_email,
+    )
+
+    cfg = {"scraping": {"c1": {"destinatarios": ["a@b.test"]}}}
+    with caplog.at_level(logging.WARNING):
+        # unknown catalog → None + warning
+        assert send_group_email("nope", "scraping", cfg, "m", []) is None
+        # no config at all → None
+        assert send_group_email("c1", "extraccion", cfg, "m", []) is None
+        # known catalog, one existing + one vanished report: only the
+        # existing file in the stage manifest is attached
+        real = tmp_path / "reporte-datasets.xlsx"
+        real.write_bytes(b"x")
+        mail = send_group_email(
+            "c1", "scraping", cfg, "m",
+            [str(real), str(tmp_path / "reporte-distributions.xlsx"),
+             str(tmp_path / "reporte-errores-metadata.xlsx")],
+        )
+    assert mail["attachments"] == [str(real)]
+    assert any("skipping" in r.message for r in caplog.records)
+    assert any("not attached" in r.message for r in caplog.records)
+
+
 def test_download_interactive_and_proxies(tmp_path, monkeypatch):
     """--interactive reuses landed files (base.py:922-925); proxies flow
     from download_config to the HTTP client (download.py:24-27)."""
