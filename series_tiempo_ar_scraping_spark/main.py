@@ -9,6 +9,7 @@ YAML index + general config, plain dicts on the driver.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 import click
@@ -116,12 +117,20 @@ def run_etl(
         )
 
         report_dir = os.path.join(output_dir, "reports", catalog_id)
+        # K5 — metadata validation errors export (the reference's
+        # validate_catalog(only_errors, export_path), base.py:434-441).
+        # Collected exactly once: the same rows feed the xlsx export and
+        # the validation-email error count (small by V1-V3 contract —
+        # one row per metadata rule violation).
+        from series_tiempo_ar_scraping_spark.sources.xlsx import write_xlsx
+
+        meta_err_cols = res.metadata_errors.columns
+        meta_err_rows = [tuple(r) for r in res.metadata_errors.collect()]
         report_files = [
             write_report_xlsx(res.dataset_report, report_dir, "reporte-datasets"),
-            # K5 — metadata validation errors export (the reference's
-            # validate_catalog(only_errors, export_path), base.py:434-441)
-            write_report_xlsx(
-                res.metadata_errors, report_dir, "reporte-errores-metadata"
+            write_xlsx(
+                os.path.join(report_dir, "reporte-errores-metadata.xlsx"),
+                {"reporte-errores-metadata": (meta_err_cols, meta_err_rows)},
             ),
         ]
         if res.distribution_report is not None:
@@ -134,7 +143,7 @@ def run_etl(
             "indicators": ind,
             "written": len(res.written_files),
             "reports": report_files,
-            "metadata_error_count": res.metadata_errors.count(),
+            "metadata_error_count": len(meta_err_rows),
         }
 
     entries = [
@@ -197,15 +206,27 @@ def run_etl(
             for cid, r in results.items():
                 if "reports" not in r:
                     continue
-                mail = send_group_email(
-                    cid,
-                    stage,
-                    email_config,
-                    body(cid, r),
-                    r["reports"],
-                    environment=environment,
-                    dry_run=email_dry_run,
-                )
+                # One bad SMTP endpoint must not discard the run's
+                # results: the reference logs and continues on any send
+                # error (base.py:738-743). Skip paths return None inside
+                # send_group_email; network/protocol errors land here.
+                try:
+                    mail = send_group_email(
+                        cid,
+                        stage,
+                        email_config,
+                        body(cid, r),
+                        r["reports"],
+                        environment=environment,
+                        dry_run=email_dry_run,
+                    )
+                except Exception as exc:  # noqa: BLE001 — V7 error channel
+                    logging.getLogger(__name__).warning(
+                        "email send failed for catalog %s stage %s: %r",
+                        cid, stage, exc,
+                    )
+                    r.setdefault("email_errors", []).append(repr(exc))
+                    continue
                 if mail is not None:
                     r.setdefault("emails", []).append(
                         dict(mail, stage=stage)

@@ -160,9 +160,16 @@ def send_email(subject: str, message: str, recipients: list[str],
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
+    # The reference's config_email.yaml mailer block spells the endpoint
+    # 'smtp_server' and identifies the sender via 'user' (base.py:710,731;
+    # tests/project/config/config_email.yaml) — accept both that spelling
+    # and the plainer host/from used by this engine's docs.
+    sender = (
+        smtp_config.get("from") or smtp_config.get("user") or "etl@localhost"
+    )
     msg = MIMEMultipart()  # pragma: no cover
     msg["Subject"] = subject
-    msg["From"] = smtp_config.get("from", "etl@localhost")
+    msg["From"] = sender
     msg["To"] = ", ".join(recipients)
     msg.attach(MIMEText(message))
     for path in attachments or []:  # the reference attaches the reports
@@ -174,12 +181,13 @@ def send_email(subject: str, message: str, recipients: list[str],
             filename=os.path.basename(path),
         )
         msg.attach(part)
-    host, port = smtp_config["host"], int(smtp_config.get("port", 465))
+    host = smtp_config.get("host") or smtp_config["smtp_server"]
+    port = int(smtp_config.get("port", 465))
     cls = smtplib.SMTP_SSL if smtp_config.get("ssl", True) else smtplib.SMTP
     with cls(host, port) as server:
         if not smtp_config.get("ssl", True):
             server.starttls()
         if smtp_config.get("user"):
             server.login(smtp_config["user"], smtp_config["password"])
-        server.sendmail(smtp_config.get("from", "etl@localhost"), recipients, msg.as_string())
+        server.sendmail(sender, recipients, msg.as_string())
     return mail  # pragma: no cover

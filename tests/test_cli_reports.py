@@ -143,6 +143,82 @@ def test_etl_stage_group_emails(spark, tmp_path):
     assert results["acme2"]["written"] > 0
 
 
+def test_send_email_reference_config_keys(tmp_path, monkeypatch):
+    """Live-send accepts the reference config_email.yaml mailer spelling
+    (smtp_server + user, no host/from — tests/project/config/
+    config_email.yaml; base.py:710,731,738-739): endpoint resolves from
+    smtp_server and the From/envelope sender falls back to user."""
+    import smtplib
+
+    sent = {}
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            sent["host"], sent["port"] = host, port
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def login(self, user, password):
+            sent["login"] = (user, password)
+
+        def sendmail(self, sender, recipients, payload):
+            sent["sender"] = sender
+            sent["recipients"] = recipients
+            sent["payload"] = payload
+
+    monkeypatch.setattr(smtplib, "SMTP_SSL", FakeSMTP)
+    att = tmp_path / "reporte-datasets.xlsx"
+    att.write_bytes(b"xlsxbytes")
+    send_email(
+        "subj", "body", ["jane@example.com"], attachments=[str(att)],
+        smtp_config={"user": "foo", "password": "bar",
+                     "smtp_server": "smtp.example.com", "port": 587,
+                     "ssl": True},
+        dry_run=False,
+    )
+    assert sent["host"] == "smtp.example.com" and sent["port"] == 587
+    assert sent["login"] == ("foo", "bar")
+    assert sent["sender"] == "foo"  # From falls back to mailer user
+    assert sent["recipients"] == ["jane@example.com"]
+    assert "From: foo" in sent["payload"]
+
+
+def test_etl_email_send_failure_isolated(spark, tmp_path, monkeypatch, caplog):
+    """One failing SMTP send must not crash run_etl or discard the run's
+    results (reference logs-and-continues, base.py:738-743): the error is
+    recorded per catalog under email_errors and processing results stay."""
+    import logging
+
+    from series_tiempo_ar_scraping_spark.sinks import reports as reports_mod
+
+    def boom(*a, **k):
+        raise OSError("connection refused")
+
+    monkeypatch.setattr(reports_mod, "send_group_email", boom)
+    index = {"acme": {"metadata_path": os.path.join(FIX, "catalog.json")}}
+    email_config = {
+        "mailer": {"smtp_server": "smtp.test", "port": 587, "ssl": True,
+                   "user": "etl@test", "password": "x"},
+        "extraccion": {"acme": {"destinatarios": ["val@acme.test"]}},
+        "scraping": {"acme": {"destinatarios": ["ops@acme.test"]}},
+    }
+    with caplog.at_level(logging.WARNING):
+        results = run_etl(
+            index, str(tmp_path / "out"), spark=spark,
+            file_resolver=_resolver, email_config=email_config,
+        )
+    r = results["acme"]
+    assert r["written"] > 0  # pipeline results survived the SMTP failure
+    assert "emails" not in r
+    # both stage attempts recorded, neither escaped run_etl
+    assert r["email_errors"] == [repr(OSError("connection refused"))] * 2
+    assert any("email send failed" in rec.message for rec in caplog.records)
+
+
 def test_send_group_email_skip_paths(tmp_path, caplog):
     """Skip-with-warning unit semantics (base.py:750-756,767-770), plus
     missing-attachment filtering (base.py:725-727)."""
