@@ -9,9 +9,16 @@ Two lanes (see SCALE.md "Bench methodology"):
 - value/queries — steady-state: hot-table cache, warm codegen,
   min(first, second) per query. The declared headline.
 - value_cold/queries_cold — cold: no table cache, first run in the
-  session, pays parquet scan + codegen compile. Round-comparable with the
-  r1-r3 lineage; exists so a plan regression can't hide behind the warm
-  cache. Skip with SPARK_GRAFT_BENCH_SKIP_COLD=1 during iteration.
+  session, pays parquet scan + codegen compile. Single-sample by
+  construction (a query is only cold once per JVM), so it carries a
+  ±20% run-to-run variance band — see SCALE.md. Exists so a plan
+  regression can't hide behind the warm cache. Skip with
+  SPARK_GRAFT_BENCH_SKIP_COLD=1 during iteration.
+
+The r2-era 29-query set is frozen as BENCH_QUERIES_R2; its subtotals are
+reported as value_r2set / value_cold_r2set for round-over-round lineage.
+The headline value/value_cold cover the extended set (r2 + post-r2 heavy
+queries) as of round 6.
 """
 
 from __future__ import annotations
@@ -28,7 +35,10 @@ from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
 
 # Heavier, representative subset — full catalog correctness is the gate's
 # job; bench tracks throughput of the scan/shuffle/window/join heavy paths.
-BENCH_QUERIES = [
+# BENCH_QUERIES_R2 is the original 29-query set, FROZEN for round-over-round
+# lineage (r2-r5 totals were computed over exactly this list; the JSON line
+# reports its subtotal as value_r2set / value_cold_r2set).
+BENCH_QUERIES_R2 = [
     "q01_pricing_summary",
     "q03_revenue_topk",
     "q05_region_revenue",
@@ -59,6 +69,31 @@ BENCH_QUERIES = [
     "skyline_orders_pareto",
     "json_props_bucket_stats",
 ]
+
+# Heaviest post-r2 catalog entries — ANN variants, time-series batch 8,
+# SCD2, layout stats, graph, and the curation funnel. Appended so the
+# whole perf-relevant surface has a per-round signal; the frozen r2 set
+# above keeps its own subtotal for lineage.
+BENCH_QUERIES_EXT = [
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "series_seasonal_decompose",
+    "series_holt_forecast",
+    "scd2_user_state_history",
+    "scd2_point_in_time_join",
+    "zorder_bucket_stats",
+    "incremental_dedup",
+    "curation_filter_funnel",
+    "decontamination_ngram_overlap",
+    "pagerank_part_graph",
+    "graph_triangle_stats",
+    "rolling_median_value",
+    "salted_user_event_stats",
+    "interval_overlap_coactivity",
+    "token_length_histogram",
+]
+
+BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
 
 
 TABLES = (
@@ -141,10 +176,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # subtotal over the frozen r2-era 29-query set — directly
+        # comparable with the r2-r5 "value" lineage
+        "value_r2set": round(
+            sum(timings[n] for n in BENCH_QUERIES_R2), 3
+        ),
     }
     if cold:
         out["value_cold"] = round(sum(cold.values()), 3)
         out["queries_cold"] = cold
+        out["value_cold_r2set"] = round(
+            sum(cold[n] for n in BENCH_QUERIES_R2), 3
+        )
     print(json.dumps(out))
 
 

@@ -119,6 +119,52 @@ def test_driver_gate_first_50_pinned():
     )
 
 
+def test_registry_import_time_bounded():
+    """Importing the driver entry point and materializing the registry
+    (queries() + oracle_sql()) must stay cheap — it runs once per driver
+    session before any Spark work, and batches 9+ must not creep it
+    toward the gate timeout. Measured in a fresh interpreter so module
+    caching in the test session can't mask a regression (r5 measured
+    ~0.3 s; bound leaves ~15x headroom)."""
+    script = (
+        "import sys, time; sys.path.insert(0, {repo!r});"
+        "t0 = time.perf_counter();"
+        "import __spark_entry__ as e;"
+        "qs = e.queries(); osql = e.oracle_sql();"
+        "print('REGISTRY_SECONDS', time.perf_counter() - t0, len(qs))"
+    ).format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=120,
+    )
+    line = next(
+        ln for ln in out.stdout.splitlines() if "REGISTRY_SECONDS" in ln
+    )
+    elapsed = float(line.split()[1])
+    assert elapsed < 5.0, f"registry import took {elapsed:.2f}s (bound 5s)"
+
+
+def test_gate_planning_time_bounded(spark):
+    """Plan-analysis wall-time over the driver gate's 50 queries: the
+    driver builds every DataFrame before collecting, so analysis cost is
+    pure overhead charged to the gate budget. .schema forces analysis
+    without running a job. r6 measured ~20 s warm / ~25 s cold for the
+    first 50 on local[4]; the 90 s bound trips only on a structural
+    regression (an eager collect/action sneaking into a query builder,
+    or quadratic plan growth), not on noise."""
+    import time
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    t0 = time.perf_counter()
+    for name in _GATE_FIRST_50:
+        _ = qs[name](spark, "/root/testdata/sf0.001").schema
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 90.0, f"gate planning took {elapsed:.1f}s (bound 90s)"
+
+
 def test_gate_order_strict_rejects_missing_names():
     """strict=True must fail fast when a priority name is unregistered."""
     import pytest
