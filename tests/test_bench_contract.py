@@ -1,0 +1,90 @@
+"""Pins bench.py's output contract against the driver's capture window.
+
+Round-6 post-mortem (VERDICT r6 §Missing #1): the driver keeps only the
+LAST ~2000 chars of bench stdout; the 45-query single-line JSON (~3400
+chars) overflowed it and BENCH_r06.json recorded parsed=null. The
+contract is now: per-query detail on EARLIER stdout lines + the
+append-only BENCH_HISTORY.jsonl; the FINAL stdout line is a compact
+summary that must stay well under the window no matter how the catalog
+grows. These tests run without Spark.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import bench  # noqa: E402
+
+
+def _fake_lane(scale: float) -> dict[str, float]:
+    # worst-case realistic magnitudes (xx.xxx) so the length bound is
+    # tested against maximal digit counts, not optimistic 0.1s values
+    return {n: 10.0 + scale for n in bench.BENCH_QUERIES}
+
+
+def _capture(timings, cold, tmp_path):
+    os.environ["SPARK_GRAFT_BENCH_HISTORY"] = str(tmp_path / "hist.jsonl")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out = bench.build_output(timings, cold, "0.1")
+        return out, buf.getvalue()
+    finally:
+        del os.environ["SPARK_GRAFT_BENCH_HISTORY"]
+
+
+def test_final_line_fits_driver_tail_window(tmp_path):
+    out, stdout = _capture(_fake_lane(89.999), _fake_lane(89.998), tmp_path)
+    final_line = json.dumps(out)
+    # driver window is 2000 chars and must also hold any trailing Spark
+    # shutdown noise; the verdict prescribed < 1800
+    assert len(final_line) < 1800, len(final_line)
+    # compact summary only — per-query dicts live on detail lines
+    assert "queries" not in out and "queries_cold" not in out
+    for key in (
+        "metric", "value", "unit", "sf", "value_r2set", "value_ext",
+        "value_cold", "value_cold_r2set", "value_cold_ext", "n_queries",
+    ):
+        assert key in out, key
+    # ADVICE r6: "value" is the FROZEN r2-set lineage number
+    assert out["value"] == out["value_r2set"]
+    assert out["n_queries"] == len(bench.BENCH_QUERIES)
+    assert out["value_ext"] > out["value_r2set"]
+
+
+def test_detail_lines_precede_summary_and_parse(tmp_path):
+    out, stdout = _capture(_fake_lane(1.0), _fake_lane(2.0), tmp_path)
+    detail_lines = [
+        ln for ln in stdout.splitlines() if ln.startswith("BENCH_DETAIL ")
+    ]
+    assert len(detail_lines) == 1
+    detail = json.loads(detail_lines[0][len("BENCH_DETAIL "):])
+    assert set(detail["queries"]) == set(bench.BENCH_QUERIES)
+    assert set(detail["queries_cold"]) == set(bench.BENCH_QUERIES)
+    # history record carries both detail and summary for the regression tool
+    hist_path = tmp_path / "hist.jsonl"
+    rec = json.loads(hist_path.read_text().splitlines()[-1])
+    assert rec["queries"] == detail["queries"]
+    assert rec["value"] == out["value"]
+    assert "ts" in rec
+
+
+def test_cold_lane_optional(tmp_path):
+    out, _ = _capture(_fake_lane(1.0), {}, tmp_path)
+    assert "value_cold" not in out
+    assert json.dumps(out)  # still serializable
+
+
+def test_r2_set_is_frozen():
+    # the lineage subtotal is only meaningful if the r2 list never changes
+    assert len(bench.BENCH_QUERIES_R2) == 29
+    assert bench.BENCH_QUERIES_R2[0] == "q01_pricing_summary"
+    assert bench.BENCH_QUERIES_R2[-1] == "json_props_bucket_stats"
