@@ -5,12 +5,14 @@ struct; decode / feature-extract / resize / frame-sample run as Arrow-
 batched pandas functions over ``mapInPandas`` — the only sane shape at
 100 TB (per-batch Python, columnar transfer, no per-row pickling).
 
-Compressed codecs (JPEG/PNG/video — PIL/ffmpeg) are NOT in this
+Codec libraries (PIL/ffmpeg — JPEG, H.264, MP3) are NOT in this
 container, so that decode branch is import-gated and ``decode_stub=True``
 computes deterministic fake features (byte length, md5-based checksum,
-fake dims). Two *uncompressed* raster formats, however, are decoded for
-real with a pure-stdlib codec below — PPM (P6) and 24-bit uncompressed
-BMP — so the feature/resize kernels run on actual pixel data in-sandbox:
+fake dims). Three raster formats, however, are decoded for real with a
+pure-stdlib codec below — PPM (P6), 24-bit uncompressed BMP, and 8-bit
+PNG (zlib IDAT inflate + per-row unfilter, the one *compressed* wire
+format stdlib can handle) — so the feature/resize kernels run on actual
+pixel data in-sandbox:
 ``try_decode_image`` strictly validates headers + payload length and the
 kernels branch to real dimensions/pixels whenever a payload decodes,
 falling back to the stub otherwise. Everything Spark-side — schema,
@@ -151,14 +153,181 @@ def _decode_bmp24(data: bytes) -> np.ndarray | None:
     return rows[..., ::-1]  # BGR -> RGB
 
 
+# --- PNG (stdlib-zlib): the one *compressed* wire format decodable
+# without PIL. Supports the formats a synthetic/most-common corpus needs:
+# 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace, no
+# palette. Chunk CRCs are verified and IDAT must inflate to exactly
+# h*(1+stride) bytes — the same strictness contract as the PPM/BMP
+# branches. Filters 0-4 (None/Sub/Up/Average/Paeth) are both encoded
+# (fixture side) and unfiltered (decode side), so round-trip tests
+# exercise every predictor.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    crc = zlib.crc32(ctype + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + ctype + payload + struct.pack(
+        ">I", crc
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an 8-bit truecolor PNG,
+    applying ``filter_type`` (0-4) to every scanline. The non-zero
+    filters exist so decode tests exercise each unfilter predictor."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png requires 3 channels")
+    if filter_type not in range(5):
+        raise ValueError("PNG filter type must be 0-4")
+    px = pixels.astype(np.int32)
+    bpp = 3
+    zero_row = np.zeros((w, bpp), np.int32)
+    lines = bytearray()
+    for y in range(h):
+        raw = px[y]
+        prior = px[y - 1] if y else zero_row
+        left = np.vstack([np.zeros((1, bpp), np.int32), raw[:-1]])
+        ul = np.vstack([np.zeros((1, bpp), np.int32), prior[:-1]])
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:  # Sub
+            filt = raw - left
+        elif filter_type == 2:  # Up
+            filt = raw - prior
+        elif filter_type == 3:  # Average
+            filt = raw - (left + prior) // 2
+        else:  # Paeth
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = raw - pred
+        lines.append(filter_type)
+        lines += (filt & 255).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
+    """Reverse per-scanline filtering (types 0-4) on inflated IDAT bytes.
+    Returns (H, W, ch) uint8, or None on an unknown filter byte."""
+    stride = w * ch
+    out = np.zeros((h, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up — fully vectorized
+            cur = (line + prior) & 255
+        elif ft == 1:  # Sub — prefix dependency along the row
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 255
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + (left + prior[x]) // 2) & 255
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 255
+        else:
+            return None
+        out[y] = cur
+        prior = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def _decode_png(data: bytes) -> np.ndarray | None:
+    import zlib
+
+    if not data.startswith(_PNG_SIG):
+        return None
+    pos, chunks = len(_PNG_SIG), []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        if pos + 12 + length > len(data):  # payload or CRC truncated
+            return None
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            return None
+        chunks.append((ctype, payload))
+        pos += 12 + length
+        if ctype == b"IEND":
+            break
+    # exact-consumption contract: IEND must be the last chunk AND the last
+    # bytes of the payload — trailing garbage is a reject
+    if pos != len(data) or not chunks or chunks[-1][0] != b"IEND":
+        return None
+    if chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if (depth != 8 or channels is None or comp != 0 or filt != 0
+            or interlace != 0 or w <= 0 or h <= 0 or w * h > 1 << 26):
+        return None
+    # IDAT chunks must be consecutive (PNG spec); concatenate then inflate
+    idat_idx = [i for i, (t, _) in enumerate(chunks) if t == b"IDAT"]
+    if not idat_idx or idat_idx != list(
+        range(idat_idx[0], idat_idx[0] + len(idat_idx))
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(chunks[i][1] for i in idat_idx))
+    except zlib.error:
+        return None
+    if len(raw) != h * (1 + w * channels):
+        return None
+    img = _png_unfilter(raw, h, w, channels)
+    if img is None:
+        return None
+    if color == 0:  # gray -> replicate to RGB
+        return np.repeat(img, 3, axis=2)
+    if color == 6:  # RGBA -> drop alpha
+        return np.ascontiguousarray(img[..., :3])
+    return img
+
+
 def try_decode_image(data: bytes) -> np.ndarray | None:
-    """Decode PPM P6 / 24-bit BMP payloads to (H, W, 3) uint8 RGB, or
-    ``None`` for anything else (including malformed headers and payloads
-    whose length contradicts the declared dimensions)."""
+    """Decode PPM P6 / 24-bit BMP / 8-bit PNG payloads to (H, W, 3) uint8
+    RGB, or ``None`` for anything else (including malformed headers,
+    chunk-CRC mismatches, and payloads whose length contradicts the
+    declared dimensions)."""
     if data is None:
         return None
     data = bytes(data)
-    return _decode_ppm(data) if data[:2] == b"P6" else _decode_bmp24(data)
+    if data[:2] == b"P6":
+        return _decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return _decode_png(data)
+    return _decode_bmp24(data)
 
 
 def nearest_resize(pixels: np.ndarray, max_dim: int) -> np.ndarray:
@@ -728,6 +897,40 @@ def synthesize_raster_media(docs: DataFrame) -> DataFrame:
                 payloads.append(
                     encode_bmp24(px) if did % 2 == 0 else encode_ppm(px)
                 )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: derive a deterministic gradient-pattern PNG per
+    document. Pixel (y, x, c) = (doc_id + 3x + 5y + 11c) % 256 — a
+    non-constant pattern so the scanline filters have real deltas to
+    encode — and the filter type cycles with doc_id % 5, so the corpus
+    exercises every unfilter predictor (None/Sub/Up/Average/Paeth). The
+    decode results are oracle-checkable in closed form. Map-only Arrow
+    batches; no shuffle."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 7, 1 + did % 5
+                ys, xs, cs = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                px = ((did + 3 * xs + 5 * ys + 11 * cs) % 256).astype(
+                    np.uint8
+                )
+                payloads.append(encode_png(px, filter_type=did % 5))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "content": payloads}
             )

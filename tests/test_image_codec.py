@@ -138,6 +138,142 @@ def test_image_stats_null_for_undecodable(spark, sf_dir):
     )
 
 
+# --- PNG (stdlib zlib) codec ------------------------------------------------
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 3), (7, 5), (16, 16)])
+def test_png_round_trip_every_filter(ft, h, w):
+    px = _rand_pixels(h, w, seed=ft * 1000 + h * 10 + w)
+    out = MM.try_decode_image(MM.encode_png(px, filter_type=ft))
+    assert out is not None and out.shape == (h, w, 3)
+    assert np.array_equal(out, px)
+
+
+def test_png_decode_hand_constructed():
+    """1x2 RGB PNG written chunk by chunk with filter-0 scanline: decode
+    must see pixels (10,20,30) and (40,50,60) — catches an encoder/decoder
+    bug pair that would cancel in round-trip."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    scan = b"\x00" + bytes([10, 20, 30, 40, 50, 60])
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(scan))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    img = MM.try_decode_image(raw)
+    assert img is not None and img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [10, 20, 30]
+    assert img[0, 1].tolist() == [40, 50, 60]
+
+
+def test_png_gray_and_rgba_color_types():
+    """Color type 0 replicates gray to RGB; color type 6 drops alpha."""
+    import zlib
+
+    gray = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", gray)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" + bytes([7, 250])))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    img = MM.try_decode_image(raw)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [7, 7, 7]
+    assert img[0, 1].tolist() == [250, 250, 250]
+    rgba = struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", rgba)
+        + MM._png_chunk(
+            b"IDAT", zlib.compress(b"\x00" + bytes([9, 8, 7, 128]))
+        )
+        + MM._png_chunk(b"IEND", b"")
+    )
+    img = MM.try_decode_image(raw)
+    assert img.shape == (1, 1, 3) and img[0, 0].tolist() == [9, 8, 7]
+
+
+def test_png_decode_rejects_malformed():
+    import zlib
+
+    good = MM.encode_png(_rand_pixels(3, 4, seed=11), filter_type=4)
+    assert MM.try_decode_image(good) is not None
+    assert MM.try_decode_image(good[:-1]) is None  # truncated
+    assert MM.try_decode_image(good + b"x") is None  # trailing garbage
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip an IDAT byte -> chunk CRC mismatch
+    assert MM.try_decode_image(bytes(bad)) is None
+    # interlaced (Adam7) refused
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x03"))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+    # 16-bit depth refused
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+    # palette (color type 3) refused
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"PLTE", b"\x00\x00\x00")
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+    # inflated length contradicting declared dims refused
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 6))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+    # unknown filter byte (5) refused
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x05\x01\x02\x03"))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+    # signature alone / prose starting with the signature
+    assert MM.try_decode_image(MM._PNG_SIG) is None
+    assert MM.try_decode_image(MM._PNG_SIG + b" is a format") is None
+
+
+def test_png_stats_on_synthesized_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    stats = MM.image_stats(MM.synthesize_png_media(docs)).collect()
+    assert len(stats) == 40
+    for r in stats:
+        did = r.media_id
+        w, h = 1 + did % 7, 1 + did % 5
+        assert r.decodable
+        assert (r.width, r.height) == (w, h)
+        want = sum(
+            (did + 3 * x + 5 * y + 11 * c) % 256
+            for y in range(h) for x in range(w) for c in range(3)
+        ) / (w * h * 3)
+        assert r.mean_luma == pytest.approx(want, abs=0)
+
+
 # --- WAV (RIFF PCM16) codec ------------------------------------------------
 
 
@@ -286,6 +422,7 @@ from hypothesis import strategies as st
 _VALID = [
     MM.encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8)),
     MM.encode_bmp24(np.zeros((3, 2, 3), dtype=np.uint8)),
+    MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=4),
     MM.encode_wav_pcm16(np.array([1, -1, 2], dtype=np.int16), 8000),
     MM.encode_y4m([np.zeros((2, 4), dtype=np.uint8)]),
 ]
