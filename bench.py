@@ -102,6 +102,9 @@ BENCH_QUERIES_EXT = [
     "salted_user_event_stats",
     "interval_overlap_coactivity",
     "token_length_histogram",
+    # round 7
+    "corpus_curation_pipeline",
+    "multimodal_png_stats",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

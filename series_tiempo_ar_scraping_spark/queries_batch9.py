@@ -16,9 +16,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from series_tiempo_ar_scraping_spark.operators import dedup as D
+from series_tiempo_ar_scraping_spark.operators import textops as TX
 from series_tiempo_ar_scraping_spark.queries import (
+    det_round,
     load_table,
     register,
+)
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _SHINGLES_SQL,
+    _TOKS_SQL,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    _toks_of_norm,
 )
 
 
@@ -63,3 +73,263 @@ def multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(synthesize_png_media(docs)).select(
         "media_id", "width", "height", "mean_luma"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-curation pipeline: the nightly-run shape.
+# ---------------------------------------------------------------------------
+
+_EVAL_MAX_DOC = 25  # doc_id < 25 plays the benchmark/eval corpus
+_DECON_MIN_SHARED = 5  # ≥ this many shared eval shingles ⇒ contaminated
+
+# Ingest corpus: training docs plus planted exact copies and near copies
+# (prefix-stripped), so the dedup stages demonstrably fire.
+_CURATION_CORPUS_SQL = f"""
+      SELECT doc_id, text, lang FROM documents WHERE doc_id >= {_EVAL_MAX_DOC}
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+      WHERE doc_id >= {_EVAL_MAX_DOC} AND doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, substr(text, 13) AS text, lang
+      FROM documents WHERE doc_id >= {_EVAL_MAX_DOC} AND doc_id % 5 = 0
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=f"""
+    WITH corpus AS ({_CURATION_CORPUS_SQL}),
+    feat AS (
+      SELECT doc_id, text, lang, length(text) AS n_chars,
+             len({_TOKS_SQL.format(c='text')}) AS n_toks,
+             len(regexp_extract_all(text, '[.,!?;:]')) AS punct
+      FROM corpus
+    ),
+    kept AS (
+      SELECT doc_id, text FROM feat
+      WHERE n_chars >= 120 AND lang IN ('en', 'es')
+        AND CAST(punct AS DOUBLE) / greatest(n_chars, 1) <= 0.04
+        AND n_toks >= 25
+    ),
+    exact AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                 AS rk
+        FROM kept
+      ) WHERE rk = 1
+    ),
+    sh AS (
+      SELECT doc_id,
+             {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles,
+             len({_toks_of_norm('text')}) AS n_tokens
+      FROM exact
+    ),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} FROM sh),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()})
+               v(band_idx, band_key)) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / greatest(len(list_distinct(sa.shingles || sb.shingles)), 1)
+          AS jac
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    dropped AS (
+      SELECT DISTINCT doc_b AS doc_id FROM scored
+      WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+    ),
+    near AS (
+      SELECT s.doc_id, s.shingles, s.n_tokens FROM sh s
+      LEFT JOIN dropped d ON s.doc_id = d.doc_id
+      WHERE d.doc_id IS NULL
+    ),
+    evsh AS (
+      SELECT DISTINCT unnest(
+        {_SHINGLES_SQL.format(t=_toks_of_norm('text'))}) AS s
+      FROM documents WHERE doc_id < {_EVAL_MAX_DOC}
+    ),
+    shared AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM near) t
+      JOIN evsh e ON t.s = e.s
+      GROUP BY 1
+    ),
+    final AS (
+      SELECT n.doc_id, n.n_tokens FROM near n
+      LEFT JOIN shared s ON n.doc_id = s.doc_id
+      WHERE COALESCE(s.n_shared, 0) < {_DECON_MIN_SHARED}
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(
+               (SUM(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               / 2048.0) AS BIGINT) AS bin_id
+      FROM final
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY 1
+    """,
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly corpus-curation run, hash-oracled end to end:
+    ingest (training docs + planted exact/near duplicates) → quality
+    filter funnel → exact dedup (min-id per content hash) → MinHash-LSH
+    near-dedup (banded candidates, Jaccard ≥ 0.3 verify, drop the
+    higher-id doc of each verified pair) → benchmark decontamination
+    (drop docs sharing ≥ {_DECON_MIN_SHARED} shingles with the eval
+    corpus) → 2048-token sequence packing of the survivors. Per-bin
+    stats are the output, so a single wrongly kept/dropped document
+    anywhere upstream shifts the packing and breaks the hash.
+
+    Scale shape (asserted in tests/test_plans.py): the funnel is a
+    map-side filter fused into the scan stage; exact dedup is one
+    hash-partition window; the survivors are tokenized+shingled ONCE
+    into a checkpointed frame reused by the signature stage, BOTH sides
+    of the Jaccard verify join, the decontamination explode, and the
+    packing token counts (without the checkpoint the md5-heavy shingle
+    derivation re-runs five times); LSH candidates come from a banded
+    bucket equi-join, never an all-pairs compare; the eval shingle set
+    is broadcast so the corpus never shuffles for decontamination; and
+    packing's global prefix sum is the two-phase form (local sums +
+    broadcast per-partition carries), not a single-partition window."""
+    final = _curation_final(spark, sf_dir)
+
+    # Stage 5 — 2048-token sequence packing (two-phase prefix sum)
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    running = two_phase_prefix_sum(
+        final.select("doc_id", "n_tokens"),
+        ["doc_id"],
+        "n_tokens",
+        out_col="prefix_tokens",
+    )
+    packed = running.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("prefix_tokens") - F.col("n_tokens")) / F.lit(2048.0)
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _curation_final(
+    spark: SparkSession, sf_dir: str, checkpoint: bool = True
+) -> DataFrame:
+    """Stages 1-4 of the curation pipeline, returning the packing input
+    (doc_id, shingles, n_tokens). ``checkpoint=False`` keeps the whole
+    lineage lazy so tests/test_plans.py can audit the end-to-end plan
+    (the eager localCheckpoint otherwise truncates it)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    base = docs.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
+    corpus = base.unionByName(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+        )
+    ).unionByName(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr("substring(text, 13)").alias("text"),
+            "lang",
+        )
+    )
+
+    # Stage 1 — quality funnel (keep = passes every rule; same rule set
+    # as curation_filter_funnel's first-reject CASE)
+    f = TX.quality_features(F.col("text"))
+    kept = corpus.filter(
+        (f["n_chars"] >= 120)
+        & F.col("lang").isin("en", "es")
+        & (f["punct_ratio"] <= 0.04)
+        & (f["n_tokens"] >= 25)
+    ).select("doc_id", "text")
+
+    # Stage 2 — exact dedup: survivors, not groups (min doc_id per hash)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    exact = (
+        kept.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+    # Tokenize + shingle ONCE; this checkpointed frame feeds signatures,
+    # both Jaccard join sides, decontamination, and packing.
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    sh = exact.select(
+        "doc_id",
+        TX.shingles_from_tokens(toks, 3).alias("shingles"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=True)
+
+    # Stage 3 — MinHash-LSH near-dedup: drop the higher-id doc of every
+    # verified candidate pair
+    sigs = D.minhash_signatures_from_shingles(sh.select("doc_id", "shingles"))
+    cand = D.lsh_candidate_pairs(sigs)
+    joined = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    dropped = (
+        joined.select(
+            "doc_b", det_round(D.jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jac")
+        )
+        .filter(F.col("jac") >= 0.3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = sh.join(dropped, "doc_id", "left_anti")
+
+    # Stage 4 — decontamination: eval shingle set is tiny ⇒ broadcast
+    ev_toks = TX.tokens(TX.normalize_text(F.col("text")))
+    evsh = (
+        docs.filter(F.col("doc_id") < _EVAL_MAX_DOC)
+        .select(F.explode(TX.shingles_from_tokens(ev_toks, 3)).alias("sh"))
+        .distinct()
+    )
+    # shingles are per-doc distinct already, so COUNT(*) == COUNT(DISTINCT).
+    # Overlap is computed from the CHECKPOINTED sh frame, not `near`: the
+    # final anti-join below only removes docs that are in `near` anyway
+    # (identical result — the oracle states it over `near`), and this keeps
+    # the LSH-verify subtree single-use so the production plan computes the
+    # candidate join once, not once per consumer of `near`.
+    shared = (
+        sh.select("doc_id", F.explode("shingles").alias("sh"))
+        .join(F.broadcast(evsh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    contaminated = shared.filter(
+        F.col("n_shared") >= _DECON_MIN_SHARED
+    ).select("doc_id")
+    return near.join(contaminated, "doc_id", "left_anti")

@@ -341,3 +341,53 @@ def test_decompose_broadcast_seasonal_join(plans):
     p = plans("series_seasonal_decompose", "simple")
     assert "BroadcastHashJoin" in p
     assert "EvalPython" not in p
+
+
+def test_curation_pipeline_stage_plans(spark, sf_dir):
+    """The composed corpus_curation_pipeline must keep every stage's
+    pruning when chained: per-op oracles can't see inter-stage plan bugs
+    (a lost broadcast hint or a re-derived shingle subtree is invisible
+    to the hash), so the shapes are pinned here."""
+    from series_tiempo_ar_scraping_spark.queries_batch9 import (
+        _curation_final,
+        corpus_curation_pipeline,
+    )
+
+    # (a) end-to-end lazy lineage (checkpoint off): ingest filter reaches
+    # the scan, everything JVM-side, no all-pairs joins, eval side
+    # broadcast, both drop stages are anti-joins
+    lazy = plan_of(_curation_final(spark, sf_dir, checkpoint=False))
+    assert "EvalPython" not in lazy
+    assert "CartesianProduct" not in lazy
+    assert "BroadcastNestedLoopJoin" not in lazy
+    assert "PushedFilters" in lazy
+    assert "doc_id" in lazy.split("PushedFilters")[1].splitlines()[0]
+    assert "BroadcastHashJoin" in lazy  # decontamination eval side
+    lazy_simple = plan_of(
+        _curation_final(spark, sf_dir, checkpoint=False), "simple"
+    )
+    assert lazy_simple.count("LeftAnti") == 2  # near-dup drop + decon drop
+    # column pruning: document text never travels past tokenization
+    read_schema = lazy.split("ReadSchema")[1].splitlines()[0]
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+    # (b) production form (checkpoint on): the shingle frame is reused —
+    # downstream consumers scan the checkpointed RDD, and the only
+    # parquet scan left is the eval side of decontamination
+    prod = plan_of(_curation_final(spark, sf_dir, checkpoint=True), "simple")
+    assert prod.count("Scan parquet") == 1, prod
+    assert "Scan ExistingRDD" in prod
+    assert "EvalPython" not in prod
+    # the Jaccard-verify join (its array_intersect shows in the condition)
+    # runs ONCE: decon overlap reads the checkpointed shingle frame, not
+    # the near-dup survivor subtree
+    assert prod.count("array_intersect") == 1, prod
+
+    # (c) packing is the two-phase prefix sum: per-partition window over
+    # part_id, and the single-partition exchange only feeds the carry
+    # aggregate (partial_sum below it), never the raw corpus
+    full = plan_of(corpus_curation_pipeline(spark, sf_dir), "simple")
+    assert "windowspecdefinition(part_id" in full
+    tail = full[full.index("Exchange SinglePartition"):]
+    assert "partial_sum" in tail
+    assert "EvalPython" not in full
