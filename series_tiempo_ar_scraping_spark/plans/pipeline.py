@@ -57,6 +57,29 @@ from series_tiempo_ar_scraping_spark.sources.scrape import (
     scraping_params,
 )
 
+# Routing lists (which distribution goes to which reader) are metadata-
+# plane driver state — one row per distribution, thousands at reference
+# scale. This cap turns "someone pointed the ETL at a 10M-distribution
+# catalog" into a clear error naming the fleet path (SCALE.md §Routing
+# collects) instead of a silent driver OOM. Override via env when a
+# bigger metadata plane is genuinely intended.
+_ROUTING_COLLECT_CAP = int(
+    os.environ.get("SPARK_GRAFT_ROUTING_COLLECT_CAP", "1000000")
+)
+
+
+def _collect_routing(df: DataFrame, what: str) -> list:
+    rows = df.limit(_ROUTING_COLLECT_CAP + 1).collect()
+    if len(rows) > _ROUTING_COLLECT_CAP:
+        raise RuntimeError(
+            f"{what} routing list exceeds {_ROUTING_COLLECT_CAP} rows; "
+            "this driver-side collect is metadata-plane only — use the "
+            "executor-side fleet path (sources.landing.download_many) or "
+            "raise SPARK_GRAFT_ROUTING_COLLECT_CAP (SCALE.md: Routing "
+            "collects)"
+        )
+    return rows
+
 
 @dataclass
 class PipelineResult:
@@ -162,9 +185,10 @@ class CatalogPipeline:
         processor_errors: list[tuple[str, str, str, str]] = []
         csv_items: list[tuple[str, str, str, str]] = []
         txt_groups: dict[str, list[tuple[str, str, str, str]]] = {}
-        for row in ts_dists.filter(
-            F.col("method").isin(METHOD_CSV, METHOD_TXT)
-        ).collect():
+        for row in _collect_routing(
+            ts_dists.filter(F.col("method").isin(METHOD_CSV, METHOD_TXT)),
+            "csv/txt distribution",
+        ):
             ref = row.downloadURL or row.scrapingFileURL
             local = self.file_resolver(ref)
             if local is None or not os.path.exists(local):
@@ -199,7 +223,10 @@ class CatalogPipeline:
         excel_dists = ts_dists.filter(F.col("method") == METHOD_EXCEL)
         excel_urls = [
             r.scrapingFileURL
-            for r in excel_dists.select("scrapingFileURL").distinct().collect()
+            for r in _collect_routing(
+                excel_dists.select("scrapingFileURL").distinct(),
+                "excel workbook",
+            )
         ]
         table_ends = None
         header_errors = None
@@ -316,9 +343,15 @@ class CatalogPipeline:
             if write_csvs:
                 meta = {
                     (r.catalog_id, r.dataset_id, r.distribution_id): r.fileName
-                    for r in ts_dists.select(
-                        "catalog_id", "dataset_id", "distribution_id", "fileName"
-                    ).collect()
+                    for r in _collect_routing(
+                        ts_dists.select(
+                            "catalog_id",
+                            "dataset_id",
+                            "distribution_id",
+                            "fileName",
+                        ),
+                        "wide-CSV fileName",
+                    )
                 }
                 written.extend(
                     write_wide_csvs_bulk(

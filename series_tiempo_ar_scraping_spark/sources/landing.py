@@ -7,9 +7,10 @@ data plane starts at the landing path. Retry/backoff and skip-if-exists
 reference hard-codes it off at ``download.py:33`` — that is a bug we do
 not reproduce).
 
-At fleet scale (millions of URLs) ``download_many`` flips to an
-executor-side ``foreachPartition`` over a URL frame — same function, same
-semantics, driver orchestrates only.
+At fleet scale (millions of URLs) ``download_many`` runs executor-side
+over a URL task frame — same retry/skip semantics, driver orchestrates
+only, and every outcome (success, skip, failure) is a status ROW in the
+returned frame (V7: the error channel is data, never an exception).
 """
 
 from __future__ import annotations
@@ -68,3 +69,117 @@ def merge_download_config(defaults: dict, per_catalog: dict | None) -> dict:
     out = dict(defaults)
     out.update(per_catalog or {})
     return out
+
+
+DOWNLOAD_RESULT_SCHEMA = (
+    "url string, file_path string, ok boolean, n_bytes bigint, "
+    "attempts int, error string"
+)
+
+
+def download_many(
+    tasks,
+    replace: bool = True,
+    tries: int = DEFAULT_TRIES,
+    retry_delay: float = RETRY_DELAY,
+    timeout: float = 30.0,
+    verify: bool = True,
+    proxies: dict | None = None,
+    partition_by_host: bool = False,
+    n_partitions: int | None = None,
+    fetch=None,
+):
+    """S1 at fleet scale (SURVEY S1; reference ``download.py:13-50`` is
+    the per-URL driver loop): an executor-side downloader over a URL
+    task frame.
+
+    ``tasks`` is a DataFrame with columns ``url`` and ``file_path``.
+    Returns a status frame (one row per task: ok / n_bytes / attempts /
+    error) — V7 semantics: a failed download is a row, never an
+    exception, so one dead mirror can't kill a million-URL sweep.
+
+    Scale shape: the task frame is repartitioned (round-robin by
+    default, so no single partition hammers one host sequentially;
+    ``partition_by_host=True`` groups each host into one partition for
+    connection reuse / politeness) and the fetch loop runs inside
+    ``mapInPandas`` — per-executor parallelism, no driver involvement,
+    status rows come back as a DataFrame to join against the catalog.
+    ``file_path`` must be on storage every executor can reach (shared
+    FS / object store); in local mode that is trivially true. Retry /
+    skip-if-exists (V8) semantics match ``download_to_file``; the
+    atomic ``.part`` + rename means a crashed executor never leaves a
+    half-written landing file that a later ``replace=False`` run would
+    trust.
+
+    ``fetch`` (url -> bytes) injects the transport for tests; the
+    default uses ``requests`` with the same timeout/verify/proxies
+    contract as ``download``.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(tasks.sparkSession)
+    t = tasks.select("url", "file_path")
+    nparts = n_partitions or tasks.sparkSession.sparkContext.defaultParallelism
+    if partition_by_host:
+        t = t.repartition(nparts, F.expr("parse_url(url, 'HOST')"))
+    else:
+        t = t.repartition(nparts)
+
+    def _default_fetch(url: str) -> bytes:
+        import requests
+
+        resp = requests.get(url, timeout=timeout, verify=verify, proxies=proxies)
+        resp.raise_for_status()
+        return resp.content
+
+    get = fetch or _default_fetch
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for url, path in zip(pdf["url"], pdf["file_path"]):
+                if os.path.exists(path) and not replace:
+                    rows.append(
+                        (url, path, True, os.path.getsize(path), 0, None)
+                    )
+                    continue
+                data, err, attempts = None, None, 0
+                for attempt in range(tries):
+                    attempts = attempt + 1
+                    try:
+                        data = get(url)
+                        err = None
+                        break
+                    except Exception as exc:  # noqa: BLE001 — V7 channel
+                        err = repr(exc)
+                        if attempt + 1 < tries:
+                            time.sleep(retry_delay)
+                if data is None:
+                    rows.append((url, path, False, None, attempts, err))
+                    continue
+                try:
+                    os.makedirs(
+                        os.path.dirname(os.path.abspath(path)), exist_ok=True
+                    )
+                    tmp = f"{path}.part"
+                    with open(tmp, "wb") as fh:
+                        fh.write(data)
+                    os.replace(tmp, path)
+                    rows.append(
+                        (url, path, True, len(data), attempts, None)
+                    )
+                except OSError as exc:
+                    rows.append((url, path, False, None, attempts, repr(exc)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "file_path", "ok", "n_bytes", "attempts", "error",
+                ],
+            )
+
+    return t.mapInPandas(run, DOWNLOAD_RESULT_SCHEMA)
