@@ -1,0 +1,75 @@
+"""The cold-band regression policy (SCALE.md) as an executable check."""
+
+from __future__ import annotations
+
+import json
+import sys
+import os
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+import bench_regression as BR  # noqa: E402
+
+
+def _rec(queries, cold):
+    return {"sf": 0.1, "queries": queries, "queries_cold": cold}
+
+
+def test_cold_jitter_alone_is_not_flagged():
+    # cold 2.3x but warm steady: single-sample cold jitter, not a plan bug
+    old = _rec({"q": 1.0}, {"q": 1.0})
+    new = _rec({"q": 1.02}, {"q": 2.3})
+    assert BR.compare(old, new) == []
+
+
+def test_warm_move_alone_is_not_flagged():
+    old = _rec({"q": 1.0}, {"q": 1.0})
+    new = _rec({"q": 1.6}, {"q": 1.5})
+    assert BR.compare(old, new) == []
+
+
+def test_corroborated_regression_is_flagged():
+    old = _rec({"q": 1.0, "r": 2.0}, {"q": 1.0, "r": 3.0})
+    new = _rec({"q": 1.5, "r": 2.0}, {"q": 2.9, "r": 3.1})
+    flags = BR.compare(old, new)
+    assert [f["query"] for f in flags] == ["q"]
+    assert flags[0]["cold_ratio"] == 2.9
+    assert flags[0]["warm_ratio"] == 1.5
+
+
+def test_new_queries_and_missing_lanes_are_skipped():
+    old = _rec({"q": 1.0}, {"q": 1.0})
+    new = _rec({"q": 1.0, "brand_new": 9.9}, {"q": 1.0, "brand_new": 9.9})
+    assert BR.compare(old, new) == []
+
+
+def test_load_records_orders_rounds_then_history(tmp_path):
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"parsed": _rec({"q": 1.0}, {"q": 1.0})})
+    )
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"parsed": None})  # the r6 decapitation: skipped
+    )
+    hist = _rec({"q": 1.4}, {"q": 2.9})
+    hist["ts"] = 123.0
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "not json\n" + json.dumps(hist) + "\n"
+    )
+    records = BR.load_records(repo=str(tmp_path))
+    assert len(records) == 2
+    assert records[0]["queries"] == {"q": 1.0}
+    assert records[1]["queries"] == {"q": 1.4}
+    flags = BR.compare(records[0], records[1])
+    assert len(flags) == 1
+
+
+def test_wrong_sf_records_excluded(tmp_path):
+    rec = _rec({"q": 1.0}, {"q": 1.0})
+    rec["sf"] = 0.01
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps(rec) + "\n")
+    assert BR.load_records(repo=str(tmp_path)) == []
