@@ -337,3 +337,52 @@ def test_catalog_failure_is_isolated(spark, tmp_path):
     )
     assert "error" in results["broken"]
     assert results["good"]["written"] > 0
+
+
+# --- CLI flag parity vs the reference contract ------------------------------
+
+
+def test_cli_flag_parity_with_reference():
+    """The Click surface must stay a SUPERSET of the reference's six
+    options (reference ``main.py:41-67``) with matching semantics:
+    --replace defaults True, the two id filters default None, and
+    --interactive is an on/off flag defaulting off. Pinned so a CLI
+    refactor can't silently drop or re-default a reference option."""
+    import click
+
+    from series_tiempo_ar_scraping_spark.main import cli
+
+    opts = {
+        p.name: p
+        for p in cli.params
+        if isinstance(p, click.Option)
+    }
+    # the reference's exact option set (by Click parameter name)
+    reference_contract = {
+        "config_path": None,  # --config (required here; reference defaults
+        #                       to its packaged config dir, which we don't
+        #                       ship — an explicit path is the strict form)
+        "log_level": None,
+        "replace": True,
+        "catalog_id_filter": None,
+        "distribution_id_filter": None,
+        "interactive": False,
+    }
+    missing = set(reference_contract) - set(opts)
+    assert not missing, f"reference CLI options dropped: {missing}"
+    assert opts["replace"].default is True  # reference main.py:53-56
+    assert opts["catalog_id_filter"].default is None
+    assert opts["distribution_id_filter"].default is None
+    assert opts["interactive"].default is False
+    assert opts["interactive"].is_flag or opts["interactive"].secondary_opts
+    # declared flag spellings stay the reference's kebab-case forms
+    spellings = {o for p in cli.params for o in p.opts}
+    for flag in (
+        "--config",
+        "--log-level",
+        "--replace",
+        "--catalog-id-filter",
+        "--distribution-id-filter",
+        "--interactive",
+    ):
+        assert flag in spellings, flag
