@@ -137,10 +137,17 @@ def test_registry_import_time_bounded():
         [sys.executable, "-c", script],
         capture_output=True, text=True, timeout=120,
     )
+    # an import error must surface as the real stderr, not a bare
+    # StopIteration from the line scan below (ADVICE r6)
+    assert out.returncode == 0, out.stderr[-3000:]
     line = next(
         ln for ln in out.stdout.splitlines() if "REGISTRY_SECONDS" in ln
     )
     elapsed = float(line.split()[1])
+    # Wall-clock on a shared host: the ~15x headroom absorbs load spikes;
+    # if this still flakes under extreme contention, re-run — the bound
+    # exists to catch a structural regression (an eager Spark session or
+    # O(catalog^2) registration work), not to benchmark the machine.
     assert elapsed < 5.0, f"registry import took {elapsed:.2f}s (bound 5s)"
 
 
@@ -149,9 +156,11 @@ def test_gate_planning_time_bounded(spark):
     driver builds every DataFrame before collecting, so analysis cost is
     pure overhead charged to the gate budget. .schema forces analysis
     without running a job. r6 measured ~20 s warm / ~25 s cold for the
-    first 50 on local[4]; the 90 s bound trips only on a structural
+    first 50 on the conftest ``spark`` fixture (local[4], shuffle
+    partitions 4 — the bound is calibrated to THAT master; recalibrate
+    if the fixture changes); the 90 s bound trips only on a structural
     regression (an eager collect/action sneaking into a query builder,
-    or quadratic plan growth), not on noise."""
+    or quadratic plan growth), not on shared-host load noise."""
     import time
 
     sys.path.insert(0, REPO)
