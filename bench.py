@@ -26,10 +26,10 @@ Two lanes (see SCALE.md "Bench methodology"):
   regression can't hide behind the warm cache. Skip with
   SPARK_GRAFT_BENCH_SKIP_COLD=1 during iteration.
 
-The r2-era 29-query set is frozen as BENCH_QUERIES_R2; its subtotals are
-reported as value_r2set / value_cold_r2set for round-over-round lineage.
-The headline value/value_cold cover the extended set (r2 + post-r2 heavy
-queries) as of round 6.
+The r2-era 29-query set is frozen as BENCH_QUERIES_R2. "value" /
+"value_cold" ARE its subtotals (the round-over-round lineage numbers,
+duplicated as value_r2set / value_cold_r2set for back-compat); the
+extended set's totals are value_ext / value_cold_ext only.
 """
 
 from __future__ import annotations

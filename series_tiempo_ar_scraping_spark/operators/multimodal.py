@@ -235,10 +235,12 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int) -> np.ndarray | None:
             cur = line
         elif ft == 2:  # Up — fully vectorized
             cur = (line + prior) & 255
-        elif ft == 1:  # Sub — prefix dependency along the row
-            cur = line.copy()
-            for x in range(ch, stride):
-                cur[x] = (cur[x] + cur[x - ch]) & 255
+        elif ft == 1:  # Sub — per-channel prefix sum; mod distributes
+            # over addition, so cumsum-then-mask equals the sequential
+            # (filt + left) & 255 recurrence, fully vectorized
+            cur = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64) & 255
+            ).reshape(stride)
         elif ft == 3:  # Average
             cur = line.copy()
             for x in range(stride):
@@ -299,11 +301,24 @@ def _decode_png(data: bytes) -> np.ndarray | None:
         range(idat_idx[0], idat_idx[0] + len(idat_idx))
     ):
         return None
+    # Bounded inflate: a crafted IDAT can expand ~1000:1, so cap the
+    # decompression at the declared-dimensions size BEFORE allocating —
+    # the same "payload must match the header" contract as PPM/BMP,
+    # enforced without ever materializing a decompression bomb.
+    expected = h * (1 + w * channels)
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(chunks[i][1] for i in idat_idx))
+        raw = dec.decompress(
+            b"".join(chunks[i][1] for i in idat_idx), expected + 1
+        )
     except zlib.error:
         return None
-    if len(raw) != h * (1 + w * channels):
+    if (
+        len(raw) != expected
+        or dec.unconsumed_tail  # more output was pending past the cap
+        or dec.decompress(b"", 1)  # buffered output beyond expected
+        or not dec.eof  # truncated stream that happened to fit
+    ):
         return None
     img = _png_unfilter(raw, h, w, channels)
     if img is None:

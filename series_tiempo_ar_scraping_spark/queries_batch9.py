@@ -83,14 +83,18 @@ _EVAL_MAX_DOC = 25  # doc_id < 25 plays the benchmark/eval corpus
 _DECON_MIN_SHARED = 5  # ≥ this many shared eval shingles ⇒ contaminated
 
 # Ingest corpus: training docs plus planted exact copies and near copies
-# (prefix-stripped), so the dedup stages demonstrably fire.
+# (prefix-stripped), so the dedup stages demonstrably fire. Offsets sit
+# at 10^12 / 2*10^12 — far past any plausible doc_id — so a planted id
+# can never collide with a real document (a collision would make the
+# packing ORDER BY doc_id tie-dependent and hence nondeterministic).
+_DUP_OFF = 10**12
 _CURATION_CORPUS_SQL = f"""
       SELECT doc_id, text, lang FROM documents WHERE doc_id >= {_EVAL_MAX_DOC}
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+      SELECT doc_id + {_DUP_OFF} AS doc_id, text, lang FROM documents
       WHERE doc_id >= {_EVAL_MAX_DOC} AND doc_id % 7 = 0
       UNION ALL
-      SELECT doc_id + 200000 AS doc_id, substr(text, 13) AS text, lang
+      SELECT doc_id + {2 * _DUP_OFF} AS doc_id, substr(text, 13) AS text, lang
       FROM documents WHERE doc_id >= {_EVAL_MAX_DOC} AND doc_id % 5 = 0
 """
 
@@ -248,11 +252,11 @@ def _curation_final(
     base = docs.filter(F.col("doc_id") >= _EVAL_MAX_DOC)
     corpus = base.unionByName(
         base.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+            (F.col("doc_id") + _DUP_OFF).alias("doc_id"), "text", "lang"
         )
     ).unionByName(
         base.filter(F.col("doc_id") % 5 == 0).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
+            (F.col("doc_id") + 2 * _DUP_OFF).alias("doc_id"),
             F.expr("substring(text, 13)").alias("text"),
             "lang",
         )

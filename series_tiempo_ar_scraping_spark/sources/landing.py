@@ -22,6 +22,39 @@ DEFAULT_TRIES = 3
 RETRY_DELAY = 1.0
 
 
+def _attempt_fetch(
+    get, url: str, tries: int, retry_delay: float
+) -> tuple[bytes | None, int, str | None]:
+    """The shared S1 retry loop: (data, attempts_used, last_error_repr).
+    ``data is None`` means every attempt failed — callers decide whether
+    that raises (``download``) or becomes a status row (``download_many``)."""
+    err: str | None = None
+    attempts = 0
+    for attempt in range(tries):
+        attempts = attempt + 1
+        try:
+            return get(url), attempts, None
+        except Exception as exc:  # noqa: BLE001 — error-channel, not crash
+            err = repr(exc)
+            if attempt + 1 < tries:
+                time.sleep(retry_delay)
+    return None, attempts, err
+
+
+def _atomic_write(file_path: str, data: bytes) -> None:
+    """mkdir -p + write-to-unique-temp + rename. The temp name embeds
+    pid so concurrent writers of the same target (task retry, Spark
+    speculative execution) never interleave into one ``.part`` file —
+    last rename wins with a complete payload either way.
+    abspath first: dirname of a bare filename is '' and makedirs('')
+    raises — same pattern as the xlsx writer."""
+    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
+    tmp = f"{file_path}.part.{os.getpid()}.{id(data):x}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
+    os.replace(tmp, file_path)
+
+
 def download(url: str, tries: int = DEFAULT_TRIES, retry_delay: float = RETRY_DELAY,
              timeout: float = 30.0, verify: bool = True,
              proxies: dict | None = None) -> bytes:
@@ -31,21 +64,20 @@ def download(url: str, tries: int = DEFAULT_TRIES, retry_delay: float = RETRY_DE
     a dict with ``http``/``https`` keys mapping to proxy URLs, forwarded
     verbatim to the HTTP client — government data networks commonly
     require an egress proxy."""
-    import requests
 
-    last: Exception | None = None
-    for attempt in range(tries):
-        try:
-            resp = requests.get(
-                url, timeout=timeout, verify=verify, proxies=proxies
-            )
-            resp.raise_for_status()
-            return resp.content
-        except Exception as exc:  # noqa: BLE001 — error-channel, not crash
-            last = exc
-            if attempt + 1 < tries:
-                time.sleep(retry_delay)
-    raise RuntimeError(f"download failed after {tries} tries: {url}") from last
+    def get(u: str) -> bytes:
+        import requests
+
+        resp = requests.get(u, timeout=timeout, verify=verify, proxies=proxies)
+        resp.raise_for_status()
+        return resp.content
+
+    data, attempts, err = _attempt_fetch(get, url, tries, retry_delay)
+    if data is None:
+        raise RuntimeError(
+            f"download failed after {attempts} tries: {url} ({err})"
+        )
+    return data
 
 
 def download_to_file(url: str, file_path: str, replace: bool = True, **kw) -> str:
@@ -53,14 +85,7 @@ def download_to_file(url: str, file_path: str, replace: bool = True, **kw) -> st
     ``replace`` is False (``base.py:155-163,922-925``)."""
     if os.path.exists(file_path) and not replace:
         return file_path
-    # abspath first: dirname of a bare filename is '' and makedirs('')
-    # raises — same pattern as the xlsx writer
-    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
-    data = download(url, **kw)
-    tmp = file_path + ".part"
-    with open(tmp, "wb") as fh:
-        fh.write(data)
-    os.replace(tmp, file_path)
+    _atomic_write(file_path, download(url, **kw))
     return file_path
 
 
@@ -148,28 +173,14 @@ def download_many(
                         (url, path, True, os.path.getsize(path), 0, None)
                     )
                     continue
-                data, err, attempts = None, None, 0
-                for attempt in range(tries):
-                    attempts = attempt + 1
-                    try:
-                        data = get(url)
-                        err = None
-                        break
-                    except Exception as exc:  # noqa: BLE001 — V7 channel
-                        err = repr(exc)
-                        if attempt + 1 < tries:
-                            time.sleep(retry_delay)
+                data, attempts, err = _attempt_fetch(
+                    get, url, tries, retry_delay
+                )
                 if data is None:
                     rows.append((url, path, False, None, attempts, err))
                     continue
                 try:
-                    os.makedirs(
-                        os.path.dirname(os.path.abspath(path)), exist_ok=True
-                    )
-                    tmp = f"{path}.part"
-                    with open(tmp, "wb") as fh:
-                        fh.write(data)
-                    os.replace(tmp, path)
+                    _atomic_write(path, data)
                     rows.append(
                         (url, path, True, len(data), attempts, None)
                     )

@@ -25,6 +25,11 @@ def test_cold_jitter_alone_is_not_flagged():
     old = _rec({"q": 1.0}, {"q": 1.0})
     new = _rec({"q": 1.02}, {"q": 2.3})
     assert BR.compare(old, new) == []
+    # the corroboration gate itself: cold 3.0x — PAST the 2.4x cold
+    # threshold — must still not flag while warm is steady (this is the
+    # branch that distinguishes the AND-policy from flag-any-cold-move)
+    new = _rec({"q": 1.0}, {"q": 3.0})
+    assert BR.compare(old, new) == []
 
 
 def test_warm_move_alone_is_not_flagged():

@@ -50,7 +50,10 @@ def test_download_many_writes_files_and_reports(spark, tmp_path):
         assert r.n_bytes == len(_expected(url))
         with open(path, "rb") as fh:
             assert fh.read() == _expected(url)
-        assert not os.path.exists(path + ".part")  # atomic rename
+    # atomic rename: no temp artifacts of any suffix left behind
+    import glob
+
+    assert glob.glob(str(tmp_path / "*.part*")) == []
 
 
 def test_download_many_failures_are_rows_not_exceptions(spark, tmp_path):

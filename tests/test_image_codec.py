@@ -258,6 +258,39 @@ def test_png_decode_rejects_malformed():
     assert MM.try_decode_image(MM._PNG_SIG + b" is a format") is None
 
 
+def test_png_decompression_bomb_is_bounded():
+    """A 1x1 IHDR whose IDAT inflates to ~64 MB must be rejected WITHOUT
+    materializing the inflated stream (the decompressobj cap): valid
+    CRCs, hostile payload — the corpus-poisoning case."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)  # ~64 KB compressed
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", bomb)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    import tracemalloc
+
+    tracemalloc.start()
+    assert MM.try_decode_image(raw) is None
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 << 20, f"inflated {peak} bytes for a 1x1 header"
+    # truncated-stream twin: ends early but fits the expected length
+    half = zlib.compressobj()
+    partial = half.compress(b"\x00\x01\x02\x03")  # no flush: incomplete
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", partial)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(raw) is None
+
+
 def test_png_stats_on_synthesized_corpus(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(40)
     stats = MM.image_stats(MM.synthesize_png_media(docs)).collect()

@@ -37,10 +37,13 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
     records: list[tuple[float, dict]] = []
     for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m is None:  # e.g. BENCH_retry.json matching the glob
+            continue
         try:
-            parsed = json.load(open(path)).get("parsed")
+            doc = json.load(open(path))
         except (OSError, json.JSONDecodeError):
             continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
         if (
             parsed
             and parsed.get("sf") == sf
