@@ -105,6 +105,10 @@ BENCH_QUERIES_EXT = [
     # round 7
     "corpus_curation_pipeline",
     "multimodal_png_stats",
+    "dedup_containment",
+    "unigram_logprob_score",
+    "equidepth_partition_boundaries",
+    "pii_redaction",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

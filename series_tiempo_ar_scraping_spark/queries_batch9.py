@@ -284,8 +284,16 @@ def _curation_final(
 
     # Tokenize + shingle ONCE; this checkpointed frame feeds signatures,
     # both Jaccard join sides, decontamination, and packing.
+    #
+    # The explicit repartition is load-bearing: the window shuffle above
+    # emits few MB, so AQE's size-based coalescing collapses it to ONE
+    # partition — and the md5-heavy shingle projection would run
+    # single-threaded (measured 16s -> 1.5s at sf0.1 on local[32]).
+    # Size-based coalescing can't see downstream CPU cost; pin the
+    # parallelism where the compute is.
+    nparts = spark.sparkContext.defaultParallelism
     toks = TX.tokens(TX.normalize_text(F.col("text")))
-    sh = exact.select(
+    sh = exact.repartition(nparts).select(
         "doc_id",
         TX.shingles_from_tokens(toks, 3).alias("shingles"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -337,3 +345,306 @@ def _curation_final(
         F.col("n_shared") >= _DECON_MIN_SHARED
     ).select("doc_id")
     return near.join(contaminated, "doc_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Curation batch (round 7): redaction, containment dedup, LM scoring,
+# range-partitioner boundaries.
+# ---------------------------------------------------------------------------
+
+# Shared with queries_batch6's pii_pattern_scan: same synthetic injection
+# and patterns, so scan and redaction provably agree on what PII is.
+from series_tiempo_ar_scraping_spark.queries_batch6 import (  # noqa: E402
+    _PII_AUG_SQL,
+    _PII_EMAIL,
+    _PII_IPV4,
+)
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+                  + len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT)
+               AS n_redacted,
+             regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                            '{_PII_IPV4}', '<IP>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id, n_redacted, md5(redacted) AS redacted_hash FROM red
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the transform the scan (``pii_pattern_scan``) is
+    the pre-pass for: emails → ``<EMAIL>``, IPv4s → ``<IP>``, applied to
+    the same deterministically-augmented corpus with the same patterns,
+    reporting the replacement count and the md5 of the redacted text
+    (hashed so the oracle pins the EXACT output bytes without shipping
+    them). Pure regexp_replace column expressions: JVM regex inside
+    whole-stage codegen, map-only, zero shuffles at any scale — the
+    shape that lets a 100 TB redaction pass run as a pure scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    n_red = (
+        F.regexp_count("t", F.lit(_PII_EMAIL))
+        + F.regexp_count("t", F.lit(_PII_IPV4))
+    ).cast("bigint")
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+    )
+    return t.select(
+        "doc_id",
+        n_red.alias("n_redacted"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# Containment corpus: planted PREFIX-HALF excerpts. An excerpt's shingle
+# set is (almost) a subset of its source's, so containment ≈ 1 while
+# Jaccard ≈ 0.5 — the case symmetric near-dup scoring misses. The
+# excerpt length uses an explicit FLOOR: DuckDB CAST(double AS BIGINT)
+# rounds-half-even while Spark truncates, so a bare length/2 cast gives
+# excerpts one char apart on odd lengths (found by the sf0.01 hash gate).
+_CONTAIN_CORPUS_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {10**12} AS doc_id,
+             substr(text, 1, CAST(FLOOR(length(text) / 2) AS BIGINT)) AS text
+      FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({_CONTAIN_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id, {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    sigs AS (SELECT doc_id, {_minhash_sig_sql()} FROM sh),
+    banded AS (
+      SELECT doc_id, band.* FROM sigs,
+      LATERAL (SELECT * FROM (VALUES {_minhash_bands_sql()})
+               v(band_idx, band_key)) band
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(FLOOR(
+          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          / greatest(least(len(sa.shingles), len(sb.shingles)), 1)
+          * 10000 + 0.5) / 10000 AS DOUBLE) AS containment
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, containment FROM scored WHERE containment >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (Broder containment, not Jaccard): score LSH
+    candidate pairs by |A∩B| / min(|A|,|B|) — the asymmetric measure
+    that catches an excerpt embedded in a longer document (containment
+    ≈ 1, Jaccard ≈ ½ — below any symmetric near-dup threshold). The
+    planted corpus adds prefix-half excerpts so the operator provably
+    fires. Same sub-quadratic shape as the Jaccard path: banded
+    bucket-join candidates only, shingles derived once and checkpointed,
+    exact set math only on candidate pairs; at a containment threshold
+    below the LSH's effective Jaccard recall floor you'd add a second
+    LSH over the shorter doc's shingles — same plan, stricter bands."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 10**12).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, CAST(FLOOR(length(text) / 2) AS BIGINT))"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(excerpts)
+    toks = TX.tokens(TX.normalize_text(F.col("text")))
+    # explicit repartition before the md5-heavy shingle projection: the
+    # upstream partitioning (union of cached scans / a coalesced single
+    # parquet task) under-parallelizes the CPU-bound compute — same
+    # pitfall as the curation pipeline's post-window coalesce
+    sh = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id", TX.shingles_from_tokens(toks, 3).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures_from_shingles(sh)
+    cand = D.lsh_candidate_pairs(sigs)
+    joined = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    containment = det_round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.greatest(
+            F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)
+        ),
+        4,
+    )
+    return (
+        joined.select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.9)
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, unnest({_toks_of_norm('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS m FROM toked GROUP BY 1, 2),
+    vocab AS (SELECT term, SUM(m) AS c FROM tf GROUP BY 1),
+    total AS (SELECT SUM(c) AS n FROM vocab),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(tf.m * ln(CAST(total.n AS DOUBLE) / vocab.c)
+                  * 1000000 + 0.5) AS BIGINT) AS micro,
+             tf.m
+      FROM tf JOIN vocab USING (term) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           CAST(SUM(micro) AS DOUBLE) / (1000000.0 * SUM(m))
+             AS avg_neg_logprob
+    FROM contrib GROUP BY 1
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy filter of a
+    curation pipeline: train token frequencies on the corpus itself,
+    score each document by its average negative log-probability
+    (high = gibberish/outlier, low = boilerplate). Determinism recipe:
+    each (doc, term) contribution m·ln(N/c) is rounded ONCE to integer
+    micro-units, so the per-doc aggregate is an exact BIGINT sum that
+    commutes across any shuffle order — the pagerank trick applied to
+    floating logs (raw double sums would drift with partition order;
+    libm ulp differences are absorbed by the per-term rounding exactly
+    as in tfidf_top_terms). Three bounded shuffles: (doc,term) counts,
+    vocab counts, per-doc sum; corpus total is a 1-row broadcast. At
+    100 TB the exact vocab join becomes broadcast top-K vocab + a
+    smoothing default for the tail — same plan, smaller right side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("term"),
+    )
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("m"))
+    vocab = tf.groupBy("term").agg(F.sum("m").alias("c"))
+    total = F.broadcast(vocab.agg(F.sum("c").alias("n")))
+    contrib = (
+        tf.join(vocab, "term")
+        .crossJoin(total)
+        .select(
+            "doc_id",
+            "m",
+            F.floor(
+                F.col("m")
+                * F.log(F.col("n").cast("double") / F.col("c"))
+                * 1000000
+                + 0.5
+            ).cast("bigint").alias("micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("m").cast("bigint").alias("n_tokens"),
+        (
+            F.sum("micro").cast("double")
+            / (F.lit(1000000.0) * F.sum("m"))
+        ).alias("avg_neg_logprob"),
+    )
+
+
+@register(
+    "equidepth_partition_boundaries",
+    oracle="""
+    WITH c AS (
+      SELECT o_totalprice AS v, COUNT(*) AS cnt FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ),
+    n AS (SELECT COUNT(*) AS n_rows FROM orders),
+    ranks AS (
+      SELECT k, CAST(CEIL(k * n_rows / 8.0) AS BIGINT) AS r
+      FROM n, LATERAL (SELECT unnest(generate_series(1, 7)) AS k) g
+    ),
+    b AS (
+      SELECT ranks.k, MIN(cum.v) AS boundary
+      FROM ranks JOIN cum ON cum.cum >= ranks.r
+      GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(boundary AS DOUBLE) AS boundary
+    FROM b
+    """,
+)
+def equidepth_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth range-partitioner boundaries over o_totalprice
+    (7 cut points → 8 equal-population ranges): boundary_k = min value
+    whose cumulative count reaches ceil(k·n/8). This is the planning
+    step of range partitioning / sort-merge bucketing done exactly —
+    Spark's RangePartitioner samples; writing shuffle-balanced sorted
+    parquet wants the true cuts. Scale shape: collapse to a
+    distinct-value count frame (bounded by value cardinality), two-phase
+    prefix sum for cumulative counts (no global sort of raw rows, no
+    single-partition window over the fact table), then a 7-row broadcast
+    inequality join picks each boundary — the only full-width work is
+    one map-side groupBy."""
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
+    n_rows = F.broadcast(orders.agg(F.count("*").alias("n_rows")))
+    ranks = (
+        spark.range(1, 8)
+        .toDF("k")
+        .crossJoin(n_rows)
+        .select(
+            "k",
+            F.ceil(F.col("k") * F.col("n_rows") / 8.0).cast("bigint").alias("r"),
+        )
+    )
+    return (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("r"))
+        .groupBy("k")
+        .agg(F.min("v").cast("double").alias("boundary"))
+    )
