@@ -378,6 +378,13 @@ def test_curation_pipeline_stage_plans(spark, sf_dir):
     assert prod.count("Scan parquet") == 1, prod
     assert "Scan ExistingRDD" in prod
     assert "EvalPython" not in prod
+    # SCALE.md optimizer pitfall #5: the md5-heavy shingle projection
+    # must sit on an explicit REPARTITION_BY_NUM, or AQE's size-based
+    # coalescing serializes it onto one partition (16s -> 1.5s at sf0.1)
+    lazy_shingle = plan_of(
+        _curation_final(spark, sf_dir, checkpoint=False), "simple"
+    )
+    assert "REPARTITION_BY_NUM" in lazy_shingle
     # the Jaccard-verify join (its array_intersect shows in the condition)
     # runs ONCE: decon overlap reads the checkpointed shingle frame, not
     # the near-dup survivor subtree
