@@ -155,8 +155,8 @@ def _decode_bmp24(data: bytes) -> np.ndarray | None:
 
 # --- PNG (stdlib-zlib): the one *compressed* wire format decodable
 # without PIL. Supports the formats a synthetic/most-common corpus needs:
-# 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), no interlace, no
-# palette. Chunk CRCs are verified and IDAT must inflate to exactly
+# 8-bit depth, color types 0 (gray), 2 (RGB), 3 (indexed/PLTE), 6
+# (RGBA), no interlace. Chunk CRCs are verified and IDAT must inflate to exactly
 # h*(1+stride) bytes — the same strictness contract as the PPM/BMP
 # branches. Filters 0-4 (None/Sub/Up/Average/Paeth) are both encoded
 # (fixture side) and unfiltered (decode side), so round-trip tests
@@ -291,16 +291,27 @@ def _decode_png(data: bytes) -> np.ndarray | None:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", chunks[0][1]
     )
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if (depth != 8 or channels is None or comp != 0 or filt != 0
             or interlace != 0 or w <= 0 or h <= 0 or w * h > 1 << 26):
         return None
+    palette = None
+    if color == 3:  # indexed: exactly one PLTE, before IDAT, len % 3 == 0
+        plte_idx = [i for i, (t, _) in enumerate(chunks) if t == b"PLTE"]
+        if len(plte_idx) != 1:
+            return None
+        plte = chunks[plte_idx[0]][1]
+        if len(plte) == 0 or len(plte) % 3 != 0 or len(plte) > 768:
+            return None
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     # IDAT chunks must be consecutive (PNG spec); concatenate then inflate
     idat_idx = [i for i, (t, _) in enumerate(chunks) if t == b"IDAT"]
     if not idat_idx or idat_idx != list(
         range(idat_idx[0], idat_idx[0] + len(idat_idx))
     ):
         return None
+    if palette is not None and plte_idx[0] > idat_idx[0]:
+        return None  # PLTE must precede IDAT (PNG spec)
     # Bounded inflate: a crafted IDAT can expand ~1000:1, so cap the
     # decompression at the declared-dimensions size BEFORE allocating —
     # the same "payload must match the header" contract as PPM/BMP,
@@ -325,16 +336,21 @@ def _decode_png(data: bytes) -> np.ndarray | None:
         return None
     if color == 0:  # gray -> replicate to RGB
         return np.repeat(img, 3, axis=2)
+    if color == 3:  # indexed -> palette lookup; OOB index is a reject
+        idx = img[..., 0]
+        if int(idx.max()) >= len(palette):
+            return None
+        return palette[idx]
     if color == 6:  # RGBA -> drop alpha
         return np.ascontiguousarray(img[..., :3])
     return img
 
 
 def try_decode_image(data: bytes) -> np.ndarray | None:
-    """Decode PPM P6 / 24-bit BMP / 8-bit PNG payloads to (H, W, 3) uint8
-    RGB, or ``None`` for anything else (including malformed headers,
-    chunk-CRC mismatches, and payloads whose length contradicts the
-    declared dimensions)."""
+    """Decode PPM P6 / 24-bit BMP / 8-bit PNG (gray, RGB, indexed,
+    RGBA) payloads to (H, W, 3) uint8 RGB, or ``None`` for anything
+    else (including malformed headers, chunk-CRC mismatches, and
+    payloads whose length contradicts the declared dimensions)."""
     if data is None:
         return None
     data = bytes(data)

@@ -226,12 +226,12 @@ def test_png_decode_rejects_malformed():
         + MM._png_chunk(b"IEND", b"")
     )
     assert MM.try_decode_image(raw) is None
-    # palette (color type 3) refused
+    # palette entries malformed: length not divisible by 3
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
     raw = (
         MM._PNG_SIG
         + MM._png_chunk(b"IHDR", ihdr)
-        + MM._png_chunk(b"PLTE", b"\x00\x00\x00")
+        + MM._png_chunk(b"PLTE", b"\x00\x00\x00\x01")
         + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
         + MM._png_chunk(b"IEND", b"")
     )
@@ -256,6 +256,64 @@ def test_png_decode_rejects_malformed():
     # signature alone / prose starting with the signature
     assert MM.try_decode_image(MM._PNG_SIG) is None
     assert MM.try_decode_image(MM._PNG_SIG + b" is a format") is None
+
+
+def test_png_palette_decode_and_strictness():
+    """Color type 3 (indexed): 2x1 image, indices 1 and 0 into a 2-entry
+    palette — plus the reject cases (OOB index, PLTE after IDAT,
+    duplicate PLTE)."""
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([10, 20, 30, 200, 210, 220])
+    idat = zlib.compress(b"\x00\x01\x00")  # filter 0, indices 1, 0
+    raw = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"PLTE", plte)
+        + MM._png_chunk(b"IDAT", idat)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    img = MM.try_decode_image(raw)
+    assert img is not None and img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [200, 210, 220]
+    assert img[0, 1].tolist() == [10, 20, 30]
+    # index beyond the palette is a reject, not a wrap/clamp
+    oob = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"PLTE", plte)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00\x02\x00"))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(oob) is None
+    # PLTE must precede IDAT
+    late = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", idat)
+        + MM._png_chunk(b"PLTE", plte)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(late) is None
+    # exactly one PLTE
+    dup = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"PLTE", plte)
+        + MM._png_chunk(b"PLTE", plte)
+        + MM._png_chunk(b"IDAT", idat)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(dup) is None
+    # indexed without any PLTE
+    noplte = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", idat)
+        + MM._png_chunk(b"IEND", b"")
+    )
+    assert MM.try_decode_image(noplte) is None
 
 
 def test_png_decompression_bomb_is_bounded():
