@@ -614,10 +614,54 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _ulaw_to_lin16(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 (ITU decode expansion, vectorized)."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+    mag = t - 0x84
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _alaw_to_lin16(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 (even-bit inversion + segment expand)."""
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    man = a & 0x0F
+    mag = np.where(
+        exp == 0,
+        (man << 4) + 8,
+        ((man << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    # A-law sign bit SET means positive (opposite of µ-law)
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+def encode_wav_g711(encoded: bytes, sample_rate: int, channels: int = 1,
+                    law: str = "ulaw") -> bytes:
+    """Wrap raw G.711-encoded bytes (one byte per sample) in a RIFF/WAVE
+    container — format code 7 (µ-law) or 6 (A-law), 8 bits/sample."""
+    code = 7 if law == "ulaw" else 6
+    block_align = channels
+    fmt = struct.pack(
+        "<HHIIHH", code, channels, sample_rate,
+        sample_rate * block_align, block_align, 8,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(encoded)) + encoded
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def try_decode_wav(data: bytes) -> tuple[int, np.ndarray] | None:
-    """Decode a PCM16 RIFF/WAVE payload to (sample_rate, int16 array of
-    shape (n_frames, channels)); ``None`` for anything that is not a
-    well-formed PCM16 WAV (wrong magic, non-PCM format, truncated data
+    """Decode a RIFF/WAVE payload to (sample_rate, int16 array of shape
+    (n_frames, channels)). Accepts PCM16 (format 1, 16-bit) and the two
+    G.711 telephony codings — µ-law (format 7) and A-law (format 6),
+    8-bit, expanded to int16 through the ITU segment tables. ``None``
+    for anything else (wrong magic, other format codes, truncated data
     chunk, misaligned frame size)."""
     if data is None:
         return None
@@ -639,16 +683,30 @@ def try_decode_wav(data: bytes) -> tuple[int, np.ndarray] | None:
     if fmt is None or pcm is None:
         return None
     audio_format, channels, sample_rate, _, block_align, bits = fmt
-    if (audio_format != 1 or bits != 16 or channels < 1
-            or block_align != channels * 2 or sample_rate <= 0):
+    if channels < 1 or sample_rate <= 0:
+        return None
+    if audio_format == 1:
+        sample_bytes = 2
+        if bits != 16 or block_align != channels * sample_bytes:
+            return None
+    elif audio_format in (6, 7):  # G.711 A-law / µ-law
+        sample_bytes = 1
+        if bits != 8 or block_align != channels * sample_bytes:
+            return None
+    else:
         return None
     # Zero-frame payloads are rejected like any other undecodable input:
     # downstream stats (peak = max over samples, rms = sqrt(sum/size)) are
     # undefined on an empty sample set, and the operator contract is
     # "malformed/degenerate payload becomes a null row, never an exception".
-    if len(pcm) == 0 or len(pcm) % (channels * 2) != 0:
+    if len(pcm) == 0 or len(pcm) % (channels * sample_bytes) != 0:
         return None
-    frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    if audio_format == 1:
+        frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, channels)
+    else:
+        raw = np.frombuffer(pcm, dtype=np.uint8)
+        lin = _ulaw_to_lin16(raw) if audio_format == 7 else _alaw_to_lin16(raw)
+        frames = lin.reshape(-1, channels)
     return sample_rate, frames
 
 

@@ -445,6 +445,60 @@ def test_audio_stats_null_for_undecodable(spark, sf_dir):
     )
 
 
+def test_g711_expansion_matches_audioop():
+    """µ-law/A-law byte→int16 expansion checked against the stdlib
+    audioop implementation (an INDEPENDENT reference — no shared code),
+    over every possible input byte."""
+    audioop = pytest.importorskip("audioop")
+    every = bytes(range(256))
+    want_u = np.frombuffer(audioop.ulaw2lin(every, 2), dtype="<i2")
+    got_u = MM._ulaw_to_lin16(np.frombuffer(every, np.uint8))
+    assert np.array_equal(got_u, want_u)
+    want_a = np.frombuffer(audioop.alaw2lin(every, 2), dtype="<i2")
+    got_a = MM._alaw_to_lin16(np.frombuffer(every, np.uint8))
+    assert np.array_equal(got_a, want_a)
+
+
+def test_g711_wav_decode_roundtrip():
+    audioop = pytest.importorskip("audioop")
+    lin = np.array([0, 1000, -1000, 32000, -32000], dtype=np.int16)
+    for law, code_fn, dec_fn in (
+        ("ulaw", audioop.lin2ulaw, audioop.ulaw2lin),
+        ("alaw", audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        enc = code_fn(lin.tobytes(), 2)
+        raw = MM.encode_wav_g711(enc, 8000, channels=1, law=law)
+        rate, frames = MM.try_decode_wav(raw)
+        assert rate == 8000 and frames.shape == (5, 1)
+        want = np.frombuffer(dec_fn(enc, 2), dtype="<i2")
+        assert np.array_equal(frames[:, 0], want)
+    # malformed: G.711 with 16-bit sample size is a reject
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+    assert MM.try_decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+    # unknown format code (3 = IEEE float) still rejected
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    assert MM.try_decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body) is None
+
+
+def test_g711_wav_through_audio_stats(spark):
+    """End-to-end: a µ-law payload flows through the audio_stats kernel
+    as real decoded samples."""
+    audioop = pytest.importorskip("audioop")
+    lin = np.full(100, 8000, dtype=np.int16)
+    enc = audioop.lin2ulaw(lin.tobytes(), 2)
+    raw = MM.encode_wav_g711(enc, 8000, law="ulaw")
+    media = spark.createDataFrame([(1, bytearray(raw))], MM.RASTER_SCHEMA)
+    (r,) = MM.audio_stats(media).collect()
+    assert r.decodable and r.sample_rate == 8000 and r.n_frames == 100
+    # µ-law is lossy: the decoded constant is the nearest segment value
+    want = np.frombuffer(audioop.ulaw2lin(enc, 2), dtype="<i2")
+    assert r.peak == int(np.abs(want).max())
+
+
 # --- Y4M (YUV4MPEG2 C420) codec --------------------------------------------
 
 
