@@ -934,6 +934,35 @@ RASTER_SCHEMA = T.StructType(
 )
 
 
+def synthesize_g711_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: a deterministic constant-byte µ-law WAV per
+    document — the encoded byte is ``doc_id % 256`` repeated
+    ``80 + doc_id % 50`` times, so the decoded amplitude is the ITU
+    expansion of one known byte and peak/RMS are oracle-checkable in
+    closed form (constant signal ⇒ RMS = |amplitude| with sqrt of a
+    perfect square, exact in float64). Map-only Arrow batches."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 80 + did % 50
+                payloads.append(
+                    encode_wav_g711(bytes([did % 256]) * n, 8000, law="ulaw")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
 def synthesize_wav_media(docs: DataFrame) -> DataFrame:
     """Test/bench adapter: derive a deterministic mono square-wave WAV per
     document — amplitude and frame count are pure functions of ``doc_id``,

@@ -648,3 +648,48 @@ def equidepth_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("k")
         .agg(F.min("v").cast("double").alias("boundary"))
     )
+
+
+@register(
+    "multimodal_g711_stats",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CAST(80 + doc_id % 50 AS INT) AS n_frames,
+             255 - (doc_id % 256) AS uc
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, n_frames,
+             (((( uc % 16) * 8) + 132) * CAST(POW(2, (uc // 16) % 8) AS BIGINT)
+              - 132) AS mag
+      FROM u
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           n_frames,
+           CAST(mag AS INT) AS peak,
+           CAST(mag AS DOUBLE) AS rms
+    FROM d
+    """,
+)
+def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law decode, hash-oracled: synthesize a constant-byte
+    µ-law WAV per document (byte = doc_id % 256, so all 256 code points
+    appear across the corpus), decode through the vectorized ITU
+    expansion (itself pinned byte-for-byte against stdlib audioop in
+    tests), and report sample rate, frame count, peak and RMS. The
+    oracle restates the expansion in closed form — complement, segment
+    exponent/mantissa, ``((m·8+132)·2^e − 132`` — so a sign, bias, or
+    shift bug in the codec breaks the hash. A constant signal makes
+    RMS = |amplitude| exactly (sqrt of a perfect square in float64).
+    Map-only: generate → decode → project, zero shuffles."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        audio_stats,
+        synthesize_g711_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(synthesize_g711_media(docs)).select(
+        "media_id", "sample_rate", "n_frames", "peak", "rms"
+    )
