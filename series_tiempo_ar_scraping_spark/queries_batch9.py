@@ -693,3 +693,67 @@ def multimodal_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(synthesize_g711_media(docs)).select(
         "media_id", "sample_rate", "n_frames", "peak", "rms"
     )
+
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
+)
+
+
+@register(
+    "series_backtest_mape",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    j AS (
+      SELECT d.series_id, d.dday, d.v, p.v AS v7
+      FROM daily d
+      JOIN daily p ON p.series_id = d.series_id AND p.dday = d.dday - 7
+      WHERE d.v <> 0
+    ),
+    e AS (
+      SELECT series_id, abs(v - v7) AS err,
+             CAST(FLOOR(CAST(abs(v - v7) AS DOUBLE) / CAST(abs(v) AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS ape_micro
+      FROM j
+    )
+    SELECT series_id,
+           CAST(COUNT(*) AS BIGINT) AS n_evaluated,
+           CAST(SUM(err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+           CAST(SUM(ape_micro) AS DOUBLE)
+             / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS mape
+    FROM e GROUP BY 1
+    """,
+)
+def series_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting — the evaluation loop every production
+    forecaster runs: score the seasonal-naive model (ŷ(d) = y(d−7),
+    same weekday last week) against actuals, per series, reporting MAE
+    and MAPE. The 7-day shift is a calendar equi-join on (series,
+    dday−7) — NOT a lag(7) window, which would reach 7 *rows* back and
+    silently misalign across gaps. Determinism: absolute errors stay in
+    exact decimal through the sum (one cast to double at the end);
+    per-day percentage errors are rounded once to integer micro-units
+    so the per-series aggregate is an exact BIGINT sum that commutes
+    across shuffle order (the unigram_logprob_score recipe). Shapes:
+    one daily rollup shuffle + one co-partitioned self-join on the
+    (series, day) key + one bounded aggregate."""
+    from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
+
+    d = _daily(spark, sf_dir)
+    prev = d.select(
+        "series_id", (F.col("dday") + 7).alias("dday"), F.col("v").alias("v7")
+    )
+    j = d.join(prev, ["series_id", "dday"]).filter(F.col("v") != 0)
+    err = F.abs(F.col("v") - F.col("v7"))
+    ape_micro = F.floor(
+        err.cast("double") / F.abs(F.col("v")).cast("double") * 1000000 + 0.5
+    ).cast("bigint")
+    e = j.select("series_id", err.alias("err"), ape_micro.alias("ape_micro"))
+    return e.groupBy("series_id").agg(
+        F.count("*").cast("bigint").alias("n_evaluated"),
+        (F.sum("err").cast("double") / F.count("*").cast("double")).alias("mae"),
+        (
+            F.sum("ape_micro").cast("double")
+            / (F.lit(1000000.0) * F.count("*").cast("double"))
+        ).alias("mape"),
+    )
