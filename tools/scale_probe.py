@@ -24,9 +24,16 @@ sys.path.insert(0, ".")
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from series_tiempo_ar_scraping_spark.operators import textops as _TX  # noqa: E402
 from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
 
 BASE = "/tmp/scale_probe"
+
+
+def _shingles(col):
+    return _TX.shingles_from_tokens(
+        _TX.tokens(_TX.normalize_text(col)), 3
+    )
 
 
 def synth_events(spark, n_rows: int, path: str) -> None:
@@ -92,6 +99,15 @@ def main() -> None:
             F.md5(F.concat_ws("|", "props", "event_type")).alias("h")
         ).groupBy(F.substring("h", 1, 2)).count()
         .write.mode("overwrite").format("noop").save(),
+        # round 7: the tokenize->shingle kernel (the curation pipeline's
+        # hot projection). Map-only by construction here — the probe
+        # verifies the KERNEL scales linearly; the AQE-coalesce hazard
+        # it met in the pipeline is a partitioning property, pinned
+        # separately in tests/test_plans.py.
+        "shingle_scan": lambda e: e.select(
+            _shingles(F.concat_ws(" ", "props", "event_type"))
+            .alias("sh")
+        ).write.mode("overwrite").format("noop").save(),
         "broadcast_join": lambda e: e.join(
             F.broadcast(
                 e.sparkSession.createDataFrame(
