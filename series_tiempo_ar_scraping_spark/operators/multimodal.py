@@ -358,6 +358,12 @@ def try_decode_image(data: bytes) -> np.ndarray | None:
         return _decode_ppm(data)
     if data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from series_tiempo_ar_scraping_spark.operators.jpeg import (
+            try_decode_jpeg,
+        )
+
+        return try_decode_jpeg(data)
     return _decode_bmp24(data)
 
 
@@ -932,6 +938,37 @@ RASTER_SCHEMA = T.StructType(
         T.StructField("content", T.BinaryType()),
     ]
 )
+
+
+def synthesize_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: a deterministic solid-gray baseline JPEG per
+    document — luma = ``doc_id % 256``, dims ``8·(1+doc_id%3) ×
+    8·(1+doc_id%2)``. A solid block is DC-only under the all-ones quant
+    tables, so the full marker/Huffman/IDCT path round-trips the gray
+    level EXACTLY and decode results are oracle-checkable in closed
+    form. Map-only Arrow batches."""
+    from series_tiempo_ar_scraping_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                px = np.full((h, w), did % 256, np.uint8)
+                payloads.append(encode_jpeg_baseline(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
 
 
 def synthesize_g711_media(docs: DataFrame) -> DataFrame:

@@ -757,3 +757,34 @@ def series_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count("*").cast("double"))
         ).alias("mape"),
     )
+
+
+@register(
+    "multimodal_jpeg_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, hash-oracled: synthesize a solid-gray baseline
+    JPEG per document and decode it through the stdlib/numpy baseline
+    decoder (marker parse → canonical Huffman from DHT → dequantize →
+    inverse zigzag → float64 IDCT → level shift). A solid block is
+    DC-only under all-ones quantization, so the gray level round-trips
+    exactly and the mean over all RGB bytes is doc_id % 256 in closed
+    form — any Huffman, zigzag, predictor, or IDCT-scaling bug breaks
+    the hash. Exercises every dimension pair and all 256 DC levels
+    across the corpus. Map-only: generate → decode → project."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        image_stats,
+        synthesize_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(synthesize_jpeg_media(docs)).select(
+        "media_id", "width", "height", "mean_luma"
+    )

@@ -568,6 +568,9 @@ _VALID = [
     MM.encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8)),
     MM.encode_bmp24(np.zeros((3, 2, 3), dtype=np.uint8)),
     MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=4),
+    __import__(
+        "series_tiempo_ar_scraping_spark.operators.jpeg", fromlist=["j"]
+    ).encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)),
     MM.encode_wav_pcm16(np.array([1, -1, 2], dtype=np.int16), 8000),
     MM.encode_y4m([np.zeros((2, 4), dtype=np.uint8)]),
 ]
