@@ -109,6 +109,9 @@ BENCH_QUERIES_EXT = [
     "unigram_logprob_score",
     "equidepth_partition_boundaries",
     "pii_redaction",
+    "multimodal_jpeg_stats",
+    "multimodal_g711_stats",
+    "series_backtest_mape",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

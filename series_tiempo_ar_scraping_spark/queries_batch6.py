@@ -277,21 +277,13 @@ def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-
-# Deterministic PII injection: the fixture corpus is clean word-soup, so
-# both engines append identical synthetic markers to a doc_id-derived
-# subset — the scan then has non-trivial positives to count.
-_PII_AUG_SQL = """
-    text
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-            ELSE '' END
-    || CASE WHEN doc_id % 11 = 0
-            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
-            ELSE '' END
-"""
+# PII patterns + deterministic injection live in sqlfrags (shared with
+# queries_batch9's redaction without an import cycle).
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _PII_AUG_SQL,
+    _PII_EMAIL,
+    _PII_IPV4,
+)
 
 
 @register(

@@ -352,9 +352,10 @@ def _curation_final(
 # range-partitioner boundaries.
 # ---------------------------------------------------------------------------
 
-# Shared with queries_batch6's pii_pattern_scan: same synthetic injection
-# and patterns, so scan and redaction provably agree on what PII is.
-from series_tiempo_ar_scraping_spark.queries_batch6 import (  # noqa: E402
+# Shared with queries_batch6's pii_pattern_scan (via sqlfrags): same
+# synthetic injection and patterns, so scan and redaction provably
+# agree on what PII is.
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
     _PII_AUG_SQL,
     _PII_EMAIL,
     _PII_IPV4,

@@ -42,6 +42,21 @@ from series_tiempo_ar_scraping_spark.operators import textops as _TX
 _EN = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["en"])
 _ES = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["es"])
 
+# PII patterns + deterministic injection (shared by queries_batch6's
+# scan and queries_batch9's redaction so both provably agree on what
+# PII is; moved here from queries_batch6 to avoid import cycles).
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_AUG_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+            ELSE '' END
+"""
+
 _NEAR_CORPUS_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL
