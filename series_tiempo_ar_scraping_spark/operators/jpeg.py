@@ -357,6 +357,8 @@ def _decode_jpeg_strict(data: bytes) -> np.ndarray | None:
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
+                if tc > 1:  # 0=DC, 1=AC; anything else is illegal
+                    return None
                 if i + 17 > len(seg):
                     return None
                 bits = list(seg[i + 1 : i + 17])
@@ -451,8 +453,12 @@ def _decode_jpeg_strict(data: bytes) -> np.ndarray | None:
                     r, t = rs >> 4, rs & 0x0F
                     if t == 0:
                         if r == 15:
-                            k += 16  # ZRL
+                            k += 16  # ZRL: 16 zeros, a coeff MUST follow
+                            if k > 63:
+                                return None
                             continue
+                        if r != 0:  # (r,0) for r=1..14 undefined in baseline
+                            return None
                         break  # EOB
                     k += r
                     if k > 63:

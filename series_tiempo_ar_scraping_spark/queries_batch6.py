@@ -283,6 +283,7 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
     _PII_AUG_SQL,
     _PII_EMAIL,
     _PII_IPV4,
+    _pii_augmented_col,
 )
 
 
@@ -308,25 +309,7 @@ def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, map-only); at 100 TB the flag column partitions the corpus
     into redact/pass-through streams with zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com"),
-            ),
-        ).otherwise(""),
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(
-                F.lit(" from 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".1"),
-            ),
-        ).otherwise(""),
-    )
+    aug = _pii_augmented_col()
     t = docs.select("doc_id", aug.alias("t"))
     n_emails = F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint")
     n_ips = F.regexp_count("t", F.lit(_PII_IPV4)).cast("bigint")

@@ -358,7 +358,7 @@ def _curation_final(
 from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
     _PII_AUG_SQL,
     _PII_EMAIL,
-    _PII_IPV4,
+    _PII_IPV4,    _pii_augmented_col,
 )
 
 
@@ -388,25 +388,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, map-only, zero shuffles at any scale — the
     shape that lets a 100 TB redaction pass run as a pure scan."""
     docs = load_table(spark, sf_dir, "documents")
-    aug = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" contact user"),
-                F.col("doc_id").cast("string"),
-                F.lit("@example.com"),
-            ),
-        ).otherwise(""),
-        F.when(
-            F.col("doc_id") % 11 == 0,
-            F.concat(
-                F.lit(" from 10.0."),
-                (F.col("doc_id") % 256).cast("string"),
-                F.lit(".1"),
-            ),
-        ).otherwise(""),
-    )
+    aug = _pii_augmented_col()
     t = docs.select("doc_id", aug.alias("t"))
     n_red = (
         F.regexp_count("t", F.lit(_PII_EMAIL))
@@ -633,8 +615,12 @@ def equidepth_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFram
     counts = orders.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count("*").alias("cnt")
     )
+    counts = counts.localCheckpoint(eager=False)
     cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
-    n_rows = F.broadcast(orders.agg(F.count("*").alias("n_rows")))
+    # row total from the (value-cardinality-bounded) counts frame — a
+    # second COUNT(*) over the fact table would double the full-width
+    # scan the groupBy above already paid for
+    n_rows = F.broadcast(counts.agg(F.sum("cnt").alias("n_rows")))
     ranks = (
         spark.range(1, 8)
         .toDF("k")

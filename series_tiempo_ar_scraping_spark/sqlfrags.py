@@ -57,6 +57,34 @@ _PII_AUG_SQL = """
             ELSE '' END
 """
 
+def _pii_augmented_col():
+    """Spark Column twin of ``_PII_AUG_SQL`` — the deterministic PII
+    injection over ``documents.text``. Defined ONCE beside the SQL
+    fragment so queries_batch6's scan and queries_batch9's redaction
+    provably agree on what PII is on BOTH sides of the oracle."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(""),
+    )
+
+
 _NEAR_CORPUS_SQL = """
       SELECT doc_id, text FROM documents
       UNION ALL

@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from series_tiempo_ar_scraping_spark.operators import jpeg as JP
 from series_tiempo_ar_scraping_spark.operators import multimodal as MM
 from series_tiempo_ar_scraping_spark.session import load_table
 
@@ -445,10 +446,66 @@ def test_audio_stats_null_for_undecodable(spark, sf_dir):
     )
 
 
+# Vendored expected expansion tables: little-endian int16 output of
+# stdlib audioop.ulaw2lin/alaw2lin over bytes(range(256)), captured on
+# CPython 3.11. audioop is REMOVED in Python 3.13, so the live
+# comparison test below silently skips there — these literals keep the
+# independent ITU pin alive on any interpreter.
+_ULAW_LIN16_HEX = (
+    "84828486848a848e84928496849a849e84a284a684aa84ae84b284b684ba84be"
+    "84c184c384c584c784c984cb84cd84cf84d184d384d584d784d984db84dd84df"
+    "04e104e204e304e404e504e604e704e804e904ea04eb04ec04ed04ee04ef04f0"
+    "c4f044f1c4f144f2c4f244f3c4f344f4c4f444f5c4f544f6c4f644f7c4f744f8"
+    "a4f8e4f824f964f9a4f9e4f924fa64faa4fae4fa24fb64fba4fbe4fb24fc64fc"
+    "94fcb4fcd4fcf4fc14fd34fd54fd74fd94fdb4fdd4fdf4fd14fe34fe54fe74fe"
+    "8cfe9cfeacfebcfeccfedcfeecfefcfe0cff1cff2cff3cff4cff5cff6cff7cff"
+    "88ff90ff98ffa0ffa8ffb0ffb8ffc0ffc8ffd0ffd8ffe0ffe8fff0fff8ff0000"
+    "7c7d7c797c757c717c6d7c697c657c617c5d7c597c557c517c4d7c497c457c41"
+    "7c3e7c3c7c3a7c387c367c347c327c307c2e7c2c7c2a7c287c267c247c227c20"
+    "fc1efc1dfc1cfc1bfc1afc19fc18fc17fc16fc15fc14fc13fc12fc11fc10fc0f"
+    "3c0fbc0e3c0ebc0d3c0dbc0c3c0cbc0b3c0bbc0a3c0abc093c09bc083c08bc07"
+    "5c071c07dc069c065c061c06dc059c055c051c05dc049c045c041c04dc039c03"
+    "6c034c032c030c03ec02cc02ac028c026c024c022c020c02ec01cc01ac018c01"
+    "74016401540144013401240114010401f400e400d400c400b400a40094008400"
+    "7800700068006000580050004800400038003000280020001800100008000000"
+)
+
+_ALAW_LIN16_HEX = (
+    "80ea80eb80e880e980ee80ef80ec80ed80e280e380e080e180e680e780e480e5"
+    "40f5c0f540f4c0f440f7c0f740f6c0f640f1c0f140f0c0f040f3c0f340f2c0f2"
+    "00aa00ae00a200a600ba00be00b200b6008a008e00820086009a009e00920096"
+    "00d500d700d100d300dd00df00d900db00c500c700c100c300cd00cf00c900cb"
+    "a8feb8fe88fe98fee8fef8fec8fed8fe28fe38fe08fe18fe68fe78fe48fe58fe"
+    "a8ffb8ff88ff98ffe8fff8ffc8ffd8ff28ff38ff08ff18ff68ff78ff48ff58ff"
+    "a0fae0fa20fa60faa0fbe0fb20fb60fba0f8e0f820f860f8a0f9e0f920f960f9"
+    "50fd70fd10fd30fdd0fdf0fd90fdb0fd50fc70fc10fc30fcd0fcf0fc90fcb0fc"
+    "80158014801780168011801080138012801d801c801f801e80198018801b801a"
+    "c00a400ac00b400bc0084008c0094009c00e400ec00f400fc00c400cc00d400d"
+    "00560052005e005a00460042004e004a00760072007e007a00660062006e006a"
+    "002b0029002f002d0023002100270025003b0039003f003d0033003100370035"
+    "58014801780168011801080138012801d801c801f801e80198018801b801a801"
+    "58004800780068001800080038002800d800c800f800e80098008800b800a800"
+    "60052005e005a00560042004e004a00460072007e007a00760062006e006a006"
+    "b0029002f002d0023002100270025002b0039003f003d0033003100370035003"
+)
+
+
+def test_g711_expansion_matches_vendored_itu_tables():
+    """µ-law/A-law byte→int16 expansion pinned against vendored
+    audioop-derived tables — runs on every interpreter, including
+    3.13+ where stdlib audioop no longer exists."""
+    every = np.arange(256, dtype=np.uint8)
+    want_u = np.frombuffer(bytes.fromhex(_ULAW_LIN16_HEX), dtype="<i2")
+    assert np.array_equal(MM._ulaw_to_lin16(every), want_u)
+    want_a = np.frombuffer(bytes.fromhex(_ALAW_LIN16_HEX), dtype="<i2")
+    assert np.array_equal(MM._alaw_to_lin16(every), want_a)
+
+
 def test_g711_expansion_matches_audioop():
     """µ-law/A-law byte→int16 expansion checked against the stdlib
     audioop implementation (an INDEPENDENT reference — no shared code),
-    over every possible input byte."""
+    over every possible input byte. Skips on 3.13+ (audioop removed);
+    the vendored-table test above carries the pin there."""
     audioop = pytest.importorskip("audioop")
     every = bytes(range(256))
     want_u = np.frombuffer(audioop.ulaw2lin(every, 2), dtype="<i2")
@@ -568,9 +625,7 @@ _VALID = [
     MM.encode_ppm(np.zeros((2, 3, 3), dtype=np.uint8)),
     MM.encode_bmp24(np.zeros((3, 2, 3), dtype=np.uint8)),
     MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=4),
-    __import__(
-        "series_tiempo_ar_scraping_spark.operators.jpeg", fromlist=["j"]
-    ).encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)),
+    JP.encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)),
     MM.encode_wav_pcm16(np.array([1, -1, 2], dtype=np.int16), 8000),
     MM.encode_y4m([np.zeros((2, 4), dtype=np.uint8)]),
 ]

@@ -106,8 +106,10 @@ def test_zigzag_is_the_standard_order():
     # spec order, flat row-major indices: (0,0) (0,1) (1,0) (2,0) (1,1)
     # (0,2) (0,3) (1,2) ...
     assert zz[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
-    assert zz[-4:] == [61, 54, 47, 55] or zz[-1] == 63
-    assert zz[-1] == 63 and sorted(zz) == list(range(64))
+    # spec tail (ITU T.81 Figure A.6, last two diagonals), flat
+    # row-major indices
+    assert zz[-8:] == [53, 60, 61, 54, 47, 55, 62, 63]
+    assert sorted(zz) == list(range(64))
 
 
 def test_huffman_tables_are_canonical_and_legal():
@@ -119,10 +121,18 @@ def test_huffman_tables_are_canonical_and_legal():
     # no all-ones codeword (reserved by convention for padding safety)
     for code, length in list(dc.values()) + list(ac.values()):
         assert code != (1 << length) - 1
-    # prefix-free: sort by (length, code) and check no code prefixes the next
-    codes = sorted((l, c) for c, l in ac.values())
-    for (l1, c1), (l2, c2) in zip(codes, codes[1:]):
-        assert not (l2 >= l1 and (c2 >> (l2 - l1)) == c1)
+    # prefix-free: EVERY shorter code checked against EVERY longer one
+    # (adjacent-only after sorting misses non-adjacent collisions, e.g.
+    # 1-bit 0 prefixing 2-bit 01 with 1-bit 1 sorted between them)
+    for tbl in (dc, ac):
+        codes = sorted((l, c) for c, l in tbl.values())
+        for i, (l1, c1) in enumerate(codes):
+            for l2, c2 in codes[i + 1 :]:
+                assert not (l2 > l1 and (c2 >> (l2 - l1)) == c1), (
+                    (l1, c1), (l2, c2),
+                )
+        # and no duplicate (length, code) pairs at all
+        assert len(set(codes)) == len(codes)
 
 
 from hypothesis import given, settings
