@@ -112,6 +112,10 @@ BENCH_QUERIES_EXT = [
     "multimodal_jpeg_stats",
     "multimodal_g711_stats",
     "series_backtest_mape",
+    "series_robust_mad_outliers",
+    "series_changepoint_meanshift",
+    "embedding_dedup_clusters",
+    "minhash_jaccard_calibration",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1,0 +1,403 @@
+"""Batch-10 queries: robust statistics, changepoints, cluster rollups,
+and sketch calibration.
+
+Four shapes a production series portal / curation pipeline runs that the
+earlier batches stopped short of:
+
+- robust per-series outliers (MAD — the median-based twin of
+  ``series_anomaly_zscore``, immune to the outliers it hunts),
+- offline changepoint detection (binary-segmentation first split),
+- duplicate-CLUSTER accounting (the LSH pair list rolled up through
+  connected components into a cluster-size census),
+- MinHash estimator calibration (estimated vs exact Jaccard per
+  candidate pair — the error the LSH design promises, measured).
+
+Determinism recipe (repo standard, see queries_batch8): exact decimal /
+bigint aggregates, ONE cast to double, identical expression trees in
+both engines, rank-based (lower) medians instead of interpolated
+percentiles — ``(a+b)/2`` interpolation is an engine-specific float
+expression; the element at ``FLOOR((n+1)/2)`` is a value both engines
+agree on bit-for-bit. Reference parity: extends the validation family of
+reference/scrapers/validators.py (series-level QA) with the robust-stat
+variants its pandas layer never had.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import dedup as D
+from series_tiempo_ar_scraping_spark.operators import similarity as S
+from series_tiempo_ar_scraping_spark.operators import textops as TX
+from series_tiempo_ar_scraping_spark.queries import (
+    det_round,
+    det_round_sql,
+    load_table,
+    register,
+)
+from series_tiempo_ar_scraping_spark.queries_batch4 import (
+    _EMB_NEAR_SQL,
+    _emb_near_corpus,
+    _planes_sql_b4,
+    dedup_embedding_cosine,
+)
+from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
+from series_tiempo_ar_scraping_spark.queries_llm import _near_corpus
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _COS64_SQL as _COS,
+    _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
+    _neardup_edges_ctes,
+)
+
+# Lower-median rank: the element at FLOOR((n+1)/2) in the sorted order.
+# Explicit FLOOR on both sides — DuckDB CAST(double AS BIGINT) rounds
+# half-even while Spark truncates (same trap as the containment corpus).
+_MID_SQL = "CAST(FLOOR((n + 1) / 2.0) AS BIGINT)"
+
+
+@register(
+    "series_robust_mad_outliers",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+      SELECT series_id, dday, v,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY v, dday)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT series_id, n, v AS med FROM r WHERE rn = {_MID_SQL}
+    ),
+    a AS (
+      SELECT d.series_id, d.dday, ABS(d.v - m.med) AS adev, m.med, m.n
+      FROM daily d JOIN med m USING (series_id)
+    ),
+    r2 AS (
+      SELECT series_id, adev, n,
+             ROW_NUMBER() OVER (PARTITION BY series_id ORDER BY adev, dday)
+               AS rn
+      FROM a
+    ),
+    mad AS (
+      SELECT series_id, adev AS mad FROM r2 WHERE rn = {_MID_SQL}
+    )
+    SELECT a.series_id,
+           a.n,
+           CAST(MIN(a.med) AS DOUBLE) AS median,
+           CAST(MIN(md.mad) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN CAST(a.adev AS DOUBLE)
+                              > 4.4478 * CAST(md.mad AS DOUBLE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM a JOIN mad md USING (series_id)
+    GROUP BY 1, 2
+    """,
+)
+def series_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series outlier census via MAD (median absolute
+    deviation): flag points with ``|v − median| > 3·1.4826·MAD`` — the
+    robust z-score every monitoring pipeline prefers over
+    ``series_anomaly_zscore`` when the contamination itself inflates the
+    mean/σ it is measured against (a single 10⁶-magnitude spike raises σ
+    enough to hide itself; it cannot move the median).
+
+    Scale shape: two rank-based medians via per-series windows — the
+    window partitions by series, so 10⁶ series spread over the cluster
+    and no single sort ever sees more than one series' rows (the repo's
+    sanctioned per-entity window shape, vs the global-order two-phase
+    scaffold in operators/distributed.py). Medians are LOWER medians
+    (element at FLOOR((n+1)/2)) so both engines pick an actual data
+    element instead of interpolating — deviations then stay exact
+    decimals until the single final cast."""
+    daily = _daily(spark, sf_dir)
+    w_ord = Window.partitionBy("series_id").orderBy("v", "dday")
+    w_all = Window.partitionBy("series_id")
+    mid = F.floor((F.col("n") + 1) / 2.0).cast("long")
+    ranked = daily.select(
+        "series_id",
+        "dday",
+        "v",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = ranked.filter(F.col("rn") == mid).select(
+        "series_id", F.col("n"), F.col("v").alias("med")
+    )
+    a = daily.join(F.broadcast(med), "series_id").select(
+        "series_id",
+        "dday",
+        F.abs(F.col("v") - F.col("med")).alias("adev"),
+        "med",
+        "n",
+    )
+    w_ord2 = Window.partitionBy("series_id").orderBy("adev", "dday")
+    ranked2 = a.select(
+        "series_id", "adev", "n", F.row_number().over(w_ord2).alias("rn")
+    )
+    mad = ranked2.filter(F.col("rn") == mid).select(
+        "series_id", F.col("adev").alias("mad")
+    )
+    out = a.join(F.broadcast(mad), "series_id")
+    is_out = F.when(
+        F.col("adev").cast("double") > 4.4478 * F.col("mad").cast("double"),
+        1,
+    ).otherwise(0)
+    return out.groupBy("series_id", "n").agg(
+        F.min(F.col("med").cast("double")).alias("median"),
+        F.min(F.col("mad").cast("double")).alias("mad"),
+        F.sum(is_out).cast("long").alias("n_outliers"),
+    )
+
+
+@register(
+    "series_changepoint_meanshift",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+      SELECT series_id, dday,
+             ROW_NUMBER() OVER
+               (PARTITION BY series_id ORDER BY dday) AS i,
+             SUM(v) OVER (PARTITION BY series_id ORDER BY dday
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(v) OVER (PARTITION BY series_id) AS tot,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM daily
+    ),
+    s AS (
+      SELECT series_id, dday, n,
+             ABS(CAST(cum AS DOUBLE) * (n - i)
+                 - (CAST(tot AS DOUBLE) - CAST(cum AS DOUBLE)) * i)
+               / (CAST(i AS DOUBLE) * (n - i)) AS score
+      FROM r WHERE i < n AND n > 1
+    ),
+    best AS (
+      SELECT series_id, dday AS change_dday, n, score,
+             ROW_NUMBER() OVER (PARTITION BY series_id
+                                ORDER BY score DESC, dday) AS rk
+      FROM s
+    )
+    SELECT series_id, n, change_dday,
+           {det_round_sql('score', 6)} AS score
+    FROM best WHERE rk = 1
+    """,
+)
+def series_changepoint_meanshift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Offline changepoint detection, binary-segmentation first split:
+    for every split point t the score is ``|mean(v[..t]) − mean(v[t+1..])|``
+    and the reported changepoint is the argmax — the seed step of the
+    classic binary-segmentation recursion (and the mean-shift analogue of
+    CUSUM, whose running-max recursion is inherently sequential; the
+    split-score formulation computes ALL candidate splits from one
+    cumulative window pass).
+
+    Scale shape: one per-series ordered window produces position, prefix
+    sum, total and count in a single pass; the per-split score is then a
+    pure column expression and the argmax one more per-series window —
+    no O(n²) split×point join anywhere. Determinism: prefix sums of
+    decimals are exact in both engines (sequential per-window order);
+    the score combines them cast-once with the cross-multiplied form
+    ``|cum·(n−i) − (tot−cum)·i| / (i·(n−i))`` so both engines evaluate
+    the identical double expression tree; argmax ties break on earliest
+    day."""
+    daily = _daily(spark, sf_dir)
+    w_ord = Window.partitionBy("series_id").orderBy("dday")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy("series_id")
+    r = daily.select(
+        "series_id",
+        "dday",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("v").over(w_cum).alias("cum"),
+        F.sum("v").over(w_all).alias("tot"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    n, i = F.col("n"), F.col("i")
+    cum_d = F.col("cum").cast("double")
+    tot_d = F.col("tot").cast("double")
+    score = F.abs(cum_d * (n - i) - (tot_d - cum_d) * i) / (
+        i.cast("double") * (n - i)
+    )
+    s = r.filter((i < n) & (n > 1)).select(
+        "series_id", "dday", "n", score.alias("score")
+    )
+    w_best = Window.partitionBy("series_id").orderBy(
+        F.col("score").desc(), "dday"
+    )
+    return (
+        s.select(
+            "series_id",
+            "n",
+            F.col("dday").alias("change_dday"),
+            "score",
+            F.row_number().over(w_best).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "series_id", "n", "change_dday",
+            det_round(F.col("score"), 6).alias("score"),
+        )
+    )
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE corpus AS ({_EMB_NEAR_SQL}),
+    b AS (
+      SELECT v.vec_id, v.embedding,
+             {{planes}} AS bucket
+      FROM corpus v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS keep_id, b2.vec_id AS dup_id,
+             {_COS.format(a='a.embedding', b='b2.embedding')} AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    verified AS (
+      SELECT keep_id, dup_id FROM pairs
+      WHERE CAST(FLOOR(sim * 1000000 + 0.5) / 1000000 AS DOUBLE) >= 0.95
+    ),
+    edges AS (
+      SELECT keep_id AS src, dup_id AS dst FROM verified
+      UNION ALL
+      SELECT dup_id AS src, keep_id AS dst FROM verified
+    ),
+    reach(id, comp) AS (
+      SELECT vec_id, vec_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+    ),
+    comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+    sizes AS (
+      SELECT comp, COUNT(*) AS cluster_size FROM comps GROUP BY comp
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_vectors
+    FROM sizes WHERE cluster_size >= 2 GROUP BY 1
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster census over the embedding corpus: the
+    LSH-bucketed cosine pairs (``dedup_embedding_cosine``) rolled up
+    through connected components into a cluster-size histogram —
+    ``(cluster_size, n_clusters, n_vectors)`` for every size ≥ 2. This
+    is the number a curation run actually reports ("12k duplicate
+    clusters covering 31k vectors"), and the sanity check that catches a
+    too-loose threshold (one giant cluster) before a dedup pass deletes
+    half the corpus.
+
+    Scale shape: pairs stay subquadratic (bucket equi-join), components
+    via min-label propagation with per-round localCheckpoint
+    (operators/dedup.py — plan size O(1) in rounds), and both rollups
+    are tiny grouped aggregates keyed by component id then size. The
+    oracle re-derives the identical pipeline as one recursive CTE."""
+    corpus = _emb_near_corpus(spark, sf_dir)
+    edges = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_a"), F.col("dup_id").alias("doc_b")
+    )
+    comp = D.connected_components(
+        corpus.select(F.col("vec_id").alias("doc_id")), edges
+    )
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.filter(F.col("cluster_size") >= 2)
+        .groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_vectors"),
+        )
+    )
+
+
+def _est_jac_sql(k: int) -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"({matches}) / {float(k)}"
+
+
+@register(
+    "minhash_jaccard_calibration",
+    oracle=f"""
+    WITH {_neardup_edges_ctes()}
+    SELECT p.doc_a, p.doc_b,
+           {det_round_sql(_est_jac_sql(D.MINHASH_K), 6)} AS est_jac,
+           {det_round_sql('s.jac', 6)} AS exact_jac,
+           {det_round_sql(f'ABS({_est_jac_sql(D.MINHASH_K)} - s.jac)', 6)}
+             AS abs_err
+    FROM pairs p
+    JOIN sigs a ON a.doc_id = p.doc_a
+    JOIN sigs b ON b.doc_id = p.doc_b
+    JOIN scored s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+    """,
+)
+def minhash_jaccard_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair,
+    the sketch's Jaccard estimate (matching signature positions / K)
+    next to the exact shingle-set Jaccard, with the absolute error —
+    the measurement that justifies (or indicts) the K=12 signature
+    budget before a 100 TB dedup run trusts it. Mirrors the
+    ``approx_sketch_stats`` / ``sketch_exact_twin`` pairing, but being
+    deterministic both sides, the whole calibration IS hash-oracled.
+
+    Scale shape: identical to ``dedup_ngram_jaccard`` — shingle ONCE
+    into a checkpointed frame feeding signatures and the verify join;
+    candidates via banded bucket equi-join; exact Jaccard only on
+    candidates. The estimate adds no new shuffle (signature frames are
+    already keyed by doc id)."""
+    corpus = _near_corpus(spark, sf_dir)
+    toked = corpus.select(
+        "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks")
+    )
+    sh = toked.select(
+        "doc_id",
+        TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures_from_shingles(sh).localCheckpoint(eager=True)
+    pairs = D.lsh_candidate_pairs(sigs)
+    k = D.MINHASH_K
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(k)],
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = (
+        pairs.join(a, "doc_a").join(b, "doc_b").join(sh_a, "doc_a").join(sh_b, "doc_b")
+    )
+    matches = None
+    for i in range(k):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    est = matches / F.lit(float(k))
+    jac = D.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        det_round(est, 6).alias("est_jac"),
+        det_round(jac, 6).alias("exact_jac"),
+        det_round(F.abs(est - jac), 6).alias("abs_err"),
+    )
+
+
+# The embedding-cluster oracle needs the plane fragment rendered with the
+# SAME coefficients the Spark side uses; inject it post-hoc (the format
+# placeholder keeps the f-string above readable).
+from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
+
+ORACLES["embedding_dedup_clusters"] = ORACLES[
+    "embedding_dedup_clusters"
+].replace("{planes}", _planes_sql_b4(S.plane_coeffs(S.N_PLANES, 64)))

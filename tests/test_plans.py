@@ -398,3 +398,36 @@ def test_curation_pipeline_stage_plans(spark, sf_dir):
     tail = full[full.index("Exchange SinglePartition"):]
     assert "partial_sum" in tail
     assert "EvalPython" not in full
+
+
+def test_mad_outliers_broadcasts_medians_no_global_sort(plans):
+    """Both rank-based medians run as per-series windows (partitioned
+    sorts), medians join back by broadcast, and nothing funnels through
+    a single partition."""
+    p = plans("series_robust_mad_outliers", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Exchange SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_changepoint_single_pass_no_global_sort(plans):
+    """All window passes partition by series — the split scoring never
+    materializes an O(n^2) split-by-point join or a global sort."""
+    p = plans("series_changepoint_meanshift", "simple")
+    assert "Exchange SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_embedding_clusters_bucket_join_no_cartesian(plans):
+    """Pair generation stays a bucket equi-join (subquadratic); the
+    component rollups are grouped aggregates."""
+    p = plans("embedding_dedup_clusters", "simple")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_minhash_calibration_no_cartesian_no_python(plans):
+    p = plans("minhash_jaccard_calibration", "simple")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
