@@ -116,6 +116,7 @@ BENCH_QUERIES_EXT = [
     "series_changepoint_meanshift",
     "embedding_dedup_clusters",
     "minhash_jaccard_calibration",
+    "multimodal_gif_stats",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -8,11 +8,12 @@ batched pandas functions over ``mapInPandas`` — the only sane shape at
 Codec libraries (PIL/ffmpeg — JPEG, H.264, MP3) are NOT in this
 container, so that decode branch is import-gated and ``decode_stub=True``
 computes deterministic fake features (byte length, md5-based checksum,
-fake dims). Three raster formats, however, are decoded for real with a
-pure-stdlib codec below — PPM (P6), 24-bit uncompressed BMP, and 8-bit
-PNG (zlib IDAT inflate + per-row unfilter, the one *compressed* wire
-format stdlib can handle) — so the feature/resize kernels run on actual
-pixel data in-sandbox:
+fake dims). Five raster formats, however, are decoded for real with
+pure-stdlib/numpy codecs — PPM (P6), 24-bit uncompressed BMP, 8-bit
+PNG (zlib IDAT inflate + per-row unfilter), baseline JPEG
+(`operators/jpeg.py`: Huffman + dequant + IDCT) and single-image GIF
+(`operators/gif.py`: real LZW) — so the feature/resize kernels run on
+actual pixel data in-sandbox:
 ``try_decode_image`` strictly validates headers + payload length and the
 kernels branch to real dimensions/pixels whenever a payload decodes,
 falling back to the stub otherwise. Everything Spark-side — schema,
@@ -348,9 +349,10 @@ def _decode_png(data: bytes) -> np.ndarray | None:
 
 def try_decode_image(data: bytes) -> np.ndarray | None:
     """Decode PPM P6 / 24-bit BMP / 8-bit PNG (gray, RGB, indexed,
-    RGBA) payloads to (H, W, 3) uint8 RGB, or ``None`` for anything
-    else (including malformed headers, chunk-CRC mismatches, and
-    payloads whose length contradicts the declared dimensions)."""
+    RGBA) / baseline JPEG / single-image GIF payloads to (H, W, 3)
+    uint8 RGB, or ``None`` for anything else (including malformed
+    headers, chunk-CRC mismatches, and payloads whose length
+    contradicts the declared dimensions)."""
     if data is None:
         return None
     data = bytes(data)
@@ -364,6 +366,12 @@ def try_decode_image(data: bytes) -> np.ndarray | None:
         )
 
         return try_decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from series_tiempo_ar_scraping_spark.operators.gif import (
+            try_decode_gif,
+        )
+
+        return try_decode_gif(data)
     return _decode_bmp24(data)
 
 
@@ -1022,6 +1030,48 @@ def synthesize_wav_media(docs: DataFrame) -> DataFrame:
                     np.int16
                 )
                 payloads.append(encode_wav_pcm16(wave, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: a deterministic palette-indexed GIF per
+    document — dims ``(1+doc_id%7) × (1+doc_id%5)``, an 8-entry
+    per-document palette ``palette[i] = ((37i+doc_id)%256,
+    (59i+2·doc_id)%256, (83i+3·doc_id)%256)`` and index raster
+    ``idx(y,x) = (doc_id + 2x + 3y) % 8`` — repeated indices give the
+    LZW dictionary real matches to compress, and the decode results
+    are oracle-checkable in closed form. Map-only Arrow batches."""
+    from series_tiempo_ar_scraping_spark.operators.gif import encode_gif
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 7, 1 + did % 5
+                i = np.arange(8, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (37 * i + did) % 256,
+                        (59 * i + 2 * did) % 256,
+                        (83 * i + 3 * did) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                ys, xs = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                idx = ((did + 2 * xs + 3 * ys) % 8).astype(np.uint8)
+                payloads.append(encode_gif(idx, pal))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "content": payloads}
             )

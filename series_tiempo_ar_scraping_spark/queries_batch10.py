@@ -393,6 +393,53 @@ def minhash_jaccard_calibration(
     )
 
 
+@register(
+    "multimodal_gif_stats",
+    oracle="""
+    SELECT media_id, width, height, mean_luma FROM (
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 7 AS INT) AS width,
+             CAST(1 + doc_id % 5 AS INT) AS height,
+             SUM(CAST(
+                   (37 * ((doc_id + 2 * x + 3 * y) % 8) + doc_id) % 256
+                 + (59 * ((doc_id + 2 * x + 3 * y) % 8) + 2 * doc_id) % 256
+                 + (83 * ((doc_id + 2 * x + 3 * y) % 8) + 3 * doc_id) % 256
+                 AS DOUBLE))
+               / ((1 + doc_id % 7) * (1 + doc_id % 5) * 3) AS mean_luma
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+               0, CAST(doc_id % 7 AS BIGINT))) AS x) gx,
+           LATERAL (SELECT unnest(generate_series(
+               0, CAST(doc_id % 5 AS BIGINT))) AS y) gy
+      GROUP BY doc_id
+    )
+    """,
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode, hash-oracled: synthesize a palette-indexed GIF
+    per document (8-entry per-doc palette, index raster
+    ``(doc_id + 2x + 3y) % 8`` — repeated indices give the LZW
+    dictionary real matches) and decode through the stdlib codec
+    (`operators/gif.py`: header/descriptor parse, sub-block
+    reassembly, variable-width LZW with dictionary growth), reporting
+    width/height and the mean over all RGB bytes. The oracle restates
+    palette lookup + raster in closed integer form via a 2-way LATERAL
+    expansion, so a bit-packing, dictionary-sync, or palette-index bug
+    breaks the hash. Byte sums are exact ints in float64 (≤ 255·105);
+    one division each side. Map-only: generate → decode → project,
+    zero shuffles — with PNG/JPEG this completes the compressed-image
+    decode family (DEFLATE, Huffman+DCT, LZW)."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        image_stats,
+        synthesize_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_stats(synthesize_gif_media(docs)).select(
+        "media_id", "width", "height", "mean_luma"
+    )
+
+
 # The embedding-cluster oracle needs the plane fragment rendered with the
 # SAME coefficients the Spark side uses; inject it post-hoc (the format
 # placeholder keeps the f-string above readable).

@@ -1,0 +1,172 @@
+"""Stdlib GIF/LZW codec: round-trip, hand-constructed decode, strict
+rejects, and raw-bytes fuzz.
+
+The decoder is validated two ways (repo codec standard): round-trip
+through our own encoder AND against a hand-packed LZW bitstream written
+out code by code — so an encoder/decoder bug pair that cancels in
+round-trip (e.g. a mirrored width-bump off-by-one) cannot hide.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from series_tiempo_ar_scraping_spark.operators import gif as G
+from series_tiempo_ar_scraping_spark.operators import multimodal as MM
+
+
+def _pal(n, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (n, 3), np.uint8)
+
+
+@pytest.mark.parametrize(
+    "h,w,n",
+    [(1, 1, 2), (2, 3, 4), (5, 7, 8), (16, 16, 16), (40, 60, 256)],
+)
+def test_gif_round_trip(h, w, n):
+    pal = _pal(n, seed=h * 100 + w)
+    idx = np.random.default_rng(n).integers(0, n, (h, w), np.uint8)
+    out = G.try_decode_gif(G.encode_gif(idx, pal))
+    assert out is not None and out.shape == (h, w, 3)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_round_trip_through_dictionary_reset():
+    """Random 256-color noise at 100x200 emits ~20k codes — the
+    dictionary hits the 4096-entry cap several times, so the encoder's
+    CLEAR-reset and the decoder's reset path both run (and every code
+    width 9..12 is exercised on the way)."""
+    pal = _pal(256, seed=1)
+    idx = np.random.default_rng(2).integers(0, 256, (100, 200), np.uint8)
+    out = G.try_decode_gif(G.encode_gif(idx, pal))
+    assert out is not None
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_round_trip_width_growth_with_repeats():
+    """Highly repetitive data grows long dictionary strings (deep
+    prefix chains) rather than resetting — the other LZW regime."""
+    pal = _pal(4, seed=3)
+    idx = np.tile(np.array([0, 1, 2, 3, 2, 1], np.uint8), 2000).reshape(
+        60, 200
+    )
+    out = G.try_decode_gif(G.encode_gif(idx, pal))
+    assert out is not None
+    assert np.array_equal(out, pal[idx])
+
+
+def _hand_gif() -> bytes:
+    """2x1 image, 4-color global table, LZW stream packed BY HAND:
+    mcs=2 -> clear=4, eoi=5, width=3. Codes [CLEAR=4, 1, 3, EOI=5]
+    packed LSB-first: 4 | 1<<3 | 3<<6 | 5<<9 = 0xACC
+    -> bytes 0xCC 0x0A (12 bits)."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80 | 1, 0, 0)  # GCT of 4
+    out += bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    )  # palette
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out += bytes([2])  # min code size
+    out += bytes([2, 0xCC, 0x0A])  # one 2-byte sub-block
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_gif_decode_hand_packed_bitstream():
+    img = G.try_decode_gif(_hand_gif())
+    assert img is not None and img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [40, 50, 60]  # palette[1]
+    assert img[0, 1].tolist() == [100, 110, 120]  # palette[3]
+
+
+def test_gif_decode_skips_extension_blocks():
+    raw = bytearray(_hand_gif())
+    # inject a graphic-control extension between LSD+GCT and the image
+    ext = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    insert_at = 13 + 12  # after header + GCT
+    raw[insert_at:insert_at] = ext
+    img = G.try_decode_gif(bytes(raw))
+    assert img is not None
+    assert img[0, 1].tolist() == [100, 110, 120]
+
+
+def test_gif_strict_rejects():
+    good = _hand_gif()
+    assert G.try_decode_gif(good) is not None
+    assert G.try_decode_gif(b"") is None
+    assert G.try_decode_gif(b"GIF89a is a format") is None
+    assert G.try_decode_gif(good[:-1]) is None  # missing trailer
+    assert G.try_decode_gif(good + b"\x00") is None  # trailing garbage
+    # interlace flag: outside the strict subset
+    bad = bytearray(good)
+    bad[13 + 12 + 8] |= 0x40  # image-descriptor packed byte
+    assert G.try_decode_gif(bytes(bad)) is None
+    # image rect exceeding the logical screen
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 13 + 12 + 5, 9)  # image width 9 > screen 2
+    assert G.try_decode_gif(bytes(bad)) is None
+    # no color table anywhere
+    no_gct = bytearray(good)
+    no_gct[10] &= 0x7F  # clear GCT flag
+    del no_gct[13 : 13 + 12]  # drop the table bytes
+    assert G.try_decode_gif(bytes(no_gct)) is None
+
+
+def test_gif_lzw_rejects_bad_streams():
+    # code beyond the dictionary: first code after CLEAR must be literal
+    # codes [CLEAR=4, 6] -> 4 | 6<<3 = 0x34
+    raw = bytearray(_hand_gif())
+    raw[13 + 12 + 10 : 13 + 12 + 13] = bytes([1, 0x34])
+    # (sub-block now 1 byte; rebuild tail)
+    base = bytes(raw[: 13 + 12 + 10]) + bytes([1, 0x34, 0, 0x3B])
+    assert G.try_decode_gif(base) is None
+    # pixel over-run: 3 literals for a 2-pixel image
+    # codes [4, 1, 1, 1, 5]: 4|1<<3|1<<6|1<<9|5<<12 = 0x524C -> 4C 52
+    over = bytes(raw[: 13 + 12 + 10]) + bytes([2, 0x4C, 0x52, 0, 0x3B])
+    assert G.try_decode_gif(over) is None
+    # pixel under-run: EOI after one literal
+    # codes [4, 1, 5]: 4|1<<3|5<<6 = 0x14C -> 4C 01
+    under = bytes(raw[: 13 + 12 + 10]) + bytes([2, 0x4C, 0x01, 0, 0x3B])
+    assert G.try_decode_gif(under) is None
+    # missing EOI: bits exhausted mid-stream
+    noeoi = bytes(raw[: 13 + 12 + 10]) + bytes([1, 0x0C, 0, 0x3B])
+    assert G.try_decode_gif(noeoi) is None
+
+
+def test_gif_dispatches_through_try_decode_image():
+    pal = _pal(8, seed=9)
+    idx = np.random.default_rng(9).integers(0, 8, (3, 4), np.uint8)
+    out = MM.try_decode_image(G.encode_gif(idx, pal))
+    assert out is not None
+    assert np.array_equal(out, pal[idx])
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_VALID = G.encode_gif(
+    np.random.default_rng(5).integers(0, 8, (6, 7), np.uint8), _pal(8, 5)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_gif_decoder_never_raises_on_raw_bytes(data):
+    G.try_decode_gif(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, len(_VALID) - 1),
+    st.integers(0, len(_VALID) - 1),
+    st.binary(min_size=1, max_size=8),
+)
+def test_gif_decoder_never_raises_on_corrupted_valid(pos, cut, junk):
+    """The nastier fuzz case: plausible headers, broken bodies."""
+    data = bytearray(_VALID)
+    data[pos : pos + len(junk)] = junk
+    G.try_decode_gif(bytes(data))
+    G.try_decode_gif(bytes(data[:cut]))

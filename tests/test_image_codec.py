@@ -14,6 +14,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from series_tiempo_ar_scraping_spark.operators import gif as GF
 from series_tiempo_ar_scraping_spark.operators import jpeg as JP
 from series_tiempo_ar_scraping_spark.operators import multimodal as MM
 from series_tiempo_ar_scraping_spark.session import load_table
@@ -626,6 +627,9 @@ _VALID = [
     MM.encode_bmp24(np.zeros((3, 2, 3), dtype=np.uint8)),
     MM.encode_png(np.zeros((2, 2, 3), dtype=np.uint8), filter_type=4),
     JP.encode_jpeg_baseline(np.zeros((8, 8), dtype=np.uint8)),
+    GF.encode_gif(
+        np.zeros((2, 3), dtype=np.uint8), np.zeros((2, 3), dtype=np.uint8)
+    ),
     MM.encode_wav_pcm16(np.array([1, -1, 2], dtype=np.int16), 8000),
     MM.encode_y4m([np.zeros((2, 4), dtype=np.uint8)]),
 ]
