@@ -117,6 +117,7 @@ BENCH_QUERIES_EXT = [
     "embedding_dedup_clusters",
     "minhash_jaccard_calibration",
     "multimodal_gif_stats",
+    "attribution_linear_credit",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

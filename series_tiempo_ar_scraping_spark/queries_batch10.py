@@ -36,19 +36,19 @@ from series_tiempo_ar_scraping_spark.queries import (
     load_table,
     register,
 )
-from series_tiempo_ar_scraping_spark.queries_batch4 import (
-    _EMB_NEAR_SQL,
-    _emb_near_corpus,
-    _planes_sql_b4,
-    dedup_embedding_cosine,
-)
-from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
-from series_tiempo_ar_scraping_spark.queries_llm import _near_corpus
 from series_tiempo_ar_scraping_spark.sqlfrags import (
     _COS64_SQL as _COS,
     _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
+    _EMB_NEAR_SQL,
     _neardup_edges_ctes,
+    _planes_sql_b4,
 )
+
+# Spark-side helpers from sibling batches are imported INSIDE the query
+# bodies: a top-level `from queries_llm import _near_corpus` breaks when
+# a test imports that submodule first (the registry cycle leaves it
+# partially initialized while queries' bottom imports this module) —
+# the import-order hazard tests/test_import_order.py pins.
 
 # Lower-median rank: the element at FLOOR((n+1)/2) in the sorted order.
 # Explicit FLOOR on both sides — DuckDB CAST(double AS BIGINT) rounds
@@ -110,6 +110,8 @@ def series_robust_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (element at FLOOR((n+1)/2)) so both engines pick an actual data
     element instead of interpolating — deviations then stay exact
     decimals until the single final cast."""
+    from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
+
     daily = _daily(spark, sf_dir)
     w_ord = Window.partitionBy("series_id").orderBy("v", "dday")
     w_all = Window.partitionBy("series_id")
@@ -203,6 +205,8 @@ def series_changepoint_meanshift(
     ``|cum·(n−i) − (tot−cum)·i| / (i·(n−i))`` so both engines evaluate
     the identical double expression tree; argmax ties break on earliest
     day."""
+    from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
+
     daily = _daily(spark, sf_dir)
     w_ord = Window.partitionBy("series_id").orderBy("dday")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
@@ -296,6 +300,11 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py — plan size O(1) in rounds), and both rollups
     are tiny grouped aggregates keyed by component id then size. The
     oracle re-derives the identical pipeline as one recursive CTE."""
+    from series_tiempo_ar_scraping_spark.queries_batch4 import (
+        _emb_near_corpus,
+        dedup_embedding_cosine,
+    )
+
     corpus = _emb_near_corpus(spark, sf_dir)
     edges = dedup_embedding_cosine(spark, sf_dir).select(
         F.col("keep_id").alias("doc_a"), F.col("dup_id").alias("doc_b")
@@ -354,6 +363,8 @@ def minhash_jaccard_calibration(
     candidates via banded bucket equi-join; exact Jaccard only on
     candidates. The estimate adds no new shuffle (signature frames are
     already keyed by doc id)."""
+    from series_tiempo_ar_scraping_spark.queries_llm import _near_corpus
+
     corpus = _near_corpus(spark, sf_dir)
     toked = corpus.select(
         "doc_id", TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks")
@@ -437,6 +448,100 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return image_stats(synthesize_gif_media(docs)).select(
         "media_id", "width", "height", "mean_luma"
+    )
+
+
+@register(
+    "attribution_linear_credit",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vmic
+      FROM events WHERE event_type = 'purchase' AND value > 0
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+      SELECT p.purchase_id, p.vmic, c.click_id, c.ts
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ts >= p.p_ts - INTERVAL 1 HOUR AND c.ts <= p.p_ts
+    ),
+    r AS (
+      SELECT purchase_id, vmic, click_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY ts, click_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM j
+    ),
+    cr AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS click_date,
+             vmic // n
+               + CASE WHEN rnk <= vmic % n THEN 1 ELSE 0 END AS credit
+      FROM r
+    )
+    SELECT click_date,
+           CAST(SUM(credit) AS BIGINT) AS credit_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks
+    FROM cr GROUP BY 1
+    """,
+)
+def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution, linear model, LEDGER-EXACT: every click
+    in the hour before a purchase (same user) splits the purchase value
+    equally — in integer micro-units with the division remainder going
+    to the EARLIEST clicks, so per-purchase credits sum back to the
+    purchase value to the last micro-unit (the billing/revenue-ledger
+    contract a float split silently violates). Complements
+    ``asof_last_click_before_purchase`` (last-touch) with the
+    multi-touch model marketing analytics actually reports.
+
+    Scale shape: equi-join keyed by user (the range predicate evaluates
+    post-join — same plan as ``range_join_purchase_context``), window
+    partitioned by purchase (bounded groups), one grouped aggregate by
+    day. Determinism: all-integer credit arithmetic — truncating `div`
+    on positive values matches DuckDB `//` (values pinned positive;
+    floor-vs-truncate division diverges on negatives), so sums are
+    exact bigints, order-free."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000 + 0.5)
+        .cast("long")
+        .alias("vmic"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("ts") <= F.col("p_ts")),
+    )
+    w_ord = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
+    w_all = Window.partitionBy("purchase_id")
+    r = j.select(
+        "vmic",
+        "ts",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    credit = F.expr("vmic div n") + F.when(
+        F.col("rnk") <= F.col("vmic") % F.col("n"), 1
+    ).otherwise(0)
+    return (
+        r.select(F.to_date("ts").alias("click_date"), credit.alias("credit"))
+        .groupBy("click_date")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_micro"),
+            F.count("*").alias("n_clicks"),
+        )
     )
 
 

@@ -288,15 +288,10 @@ def _emb_near_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(mut)
 
 
-_EMB_NEAR_SQL = """
-    SELECT vec_id, embedding
-    FROM embeddings
-    UNION ALL
-    SELECT vec_id + 100000 AS vec_id,
-           list_transform(embedding,
-                          x -> CAST(CAST(x AS DOUBLE) * 0.9 AS FLOAT)) AS embedding
-    FROM embeddings WHERE vec_id % 7 = 0
-"""
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _EMB_NEAR_SQL,
+    _planes_sql_b4,
+)
 
 
 @register(
@@ -337,18 +332,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select("keep_id", "dup_id", det_round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= 0.95)
     )
-
-
-def _planes_sql_b4(coeffs: list[list[int]]) -> str:
-    selects = []
-    for j, plane in enumerate(coeffs):
-        lits = ", ".join(str(float(v)) for v in plane)
-        selects.append(
-            f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
-            f"i -> CAST(v.embedding[i] AS DOUBLE) * ([{lits}])[i])) >= 0 "
-            f"THEN {1 << j} ELSE 0 END"
-        )
-    return " + ".join(selects)
 
 
 from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402

@@ -194,6 +194,32 @@ _DAILY_SERIES_DDAY_SQL = """
 """
 
 
+# Embedding near-dup corpus + hyperplane-bucket fragment (moved here
+# from queries_batch4 so queries_batch10 can compose them without the
+# submodule-first import-order hazard — same rule as the PII fragments).
+_EMB_NEAR_SQL = """
+    SELECT vec_id, embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_transform(embedding,
+                          x -> CAST(CAST(x AS DOUBLE) * 0.9 AS FLOAT)) AS embedding
+    FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
+def _planes_sql_b4(coeffs: list[list[int]]) -> str:
+    selects = []
+    for j, plane in enumerate(coeffs):
+        lits = ", ".join(str(float(v)) for v in plane)
+        selects.append(
+            f"CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST(v.embedding[i] AS DOUBLE) * ([{lits}])[i])) >= 0 "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(selects)
+
+
 # 64-dim cosine similarity in DuckDB SQL (mirrors operators/similarity's
 # dot/norm fold order) — single canonical copy; batches alias it.
 _COS64_SQL = """

@@ -25,6 +25,8 @@ MODULES = [
     "queries_batch6",
     "queries_batch7",
     "queries_batch8",
+    "queries_batch9",
+    "queries_batch10",
 ]
 
 
