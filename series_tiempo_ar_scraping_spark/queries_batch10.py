@@ -504,6 +504,25 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on positive values matches DuckDB `//` (values pinned positive;
     floor-vs-truncate division diverges on negatives), so sums are
     exact bigints, order-free."""
+    credits = _click_credits(spark, sf_dir)
+    return (
+        credits.select(
+            F.to_date("ts").alias("click_date"), "credit"
+        )
+        .groupBy("click_date")
+        .agg(
+            F.sum("credit").cast("long").alias("credit_micro"),
+            F.count("*").alias("n_clicks"),
+        )
+    )
+
+
+def _click_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregation credit frame for ``attribution_linear_credit``:
+    one row per (purchase, qualifying click) with the integer micro-unit
+    ``credit``, plus ``purchase_id``/``vmic`` so the ledger-invariant
+    test (per-purchase credits re-sum to vmic exactly) can pin the SAME
+    expression tree the shipped query aggregates."""
     e = load_table(spark, sf_dir, "events")
     p = e.filter(
         (F.col("event_type") == "purchase") & (F.col("value") > 0)
@@ -527,6 +546,7 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ord = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
     w_all = Window.partitionBy("purchase_id")
     r = j.select(
+        "purchase_id",
         "vmic",
         "ts",
         F.row_number().over(w_ord).alias("rnk"),
@@ -535,14 +555,7 @@ def attribution_linear_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     credit = F.expr("vmic div n") + F.when(
         F.col("rnk") <= F.col("vmic") % F.col("n"), 1
     ).otherwise(0)
-    return (
-        r.select(F.to_date("ts").alias("click_date"), credit.alias("credit"))
-        .groupBy("click_date")
-        .agg(
-            F.sum("credit").cast("long").alias("credit_micro"),
-            F.count("*").alias("n_clicks"),
-        )
-    )
+    return r.select("purchase_id", "vmic", "ts", credit.alias("credit"))
 
 
 # The embedding-cluster oracle needs the plane fragment rendered with the

@@ -100,9 +100,10 @@ def test_gif_strict_rejects():
     assert G.try_decode_gif(b"GIF89a is a format") is None
     assert G.try_decode_gif(good[:-1]) is None  # missing trailer
     assert G.try_decode_gif(good + b"\x00") is None  # trailing garbage
-    # interlace flag: outside the strict subset
+    # interlace flag: outside the strict subset (descriptor layout:
+    # 0x2C at 25, left 26, top 28, width 30, height 32, packed at 34)
     bad = bytearray(good)
-    bad[13 + 12 + 8] |= 0x40  # image-descriptor packed byte
+    bad[13 + 12 + 9] |= 0x40  # image-descriptor packed byte
     assert G.try_decode_gif(bytes(bad)) is None
     # image rect exceeding the logical screen
     bad = bytearray(good)
@@ -116,24 +117,27 @@ def test_gif_strict_rejects():
 
 
 def test_gif_lzw_rejects_bad_streams():
-    # code beyond the dictionary: first code after CLEAR must be literal
-    # codes [CLEAR=4, 6] -> 4 | 6<<3 = 0x34
-    raw = bytearray(_hand_gif())
-    raw[13 + 12 + 10 : 13 + 12 + 13] = bytes([1, 0x34])
-    # (sub-block now 1 byte; rebuild tail)
-    base = bytes(raw[: 13 + 12 + 10]) + bytes([1, 0x34, 0, 0x3B])
-    assert G.try_decode_gif(base) is None
+    """Each stream keeps the container valid (prefix INCLUDES the
+    mcs=2 byte at offset 35) so the reject fires inside _lzw_decompress
+    — a prefix cut one byte short would make the sub-block length be
+    parsed as mcs and every case reject vacuously in the container
+    parser instead."""
+    head = bytes(_hand_gif()[: 13 + 12 + 11])  # ...through the mcs byte
+    assert head[-1] == 2  # the prefix really ends at min code size
+    # code beyond the dictionary: first code after CLEAR must be a
+    # literal. codes [CLEAR=4, 6] -> 4 | 6<<3 = 0x34
+    assert G.try_decode_gif(head + bytes([1, 0x34, 0, 0x3B])) is None
     # pixel over-run: 3 literals for a 2-pixel image
     # codes [4, 1, 1, 1, 5]: 4|1<<3|1<<6|1<<9|5<<12 = 0x524C -> 4C 52
-    over = bytes(raw[: 13 + 12 + 10]) + bytes([2, 0x4C, 0x52, 0, 0x3B])
-    assert G.try_decode_gif(over) is None
+    assert G.try_decode_gif(head + bytes([2, 0x4C, 0x52, 0, 0x3B])) is None
     # pixel under-run: EOI after one literal
     # codes [4, 1, 5]: 4|1<<3|5<<6 = 0x14C -> 4C 01
-    under = bytes(raw[: 13 + 12 + 10]) + bytes([2, 0x4C, 0x01, 0, 0x3B])
-    assert G.try_decode_gif(under) is None
+    assert G.try_decode_gif(head + bytes([2, 0x4C, 0x01, 0, 0x3B])) is None
     # missing EOI: bits exhausted mid-stream
-    noeoi = bytes(raw[: 13 + 12 + 10]) + bytes([1, 0x0C, 0, 0x3B])
-    assert G.try_decode_gif(noeoi) is None
+    assert G.try_decode_gif(head + bytes([1, 0x0C, 0, 0x3B])) is None
+    # control: the same container with a CORRECT stream decodes, so the
+    # rejects above cannot be blamed on the shared prefix
+    assert G.try_decode_gif(head + bytes([2, 0xCC, 0x0A, 0, 0x3B])) is not None
 
 
 def test_gif_dispatches_through_try_decode_image():

@@ -313,43 +313,17 @@ def test_attribution_credits_sum_exactly_to_purchase_value(spark, sf_dir):
     """The ledger invariant behind attribution_linear_credit: per
     purchase, the integer micro-unit credits (base div + remainder to
     earliest clicks) re-sum to EXACTLY the purchase's micro value — the
-    property a float split only satisfies approximately."""
-    from pyspark.sql import Window
+    property a float split only satisfies approximately. Pins the SAME
+    _click_credits frame the shipped query aggregates, so a change to
+    the join window, tie-break, or remainder rule is covered here too."""
     from pyspark.sql import functions as F
 
-    from series_tiempo_ar_scraping_spark.session import load_table
+    from series_tiempo_ar_scraping_spark.queries_batch10 import (
+        _click_credits,
+    )
 
-    e = load_table(spark, sf_dir, "events")
-    p = e.filter(
-        (F.col("event_type") == "purchase") & (F.col("value") > 0)
-    ).select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        F.floor(F.col("value") * 1000000 + 0.5).cast("long").alias("vmic"),
-    )
-    c = e.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), "user_id", "ts"
-    )
-    j = p.join(
-        c,
-        (F.col("user_id") == F.col("p_user"))
-        & (F.col("ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("ts") <= F.col("p_ts")),
-    )
-    w_ord = Window.partitionBy("purchase_id").orderBy("ts", "click_id")
-    w_all = Window.partitionBy("purchase_id")
-    r = j.select(
-        "purchase_id",
-        "vmic",
-        F.row_number().over(w_ord).alias("rnk"),
-        F.count("*").over(w_all).alias("n"),
-    )
-    credit = F.expr("vmic div n") + F.when(
-        F.col("rnk") <= F.col("vmic") % F.col("n"), 1
-    ).otherwise(0)
     per_purchase = (
-        r.select("purchase_id", "vmic", credit.alias("credit"))
+        _click_credits(spark, sf_dir)
         .groupBy("purchase_id", "vmic")
         .agg(F.sum("credit").alias("total"))
         .collect()
