@@ -118,6 +118,7 @@ BENCH_QUERIES_EXT = [
     "minhash_jaccard_calibration",
     "multimodal_gif_stats",
     "attribution_linear_credit",
+    "cms_frequent_terms",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

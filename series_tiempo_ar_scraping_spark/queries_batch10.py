@@ -558,6 +558,108 @@ def _click_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("purchase_id", "vmic", "ts", credit.alias("credit"))
 
 
+# Count-Min parameters: D hash rows x W buckets. The md5-seeded hash
+# family is the repo's cross-engine-stable one (dedup.hash64_seeded /
+# sqlfrags._HEX60), so the SKETCH ITSELF is deterministic and the whole
+# calibration hash-oracles — unlike the HLL/percentile pair
+# (approx_sketch_stats), which is engine-internal and rows-only.
+_CMS_D = 4
+_CMS_W = 2048
+
+_CMS_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || t), 1, 15))::BIGINT)"
+    f" % {_CMS_W}"
+)
+
+
+@register(
+    "cms_frequent_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({{toks}}) AS t FROM documents
+    ),
+    exact AS (SELECT t, COUNT(*) AS exact_cnt FROM toks GROUP BY t),
+    buckets AS (
+      SELECT t, i, {_CMS_BUCKET_SQL} AS bucket
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                          AS i) s
+    ),
+    sketch AS (SELECT i, bucket, COUNT(*) AS c FROM buckets GROUP BY 1, 2),
+    est AS (
+      SELECT c.t, MIN(sk.c) AS cms_est
+      FROM (SELECT DISTINCT t, i, bucket FROM buckets) c
+      JOIN sketch sk USING (i, bucket)
+      GROUP BY c.t
+    )
+    SELECT e.t AS term,
+           e.exact_cnt,
+           CAST(est.cms_est AS BIGINT) AS cms_est,
+           CAST(est.cms_est - e.exact_cnt AS BIGINT) AS overestimate
+    FROM exact e JOIN est USING (t)
+    ORDER BY e.exact_cnt DESC, e.t
+    LIMIT 20
+    """,
+)
+def cms_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequent-terms calibration: build a D×W CMS over
+    the corpus token stream, then report the top-20 terms with exact
+    count, CMS estimate, and the overestimate (CMS never underestimates
+    — pinned for EVERY term by test_llm_ops). This is the frequent-items
+    shape for 100 TB streams: the sketch is a (i, bucket) grouped count
+    — map-side combinable, fixed {_CMS_D}×{_CMS_W} cells regardless of
+    corpus size, mergeable across partitions/days by cell-wise addition
+    — where an exact groupBy's state grows with the vocabulary. The
+    md5-seeded hash family is the repo's cross-engine-stable one, so
+    sketch AND estimates hash-match the DuckDB oracle exactly.
+
+    Scale shape: one explode feeds both lanes off a checkpointed token
+    frame (tokenize once); the sketch (≤ {_CMS_D * _CMS_W} rows)
+    broadcast-joins back to the per-term bucket probes; top-20 by
+    (exact desc, term) is a deterministic total order."""
+    return (
+        _cms_term_frame(spark, sf_dir)
+        .select(
+            F.col("t").alias("term"),
+            "exact_cnt",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "term")
+        .limit(20)
+    )
+
+
+def _cms_term_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term (t, exact_cnt, cms_est) frame — the construction behind
+    ``cms_frequent_terms``, shared with the never-underestimates
+    property test so the guarantee is pinned on the SAME expression
+    tree the shipped query ranks."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("t")
+    ).localCheckpoint(eager=True)
+    probes = F.posexplode(
+        F.array(
+            *[
+                (D.hash64_seeded(F.col("t"), i) % _CMS_W).cast("long")
+                for i in range(_CMS_D)
+            ]
+        )
+    )
+    buckets = toks.select("t", probes.alias("i", "bucket"))
+    sketch = buckets.groupBy("i", "bucket").agg(F.count("*").alias("c"))
+    exact = toks.groupBy("t").agg(F.count("*").alias("exact_cnt"))
+    est = (
+        buckets.dropDuplicates(["t", "i"])
+        .join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("t")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return exact.join(est, "t")
+
+
 # The embedding-cluster oracle needs the plane fragment rendered with the
 # SAME coefficients the Spark side uses; inject it post-hoc (the format
 # placeholder keeps the f-string above readable).
@@ -566,3 +668,11 @@ from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
 ORACLES["embedding_dedup_clusters"] = ORACLES[
     "embedding_dedup_clusters"
 ].replace("{planes}", _planes_sql_b4(S.plane_coeffs(S.N_PLANES, 64)))
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _toks_of_norm,
+)
+
+ORACLES["cms_frequent_terms"] = ORACLES["cms_frequent_terms"].replace(
+    "{toks}", _toks_of_norm("text")
+)

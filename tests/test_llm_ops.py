@@ -331,3 +331,20 @@ def test_attribution_credits_sum_exactly_to_purchase_value(spark, sf_dir):
     assert per_purchase  # the fixture corpus must exercise the split
     for row in per_purchase:
         assert row.total == row.vmic, row
+
+
+def test_cms_never_underestimates_any_term(spark, sf_dir):
+    """The Count-Min guarantee behind cms_frequent_terms: est >= exact
+    for EVERY term (not just the reported top-20) — an underestimate
+    means the sketch construction or the min-probe is wrong. Pins the
+    SAME _cms_term_frame the shipped query ranks."""
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.queries_batch10 import (
+        _cms_term_frame,
+    )
+
+    frame = _cms_term_frame(spark, sf_dir)
+    assert frame.count() > 0
+    bad = frame.filter(F.col("cms_est") < F.col("exact_cnt")).count()
+    assert bad == 0
