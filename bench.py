@@ -119,6 +119,7 @@ BENCH_QUERIES_EXT = [
     "multimodal_gif_stats",
     "attribution_linear_credit",
     "cms_frequent_terms",
+    "multimodal_gif_anim_stats",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

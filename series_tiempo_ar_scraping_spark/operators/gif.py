@@ -178,9 +178,22 @@ def _lzw_decompress(
 def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     """Encode an (H, W) uint8 index raster + (N, 3) uint8 palette as a
     single-image GIF89a with a global color table."""
-    h, w = indices.shape
+    return encode_gif_frames([indices], palette)
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 0,
+) -> bytes:
+    """Encode full-screen (H, W) uint8 index frames + one global palette
+    as GIF89a. With more than one frame (or a non-zero ``delay_cs``),
+    each image is preceded by a Graphic Control Extension carrying the
+    frame delay in centiseconds — the animated-GIF wire layout."""
+    assert frames
+    h, w = frames[0].shape
     n = len(palette)
-    assert 2 <= n <= 256 and int(indices.max(initial=0)) < n
+    assert 2 <= n <= 256
     # color table size is a power of two >= n (and >= 2 bits of code)
     bits = max(2, (n - 1).bit_length())
     table = np.zeros((1 << bits, 3), np.uint8)
@@ -188,30 +201,65 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
     out += table.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
-    mcs = bits
-    out.append(mcs)
-    comp = _lzw_compress(indices.astype(np.uint8).tobytes(), mcs)
-    for i in range(0, len(comp), 255):
-        block = comp[i : i + 255]
-        out.append(len(block))
-        out += block
-    out.append(0)  # block terminator
+    animated = len(frames) > 1 or delay_cs
+    for fr in frames:
+        assert fr.shape == (h, w) and int(fr.max(initial=0)) < n
+        if animated:
+            # GCE: disposal=none, no transparency, delay in cs
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        mcs = bits
+        out.append(mcs)
+        comp = _lzw_compress(fr.astype(np.uint8).tobytes(), mcs)
+        for i in range(0, len(comp), 255):
+            block = comp[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
     out.append(0x3B)  # trailer
     return bytes(out)
 
 
 def try_decode_gif(data: bytes) -> np.ndarray | None:
     """Decode the strict baseline subset: GIF87a/89a, global or local
-    color table, first image covering the logical screen, no interlace.
-    Returns (H, W, 3) uint8 RGB or None."""
+    color table, exactly ONE image, no interlace. Returns (H, W, 3)
+    uint8 RGB (the image rect's dimensions) or None — animated payloads
+    go through ``try_decode_gif_frames``."""
+    parsed = _parse_gif(bytes(data))
+    if parsed is None or len(parsed[2]) != 1:
+        return None
+    return parsed[2][0][5]
+
+
+def try_decode_gif_frames(
+    data: bytes,
+) -> tuple[int, int, list[int], list[np.ndarray]] | None:
+    """Decode an animated GIF: every frame must cover the full logical
+    screen (no sub-rect compositing / disposal in the strict subset).
+    Returns (width, height, per-frame delays in centiseconds, list of
+    (H, W, 3) uint8 RGB frames) or None."""
+    parsed = _parse_gif(bytes(data))
+    if parsed is None:
+        return None
+    sw, sh, frames = parsed
+    if any(
+        (left, top, w, h) != (0, 0, sw, sh)
+        for left, top, w, h, _, _ in frames
+    ):
+        return None
+    return sw, sh, [f[4] for f in frames], [f[5] for f in frames]
+
+
+def _parse_gif(data: bytes):
+    """Shared container parse: returns (screen_w, screen_h,
+    [(left, top, w, h, delay_cs, rgb), ...]) or None."""
     try:
-        return _decode_gif_inner(bytes(data))
+        return _parse_gif_inner(data)
     except Exception:
         return None
 
 
-def _decode_gif_inner(data: bytes) -> np.ndarray | None:
+def _parse_gif_inner(data: bytes):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
@@ -225,17 +273,24 @@ def _decode_gif_inner(data: bytes) -> np.ndarray | None:
         pos += 3 * gsize
     if sw == 0 or sh == 0 or sw * sh > _MAX_PIXELS:
         return None
+    frames = []
+    pending_delay = 0
+    total_px = 0
     while True:
         if pos >= len(data):
             return None  # no trailer
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            return None
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x3B:
+            if pos != len(data):
+                return None  # trailing garbage after the trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(data):
                 return None
+            label = data[pos]
             pos += 1
+            sub = bytearray()
             while True:
                 if pos >= len(data):
                     return None
@@ -243,53 +298,62 @@ def _decode_gif_inner(data: bytes) -> np.ndarray | None:
                 pos += 1
                 if sz == 0:
                     break
+                if pos + sz > len(data):
+                    return None
+                sub += data[pos : pos + sz]
                 pos += sz
+            if label == 0xF9 and len(sub) == 4:
+                # Graphic Control: packed, delay (LE cs), transparent idx
+                pending_delay = struct.unpack_from("<H", sub, 1)[0]
             continue
-        if block == 0x2C:
-            break
-        return None  # unknown block type
-    if pos + 9 > len(data):
-        return None
-    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
-    pos += 9
-    if ipacked & 0x40:
-        return None  # interlace: outside the strict subset
-    if w == 0 or h == 0 or left + w > sw or top + h > sh:
-        return None
-    ct = gct
-    if ipacked & 0x80:
-        lsize = 2 << (ipacked & 0x07)
-        if pos + 3 * lsize > len(data):
+        if block != 0x2C:
+            return None  # unknown block type
+        if pos + 9 > len(data):
             return None
-        ct = np.frombuffer(data, np.uint8, 3 * lsize, pos).reshape(-1, 3)
-        pos += 3 * lsize
-    if ct is None:
-        return None
-    if pos >= len(data):
-        return None
-    mcs = data[pos]
-    pos += 1
-    if not 2 <= mcs <= 11:
-        return None
-    comp = bytearray()
-    while True:
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            return None  # interlace: outside the strict subset
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            return None
+        ct = gct
+        if ipacked & 0x80:
+            lsize = 2 << (ipacked & 0x07)
+            if pos + 3 * lsize > len(data):
+                return None
+            ct = np.frombuffer(data, np.uint8, 3 * lsize, pos).reshape(-1, 3)
+            pos += 3 * lsize
+        if ct is None:
+            return None
         if pos >= len(data):
             return None
-        sz = data[pos]
+        mcs = data[pos]
         pos += 1
-        if sz == 0:
-            break
-        if pos + sz > len(data):
+        if not 2 <= mcs <= 11:
             return None
-        comp += data[pos : pos + sz]
-        pos += sz
-    # strict: image data must be followed directly by the trailer
-    if pos >= len(data) or data[pos] != 0x3B or pos + 1 != len(data):
+        comp = bytearray()
+        while True:
+            if pos >= len(data):
+                return None
+            sz = data[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(data):
+                return None
+            comp += data[pos : pos + sz]
+            pos += sz
+        total_px += w * h
+        if total_px > _MAX_PIXELS:
+            return None  # frame-count decompression bomb
+        idx = _lzw_decompress(bytes(comp), mcs, w * h)
+        if idx is None:
+            return None
+        arr = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if int(arr.max(initial=0)) >= len(ct):
+            return None  # index beyond the color table
+        frames.append((left, top, w, h, pending_delay, ct[arr]))
+        pending_delay = 0
+    if not frames:
         return None
-    idx = _lzw_decompress(bytes(comp), mcs, w * h)
-    if idx is None:
-        return None
-    arr = np.frombuffer(idx, np.uint8).reshape(h, w)
-    if int(arr.max(initial=0)) >= len(ct):
-        return None  # index beyond the color table
-    return ct[arr]
+    return sw, sh, frames

@@ -854,6 +854,94 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def gif_anim_frame_stats(media: DataFrame) -> DataFrame:
+    """Real per-frame animated-GIF statistics via the stdlib LZW codec:
+    one row per decoded frame with its start timestamp (cumulative prior
+    delays, centiseconds -> ms) and mean over all RGB bytes. The
+    animated-GIF twin of ``video_frame_stats`` (Y4M). Non-GIF payloads
+    are dropped. Map-only Arrow batches; rows ∝ frames, no shuffle."""
+    from series_tiempo_ar_scraping_spark.operators.gif import (
+        try_decode_gif_frames,
+    )
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                decoded = try_decode_gif_frames(bytes(content))
+                if decoded is None:
+                    continue
+                _, _, delays, frames = decoded
+                ts = 0
+                for i, (d, rgb) in enumerate(zip(delays, frames)):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            ts * 10,
+                            float(rgb.astype(np.float64).sum() / rgb.size),
+                        )
+                    )
+                    ts += d
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "mean_y"]
+            ).astype({"frame_idx": "int32", "ts_ms": "int32"})
+
+    return media.select("media_id", "content").mapInPandas(
+        run, VIDEO_FRAMES_SCHEMA
+    )
+
+
+def synthesize_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """Test/bench adapter: a deterministic animated GIF per document —
+    ``2 + doc_id%3`` full-screen solid frames (frame f = palette index
+    ``(doc_id+f) % 8``, same palette family as ``synthesize_gif_media``),
+    constant delay ``4 + doc_id%6`` cs — so decoded frame count,
+    timestamps and per-frame means are oracle-checkable in closed form.
+    Map-only Arrow batches."""
+    from series_tiempo_ar_scraping_spark.operators.gif import (
+        encode_gif_frames,
+    )
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 5, 1 + did % 3
+                i = np.arange(8, dtype=np.int64)
+                pal = np.stack(
+                    [
+                        (37 * i + did) % 256,
+                        (59 * i + 2 * did) % 256,
+                        (83 * i + 3 * did) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                frames = [
+                    np.full((h, w), (did + f) % 8, dtype=np.uint8)
+                    for f in range(2 + did % 3)
+                ]
+                payloads.append(
+                    encode_gif_frames(frames, pal, delay_cs=4 + did % 6)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
 def synthesize_y4m_media(docs: DataFrame) -> DataFrame:
     """Test/bench adapter: derive a deterministic solid-luma Y4M video per
     document (even dims, 25 fps, per-frame luma a pure function of

@@ -660,6 +660,48 @@ def _cms_term_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "t")
 
 
+@register(
+    "multimodal_gif_anim_stats",
+    oracle="""
+    SELECT media_id, frame_idx, ts_ms, mean_y FROM (
+      SELECT doc_id AS media_id,
+             CAST(f AS INT) AS frame_idx,
+             CAST(f * 10 * (4 + doc_id % 6) AS INT) AS ts_ms,
+             ( (37 * ((doc_id + f) % 8) + doc_id) % 256
+             + (59 * ((doc_id + f) % 8) + 2 * doc_id) % 256
+             + (83 * ((doc_id + f) % 8) + 3 * doc_id) % 256 ) / 3.0
+               AS mean_y
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+               0, CAST(1 + doc_id % 3 AS BIGINT))) AS f) gf
+    )
+    """,
+)
+def multimodal_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, hash-oracled: synthesize a multi-frame
+    GIF per document (2 + doc_id%3 full-screen solid frames, Graphic
+    Control Extension delays of 4 + doc_id%6 centiseconds) and decode
+    through the stdlib LZW codec's frame iterator
+    (`operators/gif.py:try_decode_gif_frames`), reporting one row per
+    frame with its cumulative-delay timestamp and mean over all RGB
+    bytes. The oracle restates frame count, GCE delay timing, and the
+    per-frame palette lookup in closed integer form — a frame-loop,
+    delay-parse, or palette bug breaks the hash. A solid frame's mean
+    is exact (channel sum / 3 in float64, identical division both
+    engines). Map-only: generate → decode → explode frames, zero
+    shuffles; rows ∝ total frames — the animated-GIF twin of the Y4M
+    ``multimodal_video_stats`` family."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        gif_anim_frame_stats,
+        synthesize_gif_anim_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gif_anim_frame_stats(synthesize_gif_anim_media(docs)).select(
+        "media_id", "frame_idx", "ts_ms", "mean_y"
+    )
+
+
 # The embedding-cluster oracle needs the plane fragment rendered with the
 # SAME coefficients the Spark side uses; inject it post-hoc (the format
 # placeholder keeps the f-string above readable).

@@ -31,7 +31,7 @@ for name in ("multimodal_frame_sample", "streaming_stateful_sessions",
              "multimodal_image_stats", "multimodal_audio_stats",
              "multimodal_video_stats", "multimodal_png_stats",
              "multimodal_jpeg_stats", "multimodal_g711_stats",
-             "multimodal_gif_stats"):
+             "multimodal_gif_stats", "multimodal_gif_anim_stats"):
     assert len(qs[name](spark, "/root/testdata/sf0.001").collect()) > 0, name
 print("DRIVER_CONTRACT_OK")
 """
