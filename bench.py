@@ -120,6 +120,7 @@ BENCH_QUERIES_EXT = [
     "attribution_linear_credit",
     "cms_frequent_terms",
     "multimodal_gif_anim_stats",
+    "series_nightly_rollup",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

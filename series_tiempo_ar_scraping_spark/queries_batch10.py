@@ -702,6 +702,174 @@ def multimodal_gif_anim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Composed nightly rollup: daily date-keyed frame (the date twin of
+# sqlfrags._DAILY_SERIES_DDAY_SQL, date-typed so the calendar expand and
+# monthly collapse stay native date ops).
+_DAILY_DATE_SQL = """
+      SELECT event_type AS series_id,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             SUM(CAST(value AS DECIMAL(22,4))) AS v
+      FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "series_nightly_rollup",
+    oracle=f"""
+    WITH daily AS ({_DAILY_DATE_SQL}),
+    gaps AS (
+      SELECT series_id, d,
+             date_diff('day',
+                       lag(d) OVER (PARTITION BY series_id ORDER BY d),
+                       d) AS gap
+      FROM daily
+    ),
+    qa AS (
+      SELECT series_id, COUNT(*) AS n_points, MAX(gap) AS max_gap
+      FROM gaps GROUP BY 1
+    ),
+    status AS (
+      SELECT series_id,
+             CASE WHEN n_points >= 5 AND COALESCE(max_gap, 1) <= 3
+                  THEN 'ok' ELSE 'flagged' END AS status
+      FROM qa
+    ),
+    spans AS (
+      SELECT d.series_id, MIN(d.d) AS lo, MAX(d.d) AS hi
+      FROM daily d
+      WHERE d.series_id IN (SELECT series_id FROM status
+                            WHERE status = 'ok')
+      GROUP BY 1
+    ),
+    cal AS (
+      SELECT series_id,
+             CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM spans
+    ),
+    filled AS (
+      SELECT c.series_id, c.d,
+             last_value(dl.v IGNORE NULLS) OVER (
+               PARTITION BY c.series_id ORDER BY c.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vf,
+             dl.v IS NULL AS was_gap
+      FROM cal c LEFT JOIN daily dl
+        ON dl.series_id = c.series_id AND dl.d = c.d
+    ),
+    weekly AS (
+      SELECT series_id, CAST(date_trunc('week', d) AS DATE) AS week,
+             SUM(vf) AS wv,
+             SUM(CASE WHEN was_gap THEN 1 ELSE 0 END) AS filled_days
+      FROM filled GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged_series
+      FROM status WHERE status <> 'ok'
+    )
+    SELECT m.week,
+           CAST(COUNT(*) AS BIGINT) AS n_series,
+           CAST(SUM(m.wv) AS DOUBLE) AS total_value,
+           CAST(SUM(m.filled_days) AS BIGINT) AS filled_days,
+           f.n_flagged_series
+    FROM weekly m CROSS JOIN flagged f
+    GROUP BY 1, f.n_flagged_series
+    """,
+)
+def series_nightly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED nightly series-portal run — the reference's whole ETL
+    analytic arc (scrape → validate → conform → aggregate,
+    reference/scrapers/base.py generate_ts_distributions +
+    validate + the A5-A7 indicator assembly) as ONE oracled plan:
+
+    1. ingest/aggregate: decimal-exact daily series;
+    2. validate (V4): per-series point count + max calendar gap via one
+       lag window → ok / flagged status;
+    3. conform: OK series only — calendar expand (sequence-explode) +
+       LOCF forward fill in one window;
+    4. collapse: weekly decimal sums + fill accounting;
+    5. indicators: per-week series coverage, total value, filled-day
+       count, with the flagged-series count carried on every row (the
+       scalar-frame crossJoin shape from corpus_curation_pipeline).
+
+    The composed form is what surfaces inter-stage plan bugs (a lost
+    semi-join pushdown or a re-shuffle between stages) that per-op
+    oracles cannot see — plan-asserted in tests/test_plans.py.
+    Determinism: sums stay decimal until one double cast; the status
+    boundary is integer comparisons; ffill carries exact decimals."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("series_id"), F.to_date("ts").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(22,4)")).alias("v"))
+    daily = daily.localCheckpoint(eager=False)  # feeds QA, spans, ffill
+
+    w_lag = Window.partitionBy("series_id").orderBy("d")
+    gaps = daily.select(
+        "series_id", F.datediff("d", F.lag("d").over(w_lag)).alias("gap")
+    )
+    qa = gaps.groupBy("series_id").agg(
+        F.count("*").alias("n_points"), F.max("gap").alias("max_gap")
+    )
+    status = qa.select(
+        "series_id",
+        F.when(
+            (F.col("n_points") >= 5)
+            & (F.coalesce(F.col("max_gap"), F.lit(1)) <= 3),
+            "ok",
+        )
+        .otherwise("flagged")
+        .alias("status"),
+    ).localCheckpoint(eager=False)  # feeds the semi-join AND the count
+
+    ok = status.filter(F.col("status") == "ok").select("series_id")
+    spans = (
+        daily.join(F.broadcast(ok), "series_id", "leftsemi")
+        .groupBy("series_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    )
+    cal = spans.select(
+        "series_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    w_fill = (
+        Window.partitionBy("series_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = cal.join(daily, ["series_id", "d"], "left").select(
+        "series_id",
+        "d",
+        F.last("v", ignorenulls=True).over(w_fill).alias("vf"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+    weekly = filled.groupBy(
+        "series_id", F.date_trunc("week", "d").cast("date").alias("week")
+    ).agg(
+        F.sum("vf").alias("wv"),
+        F.sum(F.when(F.col("was_gap"), 1).otherwise(0)).alias(
+            "filled_days"
+        ),
+    )
+    flagged = status.filter(F.col("status") != "ok").agg(
+        F.count("*").alias("n_flagged_series")
+    )
+    return (
+        weekly.crossJoin(F.broadcast(flagged))
+        .groupBy("week", "n_flagged_series")
+        .agg(
+            F.count("*").alias("n_series"),
+            F.sum("wv").cast("double").alias("total_value"),
+            F.sum("filled_days").cast("long").alias("filled_days"),
+        )
+        .select(
+            "week", "n_series", "total_value", "filled_days",
+            "n_flagged_series",
+        )
+    )
+
+
 # The embedding-cluster oracle needs the plane fragment rendered with the
 # SAME coefficients the Spark side uses; inject it post-hoc (the format
 # placeholder keeps the f-string above readable).

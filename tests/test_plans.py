@@ -431,3 +431,15 @@ def test_minhash_calibration_no_cartesian_no_python(plans):
     p = plans("minhash_jaccard_calibration", "simple")
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_nightly_rollup_composed_stage_plans(plans):
+    """The composed nightly run keeps each stage's scale shape: the
+    OK-series filter reaches the fact side as a broadcast semi-join,
+    the flagged count joins as a broadcast single-row frame (never a
+    real cartesian), windows partition by series, and no Python."""
+    p = plans("series_nightly_rollup", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "LeftSemi" in p
+    assert "EvalPython" not in p
