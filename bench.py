@@ -121,6 +121,7 @@ BENCH_QUERIES_EXT = [
     "cms_frequent_terms",
     "multimodal_gif_anim_stats",
     "series_nightly_rollup",
+    "kmeans_lloyd_clusters",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -132,6 +132,91 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     )
 
 
+def kmeans_lloyd_micro(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """REAL Lloyd's k-means, bit-deterministic: ``iters`` unrolled
+    assign/update rounds over INTEGER MICRO-UNIT vectors (component →
+    ``floor(x·10⁶ + 0.5)`` as bigint). Distances are exact bigint
+    squared-L2 sums (order-free), so assignment ties break identically
+    everywhere (then by smaller centroid id); the centroid update is
+    ``floor(sum / count)`` per component via double division of exact
+    ints — safe because |sum| ≪ 2⁵³ keeps the quotient correctly
+    rounded. Init = the ``k`` smallest ids (deterministic). Returns
+    (final centroids (cid, xi array<bigint>), final assignment
+    (id, cid)); clusters that lose all members drop out — both engines
+    agree because the inner update join simply yields no rows.
+
+    Scale shape: the pagerank pattern — centroids are a tiny broadcast
+    frame re-checkpointed per round (plan size O(1) in iterations);
+    each round is one broadcast crossJoin + per-vector window + one
+    grouped update keyed by (cid, component). The big side never
+    self-joins and shuffles only on its own id for the argmin window.
+    The fixed-point arithmetic is what makes an ITERATIVE clustering
+    loop hash-oracle-able (mirrored, unrolled, in DuckDB SQL)."""
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+    )
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"), micro.alias("xi")
+    ).localCheckpoint(eager=True)
+    cent = (
+        vecs.orderBy("vid")
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vid")) - 1
+            ).alias("cid"),
+            F.col("xi").alias("ci"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("xi"), F.col("ci"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.crossJoin(F.broadcast(cent)).select(
+            "vid", "cid", "xi", dist.alias("d2")
+        )
+        w = Window.partitionBy("vid").orderBy("d2", "cid")
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", "cid", "xi")
+        )
+        comp = assign.select(
+            "cid", F.posexplode("xi").alias("pos", "val")
+        )
+        upd = comp.groupBy("cid", "pos").agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count("*")
+            )
+            .cast("long")
+            .alias("m")
+        )
+        cent = (
+            upd.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("ci")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent, assign.select("vid", "cid")
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

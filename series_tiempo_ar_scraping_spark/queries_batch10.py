@@ -870,6 +870,94 @@ def series_nightly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's-k-means oracle: one CTE pair (assign, update)
+    per iteration — the fixed-point micro-unit arithmetic is what lets
+    an ITERATIVE clustering loop be stated as plain SQL and hash-match
+    the Spark loop bit-for-bit."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j])))"
+    )
+    parts = [
+        f"""vecs AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, xi AS ci
+      FROM vecs ORDER BY vid LIMIT {k}
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""assign{i} AS (
+      SELECT vid, cid, xi FROM (
+        SELECT v.vid, c.cid, v.xi,
+               ROW_NUMBER() OVER (PARTITION BY v.vid
+                                  ORDER BY {dist}, c.cid) AS rk
+        FROM vecs v CROSS JOIN cent{i} c
+      ) WHERE rk = 1
+    ),
+    cent{i + 1} AS (
+      SELECT cid, list(m ORDER BY pos) AS ci FROM (
+        SELECT a.cid, g.pos,
+               CAST(FLOOR(CAST(SUM(a.xi[g.pos]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS m
+        FROM assign{i} a,
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS pos) g
+        GROUP BY 1, 2
+      ) GROUP BY cid
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT a.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(cs.s) AS BIGINT) AS comp_sum
+    FROM assign{iters - 1} a
+    JOIN (SELECT cid, list_sum(ci) AS s FROM cent{iters}) cs USING (cid)
+    GROUP BY 1
+    """
+    )
+
+
+@register("kmeans_lloyd_clusters", oracle=_kmeans_oracle())
+def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL trained clustering, hash-oracled: 3 unrolled Lloyd's k-means
+    iterations (K=8) over the embeddings in integer micro-units
+    (``operators/similarity.py:kmeans_lloyd_micro``), reporting per
+    final centroid the member count and the component-sum fingerprint.
+    The IVF/PQ entries take their codebooks as given (sampled); this is
+    the TRAINING step — and beside pagerank and connected components,
+    the third iterative-algorithm family in the catalog, the only one
+    whose full fixed point is pinned by a DuckDB oracle (unrolled CTE
+    chain, bit-identical micro-unit arithmetic).
+
+    Scale shape: centroids are a K-row broadcast frame re-checkpointed
+    per round (plan size O(1) in iterations — the pagerank pattern);
+    each round is one broadcast crossJoin + per-vector argmin window +
+    one grouped update keyed by (cid, component). The corpus never
+    self-joins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = S.kmeans_lloyd_micro(emb, k=8, iters=3)
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    comp_sum = cent.select(
+        "cid",
+        F.aggregate(
+            "ci", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("comp_sum"),
+    )
+    return sizes.join(F.broadcast(comp_sum), "cid").select(
+        "cid", "n_vectors", "comp_sum"
+    )
+
+
 # The embedding-cluster oracle needs the plane fragment rendered with the
 # SAME coefficients the Spark side uses; inject it post-hoc (the format
 # placeholder keeps the f-string above readable).

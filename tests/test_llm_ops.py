@@ -348,3 +348,48 @@ def test_cms_never_underestimates_any_term(spark, sf_dir):
     assert frame.count() > 0
     bad = frame.filter(F.col("cms_est") < F.col("exact_cnt")).count()
     assert bad == 0
+
+
+def test_kmeans_lloyd_partitions_all_vectors_and_tightens(spark, sf_dir):
+    """Lloyd invariants: the final assignment covers every vector
+    exactly once, and total within-cluster distance is monotonically
+    non-increasing across an extra iteration (Lloyd's convergence
+    guarantee — integer floor rounding can stall it but never reverse
+    it above the rounding magnitude; assert non-strict on the exact
+    bigint objective)."""
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def objective(iters):
+        cent, assign = S.kmeans_lloyd_micro(emb, k=8, iters=iters)
+        assert assign.count() == n
+        assert assign.select("vid").distinct().count() == n
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("xi"), F.col("ci"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        micro = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast(
+                "long"
+            ),
+        )
+        vecs = emb.select(F.col("vec_id").alias("vid"), micro.alias("xi"))
+        return (
+            assign.join(vecs, "vid")
+            .join(F.broadcast(cent), "cid")
+            .select(d2.alias("d2"))
+            .agg(F.sum("d2"))
+            .collect()[0][0]
+        )
+
+    # rounding slack: one micro-unit step per component per vector
+    assert objective(3) <= objective(1) + n * 64

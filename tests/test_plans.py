@@ -443,3 +443,13 @@ def test_nightly_rollup_composed_stage_plans(plans):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "LeftSemi" in p
     assert "EvalPython" not in p
+
+
+def test_kmeans_broadcast_centroids_no_corpus_self_join(plans):
+    """Each Lloyd round must broadcast the K-row centroid frame against
+    the corpus (never shuffle-join or self-join the big side) and stay
+    JVM-only."""
+    p = plans("kmeans_lloyd_clusters", "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
