@@ -870,11 +870,13 @@ def series_nightly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled Lloyd's-k-means oracle: one CTE pair (assign, update)
-    per iteration — the fixed-point micro-unit arithmetic is what lets
-    an ITERATIVE clustering loop be stated as plain SQL and hash-match
-    the Spark loop bit-for-bit."""
+def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's-k-means CTE prefix (one assign/update pair per
+    iteration) — the fixed-point micro-unit arithmetic is what lets an
+    ITERATIVE clustering loop be stated as plain SQL and hash-match the
+    Spark loop bit-for-bit. Final CTEs: ``assign{iters-1}`` (vid, cid,
+    xi) and ``cent{iters}`` (cid, ci). Composed by the clusters query
+    and the trained-IVF query."""
     dist = (
         "list_sum(list_transform(generate_series(1, 64), "
         "j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j])))"
@@ -913,9 +915,13 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
       ) GROUP BY cid
     )"""
         )
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + _kmeans_ctes(k, iters)
         + f"""
     SELECT a.cid,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -956,6 +962,92 @@ def kmeans_lloyd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(F.broadcast(comp_sum), "cid").select(
         "cid", "n_vectors", "comp_sum"
     )
+
+
+_IVF_T_ITERS = 2  # trained-IVF uses a 2-round codebook (bounds cost)
+
+
+def _ivf_trained_oracle() -> str:
+    """Composed oracle: Lloyd CTE chain -> float centroids -> the exact
+    IVF assign/probe/score chain of ``ivf_ann_topk``, now against the
+    TRAINED codebook."""
+    it = _IVF_T_ITERS
+    return f"""
+    WITH {_kmeans_ctes(8, it)},
+    cent AS (
+      SELECT cid AS centroid_id,
+             list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0) AS cvec
+      FROM cent{it}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings v, cent c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a='q.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings q, cent c WHERE q.vec_id < 8
+      ) WHERE crank <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS.format(a='q.embedding', b='v.embedding')} AS sim
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank,
+           CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE) AS sim
+    FROM ranked WHERE rank <= 5
+    """
+
+
+@register("ivf_trained_ann_topk", oracle=_ivf_trained_oracle())
+def ivf_trained_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a TRAINED codebook: the Lloyd's-k-means centroids
+    (2 rounds, micro-unit exact) feed the same inverted-list
+    partition/probe dataflow as ``ivf_ann_topk`` — which deliberately
+    uses a sampled stand-in codebook. This is the composed production
+    shape (train -> quantize -> probe) as one oracled plan: the oracle
+    chains the unrolled Lloyd CTEs into the IVF assign/probe/score SQL,
+    so a training bug OR a probe bug breaks the hash. Micro-int
+    centroids convert to doubles by one exact division; cosine then
+    follows the identical expression tree both sides.
+
+    Scale: training cost is the bounded Lloyd loop (broadcast K-row
+    codebook per round); search cost is the IVF contract —
+    |corpus|·nprobe/K exact comparisons per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, _ = S.kmeans_lloyd_micro(emb, k=8, iters=_IVF_T_ITERS)
+    centroids = cent.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+    return out.withColumn("sim", det_round(F.col("sim"), 9))
 
 
 # The embedding-cluster oracle needs the plane fragment rendered with the
