@@ -122,6 +122,7 @@ BENCH_QUERIES_EXT = [
     "multimodal_gif_anim_stats",
     "series_nightly_rollup",
     "kmeans_lloyd_clusters",
+    "ivf_trained_ann_topk",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

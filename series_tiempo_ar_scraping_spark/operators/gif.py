@@ -225,7 +225,7 @@ def try_decode_gif(data: bytes) -> np.ndarray | None:
     color table, exactly ONE image, no interlace. Returns (H, W, 3)
     uint8 RGB (the image rect's dimensions) or None — animated payloads
     go through ``try_decode_gif_frames``."""
-    parsed = _parse_gif(bytes(data))
+    parsed = _parse_gif(bytes(data), max_frames=1)
     if parsed is None or len(parsed[2]) != 1:
         return None
     return parsed[2][0][5]
@@ -250,16 +250,19 @@ def try_decode_gif_frames(
     return sw, sh, [f[4] for f in frames], [f[5] for f in frames]
 
 
-def _parse_gif(data: bytes):
+def _parse_gif(data: bytes, max_frames: int | None = None):
     """Shared container parse: returns (screen_w, screen_h,
-    [(left, top, w, h, delay_cs, rgb), ...]) or None."""
+    [(left, top, w, h, delay_cs, rgb), ...]) or None. ``max_frames``
+    bails on the (max+1)-th image descriptor BEFORE doing its LZW +
+    palette work, so the single-image path never pays to decode an
+    animation it is going to reject anyway."""
     try:
-        return _parse_gif_inner(data)
+        return _parse_gif_inner(data, max_frames)
     except Exception:
         return None
 
 
-def _parse_gif_inner(data: bytes):
+def _parse_gif_inner(data: bytes, max_frames: int | None = None):
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
@@ -308,6 +311,8 @@ def _parse_gif_inner(data: bytes):
             continue
         if block != 0x2C:
             return None  # unknown block type
+        if max_frames is not None and len(frames) >= max_frames:
+            return None  # over the caller's frame budget: stop early
         if pos + 9 > len(data):
             return None
         left, top, w, h, ipacked = struct.unpack_from("<HHHHB", data, pos)

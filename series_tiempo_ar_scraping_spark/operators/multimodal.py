@@ -836,6 +836,10 @@ def video_frame_stats(media: DataFrame) -> DataFrame:
                 if decoded is None:
                     continue
                 _, _, num, den, frames = decoded
+                # same int32 guard as gif_anim_frame_stats: a pathological
+                # framerate (den >> num) can push ts_ms past 2^31-1
+                if ((len(frames) - 1) * 1000 * den) // num > 2**31 - 1:
+                    continue
                 for i, y in enumerate(frames):
                     rows.append(
                         (
@@ -877,6 +881,11 @@ def gif_anim_frame_stats(media: DataFrame) -> DataFrame:
                 if decoded is None:
                     continue
                 _, _, delays, frames = decoded
+                # cumulative delay (cs) can exceed int32 ms on adversarial
+                # many-frame payloads; reject rather than wrap the schema's
+                # int32 ts_ms (max valid cumulative: 2^31-1 ms)
+                if sum(delays[:-1]) * 10 > 2**31 - 1:
+                    continue
                 ts = 0
                 for i, (d, rgb) in enumerate(zip(delays, frames)):
                     rows.append(
@@ -895,6 +904,23 @@ def gif_anim_frame_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, VIDEO_FRAMES_SCHEMA
     )
+
+
+def _gif_palette(did: int) -> np.ndarray:
+    """The 8-entry per-document palette family shared by BOTH GIF
+    synthesizers (and restated in closed form in their oracles):
+    ``palette[i] = ((37i+did)%256, (59i+2·did)%256, (83i+3·did)%256)``.
+    One definition keeps the two Spark sides and the two oracle SQL
+    restatements in lockstep."""
+    i = np.arange(8, dtype=np.int64)
+    return np.stack(
+        [
+            (37 * i + did) % 256,
+            (59 * i + 2 * did) % 256,
+            (83 * i + 3 * did) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
 
 
 def synthesize_gif_anim_media(docs: DataFrame) -> DataFrame:
@@ -919,15 +945,7 @@ def synthesize_gif_anim_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 2 + did % 5, 1 + did % 3
-                i = np.arange(8, dtype=np.int64)
-                pal = np.stack(
-                    [
-                        (37 * i + did) % 256,
-                        (59 * i + 2 * did) % 256,
-                        (83 * i + 3 * did) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8)
+                pal = _gif_palette(did)
                 frames = [
                     np.full((h, w), (did + f) % 8, dtype=np.uint8)
                     for f in range(2 + did % 3)
@@ -1146,15 +1164,7 @@ def synthesize_gif_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 w, h = 1 + did % 7, 1 + did % 5
-                i = np.arange(8, dtype=np.int64)
-                pal = np.stack(
-                    [
-                        (37 * i + did) % 256,
-                        (59 * i + 2 * did) % 256,
-                        (83 * i + 3 * did) % 256,
-                    ],
-                    axis=1,
-                ).astype(np.uint8)
+                pal = _gif_palette(did)
                 ys, xs = np.meshgrid(
                     np.arange(h), np.arange(w), indexing="ij"
                 )

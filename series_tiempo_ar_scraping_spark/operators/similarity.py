@@ -158,6 +158,8 @@ def kmeans_lloyd_micro(
     self-joins and shuffles only on its own id for the argmin window.
     The fixed-point arithmetic is what makes an ITERATIVE clustering
     loop hash-oracle-able (mirrored, unrolled, in DuckDB SQL)."""
+    if iters < 1:
+        raise ValueError("kmeans_lloyd_micro requires iters >= 1")
     micro = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),

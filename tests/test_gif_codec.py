@@ -236,3 +236,38 @@ def test_gif_anim_frame_stats_kernel(spark, sf_dir):
                 + (83 * i + 3 * did) % 256
             ) / 3.0
             assert r.mean_y == want
+
+def test_gif_single_image_api_stops_before_second_frame_lzw(monkeypatch):
+    """try_decode_gif must reject a multi-image GIF at the SECOND image
+    descriptor, before paying for its LZW decode (decompression-bomb
+    surface: an animation fed to the single-image corpus path)."""
+    pal = _pal(4, seed=14)
+    fr = np.zeros((3, 3), np.uint8)
+    anim = G.encode_gif_frames([fr, fr, fr], pal, delay_cs=2)
+    calls = []
+    real = G._lzw_decompress
+    monkeypatch.setattr(
+        G, "_lzw_decompress", lambda *a: calls.append(1) or real(*a)
+    )
+    assert G.try_decode_gif(anim) is None
+    assert len(calls) <= 1  # frame 1 at most; never frames 2..n
+
+
+def test_gif_anim_ts_overflow_payload_dropped(spark):
+    """A payload whose cumulative delays exceed int32 ms is dropped whole
+    (never emitted with wrapped timestamps); a sane payload in the same
+    batch still decodes."""
+    pal = _pal(4, seed=15)
+    one = np.zeros((1, 1), np.uint8)
+    bomb = G.encode_gif_frames([one] * 3300, pal, delay_cs=65535)
+    assert sum([65535] * 3299) * 10 > 2**31 - 1  # really overflows
+    ok = G.encode_gif_frames([one, one], pal, delay_cs=5)
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb)), (2, bytearray(ok))],
+        "media_id long, content binary",
+    )
+    rows = MM.gif_anim_frame_stats(df).collect()
+    assert sorted((r.media_id, r.frame_idx, r.ts_ms) for r in rows) == [
+        (2, 0, 0),
+        (2, 1, 50),
+    ]

@@ -393,3 +393,13 @@ def test_kmeans_lloyd_partitions_all_vectors_and_tightens(spark, sf_dir):
 
     # rounding slack: one micro-unit step per component per vector
     assert objective(3) <= objective(1) + n * 64
+
+
+def test_kmeans_iters_zero_is_a_contract_error(spark):
+    """iters=0 has no defined result (no assignment round ran); the
+    operator must fail fast with a clear error, not an AttributeError."""
+    import pytest
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+
+    with pytest.raises(ValueError, match="iters >= 1"):
+        S.kmeans_lloyd_micro(spark.range(1), k=2, iters=0)
