@@ -27,6 +27,7 @@ MODULES = [
     "queries_batch8",
     "queries_batch9",
     "queries_batch10",
+    "queries_batch11",
 ]
 
 
