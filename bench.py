@@ -123,6 +123,8 @@ BENCH_QUERIES_EXT = [
     "series_nightly_rollup",
     "kmeans_lloyd_clusters",
     "ivf_trained_ann_topk",
+    "vocab_oov_rate",
+    "semantic_cluster_dedup",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -37,6 +37,7 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _kmeans_ctes,
     _COS64_SQL as _COS,
     _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
     _EMB_NEAR_SQL,
@@ -870,54 +871,8 @@ def series_nightly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3) -> str:
-    """Unrolled Lloyd's-k-means CTE prefix (one assign/update pair per
-    iteration) — the fixed-point micro-unit arithmetic is what lets an
-    ITERATIVE clustering loop be stated as plain SQL and hash-match the
-    Spark loop bit-for-bit. Final CTEs: ``assign{iters-1}`` (vid, cid,
-    xi) and ``cent{iters}`` (cid, ci). Composed by the clusters query
-    and the trained-IVF query."""
-    dist = (
-        "list_sum(list_transform(generate_series(1, 64), "
-        "j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j])))"
-    )
-    parts = [
-        f"""vecs AS (
-      SELECT vec_id AS vid,
-             list_transform(embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
-                    AS BIGINT)) AS xi
-      FROM embeddings
-    ),
-    cent0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, xi AS ci
-      FROM vecs ORDER BY vid LIMIT {k}
-    )"""
-    ]
-    for i in range(iters):
-        parts.append(
-            f"""assign{i} AS (
-      SELECT vid, cid, xi FROM (
-        SELECT v.vid, c.cid, v.xi,
-               ROW_NUMBER() OVER (PARTITION BY v.vid
-                                  ORDER BY {dist}, c.cid) AS rk
-        FROM vecs v CROSS JOIN cent{i} c
-      ) WHERE rk = 1
-    ),
-    cent{i + 1} AS (
-      SELECT cid, list(m ORDER BY pos) AS ci FROM (
-        SELECT a.cid, g.pos,
-               CAST(FLOOR(CAST(SUM(a.xi[g.pos]) AS DOUBLE) / COUNT(*))
-                    AS BIGINT) AS m
-        FROM assign{i} a,
-             LATERAL (SELECT unnest(generate_series(1, 64)) AS pos) g
-        GROUP BY 1, 2
-      ) GROUP BY cid
-    )"""
-        )
-    return ",\n    ".join(parts)
-
-
+# _kmeans_ctes lives in sqlfrags (leaf) so later batches can compose it
+# without import-order hazards; re-imported here for the oracle builders.
 def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     return (
         "WITH "

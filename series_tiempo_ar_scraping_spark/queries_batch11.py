@@ -204,3 +204,121 @@ def fuzzy_blocked_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("close_row_pairs", zero).alias("close_row_pairs"),
         "min_dist",
     )
+
+
+@register(
+    "semantic_cluster_dedup",
+    oracle=None,  # filled at the bottom (needs batch-10's kmeans CTEs)
+)
+def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup detection with a TRAINED clustering as the
+    blocking function: 2 Lloyd's rounds (K=8, the hash-oracled
+    micro-unit loop) partition the planted near-dup corpus into cells;
+    exact cosine >= 0.95 verifies candidates WITHIN each cell only; the
+    census reports, per cell, members / candidate pairs / near pairs /
+    dups (distinct greater-id members of near pairs — the min-id-keep
+    greedy) / survivors. The third blocking family beside hyperplane-LSH
+    (``dedup_embedding_cosine``) and SimHash bands: k-means cells adapt
+    to the data's density where static hash planes cannot.
+
+    Scale shape: training is the bounded Lloyd loop (K-row broadcast
+    codebook per round); the quadratic stage is confined to cells
+    (sum C(n_c, 2) << C(n, 2) when K spreads the corpus), upper-
+    triangled so no pair scores twice, with per-vector norms
+    materialized BEFORE the pair join. Output is pure bigint counts —
+    no float crosses the engine boundary."""
+    from series_tiempo_ar_scraping_spark.queries_batch4 import (
+        _emb_near_corpus,
+    )
+
+    corpus = _emb_near_corpus(spark, sf_dir)
+    _, assign = S.kmeans_lloyd_micro(corpus, k=8, iters=2)
+    mem = (
+        corpus.select(
+            "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+        )
+        .join(assign.withColumnRenamed("vid", "vec_id"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    x = mem.select(
+        F.col("vec_id").alias("ka"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "cid",
+    )
+    y = mem.select(
+        F.col("vec_id").alias("kb"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cid",
+    )
+    sim = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        x.join(y, "cid")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("cid", "kb", sim.alias("sim"))
+    )
+    agg = pairs.groupBy("cid").agg(
+        F.count("*").alias("n_cand_pairs"),
+        F.sum(F.when(F.col("sim") >= 0.95, 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_pairs"),
+        F.countDistinct(
+            F.when(F.col("sim") >= 0.95, F.col("kb"))
+        ).alias("n_dups"),
+    )
+    sizes = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    zero = F.lit(0).cast("long")
+    return sizes.join(agg, "cid", "left").select(
+        "cid",
+        "n_members",
+        F.coalesce("n_cand_pairs", zero).alias("n_cand_pairs"),
+        F.coalesce("n_near_pairs", zero).alias("n_near_pairs"),
+        F.coalesce("n_dups", zero).alias("n_dups"),
+        (F.col("n_members") - F.coalesce("n_dups", zero)).alias(
+            "n_survivors"
+        ),
+    )
+
+
+# The cluster-dedup oracle chains the unrolled Lloyd CTEs (sqlfrags —
+# leaf, so any import order works) over the planted corpus CTE.
+from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _COS64_SQL as _COS,
+    _EMB_NEAR_SQL,
+    _kmeans_ctes,
+)
+
+ORACLES["semantic_cluster_dedup"] = f"""
+    WITH corpus AS ({_EMB_NEAR_SQL}),
+    {_kmeans_ctes(8, 2, src="corpus")},
+    mem AS (
+      SELECT a.vid, a.cid, c.embedding
+      FROM assign1 a JOIN corpus c ON c.vec_id = a.vid
+    ),
+    pairs AS (
+      SELECT x.cid, y.vid AS kb,
+             {_COS.format(a='x.embedding', b='y.embedding')} AS sim
+      FROM mem x JOIN mem y ON x.cid = y.cid AND x.vid < y.vid
+    ),
+    agg AS (
+      SELECT cid,
+             CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+             CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_near_pairs,
+             CAST(COUNT(DISTINCT CASE WHEN sim >= 0.95 THEN kb END)
+                  AS BIGINT) AS n_dups
+      FROM pairs GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM assign1 GROUP BY 1
+    )
+    SELECT s.cid, s.n_members,
+           COALESCE(g.n_cand_pairs, 0) AS n_cand_pairs,
+           COALESCE(g.n_near_pairs, 0) AS n_near_pairs,
+           COALESCE(g.n_dups, 0) AS n_dups,
+           s.n_members - COALESCE(g.n_dups, 0) AS n_survivors
+    FROM sizes s LEFT JOIN agg g USING (cid)
+"""
