@@ -54,11 +54,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_self: bool = False) -> DataFrame:
     """Exact top-k neighbors per query (brute force).
 
     Output: (query_id, neighbor_id, rank, sim). Ranking key is
     (sim DESC, neighbor_id ASC) — total order, deterministic under ties.
+    ``exclude_self`` drops neighbor_id == query_id before ranking (the
+    ground-truth convention when queries are drawn from the corpus,
+    matching ``ivf_topk``'s contract).
 
     Norms are materialized once per vector *before* the pair join (a
     |corpus|+|queries| cost) instead of inside the pair expression (a
@@ -81,6 +85,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         (dot(F.col("q_vec"), F.col("c_vec"))
          / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
     )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -37,6 +37,7 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _ivf_trained_ctes,
     _kmeans_ctes,
     _COS64_SQL as _COS,
     _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
@@ -923,58 +924,17 @@ _IVF_T_ITERS = 2  # trained-IVF uses a 2-round codebook (bounds cost)
 
 
 def _ivf_trained_oracle() -> str:
-    """Composed oracle: Lloyd CTE chain -> float centroids -> the exact
-    IVF assign/probe/score chain of ``ivf_ann_topk``, now against the
-    TRAINED codebook."""
-    it = _IVF_T_ITERS
-    return f"""
-    WITH {_kmeans_ctes(8, it)},
-    cent AS (
-      SELECT cid AS centroid_id,
-             list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0) AS cvec
-      FROM cent{it}
-    ),
-    assigned AS (
-      SELECT vec_id, centroid_id FROM (
-        SELECT v.vec_id, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY v.vec_id
-                 ORDER BY {_COS.format(a='v.embedding', b='c.cvec')} DESC,
-                          c.centroid_id
-               ) AS crank
-        FROM embeddings v, cent c
-      ) WHERE crank = 1
-    ),
-    probes AS (
-      SELECT query_id, centroid_id FROM (
-        SELECT q.vec_id AS query_id, c.centroid_id,
-               row_number() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {_COS.format(a='q.embedding', b='c.cvec')} DESC,
-                          c.centroid_id
-               ) AS crank
-        FROM embeddings q, cent c WHERE q.vec_id < 8
-      ) WHERE crank <= 2
-    ),
-    scored AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
-             {_COS.format(a='q.embedding', b='v.embedding')} AS sim
-      FROM probes p
-      JOIN assigned a ON a.centroid_id = p.centroid_id
-      JOIN embeddings q ON q.vec_id = p.query_id
-      JOIN embeddings v ON v.vec_id = a.vec_id
-      WHERE a.vec_id <> p.query_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored
-    )
+    """Trained-IVF oracle: the shared CTE chain (sqlfrags
+    ``_ivf_trained_ctes``) + the final rounded top-5 projection."""
+    return (
+        "WITH "
+        + _ivf_trained_ctes(_IVF_T_ITERS)
+        + """
     SELECT query_id, neighbor_id, rank,
            CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE) AS sim
     FROM ranked WHERE rank <= 5
     """
+    )
 
 
 @register("ivf_trained_ann_topk", oracle=_ivf_trained_oracle())

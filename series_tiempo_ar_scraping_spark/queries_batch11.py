@@ -322,3 +322,104 @@ ORACLES["semantic_cluster_dedup"] = f"""
            s.n_members - COALESCE(g.n_dups, 0) AS n_survivors
     FROM sizes s LEFT JOIN agg g USING (cid)
 """
+
+
+@register(
+    "ann_recall_eval",
+    oracle=None,  # filled at the bottom (composes the trained-IVF CTEs)
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a first-class oracled query: per query
+    vector, compare the trained-IVF top-5 (``ivf_trained_ann_topk``'s
+    exact dataflow) against the brute-force exact top-5 ground truth and
+    report recall@5 and the reciprocal rank of the TRUE nearest
+    neighbor. The eval harness every ANN deployment runs before trusting
+    its index — here it pins, by hash, that IVF with nprobe=2 of K=8
+    finds what it claims to find.
+
+    Determinism: recall is hits/5.0 (same-int IEEE division) and the
+    reciprocal rank is reported as ``rr_x60`` = 60/rank (60 = lcm(1..5),
+    so every value is an exact integer — no float sum ever crosses the
+    engine boundary). Scale shape: ground truth is the documented-
+    expensive brute-force pass over the (bounded) query set; the IVF
+    side keeps its |corpus|·nprobe/K contract; the comparison itself is
+    a per-(query, neighbor) equi-join of two k-row-per-query frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cent, _ = S.kmeans_lloyd_micro(emb, k=8, iters=2)
+    centroids = cent.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias("embedding"),
+    )
+    approx = S.ivf_topk(emb, queries, centroids, k=5, nprobe=2).select(
+        "query_id",
+        F.col("neighbor_id").alias("nid"),
+        F.col("rank").alias("arank"),
+    )
+    exact = S.cosine_topk(emb, queries, k=5, exclude_self=True).select(
+        "query_id",
+        F.col("neighbor_id").alias("nid"),
+        F.col("rank").alias("erank"),
+    )
+    j = exact.join(F.broadcast(approx), ["query_id", "nid"], "left")
+    per = j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.when(F.col("arank").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.min(F.when(F.col("erank") == 1, F.col("arank"))).alias(
+            "first_rank"
+        ),
+    )
+    return per.select(
+        "query_id",
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / 5.0).alias("recall_at_5"),
+        F.coalesce(
+            (F.lit(60) / F.col("first_rank")).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("rr_x60"),
+    )
+
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _ivf_trained_ctes,
+)
+
+ORACLES["ann_recall_eval"] = f"""
+    WITH {_ivf_trained_ctes(2)},
+    approx AS (
+      SELECT query_id, neighbor_id AS nid, rank AS arank
+      FROM ranked WHERE rank <= 5
+    ),
+    escored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS nid,
+             {_COS.format(a='q.embedding', b='v.embedding')} AS sim
+      FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    ),
+    eranked AS (
+      SELECT query_id, nid,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, nid) AS erank
+      FROM escored
+    ),
+    j AS (
+      SELECT e.query_id, e.erank, a.arank
+      FROM (SELECT * FROM eranked WHERE erank <= 5) e
+      LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.nid = e.nid
+    )
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN arank IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5.0 AS recall_at_5,
+           COALESCE(CAST(60 / MIN(CASE WHEN erank = 1 THEN arank END)
+                         AS BIGINT), 0) AS rr_x60
+    FROM j GROUP BY 1
+"""

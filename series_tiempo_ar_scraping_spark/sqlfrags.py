@@ -280,3 +280,56 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, src: str = "embeddings") -> str:
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def _ivf_trained_ctes(iters: int = 2) -> str:
+    """Composed trained-IVF CTE chain: Lloyd CTEs -> float centroids ->
+    the exact IVF assign/probe/score/rank SQL of ``ivf_ann_topk``
+    against the TRAINED codebook. Final CTE: ``ranked`` (query_id,
+    neighbor_id, sim, rank). Shared by batch 10's ivf_trained_ann_topk
+    oracle and batch 11's ANN-recall evaluation (leaf module: any
+    import order works)."""
+    it = iters
+    return f"""{_kmeans_ctes(8, it)},
+    cent AS (
+      SELECT cid AS centroid_id,
+             list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0) AS cvec
+      FROM cent{it}
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_COS64_SQL.format(a='v.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings v, cent c
+      ) WHERE crank = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS64_SQL.format(a='q.embedding', b='c.cvec')} DESC,
+                          c.centroid_id
+               ) AS crank
+        FROM embeddings q, cent c WHERE q.vec_id < 8
+      ) WHERE crank <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_COS64_SQL.format(a='q.embedding', b='v.embedding')} AS sim
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings v ON v.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )"""
