@@ -125,6 +125,7 @@ BENCH_QUERIES_EXT = [
     "ivf_trained_ann_topk",
     "vocab_oov_rate",
     "semantic_cluster_dedup",
+    "bpe_train_merges",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -423,3 +423,165 @@ ORACLES["ann_recall_eval"] = f"""
                          AS BIGINT), 0) AS rr_x60
     FROM j GROUP BY 1
 """
+
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE-training CTE chain: per round, count corpus-weighted
+    adjacent symbol pairs, pick the argmax under the total order
+    (count DESC, s1, s2), and merge it everywhere with one string
+    replace. Symbols ride in a double-space-delimited encoding
+    (``'  a  b  '``) whose merge pattern ``' s1  s2 '`` keeps one space
+    of boundary on each side — so a pattern can never match inside a
+    longer symbol, and left-to-right non-overlapping replace (the same
+    semantics in DuckDB ``replace`` and Java ``String.replace``) IS the
+    greedy BPE merge."""
+    parts = [f"""toks AS (
+      SELECT unnest({_toks_of_norm('text')}) AS w FROM documents
+    ),
+    words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY 1),
+    s0 AS (
+      SELECT w, cnt,
+             '  ' || array_to_string(
+               list_transform(generate_series(1, length(w)), i -> w[i]),
+               '  ') || '  ' AS s
+      FROM words
+    )"""]
+    for r in range(rounds):
+        parts.append(f"""p{r} AS (
+      SELECT t[i] AS s1, t[i + 1] AS s2, SUM(cnt) AS c
+      FROM (SELECT cnt,
+                   list_filter(regexp_split_to_array(s, ' +'),
+                               x -> x <> '') AS t
+            FROM s{r}),
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      GROUP BY 1, 2
+    ),
+    b{r} AS (
+      SELECT s1, s2, c FROM p{r} ORDER BY c DESC, s1, s2 LIMIT 1
+    ),
+    s{r + 1} AS (
+      SELECT w, cnt,
+             replace(s, ' ' || b.s1 || '  ' || b.s2 || ' ',
+                     ' ' || b.s1 || b.s2 || ' ') AS s
+      FROM s{r}, b{r} b
+    )""")
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT {r + 1} AS step, s1, s2, s1 || s2 AS merged, "
+        f"CAST(c AS BIGINT) AS pair_cnt FROM b{r}"
+        for r in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(step AS INT) AS step, s1, s2, merged,"
+        f" pair_cnt FROM ({unions})"
+    )
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding tokenizer training, hash-oracled: 4
+    greedy merge rounds over the corpus's word-frequency table — each
+    round counts corpus-weighted adjacent symbol pairs, picks the most
+    frequent under the deterministic total order (count DESC, s1, s2),
+    and merges it everywhere. Returns the learned merge table
+    (step, s1, s2, merged, pair_cnt) — the artifact a tokenizer ships.
+    Beside Lloyd's k-means, pagerank, and connected components, the
+    fourth ITERATIVE algorithm family in the catalog, and like k-means
+    its full fixed point is pinned by an unrolled DuckDB CTE chain.
+
+    The merge step is ONE string replace per word: symbols live in a
+    double-space encoding (``'  a  b  '``) where the pattern
+    ``' s1  s2 '`` keeps a one-space boundary on each side, so matches
+    can't cross symbol boundaries, and left-to-right non-overlapping
+    replace (Java and DuckDB agree) IS the greedy BPE merge — including
+    the ``a a a -> (aa) a`` overlap case.
+
+    Scale shape: training runs on the DEDUPLICATED word table (|distinct
+    words| << corpus tokens; the exact-dedup collapse that makes BPE
+    feasible on 100 TB — frequencies ride along as weights). Per round:
+    one explode+groupBy for pair counts (shuffle keyed by pair, partial
+    agg map-side), a 1-row TakeOrdered argmax BROADCAST back, and a
+    map-only replace. Plan depth grows with rounds, so each round's
+    frame is localCheckpointed (the pagerank/k-means pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    chars = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    cur = words.select(
+        "w",
+        "cnt",
+        F.concat(
+            F.lit("  "), F.array_join(chars, "  "), F.lit("  ")
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(_BPE_ROUNDS):
+        t = F.filter(
+            F.split(F.col("s"), " +"), lambda x: x != ""
+        )
+        pairs = (
+            cur.select("cnt", t.alias("t"))
+            .filter(F.size("t") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> struct(element_at(t, i) AS s1,"
+                        " element_at(t, i + 1) AS s2))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.s1", "p.s2")
+        )
+        best = (
+            pairs.groupBy("s1", "s2")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "s1", "s2")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merges.append(
+            best.select(
+                F.lit(r + 1).cast("int").alias("step"),
+                "s1",
+                "s2",
+                F.concat("s1", "s2").alias("merged"),
+                F.col("c").cast("long").alias("pair_cnt"),
+            )
+        )
+        b = best.select(
+            F.concat(
+                F.lit(" "), "s1", F.lit("  "), "s2", F.lit(" ")
+            ).alias("pat"),
+            F.concat(F.lit(" "), "s1", "s2", F.lit(" ")).alias("rep"),
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(b))
+            .select(
+                "w",
+                "cnt",
+                F.replace(F.col("s"), F.col("pat"), F.col("rep")).alias(
+                    "s"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -403,3 +403,55 @@ def test_kmeans_iters_zero_is_a_contract_error(spark):
 
     with pytest.raises(ValueError, match="iters >= 1"):
         S.kmeans_lloyd_micro(spark.range(1), k=2, iters=0)
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """Third, independent implementation: greedy BPE in plain Python
+    (dict counters + str.replace) over the same corpus must produce the
+    identical merge table — pinning the Spark/DuckDB string-encoding
+    trick (double-space boundaries) against textbook BPE semantics,
+    including the left-to-right non-overlap 'a a a -> (aa) a' case."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        _BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    words = Counter()
+    for text in docs["text"]:
+        norm = re.sub(" +", " ", re.sub("[^a-z0-9]+", " ", str(text).lower())).strip()
+        for w in norm.split():
+            if w:
+                words[w] += 1
+    syms = {w: list(w) for w in words}
+    expected = []
+    for step in range(1, _BPE_ROUNDS + 1):
+        pc = Counter()
+        for w, cnt in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += cnt
+        (s1, s2), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((step, s1, s2, s1 + s2, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == s1 and s[i + 1] == s2:
+                    out.append(s1 + s2)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    got = sorted(
+        (r.step, r.s1, r.s2, r.merged, r.pair_cnt)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    )
+    assert got == expected
