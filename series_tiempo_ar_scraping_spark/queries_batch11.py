@@ -428,7 +428,7 @@ ORACLES["ann_recall_eval"] = f"""
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = _BPE_ROUNDS) -> str:
     """Unrolled BPE-training CTE chain: per round, count corpus-weighted
     adjacent symbol pairs, pick the argmax under the total order
     (count DESC, s1, s2), and merge it everywhere with one string
@@ -469,6 +469,10 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
                      ' ' || b.s1 || b.s2 || ' ') AS s
       FROM s{r}, b{r} b
     )""")
+    return ",\n    ".join(parts)
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     unions = "\n      UNION ALL\n      ".join(
         f"SELECT {r + 1} AS step, s1, s2, s1 || s2 AS merged, "
         f"CAST(c AS BIGINT) AS pair_cnt FROM b{r}"
@@ -476,38 +480,17 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
     )
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + _bpe_ctes(rounds)
         + f"\n    SELECT CAST(step AS INT) AS step, s1, s2, merged,"
         f" pair_cnt FROM ({unions})"
     )
 
 
-@register("bpe_train_merges", oracle=_bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL byte-pair-encoding tokenizer training, hash-oracled: 4
-    greedy merge rounds over the corpus's word-frequency table — each
-    round counts corpus-weighted adjacent symbol pairs, picks the most
-    frequent under the deterministic total order (count DESC, s1, s2),
-    and merges it everywhere. Returns the learned merge table
-    (step, s1, s2, merged, pair_cnt) — the artifact a tokenizer ships.
-    Beside Lloyd's k-means, pagerank, and connected components, the
-    fourth ITERATIVE algorithm family in the catalog, and like k-means
-    its full fixed point is pinned by an unrolled DuckDB CTE chain.
-
-    The merge step is ONE string replace per word: symbols live in a
-    double-space encoding (``'  a  b  '``) where the pattern
-    ``' s1  s2 '`` keeps a one-space boundary on each side, so matches
-    can't cross symbol boundaries, and left-to-right non-overlapping
-    replace (Java and DuckDB agree) IS the greedy BPE merge — including
-    the ``a a a -> (aa) a`` overlap case.
-
-    Scale shape: training runs on the DEDUPLICATED word table (|distinct
-    words| << corpus tokens; the exact-dedup collapse that makes BPE
-    feasible on 100 TB — frequencies ride along as weights). Per round:
-    one explode+groupBy for pair counts (shuffle keyed by pair, partial
-    agg map-side), a 1-row TakeOrdered argmax BROADCAST back, and a
-    map-only replace. Plan depth grows with rounds, so each round's
-    frame is localCheckpointed (the pagerank/k-means pattern)."""
+def _bpe_train_frames(spark: SparkSession, sf_dir: str):
+    """Shared BPE training dataflow: returns (per-round merge frames,
+    final per-word symbol frame ``(w, cnt, s)``). Used by the merge-
+    table query and the compression-stats query so both run the SAME
+    training plan."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -581,7 +564,115 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return merges, cur
+
+
+@register("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair-encoding tokenizer training, hash-oracled: 4
+    greedy merge rounds over the corpus's word-frequency table — each
+    round counts corpus-weighted adjacent symbol pairs, picks the most
+    frequent under the deterministic total order (count DESC, s1, s2),
+    and merges it everywhere. Returns the learned merge table
+    (step, s1, s2, merged, pair_cnt) — the artifact a tokenizer ships.
+    Beside Lloyd's k-means, pagerank, and connected components, the
+    fourth ITERATIVE algorithm family in the catalog, and like k-means
+    its full fixed point is pinned by an unrolled DuckDB CTE chain.
+
+    The merge step is ONE string replace per word: symbols live in a
+    double-space encoding (``'  a  b  '``) where the pattern
+    ``' s1  s2 '`` keeps a one-space boundary on each side, so matches
+    can't cross symbol boundaries, and left-to-right non-overlapping
+    replace (Java and DuckDB agree) IS the greedy BPE merge — including
+    the ``a a a -> (aa) a`` overlap case.
+
+    Scale shape: training runs on the DEDUPLICATED word table (|distinct
+    words| << corpus tokens; the exact-dedup collapse that makes BPE
+    feasible on 100 TB — frequencies ride along as weights). Per round:
+    one explode+groupBy for pair counts (shuffle keyed by pair, partial
+    agg map-side), a 1-row TakeOrdered argmax BROADCAST back, and a
+    map-only replace. Plan depth grows with rounds, so each round's
+    frame is localCheckpointed (the pagerank/k-means pattern)."""
+    merges, _ = _bpe_train_frames(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register(
+    "bpe_compression_stats",
+    oracle=f"""
+    WITH {{bpe_ctes}},
+    wlen AS (
+      SELECT w,
+             CAST(len(list_filter(regexp_split_to_array(s, ' +'),
+                                  x -> x <> '')) AS BIGINT) AS n_syms,
+             CAST(length(w) AS BIGINT) AS n_chars_w
+      FROM s{_BPE_ROUNDS}
+    ),
+    dtoks AS (
+      SELECT doc_id, unnest({_toks_of_norm('text')}) AS w FROM documents
+    ),
+    per AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(wl.n_chars_w) AS BIGINT) AS n_chars,
+             CAST(SUM(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+      FROM dtoks d JOIN wlen wl ON wl.w = d.w
+      GROUP BY 1
+    )
+    SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+           CAST(n_bpe_tokens AS DOUBLE) / n_chars AS bpe_per_char
+    FROM per
+    """.replace("{bpe_ctes}", _bpe_ctes()),
+)
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus: per document,
+    word count, character count, BPE token count under the learned
+    4-merge table, and tokens-per-character — the compression report
+    that tells you whether the tokenizer is worth shipping (and the
+    APPLY half of the train/apply pair; ``bpe_train_merges`` is the
+    TRAIN half, this runs the same training dataflow then re-joins the
+    per-word segmentations onto the document stream).
+
+    Scale shape: segmentation lengths are computed ONCE per distinct
+    word (the dedup collapse again) and the small (word -> n_syms)
+    frame broadcast-joins onto the exploded token stream — the corpus
+    is never re-segmented row by row. One double division of exact ints
+    crosses the engine boundary."""
+    _, final = _bpe_train_frames(spark, sf_dir)
+    wlen = final.select(
+        "w",
+        F.size(
+            F.filter(F.split("s", " +"), lambda x: x != "")
+        )
+        .cast("long")
+        .alias("n_syms"),
+        F.length("w").cast("long").alias("n_chars_w"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "w"
+        ),
+    )
+    per = (
+        dtoks.join(F.broadcast(wlen), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_chars_w").alias("n_chars"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        (
+            F.col("n_bpe_tokens").cast("double") / F.col("n_chars")
+        ).alias("bpe_per_char"),
+    )
