@@ -676,3 +676,159 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_bpe_tokens").cast("double") / F.col("n_chars")
         ).alias("bpe_per_char"),
     )
+
+
+_HLL_M = 64  # registers; bucket = h % m, rank from the remaining bits
+_HLL_RMAX = 55  # rank clamp (h has 54 post-bucket bits; also guards h2=0)
+# alpha_m * m^2 * 2^60 (registers are summed as exact ints 2^(60-r)).
+# (0.709 * 4096) is one float multiply, * 2^60 is exact scaling; repr()
+# round-trips the identical double into both engines' literals.
+_HLL_C = (0.709 * _HLL_M * _HLL_M) * float(2**60)
+
+
+def _hll_oracle() -> str:
+    from series_tiempo_ar_scraping_spark.queries import det_round_sql
+
+    hex60 = "('0x' || substr(md5('0|' || v), 1, 15))::BIGINT"
+    est = f"{_HLL_C!r} / CAST(S AS DOUBLE)"
+    return f"""
+    WITH u AS (
+      SELECT 'orders.custkey' AS stream,
+             CAST(o_custkey AS VARCHAR) AS v FROM orders
+      UNION ALL
+      SELECT 'lineitem.partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'documents.token', t.tok
+      FROM (SELECT unnest({_toks_of_norm('text')}) AS tok
+            FROM documents) t
+    ),
+    hh AS (SELECT stream, v, {hex60} AS h FROM u),
+    rr AS (
+      SELECT stream, v, h % {_HLL_M} AS bucket,
+             CASE WHEN (h // {_HLL_M}) = 0 THEN {_HLL_RMAX}
+                  ELSE least(bit_count(((h // {_HLL_M})
+                                        & -(h // {_HLL_M})) - 1) + 1,
+                             {_HLL_RMAX})
+             END AS rho
+      FROM hh
+    ),
+    regs AS (SELECT stream, bucket, MAX(rho) AS r
+             FROM rr GROUP BY 1, 2),
+    ex AS (SELECT stream, CAST(COUNT(DISTINCT v) AS BIGINT)
+                    AS exact_distinct
+           FROM rr GROUP BY 1),
+    agg AS (
+      SELECT stream,
+             CAST(COUNT(*) AS BIGINT) AS regs_set,
+             CAST(SUM(r) AS BIGINT) AS reg_sum,
+             CAST(MAX(r) AS BIGINT) AS reg_max,
+             SUM((1::HUGEINT) << CAST(60 - r AS INT)) AS S
+      FROM regs GROUP BY 1
+    )
+    SELECT a.stream, {_HLL_M} AS m, a.regs_set, a.reg_sum, a.reg_max,
+           {det_round_sql(est, 6)} AS est_distinct,
+           e.exact_distinct,
+           {det_round_sql(
+               f"(({est}) - CAST(e.exact_distinct AS DOUBLE))"
+               " / CAST(e.exact_distinct AS DOUBLE)", 6)} AS rel_err
+    FROM agg a JOIN ex e USING (stream)
+    """
+
+
+@register("hll_distinct_calibration", oracle=_hll_oracle())
+def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog-style distinct-count calibration, fully hash-oracled:
+    build an m=64-register rank sketch over three streams of very
+    different cardinality (order custkeys, lineitem partkeys, corpus
+    tokens) with the repo's md5-stable hash, and report the register
+    fingerprint, the raw estimate, the exact distinct count, and the
+    relative error. The CMS entry calibrates FREQUENCY sketches; this
+    calibrates the CARDINALITY sketch — together the two sketch
+    families a 100 TB profiler runs where exact state would not fit.
+
+    Determinism: the rank is trailing-zeros+1 of the post-bucket hash
+    bits (``bit_count((h & -h) - 1)`` — identical in both engines);
+    registers are summed as EXACT integers ``2^(60-r)`` (Spark
+    decimal(38,0) / DuckDB hugeint — no float sum ever crosses the
+    engine boundary), and the estimate is one literal-over-exact-int
+    division, det-rounded. Scale shape: the sketch is a (stream,
+    bucket) grouped MAX — map-side combinable, mergeable across
+    partitions/days by register-wise max, fixed 64 cells per stream
+    regardless of cardinality; the exact COUNT(DISTINCT) rides along
+    as the calibration target (the expensive lane the sketch replaces
+    in production)."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        hash64_seeded,
+    )
+    from series_tiempo_ar_scraping_spark.queries import det_round
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        orders.select(
+            F.lit("orders.custkey").alias("stream"),
+            F.col("o_custkey").cast("string").alias("v"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.partkey").alias("stream"),
+                F.col("l_partkey").cast("string").alias("v"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                F.lit("documents.token").alias("stream"),
+                F.explode(
+                    TX.tokens(TX.normalize_text(F.col("text")))
+                ).alias("v"),
+            )
+        )
+    )
+    hh = u.select("stream", "v", hash64_seeded(F.col("v"), 0).alias("h"))
+    h2 = F.shiftright("h", 6)
+    rr = hh.select(
+        "stream",
+        "v",
+        (F.col("h") % _HLL_M).alias("bucket"),
+        F.when(h2 == 0, F.lit(_HLL_RMAX))
+        .otherwise(
+            F.least(
+                F.bit_count(
+                    F.expr(
+                        f"(shiftright(h, 6) & -shiftright(h, 6)) - 1"
+                    )
+                )
+                + F.lit(1),
+                F.lit(_HLL_RMAX),
+            )
+        )
+        .cast("long")
+        .alias("rho"),
+    ).localCheckpoint(eager=True)
+    regs = rr.groupBy("stream", "bucket").agg(F.max("rho").alias("r"))
+    ex = rr.groupBy("stream").agg(
+        F.countDistinct("v").alias("exact_distinct")
+    )
+    agg = regs.groupBy("stream").agg(
+        F.count("*").alias("regs_set"),
+        F.sum("r").cast("long").alias("reg_sum"),
+        F.max("r").cast("long").alias("reg_max"),
+        F.sum(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))"
+            ).cast("decimal(38,0)")
+        ).alias("S"),
+    )
+    est = F.lit(_HLL_C) / F.col("S").cast("double")
+    exact_d = F.col("exact_distinct").cast("double")
+    return agg.join(ex, "stream").select(
+        "stream",
+        F.lit(_HLL_M).cast("int").alias("m"),
+        "regs_set",
+        "reg_sum",
+        "reg_max",
+        det_round(est, 6).alias("est_distinct"),
+        "exact_distinct",
+        det_round((est - exact_d) / exact_d, 6).alias("rel_err"),
+    )
