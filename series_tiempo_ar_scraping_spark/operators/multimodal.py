@@ -783,8 +783,15 @@ def try_decode_y4m(
                 c420 = val.startswith(b"420")
         except ValueError:
             return None
-    if not (w and h and num and den) or w % 2 or h % 2 or not c420:
+    # strictly positive: a negative W/H would walk `pos` BACKWARD below
+    # (frame_len < 0 -> infinite loop), and a negative num/den would
+    # defeat video_frame_stats' int32 ts_ms guard
+    if w is None or h is None or num is None or den is None:
         return None
+    if w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        return None
+    if w % 2 or h % 2 or not c420 or w * h > 1 << 26:
+        return None  # same decompression-bomb bound as the PNG/GIF codecs
     frame_len = w * h + 2 * ((w // 2) * (h // 2))
     pos, frames = nl + 1, []
     while pos < len(data):

@@ -689,7 +689,9 @@ _HLL_C = (0.709 * _HLL_M * _HLL_M) * float(2**60)
 def _hll_oracle() -> str:
     from series_tiempo_ar_scraping_spark.queries import det_round_sql
 
-    hex60 = "('0x' || substr(md5('0|' || v), 1, 15))::BIGINT"
+    from series_tiempo_ar_scraping_spark.sqlfrags import _HEX60
+
+    hex60 = _HEX60.format(x="'0|' || v")
     est = f"{_HLL_C!r} / CAST(S AS DOUBLE)"
     return f"""
     WITH u AS (
@@ -722,7 +724,8 @@ def _hll_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) AS regs_set,
              CAST(SUM(r) AS BIGINT) AS reg_sum,
              CAST(MAX(r) AS BIGINT) AS reg_max,
-             SUM((1::HUGEINT) << CAST(60 - r AS INT)) AS S
+             SUM((1::HUGEINT) << CAST(60 - r AS INT))
+               + (64 - COUNT(*)) * ((1::HUGEINT) << 60) AS S
       FROM regs GROUP BY 1
     )
     SELECT a.stream, {_HLL_M} AS m, a.regs_set, a.reg_sum, a.reg_max,
@@ -742,7 +745,11 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     different cardinality (order custkeys, lineitem partkeys, corpus
     tokens) with the repo's md5-stable hash, and report the register
     fingerprint, the raw estimate, the exact distinct count, and the
-    relative error. The CMS entry calibrates FREQUENCY sketches; this
+    relative error. Empty registers contribute their ``2^0`` term to
+    the harmonic mean (the standard raw estimator); the small-range
+    linear-counting correction is intentionally omitted — its necessity
+    is exactly what the low-cardinality stream's ~2x overestimate
+    exposes. The CMS entry calibrates FREQUENCY sketches; this
     calibrates the CARDINALITY sketch — together the two sketch
     families a 100 TB profiler runs where exact state would not fit.
 
@@ -818,6 +825,17 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))"
             ).cast("decimal(38,0)")
+        ).alias("s_set"),
+    ).select(
+        "stream",
+        "regs_set",
+        "reg_sum",
+        "reg_max",
+        (
+            F.col("s_set")
+            + (F.lit(_HLL_M).cast("long") - F.col("regs_set"))
+            .cast("decimal(38,0)")
+            * F.lit(2**60).cast("decimal(38,0)")
         ).alias("S"),
     )
     est = F.lit(_HLL_C) / F.col("S").cast("double")

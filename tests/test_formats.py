@@ -293,3 +293,27 @@ def test_bulk_read_handles_spaces_and_accents_in_paths(spark, tmp_path):
     assert errs == []
     got = {(r.distribution_id, str(r.ts), r.value) for r in obs.collect()}
     assert got == {("r0", "2024-01-01", 1.5), ("r1", "2024-01-02", 2.5)}
+
+
+def test_y4m_rejects_nonpositive_header_fields():
+    """Negative W/H walk the frame cursor BACKWARD (infinite loop /
+    unbounded append — found by review probe); negative F num/den would
+    defeat video_frame_stats' int32 ts_ms guard. All must reject."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        try_decode_y4m,
+    )
+
+    bad = [
+        b"YUV4MPEG2 W-2 H2 F30:1 C420\n" + b"FRAME\n" + b"\x00" * 64,
+        b"YUV4MPEG2 W2 H-2 F30:1 C420\n" + b"FRAME\n" + b"\x00" * 64,
+        b"YUV4MPEG2 W2 H2 F-30:1 C420\n" + b"FRAME\n" + b"\x00" * 6,
+        b"YUV4MPEG2 W2 H2 F1:-1 C420\n" + b"FRAME\n" + b"\x00" * 6,
+        b"YUV4MPEG2 W0 H2 F30:1 C420\n" + b"FRAME\n",
+        # over the decompression-bomb pixel bound
+        b"YUV4MPEG2 W67108864 H2 F30:1 C420\n" + b"FRAME\n",
+    ]
+    for payload in bad:
+        assert try_decode_y4m(payload) is None
+    good = b"YUV4MPEG2 W2 H2 F30:1 C420\n" + b"FRAME\n" + b"\x11" * 4 + b"\x80" * 2
+    decoded = try_decode_y4m(good)
+    assert decoded is not None and decoded[:4] == (2, 2, 30, 1)
