@@ -126,6 +126,9 @@ BENCH_QUERIES_EXT = [
     "vocab_oov_rate",
     "semantic_cluster_dedup",
     "bpe_train_merges",
+    "bpe_compression_stats",
+    "ann_recall_eval",
+    "hll_distinct_calibration",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

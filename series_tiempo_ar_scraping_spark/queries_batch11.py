@@ -850,3 +850,33 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_distinct",
         det_round((est - exact_d) / exact_d, 6).alias("rel_err"),
     )
+
+
+@register(
+    "cms_cells_hourly",
+    oracle="""
+    SELECT window_start, i, bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start,
+             CAST(g.i AS INT) AS i,
+             (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
+                                  || event_type), 1, 15))::BIGINT)
+               % 64 AS bucket
+      FROM events,
+           LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def cms_cells_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 + sketches: per-hour Count-Min-Sketch cells over the event
+    stream — the BATCH lane of ``streaming/sketch.py:cms_cells`` (the
+    same function runs under readStream with a watermark; the streaming
+    mergeability property — stream-over-microbatches == batch-over-
+    union — is pinned by tests/test_stateful_streaming.py). State per
+    window is D×W cells regardless of term cardinality; cells merge by
+    addition across windows/shards/days."""
+    from series_tiempo_ar_scraping_spark.queries import load_table
+    from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
+
+    return cms_cells(load_table(spark, sf_dir, "events"))

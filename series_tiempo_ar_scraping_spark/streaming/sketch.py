@@ -1,0 +1,61 @@
+"""Streaming Count-Min-Sketch: per-window frequency cells.
+
+The streaming twin of ``queries_batch10.cms_frequent_terms``: the sketch
+is a (window, i, bucket) grouped count — a plain windowed streaming
+aggregate, so Spark's incremental state IS the sketch, the per-trigger
+partial counts merge by cellwise addition (exactly the CMS merge
+operation), and append-mode emission finalizes a window's cells once the
+watermark passes. The md5-seeded hash family is the repo's cross-engine-
+stable one, so the batch lane of the same function is hash-oracled
+(``cms_cells_hourly`` in queries_batch11).
+
+100 TB posture: the state per window is bounded by D×W cells regardless
+of term cardinality — where an exact per-term windowed count's state
+grows with the vocabulary. Cells from different windows, days, or
+clusters merge by addition, so a fleet of independent streaming jobs can
+sketch disjoint shards and the union sketch is one cellwise sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators.dedup import hash64_seeded
+
+CMS_D = 4
+CMS_W = 64
+
+
+def cms_cells(
+    events: DataFrame,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    term: Column | None = None,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CMS cells per event-time window: (window_start, i, bucket, c).
+
+    Works identically on static and streaming frames (the repo's
+    streaming convention, see ``events.tumbling_counts``): the grouping
+    key keeps the FULL window column so the event-time metadata
+    survives for append mode; the bucket projection happens after the
+    aggregate."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    t = term if term is not None else F.col("event_type")
+    probes = F.posexplode(
+        F.array(
+            *[(hash64_seeded(t, i) % w).cast("long") for i in range(d)]
+        )
+    )
+    keyed = src.select("ts", probes.alias("i", "bucket"))
+    return (
+        keyed.groupBy(F.window("ts", window_len).alias("_w"), "i", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("_w.start").alias("window_start"), "i", "bucket", "c"
+        )
+    )

@@ -267,3 +267,69 @@ def test_session_fn_late_event_does_not_corrupt_session_start():
     assert out2 == []  # nothing closes
     assert st2._v[0] == us("2024-01-01 11:45:00")  # start extended
     assert st2._v[2] == 4
+
+
+def test_cms_cells_stream_merges_to_batch_sketch(spark, tmp_path):
+    """The CMS merge property, end to end: streaming the source as two
+    single-file microbatches (incremental cellwise state) produces
+    EXACTLY the cells of one batch pass over the union — the property
+    that lets a fleet sketch disjoint shards and sum the sketches."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
+
+    d = str(tmp_path / "cms_src")
+    os.makedirs(d)
+    t0 = time.time() - 1000
+    rows1 = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i, f"term{i % 7}", 1.0, "{}")
+        for i in range(40)
+    ]
+    rows2 = [
+        (100 + i, f"2024-01-01 11:{i % 60:02d}:00", i, f"term{i % 5}",
+         1.0, "{}")
+        for i in range(30)
+    ]
+    for name, rows, mt in (("b1", rows1, t0), ("b2", rows2, t0 + 100)):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mt, mt))
+
+    streamed = cms_cells(
+        SE.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("cms_merge_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in spark.table("cms_merge_test").collect()
+    )
+    want = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in cms_cells(spark.read.parquet(d)).collect()
+    )
+    assert got == want and len(want) > 0
+    # sketch state is bounded: at most D x W cells per window
+    from series_tiempo_ar_scraping_spark.streaming.sketch import CMS_D, CMS_W
+    per_window = {}
+    for ws, i, b, c in want:
+        per_window[ws] = per_window.get(ws, 0) + 1
+    assert all(n <= CMS_D * CMS_W for n in per_window.values())

@@ -108,6 +108,36 @@ def main() -> None:
             _shingles(F.concat_ws(" ", "props", "event_type"))
             .alias("sh")
         ).write.mode("overwrite").format("noop").save(),
+        # round 7 batch 11: the BPE merge kernel — char segmentation +
+        # double-space encode + one non-overlapping replace + re-split.
+        # Map-only; the probe verifies the string-heavy apply path
+        # scales linearly (the train loop's shuffle is hash_agg-shaped).
+        "bpe_replace_kernel": lambda e: e.select(
+            F.size(
+                F.filter(
+                    F.split(
+                        F.replace(
+                            F.concat(
+                                F.lit("  "),
+                                F.array_join(
+                                    F.expr(
+                                        "transform(sequence(1,"
+                                        " length(props)),"
+                                        " i -> substring(props, i, 1))"
+                                    ),
+                                    "  ",
+                                ),
+                                F.lit("  "),
+                            ),
+                            F.lit(" a  b "),
+                            F.lit(" ab "),
+                        ),
+                        " +",
+                    ),
+                    lambda x: x != "",
+                )
+            ).alias("n")
+        ).write.mode("overwrite").format("noop").save(),
         "broadcast_join": lambda e: e.join(
             F.broadcast(
                 e.sparkSession.createDataFrame(
