@@ -121,3 +121,29 @@ def parquet_file_spans(path: str, cols: list[str]) -> list[dict[str, tuple]]:
                     hi[name] = st.max if name not in hi else max(hi[name], st.max)
         spans.append({c: (lo.get(c), hi.get(c)) for c in cols})
     return spans
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    n_buckets: int = 8,
+) -> None:
+    """Persist ``df`` hash-bucketed AND sorted by ``key`` as an external
+    table — the co-location layout for repeat joins: two tables bucketed
+    the same way on the join key sort-merge-join with NO exchange on
+    either side (pinned by tests/test_layout.py), turning the nightly
+    fact-to-fact join's dominant shuffle into a map-side merge. The
+    write pays one clustering pass; every subsequent join of either
+    table on ``key`` rides it. 100 TB: bucket count maps to join
+    parallelism — pick it once, corpus-wide, so all co-bucketed tables
+    align (Spark requires equal counts to elide both exchanges)."""
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )

@@ -183,3 +183,57 @@ def test_parquet_aggregate_pushdown_stats_only(spark, sf_dir):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
+    """Co-bucketed layout contract: orders and customer written with
+    write_bucketed on the join key sort-merge-join with ZERO Exchange
+    operators in the plan — the co-location that turns a repeated
+    fact join's shuffle into a map-side merge. Contrast lane: the same
+    join over the plain parquet inputs DOES shuffle."""
+    from series_tiempo_ar_scraping_spark.operators.layout import (
+        write_bucketed,
+    )
+    from series_tiempo_ar_scraping_spark.queries import load_table
+    from tests.test_plans import plan_of
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    try:
+        write_bucketed(
+            orders, "t_orders_b", str(tmp_path / "ob"), "o_custkey"
+        )
+        write_bucketed(
+            cust, "t_cust_b", str(tmp_path / "cb"), "c_custkey"
+        )
+        # merge hint on both lanes: at test scale the dim side would
+        # otherwise broadcast (which disables bucketed scans); the
+        # layout's point is the SHUFFLE-FREE sort-merge path that a
+        # fact-to-fact join takes at 100 TB, so pin that strategy and
+        # compare the two layouts under it.
+        j = (
+            spark.table("t_orders_b")
+            .join(
+                spark.table("t_cust_b").hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_name")
+        )
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # contrast: the un-bucketed join shuffles
+        plain = (
+            orders.join(
+                cust.hint("merge"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "c_name")
+        )
+        assert "Exchange" in plan_of(plain)
+        # and the bucketed join still returns the right row count
+        assert j.count() == orders.join(
+            cust, F.col("o_custkey") == F.col("c_custkey")
+        ).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
