@@ -880,3 +880,105 @@ def cms_cells_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
 
     return cms_cells(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "skew_key_profile",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'orders.custkey' AS stream, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.orderkey', l_orderkey FROM lineitem
+      UNION ALL
+      SELECT 'events.user', user_id FROM events
+    ),
+    c AS (SELECT stream, k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM keyed GROUP BY 1, 2),
+    a AS (
+      SELECT stream,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c GROUP BY 1
+    ),
+    hv AS (
+      SELECT c.stream, CAST(MIN(c.k) AS BIGINT) AS heaviest_key
+      FROM c JOIN a ON a.stream = c.stream AND c.cnt = a.max_cnt
+      GROUP BY 1
+    )
+    SELECT a.stream, a.n_keys, a.total_rows, a.max_cnt, hv.heaviest_key,
+           CAST((a.max_cnt * a.n_keys + a.total_rows - 1)
+                // a.total_rows AS BIGINT) AS salt_factor,
+           CAST(a.max_cnt AS DOUBLE) / a.total_rows AS top1_share
+    FROM a JOIN hv USING (stream)
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE choosing a
+    skew mitigation: per candidate join key, the key count, row count,
+    heaviest key's row count and id, the heaviest key's row share, and
+    an integer salt recommendation ``ceil(max_cnt / avg_cnt)`` (1 means
+    uniform — no salting needed; k means the hot key needs ~k salt
+    shards to level with the average partition). Complements the
+    MITIGATIONS already in the catalog (salted_user_event_stats, AQE
+    skew join) with the measurement that justifies them.
+
+    Determinism: all-integer aggregates; the ceiling division is
+    ``(max*n + total - 1) intdiv total`` on positives (Spark DIV
+    truncates, DuckDB // floors — identical for non-negatives, the
+    repo's documented guard); one double division for the share.
+    Scale shape: one groupBy per stream (map-side partial agg), then a
+    tiny per-stream rollup; the heaviest-key argmin is a join against
+    the 3-row aggregate frame, not a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        orders.select(
+            F.lit("orders.custkey").alias("stream"),
+            F.col("o_custkey").alias("k"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("lineitem.orderkey").alias("stream"),
+                F.col("l_orderkey").alias("k"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("events.user").alias("stream"),
+                F.col("user_id").alias("k"),
+            )
+        )
+    )
+    c = keyed.groupBy("stream", "k").agg(
+        F.count("*").alias("cnt")
+    ).localCheckpoint(eager=True)
+    a = c.groupBy("stream").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    hv = (
+        c.join(F.broadcast(a), "stream")
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("stream")
+        .agg(F.min("k").alias("heaviest_key"))
+    )
+    return (
+        a.join(hv, "stream")
+        .select(
+            "stream",
+            "n_keys",
+            "total_rows",
+            "max_cnt",
+            "heaviest_key",
+            F.expr(
+                "CAST((max_cnt * n_keys + total_rows - 1)"
+                " DIV total_rows AS BIGINT)"
+            ).alias("salt_factor"),
+            (
+                F.col("max_cnt").cast("double") / F.col("total_rows")
+            ).alias("top1_share"),
+        )
+    )
