@@ -271,3 +271,37 @@ def test_gif_anim_ts_overflow_payload_dropped(spark):
         (2, 0, 0),
         (2, 1, 50),
     ]
+
+
+_VALID_ANIM = G.encode_gif_frames(
+    [np.random.default_rng(7).integers(0, 8, (4, 5), np.uint8)
+     for _ in range(3)],
+    _pal(8, 7),
+    delay_cs=6,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=256))
+def test_gif_anim_decoder_never_raises_on_raw_bytes(data):
+    G.try_decode_gif_frames(data)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, len(_VALID_ANIM) - 1),
+    st.integers(0, len(_VALID_ANIM) - 1),
+    st.binary(min_size=1, max_size=8),
+)
+def test_gif_anim_decoder_never_raises_on_corrupted_valid(pos, cut, junk):
+    """Multi-frame twin of the corrupted-valid fuzz: plausible animated
+    headers and GCE blocks, broken bodies — decode returns None or a
+    valid tuple, never raises."""
+    data = bytearray(_VALID_ANIM)
+    data[pos : pos + len(junk)] = junk
+    out = G.try_decode_gif_frames(bytes(data))
+    if out is not None:
+        w, h, delays, frames = out
+        assert len(delays) == len(frames)
+        assert all(f.shape == (h, w, 3) for f in frames)
+    G.try_decode_gif_frames(bytes(data[:cut]))
