@@ -129,6 +129,8 @@ BENCH_QUERIES_EXT = [
     "bpe_compression_stats",
     "ann_recall_eval",
     "hll_distinct_calibration",
+    "cms_cells_hourly",
+    "skew_key_profile",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -138,9 +138,15 @@ def write_bucketed(
     write pays one clustering pass; every subsequent join of either
     table on ``key`` rides it. 100 TB: bucket count maps to join
     parallelism — pick it once, corpus-wide, so all co-bucketed tables
-    align (Spark requires equal counts to elide both exchanges)."""
+    align (Spark requires equal counts to elide both exchanges).
+
+    The pre-write ``repartition(n_buckets, key)`` matters: without it
+    every input task writes its own file per bucket, which voids the
+    ``sortBy`` metadata (sorted-bucket reads require exactly ONE file
+    per bucket) and sprays P x n_buckets small files."""
     (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, F.col(key))
+        .write.mode("overwrite")
         .format("parquet")
         .option("path", path)
         .bucketBy(n_buckets, key)

@@ -852,18 +852,24 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
+    CMS_D as _SK_D,
+    CMS_W as _SK_W,
+)
+
+
 @register(
     "cms_cells_hourly",
-    oracle="""
+    oracle=f"""
     SELECT window_start, i, bucket, CAST(COUNT(*) AS BIGINT) AS c
     FROM (
       SELECT date_trunc('hour', ts) AS window_start,
              CAST(g.i AS INT) AS i,
              (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
                                   || event_type), 1, 15))::BIGINT)
-               % 64 AS bucket
+               % {_SK_W} AS bucket
       FROM events,
-           LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g
+           LATERAL (SELECT unnest(generate_series(0, {_SK_D - 1})) AS i) g
     )
     GROUP BY 1, 2, 3
     """,
@@ -876,7 +882,6 @@ def cms_cells_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     union — is pinned by tests/test_stateful_streaming.py). State per
     window is D×W cells regardless of term cardinality; cells merge by
     addition across windows/shards/days."""
-    from series_tiempo_ar_scraping_spark.queries import load_table
     from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
 
     return cms_cells(load_table(spark, sf_dir, "events"))
@@ -958,7 +963,7 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("total_rows"),
         F.max("cnt").alias("max_cnt"),
-    )
+    ).localCheckpoint(eager=True)  # 3 rows; reused by both joins below
     hv = (
         c.join(F.broadcast(a), "stream")
         .filter(F.col("cnt") == F.col("max_cnt"))

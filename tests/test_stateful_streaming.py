@@ -333,3 +333,77 @@ def test_cms_cells_stream_merges_to_batch_sketch(spark, tmp_path):
     for ws, i, b, c in want:
         per_window[ws] = per_window.get(ws, 0) + 1
     assert all(n <= CMS_D * CMS_W for n in per_window.values())
+
+
+def test_cms_cells_append_mode_finalizes_closed_windows(spark, tmp_path):
+    """Append-mode contract for the streaming sketch: once the watermark
+    passes a window's end, that window's cells are EMITTED and match the
+    batch sketch of its on-time rows — pinning that cms_cells keeps the
+    event-time metadata (grouping by the full window column) that
+    append mode requires."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
+
+    d = str(tmp_path / "cms_app_src")
+    os.makedirs(d)
+    t0 = time.time() - 1000
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / ("s_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    in_window = [
+        (i, "2024-01-01 10:15:00", i, f"term{i % 5}", 1.0, "{}")
+        for i in range(20)
+    ]
+    # 13:30 pushes the watermark (2h) to 11:30, past the 10:00 window
+    write_file("b1", in_window + [
+        (99, "2024-01-01 13:30:00", 1, "later", 1.0, "{}")
+    ], t0)
+    # watermark advances one trigger behind the data: this batch makes
+    # 11:30 effective, closing [10:00, 11:00)
+    write_file("b2", [
+        (100, "2024-01-01 13:40:00", 1, "later", 1.0, "{}")
+    ], t0 + 100)
+
+    streamed = cms_cells(
+        SE.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("cms_append_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in spark.table("cms_append_test").collect()
+    )
+    # exactly the closed 10:00 window; the 13:00 window stays open
+    assert got and all(ws.hour == 10 for ws, _, _, _ in got)
+    static = spark.createDataFrame(
+        in_window,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in cms_cells(static).collect()
+    )
+    assert got == want
