@@ -987,3 +987,153 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("top1_share"),
         )
     )
+
+
+_JS_D = 4
+_JS_W = 65536  # join-size sketch: wider than the streaming CMS — the
+# inner-product bias is ~|A|*|B|/W rows, so W must dwarf the row-count
+# product's scale (65536 puts the bias near 2% here); still only
+# D*W = 256k cells per side regardless of row count.
+
+
+def _cms_join_pair_sql(pair: str, a_tbl: str, a_key: str,
+                       b_tbl: str, b_key: str) -> str:
+    """One (pair, exact, est) row: CMS cells for both key streams, the
+    min-over-rows inner product as the join-size estimate, and the exact
+    per-key count join as truth. All-integer arithmetic."""
+    def cells(tbl, key):
+        return f"""
+      SELECT g.i,
+             (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
+                || CAST({key} AS VARCHAR)), 1, 15))::BIGINT)
+               % {_JS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {tbl},
+           LATERAL (SELECT unnest(generate_series(0, {_JS_D - 1})) AS i) g
+      GROUP BY 1, 2"""
+
+    return f"""
+      SELECT '{pair}' AS pair,
+        (SELECT CAST(SUM(x.c * y.c) AS BIGINT)
+         FROM (SELECT CAST({a_key} AS VARCHAR) AS k,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM {a_tbl} GROUP BY 1) x
+         JOIN (SELECT CAST({b_key} AS VARCHAR) AS k,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM {b_tbl} GROUP BY 1) y ON x.k = y.k
+        ) AS exact_join_rows,
+        (SELECT CAST(MIN(dot) AS BIGINT) FROM (
+           SELECT a.i, SUM(a.c * b.c) AS dot
+           FROM ({cells(a_tbl, a_key)}) a
+           JOIN ({cells(b_tbl, b_key)}) b
+             ON a.i = b.i AND a.bucket = b.bucket
+           GROUP BY 1)
+        ) AS est_join_rows"""
+
+
+@register(
+    "join_size_cms_estimate",
+    oracle=f"""
+    SELECT pair, COALESCE(exact_join_rows, 0) AS exact_join_rows,
+           est_join_rows,
+           est_join_rows - COALESCE(exact_join_rows, 0) AS overestimate
+    FROM (
+      {_cms_join_pair_sql('events.user x orders.custkey',
+                          'events', 'user_id', 'orders', 'o_custkey')}
+      UNION ALL
+      {_cms_join_pair_sql('orders.custkey x customer.custkey',
+                          'orders', 'o_custkey', 'customer', 'c_custkey')}
+    )
+    """,
+)
+def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation via CMS inner product — the
+    query-optimizer trick, hash-oracled: |A join B| is estimated as
+    ``min over hash rows i of sum_b cmsA[i,b] * cmsB[i,b]`` (the sketch
+    inner product NEVER underestimates the true join size, and two D*W
+    sketches estimate a join between streams of ANY cardinality). The
+    exact per-key count join rides along as truth, plus the
+    overestimate. ALL-integer arithmetic — nothing float crosses the
+    engine boundary.
+
+    Scale shape: each side is sketched independently (one map-side-
+    combinable groupBy per stream, D*W cells out); the estimate joins
+    two <=256-row frames. At 100 TB this is how you cost a join
+    WITHOUT running it — the exact lane here is the thing the sketch
+    replaces."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        hash64_seeded,
+    )
+
+    def cells(df, key):
+        probes = F.posexplode(
+            F.array(
+                *[
+                    (
+                        hash64_seeded(F.col(key).cast("string"), i)
+                        % _JS_W
+                    ).cast("long")
+                    for i in range(_JS_D)
+                ]
+            )
+        )
+        return (
+            df.select(probes.alias("i", "bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def key_counts(df, key):
+        return (
+            df.select(F.col(key).cast("string").alias("k"))
+            .groupBy("k")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def pair_row(name, a_df, a_key, b_df, b_key):
+        xa = key_counts(a_df, a_key).withColumnRenamed("c", "ca")
+        xb = key_counts(b_df, b_key).withColumnRenamed("c", "cb")
+        exact = (
+            xa.join(xb, "k")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("ca") * F.col("cb")), F.lit(0)
+                )
+                .cast("long")
+                .alias("exact_join_rows")
+            )
+        )
+        ca = cells(a_df, a_key).withColumnRenamed("c", "ca")
+        cb = cells(b_df, b_key).withColumnRenamed("c", "cb")
+        est = (
+            ca.join(cb, ["i", "bucket"])
+            .groupBy("i")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+            .agg(F.min("dot").cast("long").alias("est_join_rows"))
+        )
+        return (
+            exact.crossJoin(est)
+            .select(
+                F.lit(name).alias("pair"),
+                "exact_join_rows",
+                "est_join_rows",
+                (
+                    F.col("est_join_rows") - F.col("exact_join_rows")
+                ).alias("overestimate"),
+            )
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return pair_row(
+        "events.user x orders.custkey", ev, "user_id", orders, "o_custkey"
+    ).unionByName(
+        pair_row(
+            "orders.custkey x customer.custkey",
+            orders,
+            "o_custkey",
+            cust,
+            "c_custkey",
+        )
+    )
