@@ -1137,3 +1137,130 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
         )
     )
+
+
+@register(
+    "corpus_datasheet",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_of_norm('text')}) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+    vocab AS (SELECT tok FROM cnt ORDER BY c DESC, tok LIMIT {_VOCAB_N}),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+               AS n_exact_dups
+      FROM documents
+    ),
+    lng AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_langs FROM
+        (SELECT lang FROM documents GROUP BY 1)
+    ),
+    topl AS (
+      SELECT lang AS top_lang FROM
+        (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1
+         ORDER BY c DESC, lang LIMIT 1)
+    ),
+    ta AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS total_oov
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    ),
+    per AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+    sh AS (
+      SELECT CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_short_docs
+      FROM per
+    )
+    SELECT b.n_docs, l.n_langs, tl.top_lang, ta.total_tokens,
+           b.total_chars, b.n_exact_dups, sh.n_short_docs,
+           CAST(ta.total_tokens AS DOUBLE) / b.n_docs
+             AS mean_tokens_per_doc,
+           CAST(ta.total_oov AS DOUBLE) / ta.total_tokens
+             AS corpus_oov_rate
+    FROM base b, lng l, topl tl, ta, sh
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet: ONE row summarizing the document corpus the
+    way a dataset card does — doc/language/token/char counts, exact-dup
+    count (md5 text identity), short-doc count, mean tokens per doc,
+    and the corpus-level OOV rate against the derived top-N vocabulary.
+    The measurement lanes compose: every number here has a full-grain
+    sibling query in the catalog; this is the roll-up a data lead reads.
+
+    Scale shape: one tokenize pass (checkpointed) feeds the token
+    lanes; every lane reduces to a 1-row aggregate frame and the final
+    assembly is crossJoins of 1-row frames (the catalog's sanctioned
+    scalar-frame pattern — no data-plane cartesian). Two double
+    divisions of exact ints cross the engine boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "tok"
+        ),
+    ).localCheckpoint(eager=True)
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.count("*") - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dups"),
+    )
+    lng = docs.groupBy("lang").count()
+    n_langs = lng.agg(F.count("*").alias("n_langs"))
+    topl = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("top_lang"))
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = (
+        cnt.orderBy(F.col("c").desc(), "tok")
+        .limit(_VOCAB_N)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    ta = toks.join(F.broadcast(vocab), "tok", "left").agg(
+        F.count("*").alias("total_tokens"),
+        F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("total_oov"),
+    )
+    sh = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") < 20, 1).otherwise(0))
+            .cast("long")
+            .alias("n_short_docs")
+        )
+    )
+    return (
+        base.crossJoin(n_langs)
+        .crossJoin(topl)
+        .crossJoin(ta)
+        .crossJoin(sh)
+        .select(
+            "n_docs",
+            "n_langs",
+            "top_lang",
+            "total_tokens",
+            "total_chars",
+            "n_exact_dups",
+            "n_short_docs",
+            (
+                F.col("total_tokens").cast("double") / F.col("n_docs")
+            ).alias("mean_tokens_per_doc"),
+            (
+                F.col("total_oov").cast("double")
+                / F.col("total_tokens")
+            ).alias("corpus_oov_rate"),
+        )
+    )
