@@ -1264,3 +1264,112 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_oov_rate"),
         )
     )
+
+
+@register(
+    "bigram_logprob_score",
+    oracle=f"""
+    WITH toked AS (
+      SELECT doc_id, {_toks_of_norm('text')} AS t FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(t) AS tok FROM toked),
+    u AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu FROM flat
+          GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM u),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM (SELECT doc_id, t FROM toked WHERE len(t) >= 2),
+           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      GROUP BY 1, 2, 3
+    ),
+    cb AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS cbg FROM bg
+           GROUP BY 1, 2),
+    cw AS (SELECT w1, CAST(SUM(m) AS BIGINT) AS cw1 FROM bg GROUP BY 1),
+    contrib AS (
+      SELECT bg.doc_id, bg.m,
+             CAST(FLOOR(bg.m * ln(1.0 / (
+                 (0.75 * CAST(cb.cbg AS DOUBLE)) / CAST(cw.cw1 AS DOUBLE)
+                 + (0.25 * CAST(u.cu AS DOUBLE)) / CAST(tot.n AS DOUBLE)
+               )) * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM bg
+      JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+      JOIN cw ON cw.w1 = bg.w1
+      JOIN u ON u.tok = bg.w2
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(SUM(m) AS BIGINT) AS n_bigrams,
+           CAST(SUM(micro) AS DOUBLE) / (1000000.0 * SUM(m))
+             AS avg_neg_logprob
+    FROM contrib GROUP BY 1
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring with interpolated smoothing — the
+    stronger perplexity proxy beside ``unigram_logprob_score``:
+    ``p(w2|w1) = 0.75 * c(w1,w2)/c(w1 .) + 0.25 * c(w2)/N`` (always > 0
+    for in-vocab tokens, so no log of zero), each (doc, bigram)
+    contribution ``m * -ln(p)`` rounded ONCE to integer micro-units so
+    the per-doc aggregate is an exact BIGINT sum that commutes across
+    shuffle order (the unigram recipe; per-term rounding absorbs libm
+    ulp differences).
+
+    Scale shape: bigram extraction is the BPE pair kernel (map-only
+    transform over token arrays); four bounded shuffles (doc-bigram
+    counts, corpus bigram counts, context counts, per-doc sum); the
+    1-row total broadcasts. At 100 TB the corpus bigram table prunes to
+    top-K contexts + a backoff default — same plan, smaller right
+    side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("t"),
+    ).localCheckpoint(eager=True)
+    flat = toked.select("doc_id", F.explode("t").alias("tok"))
+    u = flat.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = F.broadcast(u.agg(F.sum("cu").cast("long").alias("n")))
+    bg = (
+        toked.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1,"
+                    " element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "p.w1", "p.w2")
+        .agg(F.count("*").alias("m"))
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.sum("m").alias("cbg"))
+    cw = bg.groupBy("w1").agg(F.sum("m").alias("cw1"))
+    p = (F.lit(0.75) * F.col("cbg").cast("double")) / F.col(
+        "cw1"
+    ).cast("double") + (F.lit(0.25) * F.col("cu").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    contrib = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cw, "w1")
+        .join(u.withColumnRenamed("tok", "w2"), "w2")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            "m",
+            F.floor(
+                F.col("m") * F.log(F.lit(1.0) / p) * 1000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("micro"),
+        )
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (
+            F.sum("micro").cast("double")
+            / (F.lit(1000000.0) * F.sum("m"))
+        ).alias("avg_neg_logprob"),
+    )
