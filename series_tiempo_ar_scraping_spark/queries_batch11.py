@@ -1373,3 +1373,99 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.sum("m"))
         ).alias("avg_neg_logprob"),
     )
+
+
+@register(
+    "source_token_drift",
+    oracle=f"""
+    WITH flat AS (
+      SELECT source, unnest({_toks_of_norm('text')}) AS tok
+      FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cst
+           FROM flat GROUP BY 1, 2),
+    s AS (SELECT source, CAST(SUM(cst) AS BIGINT) AS cs FROM st
+          GROUP BY 1),
+    t AS (SELECT tok, CAST(SUM(cst) AS BIGINT) AS ct FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM t),
+    terms AS (
+      SELECT st.source,
+             CAST(FLOOR(
+               (CAST(st.cst AS DOUBLE) / CAST(s.cs AS DOUBLE))
+               * ln((CAST(st.cst AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                    / (CAST(s.cs AS DOUBLE) * CAST(t.ct AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS nano
+      FROM st
+      JOIN s USING (source)
+      JOIN t USING (tok)
+      CROSS JOIN tot
+    ),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT nd.source, nd.n_docs, s.cs AS n_tokens,
+           CAST(SUM(terms.nano) AS DOUBLE) / 1000000000.0
+             AS kl_vs_corpus
+    FROM terms
+    JOIN s USING (source)
+    JOIN nd ON nd.source = terms.source
+    GROUP BY 1, 2, 3
+    """,
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detection: per document source, the KL
+    divergence of its token distribution from the whole-corpus
+    distribution — the mixing report that catches one shard going off-
+    distribution (scraper drift, domain imbalance) before it poisons a
+    training mix. Each KL term ``p_s(t) * ln(p_s(t)/p(t))`` is rounded
+    ONCE to integer nano-units so per-source sums are exact bigint
+    (shuffle-order free; libm ulps absorbed — the micro-unit recipe at
+    one more digit because individual terms can be < 1e-6).
+
+    Scale shape: (source, token) counts is one map-side-combinable
+    shuffle; source and token marginals reduce from it; the corpus
+    total broadcasts. Token vocabulary bounds the join sides — at
+    100 TB the same plan runs top-K vocab + tail bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    flat = docs.select(
+        "source",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "tok"
+        ),
+    )
+    st = flat.groupBy("source", "tok").agg(F.count("*").alias("cst"))
+    st = st.localCheckpoint(eager=True)
+    s = st.groupBy("source").agg(F.sum("cst").cast("long").alias("cs"))
+    t = st.groupBy("tok").agg(F.sum("cst").cast("long").alias("ct"))
+    tot = F.broadcast(t.agg(F.sum("ct").cast("long").alias("n")))
+    term = (
+        F.col("cst").cast("double") / F.col("cs").cast("double")
+    ) * F.log(
+        (F.col("cst").cast("double") * F.col("n").cast("double"))
+        / (F.col("cs").cast("double") * F.col("ct").cast("double"))
+    )
+    terms = (
+        st.join(F.broadcast(s), "source")
+        .join(t, "tok")
+        .crossJoin(tot)
+        .select(
+            "source",
+            F.floor(term * 1000000000 + 0.5)
+            .cast("bigint")
+            .alias("nano"),
+        )
+    )
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        terms.groupBy("source")
+        .agg(F.sum("nano").alias("nanosum"))
+        .join(F.broadcast(s), "source")
+        .join(F.broadcast(nd), "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("cs").alias("n_tokens"),
+            (F.col("nanosum").cast("double") / 1000000000.0).alias(
+                "kl_vs_corpus"
+            ),
+        )
+    )
