@@ -131,6 +131,10 @@ BENCH_QUERIES_EXT = [
     "hll_distinct_calibration",
     "cms_cells_hourly",
     "skew_key_profile",
+    "join_size_cms_estimate",
+    "corpus_datasheet",
+    "bigram_logprob_score",
+    "source_token_drift",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

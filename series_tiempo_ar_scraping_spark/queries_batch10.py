@@ -37,6 +37,7 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _hex60_seeded,
     _ivf_trained_ctes,
     _kmeans_ctes,
     _COS64_SQL as _COS,
@@ -568,10 +569,7 @@ def _click_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_D = 4
 _CMS_W = 2048
 
-_CMS_BUCKET_SQL = (
-    "(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || t), 1, 15))::BIGINT)"
-    f" % {_CMS_W}"
-)
+_CMS_BUCKET_SQL = _hex60_seeded("i", "t") + f" % {_CMS_W}"
 
 
 @register(

@@ -31,7 +31,10 @@ from series_tiempo_ar_scraping_spark.queries import (
     load_table,
     register,
 )
-from series_tiempo_ar_scraping_spark.sqlfrags import _toks_of_norm
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _hex60_seeded,
+    _toks_of_norm,
+)
 
 _VOCAB_N = 16  # corpus vocab is ~31 tokens; top-16 leaves a real OOV tail
 
@@ -865,8 +868,7 @@ from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
     FROM (
       SELECT date_trunc('hour', ts) AS window_start,
              CAST(g.i AS INT) AS i,
-             (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
-                                  || event_type), 1, 15))::BIGINT)
+             {_hex60_seeded("g.i", "event_type")}
                % {_SK_W} AS bucket
       FROM events,
            LATERAL (SELECT unnest(generate_series(0, {_SK_D - 1})) AS i) g
@@ -1004,8 +1006,7 @@ def _cms_join_pair_sql(pair: str, a_tbl: str, a_key: str,
     def cells(tbl, key):
         return f"""
       SELECT g.i,
-             (('0x' || substr(md5(CAST(g.i AS VARCHAR) || '|'
-                || CAST({key} AS VARCHAR)), 1, 15))::BIGINT)
+             {_hex60_seeded("g.i", f"CAST({key} AS VARCHAR)")}
                % {_JS_W} AS bucket,
              CAST(COUNT(*) AS BIGINT) AS c
       FROM {tbl},
@@ -1065,34 +1066,38 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash64_seeded,
     )
 
-    def cells(df, key):
-        probes = F.posexplode(
-            F.array(
-                *[
-                    (
-                        hash64_seeded(F.col(key).cast("string"), i)
-                        % _JS_W
-                    ).cast("long")
-                    for i in range(_JS_D)
-                ]
-            )
-        )
-        return (
-            df.select(probes.alias("i", "bucket"))
-            .groupBy("i", "bucket")
-            .agg(F.count("*").alias("c"))
-        )
-
     def key_counts(df, key):
         return (
             df.select(F.col(key).cast("string").alias("k"))
             .groupBy("k")
             .agg(F.count("*").alias("c"))
+            .localCheckpoint(eager=True)  # feeds exact AND sketch lanes
+        )
+
+    def cells(kc):
+        # derive sketch cells from the per-key counts: sum of counts of
+        # keys hashing to a cell == count of raw rows hashing there, so
+        # the result is bit-identical while hashing O(distinct keys)
+        # instead of O(rows) and scanning each table ONCE
+        probes = F.posexplode(
+            F.array(
+                *[
+                    (hash64_seeded(F.col("k"), i) % _JS_W).cast("long")
+                    for i in range(_JS_D)
+                ]
+            )
+        )
+        return (
+            kc.select("c", probes.alias("i", "bucket"))
+            .groupBy("i", "bucket")
+            .agg(F.sum("c").alias("c"))
         )
 
     def pair_row(name, a_df, a_key, b_df, b_key):
-        xa = key_counts(a_df, a_key).withColumnRenamed("c", "ca")
-        xb = key_counts(b_df, b_key).withColumnRenamed("c", "cb")
+        ka = key_counts(a_df, a_key)
+        kb = key_counts(b_df, b_key)
+        xa = ka.withColumnRenamed("c", "ca")
+        xb = kb.withColumnRenamed("c", "cb")
         exact = (
             xa.join(xb, "k")
             .agg(
@@ -1103,8 +1108,8 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("exact_join_rows")
             )
         )
-        ca = cells(a_df, a_key).withColumnRenamed("c", "ca")
-        cb = cells(b_df, b_key).withColumnRenamed("c", "cb")
+        ca = cells(ka).withColumnRenamed("c", "ca")
+        cb = cells(kb).withColumnRenamed("c", "cb")
         est = (
             ca.join(cb, ["i", "bucket"])
             .groupBy("i")
@@ -1172,9 +1177,11 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
     sh AS (
-      SELECT CAST(SUM(CASE WHEN n < 20 THEN 1 ELSE 0 END) AS BIGINT)
-        AS n_short_docs
-      FROM per
+      -- left join back to documents: a zero-token doc has no rows in
+      -- toks and must still count as short
+      SELECT CAST(SUM(CASE WHEN COALESCE(p.n, 0) < 20 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_short_docs
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     )
     SELECT b.n_docs, l.n_langs, tl.top_lang, ta.total_tokens,
            b.total_chars, b.n_exact_dups, sh.n_short_docs,
@@ -1212,12 +1219,10 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_exact_dups"),
     )
-    lng = docs.groupBy("lang").count()
+    lng = docs.groupBy("lang").agg(F.count("*").alias("c"))
     n_langs = lng.agg(F.count("*").alias("n_langs"))
     topl = (
-        docs.groupBy("lang")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.col("c").desc(), "lang")
+        lng.orderBy(F.col("c").desc(), "lang")
         .limit(1)
         .select(F.col("lang").alias("top_lang"))
     )
@@ -1233,11 +1238,16 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_oov"),
     )
+    per = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # left join back to documents: zero-token docs have no token rows
+    # and must still count as short
     sh = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
         .agg(
-            F.sum(F.when(F.col("n") < 20, 1).otherwise(0))
+            F.sum(
+                F.when(F.coalesce("n", F.lit(0)) < 20, 1).otherwise(0)
+            )
             .cast("long")
             .alias("n_short_docs")
         )

@@ -28,6 +28,17 @@ _SHINGLES_SQL = """
 """
 
 
+def _hex60_seeded(seed: str, val: str) -> str:
+    """DuckDB mirror of ``operators/dedup.hash64_seeded``: md5 over
+    'seed|value', first 15 hex chars as a 60-bit positive bigint. The
+    ONE spelling of the seeded cross-engine hash contract — every
+    oracle that mirrors hash64_seeded must render through this."""
+    return (
+        f"(('0x' || substr(md5(CAST({seed} AS VARCHAR) || '|' "
+        f"|| {val}), 1, 15))::BIGINT)"
+    )
+
+
 def _toks_of_norm(col: str) -> str:
     return _TOKS_SQL.format(c=_NORM_SQL.format(c=col))
 
