@@ -1479,3 +1479,37 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "hll_registers_hourly",
+    oracle=f"""
+    SELECT window_start, bucket, CAST(MAX(rho) AS BIGINT) AS r
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start,
+             h % 64 AS bucket,
+             CASE WHEN (h // 64) = 0 THEN 55
+                  ELSE least(bit_count(((h // 64) & -(h // 64)) - 1) + 1,
+                             55)
+             END AS rho
+      FROM (SELECT ts,
+                   {_hex60_seeded("0", "CAST(user_id AS VARCHAR)")} AS h
+            FROM events)
+    )
+    GROUP BY 1, 2
+    """,
+)
+def hll_registers_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 + sketches: per-hour HyperLogLog registers over the event
+    stream's user ids — the BATCH lane of
+    ``streaming/sketch.py:hll_registers`` (the same function runs under
+    readStream; register-wise MAX is both the streaming state update
+    AND the shard-merge operation, pinned by
+    tests/test_stateful_streaming.py). With ``cms_cells_hourly`` this
+    completes the pair: both sketch families run batch-oracled AND
+    streaming-mergeable."""
+    from series_tiempo_ar_scraping_spark.streaming.sketch import (
+        hll_registers,
+    )
+
+    return hll_registers(load_table(spark, sf_dir, "events"))

@@ -59,3 +59,46 @@ def cms_cells(
             F.col("_w.start").alias("window_start"), "i", "bucket", "c"
         )
     )
+
+
+HLL_M = 64
+HLL_RMAX = 55
+
+
+def hll_registers(
+    events: DataFrame,
+    m: int = HLL_M,
+    term: Column | None = None,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming HyperLogLog registers per event-time window:
+    (window_start, bucket, r). The cardinality twin of ``cms_cells`` —
+    the register is a windowed grouped MAX, which is exactly the HLL
+    merge operation, so Spark's incremental state IS the sketch and
+    shard sketches union by register-wise max. Same rank function as
+    the batch calibration entry (trailing-zeros+1 of the post-bucket
+    hash bits). State per window: at most ``m`` rows regardless of
+    stream cardinality."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    t = term if term is not None else F.col("user_id").cast("string")
+    h = hash64_seeded(t, 0)
+    h2 = F.shiftright(h, 6)
+    rho = (
+        F.when(h2 == 0, F.lit(HLL_RMAX))
+        .otherwise(
+            F.least(
+                F.bit_count((h2.bitwiseAND(-h2)) - 1) + F.lit(1),
+                F.lit(HLL_RMAX),
+            )
+        )
+        .cast("long")
+    )
+    keyed = src.select("ts", (h % m).alias("bucket"), rho.alias("rho"))
+    return (
+        keyed.groupBy(F.window("ts", window_len).alias("_w"), "bucket")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("_w.start").alias("window_start"), "bucket", "r")
+    )

@@ -407,3 +407,62 @@ def test_cms_cells_append_mode_finalizes_closed_windows(spark, tmp_path):
         for r in cms_cells(static).collect()
     )
     assert got == want
+
+
+def test_hll_registers_stream_merges_to_batch_sketch(spark, tmp_path):
+    """Register-wise MAX is the HLL merge: streaming two microbatches
+    produces exactly the batch registers of the union."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.sketch import (
+        hll_registers,
+    )
+
+    d = str(tmp_path / "hll_src")
+    os.makedirs(d)
+    t0 = time.time() - 1000
+    batches = [
+        [(i, f"2024-01-01 10:{i % 60:02d}:00", 1000 + i, "click", 1.0,
+          "{}") for i in range(50)],
+        [(100 + i, f"2024-01-01 10:{i % 60:02d}:00", 2000 + i, "view",
+          1.0, "{}") for i in range(50)],
+    ]
+    for idx, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / f"hs_{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"b{idx}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (t0 + idx * 100, t0 + idx * 100))
+
+    streamed = hll_registers(
+        SE.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("hll_merge_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.window_start, r.bucket, r.r)
+        for r in spark.table("hll_merge_test").collect()
+    )
+    want = sorted(
+        (r.window_start, r.bucket, r.r)
+        for r in hll_registers(spark.read.parquet(d)).collect()
+    )
+    assert got == want and len(want) > 0
+    from series_tiempo_ar_scraping_spark.streaming.sketch import HLL_M
+    assert len(want) <= HLL_M  # bounded state: at most m registers
