@@ -455,3 +455,34 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
         for r in bpe_train_merges(spark, sf_dir).collect()
     )
     assert got == expected
+
+
+def test_join_size_cms_never_underestimates(spark, sf_dir):
+    """The CMS inner-product guarantee: colliding keys only ADD
+    cross-products, so the estimate is >= the exact join size for
+    every pair — the property that makes it a safe upper bound for
+    join costing."""
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        join_size_cms_estimate,
+    )
+
+    rows = join_size_cms_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.est_join_rows >= r.exact_join_rows, r
+        assert r.overestimate == r.est_join_rows - r.exact_join_rows
+
+
+def test_bpe_compression_bounds(spark, sf_dir):
+    """Per document: merges only ever shrink the symbol count from the
+    character segmentation, and each word keeps >= 1 symbol — so
+    n_words <= n_bpe_tokens <= n_chars, and the ratio is in (0, 1]."""
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        bpe_compression_stats,
+    )
+
+    rows = bpe_compression_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars, r
+        assert 0.0 < r.bpe_per_char <= 1.0, r
