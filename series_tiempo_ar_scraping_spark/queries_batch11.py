@@ -1513,3 +1513,171 @@ def hll_registers_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hll_registers(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "value_drift_psi",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM counts),
+    ranks AS (
+      SELECT k, CAST(CEIL(k * n / 8.0) AS BIGINT) AS r
+      FROM (SELECT unnest(generate_series(1, 7)) AS k), tot
+    ),
+    bounds AS (
+      SELECT k, MIN(v) AS boundary
+      FROM cum JOIN ranks ON cum.cum >= ranks.r
+      GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type,
+             (SELECT COUNT(*) FROM bounds b WHERE e.value > b.boundary)
+               AS bin
+      FROM events e
+    ),
+    bt AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS c
+           FROM binned GROUP BY 1, 2),
+    nt AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM bt
+           GROUP BY 1),
+    ba AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS ca FROM bt GROUP BY 1),
+    na AS (SELECT CAST(SUM(ca) AS BIGINT) AS na FROM ba),
+    grid AS (
+      SELECT t.event_type, g.bin FROM nt t,
+        (SELECT unnest(generate_series(0, 7)) AS bin) g
+    ),
+    terms AS (
+      SELECT gr.event_type,
+             CAST(FLOOR(
+               ((CAST(COALESCE(bt.c, 0) + 1 AS DOUBLE)
+                 / CAST(nt.n + 8 AS DOUBLE))
+                - (CAST(ba.ca + 1 AS DOUBLE) / CAST(na.na + 8 AS DOUBLE)))
+               * ln((CAST(COALESCE(bt.c, 0) + 1 AS DOUBLE)
+                     / CAST(nt.n + 8 AS DOUBLE))
+                    / (CAST(ba.ca + 1 AS DOUBLE)
+                       / CAST(na.na + 8 AS DOUBLE)))
+               * 1000000000 + 0.5) AS BIGINT) AS nano
+      FROM grid gr
+      LEFT JOIN bt ON bt.event_type = gr.event_type
+                   AND bt.bin = gr.bin
+      JOIN nt ON nt.event_type = gr.event_type
+      JOIN ba ON ba.bin = gr.bin
+      CROSS JOIN na
+    )
+    SELECT t.event_type, nt.n AS n_rows,
+           CAST(SUM(t.nano) AS DOUBLE) / 1000000000.0 AS psi
+    FROM terms t JOIN nt ON nt.event_type = t.event_type
+    GROUP BY 1, 2
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric drift via Population Stability Index: bin the events
+    value column into 8 EXACT equi-depth bins of the overall
+    distribution (the equidepth-cuts recipe: distinct-value counts ->
+    prefix sum -> 7-row broadcast inequality join — never a global
+    sort of the fact table), then per event_type the PSI of its bin
+    shares against the overall shares, with add-one smoothing so empty
+    bins contribute finite terms. The numeric twin of
+    ``source_token_drift``'s token KL: together they cover both drift
+    modalities a production monitor watches.
+
+    Determinism: each PSI term ``(p_t - p_a) * ln(p_t/p_a)`` is one
+    fixed expression tree of same-int divisions, rounded ONCE to
+    integer nano-units, so per-type sums are exact bigint. Scale
+    shape: one groupBy on the value column (bounded by value
+    cardinality), one windowless prefix sum, a broadcast bin
+    assignment, and 8x|types| term rows."""
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    counts = counts.localCheckpoint(eager=True)
+    cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
+    tot = F.broadcast(counts.agg(F.sum("cnt").alias("n")))
+    ranks = (
+        spark.range(1, 8)
+        .toDF("k")
+        .crossJoin(tot)
+        .select(
+            "k",
+            F.ceil(F.col("k") * F.col("n") / 8.0)
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    bounds = (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("r"))
+        .groupBy("k")
+        .agg(F.min("v").alias("boundary"))
+        .select("boundary")
+    )
+    # bin per DISTINCT value (cardinality-bounded), then join back to
+    # the (event_type, value) counts — the fact table never meets the
+    # boundary crossJoin
+    vbin = (
+        counts.select("v")
+        .crossJoin(F.broadcast(bounds))
+        .groupBy("v")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("boundary"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    tv = ev.groupBy(
+        "event_type", F.col("value").alias("v")
+    ).agg(F.count("*").alias("m"))
+    bt = (
+        tv.join(vbin, "v")
+        .groupBy("event_type", "bin")
+        .agg(F.sum("m").alias("c"))
+    )
+    bt = bt.localCheckpoint(eager=True)
+    nt = bt.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    ba = bt.groupBy("bin").agg(F.sum("c").cast("long").alias("ca"))
+    na = F.broadcast(ba.agg(F.sum("ca").cast("long").alias("na")))
+    grid = nt.select("event_type", "n").crossJoin(
+        F.broadcast(
+            spark.range(0, 8).toDF("bin").select(
+                F.col("bin").cast("long").alias("bin")
+            )
+        )
+    )
+    pt = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("n") + 8
+    ).cast("double")
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + 8).cast(
+        "double"
+    )
+    terms = (
+        grid.join(bt, ["event_type", "bin"], "left")
+        .join(F.broadcast(ba), "bin")
+        .crossJoin(na)
+        .select(
+            "event_type",
+            "n",
+            F.floor((pt - pa) * F.log(pt / pa) * 1000000000 + 0.5)
+            .cast("bigint")
+            .alias("nano"),
+        )
+    )
+    return (
+        terms.groupBy("event_type", "n")
+        .agg(
+            (F.sum("nano").cast("double") / 1000000000.0).alias("psi")
+        )
+        .select("event_type", F.col("n").alias("n_rows"), "psi")
+    )
