@@ -135,6 +135,8 @@ BENCH_QUERIES_EXT = [
     "corpus_datasheet",
     "bigram_logprob_score",
     "source_token_drift",
+    "hll_registers_hourly",
+    "value_drift_psi",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
