@@ -681,8 +681,12 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HLL_M = 64  # registers; bucket = h % m, rank from the remaining bits
-_HLL_RMAX = 55  # rank clamp (h has 54 post-bucket bits; also guards h2=0)
+# HLL geometry: the single source is streaming/sketch.py (shared by the
+# streaming registers, the batch calibration, and both oracles below).
+from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
+    HLL_M as _HLL_M,
+    HLL_RMAX as _HLL_RMAX,
+)
 # alpha_m * m^2 * 2^60 (registers are summed as exact ints 2^(60-r)).
 # (0.709 * 4096) is one float multiply, * 2^60 is exact scaling; repr()
 # round-trips the identical double into both engines' literals.
@@ -795,27 +799,12 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    hh = u.select("stream", "v", hash64_seeded(F.col("v"), 0).alias("h"))
-    h2 = F.shiftright("h", 6)
-    rr = hh.select(
-        "stream",
-        "v",
-        (F.col("h") % _HLL_M).alias("bucket"),
-        F.when(h2 == 0, F.lit(_HLL_RMAX))
-        .otherwise(
-            F.least(
-                F.bit_count(
-                    F.expr(
-                        f"(shiftright(h, 6) & -shiftright(h, 6)) - 1"
-                    )
-                )
-                + F.lit(1),
-                F.lit(_HLL_RMAX),
-            )
-        )
-        .cast("long")
-        .alias("rho"),
-    ).localCheckpoint(eager=True)
+    from series_tiempo_ar_scraping_spark.streaming.sketch import (
+        hll_bucket_rho,
+    )
+
+    bucket, rho = hll_bucket_rho(F.col("v"), _HLL_M)
+    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=True)
     regs = rr.groupBy("stream", "bucket").agg(F.max("rho").alias("r"))
     ex = rr.groupBy("stream").agg(
         F.countDistinct("v").alias("exact_distinct")
@@ -1487,10 +1476,11 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_start, bucket, CAST(MAX(rho) AS BIGINT) AS r
     FROM (
       SELECT date_trunc('hour', ts) AS window_start,
-             h % 64 AS bucket,
-             CASE WHEN (h // 64) = 0 THEN 55
-                  ELSE least(bit_count(((h // 64) & -(h // 64)) - 1) + 1,
-                             55)
+             h % {_HLL_M} AS bucket,
+             CASE WHEN (h // {_HLL_M}) = 0 THEN {_HLL_RMAX}
+                  ELSE least(bit_count(((h // {_HLL_M})
+                                        & -(h // {_HLL_M})) - 1) + 1,
+                             {_HLL_RMAX})
              END AS rho
       FROM (SELECT ts,
                    {_hex60_seeded("0", "CAST(user_id AS VARCHAR)")} AS h
@@ -1590,7 +1580,12 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each PSI term ``(p_t - p_a) * ln(p_t/p_a)`` is one
     fixed expression tree of same-int divisions, rounded ONCE to
-    integer nano-units, so per-type sums are exact bigint. Scale
+    integer nano-units, so per-type sums are exact bigint. Residual
+    risk (shared with the unigram/KL recipes): ``ln`` is 1-ulp, not
+    correctly rounded, so a term landing exactly on a floor boundary
+    could round apart cross-engine — empirically unobserved across the
+    committed scale factors; the per-term rounding bounds any such
+    drift to 1 nano per term. Scale
     shape: one groupBy on the value column (bounded by value
     cardinality), one windowless prefix sum, a broadcast bin
     assignment, and 8x|types| term rows."""
@@ -1599,9 +1594,15 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
-    counts = ev.groupBy(F.col("value").alias("v")).agg(
-        F.count("*").alias("cnt")
+    # ONE scan of the fact table: the (event_type, value) counts feed
+    # BOTH the boundary derivation (summed over types) and the binned
+    # per-type shares
+    tv = (
+        ev.groupBy("event_type", F.col("value").alias("v"))
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=True)
     )
+    counts = tv.groupBy("v").agg(F.sum("m").alias("cnt"))
     counts = counts.localCheckpoint(eager=True)
     cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
     tot = F.broadcast(counts.agg(F.sum("cnt").alias("n")))
@@ -1637,9 +1638,6 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bin")
         )
     )
-    tv = ev.groupBy(
-        "event_type", F.col("value").alias("v")
-    ).agg(F.count("*").alias("m"))
     bt = (
         tv.join(vbin, "v")
         .groupBy("event_type", "bin")

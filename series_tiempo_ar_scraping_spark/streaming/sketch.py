@@ -62,7 +62,34 @@ def cms_cells(
 
 
 HLL_M = 64
-HLL_RMAX = 55
+HLL_RMAX = 55  # = 61 - log2(HLL_M): one above any natural rank
+
+
+def hll_bucket_rho(t: Column, m: int = HLL_M) -> tuple[Column, Column]:
+    """Shared HLL geometry: (bucket, rho) columns for a term column.
+    ``m`` must be a power of two; the bucket takes the LOW log2(m) hash
+    bits and the rank comes from the REMAINING bits (trailing-zeros+1,
+    clamped to 61-log2(m), which also covers the h2==0 case) — deriving
+    both from ``m`` keeps any non-default geometry consistent instead
+    of silently sharing bits between bucket and rank. The ONE spelling
+    of the rank contract, reused by the batch calibration entry."""
+    bits = m.bit_length() - 1
+    if m != 1 << bits:
+        raise ValueError("HLL register count m must be a power of two")
+    rmax = 61 - bits
+    h = hash64_seeded(t, 0)
+    h2 = F.shiftright(h, bits)
+    rho = (
+        F.when(h2 == 0, F.lit(rmax))
+        .otherwise(
+            F.least(
+                F.bit_count((h2.bitwiseAND(-h2)) - 1) + F.lit(1),
+                F.lit(rmax),
+            )
+        )
+        .cast("long")
+    )
+    return (h % m).alias("bucket"), rho.alias("rho")
 
 
 def hll_registers(
@@ -84,19 +111,8 @@ def hll_registers(
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
     t = term if term is not None else F.col("user_id").cast("string")
-    h = hash64_seeded(t, 0)
-    h2 = F.shiftright(h, 6)
-    rho = (
-        F.when(h2 == 0, F.lit(HLL_RMAX))
-        .otherwise(
-            F.least(
-                F.bit_count((h2.bitwiseAND(-h2)) - 1) + F.lit(1),
-                F.lit(HLL_RMAX),
-            )
-        )
-        .cast("long")
-    )
-    keyed = src.select("ts", (h % m).alias("bucket"), rho.alias("rho"))
+    bucket, rho = hll_bucket_rho(t, m)
+    keyed = src.select("ts", bucket, rho)
     return (
         keyed.groupBy(F.window("ts", window_len).alias("_w"), "bucket")
         .agg(F.max("rho").alias("r"))
