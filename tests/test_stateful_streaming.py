@@ -466,3 +466,38 @@ def test_hll_registers_stream_merges_to_batch_sketch(spark, tmp_path):
     assert got == want and len(want) > 0
     from series_tiempo_ar_scraping_spark.streaming.sketch import HLL_M
     assert len(want) <= HLL_M  # bounded state: at most m registers
+
+
+def test_hll_bucket_rho_geometry_derives_from_m(spark):
+    """The review-found defect, pinned: bucket and rank must not share
+    hash bits for ANY power-of-two m. For m in {32, 64, 128}: buckets
+    stay in [0, m), ranks in [1, 61-log2(m)], and the rank of a value
+    must be computable from the post-bucket bits only (verified against
+    a pure-Python recomputation of the same md5 contract)."""
+    import hashlib
+
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming.sketch import (
+        hll_bucket_rho,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(200)], "v string"
+    )
+    for m in (32, 64, 128):
+        bits = m.bit_length() - 1
+        rmax = 61 - bits
+        bucket, rho = hll_bucket_rho(F.col("v"), m)
+        rows = df.select("v", bucket, rho).collect()
+        for r in rows:
+            h = int(hashlib.md5(f"0|{r.v}".encode()).hexdigest()[:15], 16)
+            assert r.bucket == h % m
+            h2 = h >> bits
+            want = rmax if h2 == 0 else min((h2 & -h2).bit_length(), rmax)
+            assert r.rho == want, (m, r.v, r.rho, want)
+            assert 0 <= r.bucket < m and 1 <= r.rho <= rmax
+    with pytest.raises(ValueError, match="power of two"):
+        hll_bucket_rho(F.col("v"), 48)
