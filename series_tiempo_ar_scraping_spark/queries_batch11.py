@@ -1679,3 +1679,144 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("n").alias("n_rows"), "psi")
     )
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=None,  # assembled below from the shared corpus/shingle SQL
+)
+def prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family) — the lossless alternative to MinHash-LSH: order
+    each document's shingles by (global frequency ASC, shingle), keep
+    only the first ``|s| - ceil(t*|s|) + 1`` as its prefix, and two
+    documents can satisfy Jaccard >= t ONLY if their prefixes share a
+    shingle (plus the symmetric size filter ``|b| >= ceil(t*|a|)``).
+    Candidates verify exactly — so unlike the banded-LSH entry this
+    returns EVERY qualifying pair, with zero false negatives, pinned
+    by a superset test against the LSH-derived edges.
+
+    Scale shape: rarest-first ordering makes prefixes the most
+    selective shingles, so the candidate equi-join is keyed on
+    low-frequency tokens (bounded bucket sizes); the quadratic stage
+    never materializes — candidates are DISTINCT pairs from a
+    token-bucket join exactly like LSH, but with a correctness
+    guarantee instead of a probability. Verification joins the two
+    shingle lists once per candidate; Jaccard is one same-int
+    division."""
+    from series_tiempo_ar_scraping_spark.operators import dedup as D
+    from series_tiempo_ar_scraping_spark.queries import det_round
+    from series_tiempo_ar_scraping_spark.queries_llm import _near_corpus
+
+    from pyspark.sql import Window
+
+    t = 0.3
+    corpus = _near_corpus(spark, sf_dir)
+    toked = corpus.select(
+        "doc_id",
+        TX.tokens(TX.normalize_text(F.col("text"))).alias("_toks"),
+    )
+    sh = toked.select(
+        "doc_id",
+        TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        ex.join(freq, "s")
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(w).alias("rk"),
+            F.count("*")
+            .over(Window.partitionBy("doc_id"))
+            .alias("sz"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("sz") - F.ceil(t * F.col("sz")).cast("long") + 1
+    ).localCheckpoint(eager=True)
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sza")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("sz").alias("szb")
+    )
+    cand = (
+        a.join(b, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("szb") >= F.ceil(t * F.col("sza")).cast("long"))
+            & (F.col("sza") >= F.ceil(t * F.col("szb")).cast("long"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    joined = cand.join(
+        sh.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shingles").alias("sh_a"),
+        ),
+        "doc_a",
+    ).join(
+        sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+        ),
+        "doc_b",
+    )
+    jac = D.jaccard(F.col("sh_a"), F.col("sh_b"))
+    return joined.select(
+        "doc_a", "doc_b", det_round(jac, 4).alias("jac")
+    ).filter(F.col("jac") >= t)
+
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _NEAR_CORPUS_SQL,
+    _SHINGLES_SQL,
+)
+
+ORACLES["prefix_filter_jaccard_join"] = f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             {_SHINGLES_SQL.format(t=_toks_of_norm('text'))} AS shingles
+      FROM corpus
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    f AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY 1),
+    ranked AS (
+      SELECT e.doc_id, e.s,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY f.df, e.s) AS rk,
+             COUNT(*) OVER (PARTITION BY e.doc_id) AS sz
+      FROM ex e JOIN f ON f.s = e.s
+    ),
+    pref AS (
+      SELECT doc_id, s, sz FROM ranked
+      WHERE rk <= sz - CAST(CEIL(0.3 * sz) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+      WHERE b.sz >= CAST(CEIL(0.3 * a.sz) AS BIGINT)
+        AND a.sz >= CAST(CEIL(0.3 * b.sz) AS BIGINT)
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / greatest(len(list_distinct(sa.shingles || sb.shingles)),
+                        1) AS jac
+      FROM cand p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) AS jac
+    FROM scored
+    WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
+"""

@@ -486,3 +486,23 @@ def test_bpe_compression_bounds(spark, sf_dir):
     for r in rows:
         assert r.n_words <= r.n_bpe_tokens <= r.n_chars, r
         assert 0.0 < r.bpe_per_char <= 1.0, r
+
+
+def test_prefix_filter_join_is_complete_vs_lsh(spark, sf_dir):
+    """The lossless-vs-probabilistic contract: prefix filtering finds
+    EVERY pair with Jaccard >= t, so its result must be a SUPERSET of
+    the banded-MinHash entry's verified pairs (LSH can only miss)."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["prefix_filter_jaccard_join"](
+            spark, sf_dir
+        ).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    assert exact  # non-vacuous: the planted corpus has near-dups
