@@ -453,3 +453,19 @@ def test_kmeans_broadcast_centroids_no_corpus_self_join(plans):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "EvalPython" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_batch11_flagship_plan_properties(plans):
+    """Round-7 batch-11 plan contracts (mirrors PLANS.md):
+    vocab broadcast, generator-based bigram extraction, and
+    scalar-frame-only nested-loop joins in the sketch estimator."""
+    p = plans("vocab_oov_rate")
+    assert "BroadcastHashJoin" in p  # vocab broadcast, never shuffled
+    p = plans("bigram_logprob_score")
+    assert "Generate" in p  # bigram pairs via generator, no self-join
+    assert "BroadcastHashJoin" in p
+    p = plans("join_size_cms_estimate")
+    # the ONLY nested-loop joins are 1-row scalar frames
+    assert "BroadcastNestedLoopJoin" in p
+    p = plans("prefix_filter_jaccard_join")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
