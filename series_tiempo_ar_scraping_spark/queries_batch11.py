@@ -1820,3 +1820,79 @@ ORACLES["prefix_filter_jaccard_join"] = f"""
     FROM scored
     WHERE CAST(FLOOR(jac * 10000 + 0.5) / 10000 AS DOUBLE) >= 0.3
 """
+
+
+@register(
+    "sorted_neighborhood_linkage",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS cnt FROM part
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT p_name, cnt,
+             ROW_NUMBER() OVER (ORDER BY p_name) AS rk
+      FROM names
+    ),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+             a.cnt * b.cnt AS row_pairs
+      FROM ranked a JOIN ranked b
+        ON b.rk > a.rk AND b.rk <= a.rk + 3
+    )
+    SELECT name_a, name_b, dist, CAST(row_pairs AS BIGINT) AS row_pairs
+    FROM pairs WHERE dist <= 3
+    """,
+)
+def sorted_neighborhood_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood record linkage — the THIRD blocking strategy
+    beside token blocking (``fuzzy_blocked_name_join``) and clustering
+    cells (``semantic_cluster_dedup``): sort the DEDUPLICATED key space
+    lexicographically and compare each key only with its w=3 successors
+    (a sliding window over the sort order), Levenshtein-verifying the
+    window pairs. Catches near-misses that share a PREFIX but not a
+    block token; candidate count is exactly w*|keys| — linear, not
+    quadratic.
+
+    Scale shape: ranking happens on the deduped key frame (64 rows vs
+    20k at sf0.1 — the dedup collapse again; at 100 TB the rank comes
+    from the two-phase prefix-sum scaffold instead of one global
+    window, same downstream plan) and the neighborhood is a rank-range
+    self-join bounded to w rows per key. Multiplicities carry row-grain
+    linkage counts exactly as in the blocked variant."""
+    parts = load_table(spark, sf_dir, "part")
+    names = (
+        parts.groupBy("p_name")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    ranked = names.select(
+        "p_name",
+        "cnt",
+        F.row_number().over(Window.orderBy("p_name")).alias("rk"),
+    )
+    a = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("ca"),
+        F.col("rk").alias("ra"),
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cb"),
+        F.col("rk").alias("rb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("rb") > F.col("ra")) & (F.col("rb") <= F.col("ra") + 3),
+    ).select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        (F.col("ca") * F.col("cb")).cast("long").alias("row_pairs"),
+    )
+    return pairs.filter(F.col("dist") <= 3)
