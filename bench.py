@@ -137,6 +137,9 @@ BENCH_QUERIES_EXT = [
     "source_token_drift",
     "hll_registers_hourly",
     "value_drift_psi",
+    "bloom_filter_join_prune",
+    "hard_negative_mining",
+    "quality_weighted_sampling",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1,0 +1,345 @@
+"""Batch-12 queries: runtime-filter pruning, contrastive negative mining,
+and one-pass weighted sampling.
+
+Three shapes a 100 TB curation/training pipeline runs constantly that the
+earlier batches stopped short of:
+
+- an EXPLICIT Bloom-filter semi-join prune (the runtime-filter pattern:
+  hash the small build side into a fixed bit set, broadcast ~KBs, drop
+  probe rows before they reach the expensive join/shuffle — with the
+  false-positive accounting that tells you whether m/k were sized right),
+- hard-negative mining for contrastive training (per query vector, the
+  most-similar corpus vectors with a DIFFERENT label — the batch shape
+  behind every embedding-model fine-tune),
+- quality-weighted Bernoulli sampling (accept each document with
+  probability proportional to its quality score, via a seeded hash
+  instead of an RNG — one map-side pass, no window, no shuffle beyond
+  the final per-source report).
+
+Determinism recipe (repo standard, queries_batch8): exact bigint
+arithmetic end-to-end; the seeded cross-engine hash is the ONE
+``hash64_seeded``/``_hex60_seeded`` spelling; at most one double
+division of identical integers per output column (IEEE division is
+correctly rounded, so same ints -> same bits); cosine goes through the
+shared ``_COS64_SQL`` fragment + ``det_round``.
+
+Reference parity: extends the reference's harvest-filter family
+(reference/scrapers/base.py get_time_series_distributions — decide
+cheaply which distributions to process before doing the work) to
+set-membership pruning at fleet scale, and its per-series sampling has
+no analog — these are the curation extensions SURVEY §2.13 calls for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import similarity as S
+from series_tiempo_ar_scraping_spark.operators import textops as TX
+from series_tiempo_ar_scraping_spark.operators.dedup import hash64_seeded
+from series_tiempo_ar_scraping_spark.queries import (
+    det_round,
+    load_table,
+    register,
+)
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _COS64_SQL,
+    _QUALITY_SQL,
+    _hex60_seeded,
+)
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prune (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_SEEDS = (101, 102, 103)  # k = 3 hash functions
+# build side: customers holding an urgent near-max-price order — rare
+# (~0.4% of orders) so the filter stays sparse across sf0.001-sf0.1
+_BLOOM_BUILD_PRED = "o_orderpriority = '1-URGENT' AND o_totalprice > 498000.0"
+
+
+def _bloom_union(prefix: str, src: str, key: str) -> str:
+    """DuckDB: the k bit positions of ``key`` over ``src`` as UNION ALL
+    branches (one per seed) — the ONE spelling shared by the build and
+    probe sides so both provably hash identically."""
+    return " UNION ALL ".join(
+        f"SELECT {prefix}, ({_hex60_seeded(s, f'CAST({key} AS VARCHAR)')}"
+        f" % {_BLOOM_M}) AS bit FROM {src}"
+        for s in _BLOOM_SEEDS
+    )
+
+
+def _bloom_bit_cols(key_col: F.Column) -> F.Column:
+    """Spark: array of the k bit positions for one key (same hash family
+    as the oracle: seeded md5 -> 60-bit int -> mod m)."""
+    return F.array(
+        *[
+            (hash64_seeded(key_col.cast("string"), s) % _BLOOM_M).alias(
+                f"b{s}"
+            )
+            for s in _BLOOM_SEEDS
+        ]
+    )
+
+
+@register(
+    "bloom_filter_join_prune",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE {_BLOOM_BUILD_PRED}
+    ),
+    bbits AS (
+      SELECT DISTINCT bit FROM (
+        {_bloom_union("1 AS one", "build", "o_custkey")}
+      )
+    ),
+    pbits AS (
+      {_bloom_union("c_custkey", "customer", "c_custkey")}
+    ),
+    cand AS (
+      SELECT c_custkey FROM (
+        SELECT p.c_custkey,
+               MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) AS allhit
+        FROM pbits p LEFT JOIN bbits b USING (bit)
+        GROUP BY 1
+      ) WHERE allhit = 1
+    ),
+    truth AS (
+      SELECT c_custkey FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM build)
+    )
+    SELECT
+      (SELECT COUNT(*) FROM build) AS n_build_keys,
+      (SELECT COUNT(*) FROM bbits) AS n_bits_set,
+      (SELECT COUNT(*) FROM customer) AS n_probe,
+      (SELECT COUNT(*) FROM cand) AS n_candidates,
+      (SELECT COUNT(*) FROM truth) AS n_true,
+      (SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM truth)
+        AS n_false_pos,
+      CAST((SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM truth)
+           AS DOUBLE)
+        / ((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM truth))
+        AS fp_rate
+    """,
+)
+def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join prune with false-positive
+    accounting (m=4096 bits, k=3 seeded md5 hashes).
+
+    The runtime-filter pattern at 100 TB: the build side (rare urgent
+    high-price orders) reduces to a <=4096-row bit frame that BROADCASTS
+    (~KBs) to every probe partition; probe rows whose k bits aren't all
+    set are dropped map-side, BEFORE any shuffle toward the real join.
+    Bloom guarantees no false negatives, so the prune is safe; the
+    report compares the candidate set against the exact semi-join to
+    measure the false-positive rate the m/k sizing bought. fp_rate is
+    ONE double division of identical integers (bit-stable cross-engine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    build = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 498000.0)
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    bbits = (
+        build.select(
+            F.explode(_bloom_bit_cols(F.col("o_custkey"))).alias("bit")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    pbits = customer.select(
+        "c_custkey",
+        F.explode(_bloom_bit_cols(F.col("c_custkey"))).alias("bit"),
+    )
+    cand = (
+        pbits.join(F.broadcast(bbits), "bit", "left")
+        .groupBy("c_custkey")
+        .agg(F.min(F.coalesce(F.col("present"), F.lit(0))).alias("allhit"))
+        .filter(F.col("allhit") == 1)
+    )
+    truth = customer.join(
+        build, customer["c_custkey"] == build["o_custkey"], "left_semi"
+    )
+
+    n_build = build.agg(F.count("*").alias("n_build_keys"))
+    n_bits = bbits.agg(F.count("*").alias("n_bits_set"))
+    n_probe = customer.agg(F.count("*").alias("n_probe"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    return (
+        n_build.crossJoin(n_bits)
+        .crossJoin(n_probe)
+        .crossJoin(n_cand)
+        .crossJoin(n_true)
+        .select(
+            "*",
+            (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
+            (
+                (F.col("n_candidates") - F.col("n_true")).cast("double")
+                / (F.col("n_probe") - F.col("n_true"))
+            ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             label AS neighbor_label
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             {_COS64_SQL.format(a='qv', b='cv')} AS sim
+      FROM c, q
+      WHERE neighbor_label <> qlabel
+    ), ranked AS (
+      SELECT query_id, neighbor_id, neighbor_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, rank,
+           CAST(FLOOR(sim * 1000000000 + 0.5) / 1000000000 AS DOUBLE)
+             AS sim
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query vector, the 3 most-similar corpus vectors with a
+    DIFFERENT label — contrastive hard negatives (the fine-tune batch
+    construction every embedding model trains on).
+
+    Same plan family as ``embedding_cosine_topk``: tiny query side
+    broadcasts, norms materialize ONCE per vector before the pair join
+    (|corpus|+|q| cost, not |corpus|x|q|), the label inequality prunes
+    pairs before ranking, and the per-query window ranks a bounded
+    candidate set. At 100 TB the corpus side stays partitioned and is
+    scanned once; swapping the brute-force score for the IVF/LSH bucket
+    probe (operators/similarity.py) bounds candidates per query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("qlabel"),
+        S.norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("neighbor_label"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (
+                S.dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            det_round(F.col("sim"), 9).alias("sim"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted Bernoulli sampling (one-pass, seeded-hash)
+# ---------------------------------------------------------------------------
+
+_QWS_SEED = 777
+
+
+@register(
+    "quality_weighted_sampling",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    q AS ({_QUALITY_SQL}),
+    s AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             CAST(FLOOR(q.quality * 10000 + 0.5) AS BIGINT) AS quality_bp,
+             ({_hex60_seeded(_QWS_SEED, 'CAST(d.doc_id AS VARCHAR)')}
+              % 10000) AS u
+      FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u < quality_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(quality_bp) AS BIGINT) AS expected_keep_bp,
+           CAST(SUM(CASE WHEN u < quality_bp THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM s GROUP BY 1
+    """,
+)
+def quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accept each document with probability == its quality score, using
+    a seeded hash as the uniform draw (keep iff
+    ``hash(doc_id) % 10000 < quality_bp``) — reproducible curriculum
+    sampling with zero RNG state.
+
+    The 100 TB shape: quality + hash + accept are ONE map-side
+    projection over the corpus scan (no window, no per-source top-k
+    shuffle — contrast ``source_cap_sample``); the only shuffle is the
+    final per-source report aggregate, and map-side partial aggregation
+    collapses it to |sources| rows. ``expected_keep_bp`` (sum of accept
+    probabilities, in basis points) against ``n_kept * 10000`` is the
+    sanity check that the hash-uniform behaves like the probability it
+    replaces — all integers, so the oracle comparison is exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    quality_bp = F.floor(
+        det_round(TX.quality_score(F.col("text")), 4) * 10000 + F.lit(0.5)
+    ).cast("bigint")
+    u = hash64_seeded(F.col("doc_id").cast("string"), _QWS_SEED) % 10000
+    s = docs.select(
+        "source",
+        "n_chars",
+        quality_bp.alias("quality_bp"),
+        u.alias("u"),
+    )
+    kept = F.col("u") < F.col("quality_bp")
+    return s.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("quality_bp").cast("bigint").alias("expected_keep_bp"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+    )

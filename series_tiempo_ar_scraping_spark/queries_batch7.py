@@ -110,25 +110,11 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
-    _EN,
     _NEAR_CORPUS_SQL,
+    _QUALITY_SQL,
     _TOKS_SQL,
     _cc_oracle,
 )
-
-_QUALITY_SQL = f"""
-      SELECT doc_id,
-        CAST(FLOOR((
-          least(1.0, len(toks) / 200.0) * 0.5
-          + least(1.0, (CAST(len(list_filter(toks, x -> lower(x) IN ({_EN})))
-                        AS DOUBLE) / greatest(len(toks), 1)) * 4) * 0.3
-          + (1.0 - least(1.0,
-               (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
-                / greatest(length(text), 1)) * 10)) * 0.2
-        ) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality
-      FROM (SELECT doc_id, text, {_TOKS_SQL.format(c='text')} AS toks
-            FROM corpus)
-"""
 
 
 @register(

@@ -53,6 +53,24 @@ from series_tiempo_ar_scraping_spark.operators import textops as _TX
 _EN = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["en"])
 _ES = ", ".join(f"'{w}'" for w in _TX.STOPWORDS["es"])
 
+# DuckDB mirror of ``textops.quality_score`` + ``det_round(.., 4)`` over a
+# ``corpus(doc_id, text)`` CTE. Moved here from queries_batch7 so later
+# batches (weighted sampling, funnels) can compose it without sibling-batch
+# imports (test_import_order pins that every batch imports standalone).
+_QUALITY_SQL = f"""
+      SELECT doc_id,
+        CAST(FLOOR((
+          least(1.0, len(toks) / 200.0) * 0.5
+          + least(1.0, (CAST(len(list_filter(toks, x -> lower(x) IN ({_EN})))
+                        AS DOUBLE) / greatest(len(toks), 1)) * 4) * 0.3
+          + (1.0 - least(1.0,
+               (CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                / greatest(length(text), 1)) * 10)) * 0.2
+        ) * 10000 + 0.5) / 10000 AS DOUBLE) AS quality
+      FROM (SELECT doc_id, text, {_TOKS_SQL.format(c='text')} AS toks
+            FROM corpus)
+"""
+
 # PII patterns + deterministic injection (shared by queries_batch6's
 # scan and queries_batch9's redaction so both provably agree on what
 # PII is; moved here from queries_batch6 to avoid import cycles).
