@@ -506,3 +506,59 @@ def test_prefix_filter_join_is_complete_vs_lsh(spark, sf_dir):
     }
     assert lsh <= exact
     assert exact  # non-vacuous: the planted corpus has near-dups
+
+
+def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
+    """Bloom membership is one-sided: every TRUE member must pass the
+    filter (false positives are allowed and accounted; a false negative
+    would make the prune silently drop join rows). Recomputes the
+    candidate and truth SETS (the query reports only counts) with the
+    module's own bit helpers."""
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.queries_batch12 import (
+        _BLOOM_PRICE_MIN,
+        _bloom_bit_cols,
+    )
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    build = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > _BLOOM_PRICE_MIN)
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    bbits = (
+        build.select(F.explode(_bloom_bit_cols(F.col("o_custkey"))).alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    cand = {
+        r.c_custkey
+        for r in customer.select(
+            "c_custkey", F.explode(_bloom_bit_cols(F.col("c_custkey"))).alias("bit")
+        )
+        .join(F.broadcast(bbits), "bit", "left")
+        .groupBy("c_custkey")
+        .agg(F.min(F.coalesce(F.col("present"), F.lit(0))).alias("allhit"))
+        .filter(F.col("allhit") == 1)
+        .collect()
+    }
+    truth = {
+        r.c_custkey
+        for r in customer.join(
+            build, customer["c_custkey"] == build["o_custkey"], "left_semi"
+        ).collect()
+    }
+    assert truth, "fixture regression: no build-side members at this scale"
+    assert truth <= cand  # one-sided error, by construction
+
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    row = QUERIES["bloom_filter_join_prune"](spark, sf_dir).collect()[0]
+    assert row.n_candidates == len(cand) and row.n_true == len(truth)
+    assert row.n_false_pos == len(cand - truth) >= 0

@@ -469,3 +469,25 @@ def test_batch11_flagship_plan_properties(plans):
     assert "BroadcastNestedLoopJoin" in p
     p = plans("prefix_filter_jaccard_join")
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_batch12_plan_properties(plans):
+    """Round-7 batch-12 plan contracts (mirrors PLANS.md): broadcast bit
+    frame + semi-join truth in the Bloom prune; the cross join in
+    hard-negative mining broadcasts the tiny query side; weighted
+    sampling is map-side except ONE report exchange."""
+    p = plans("bloom_filter_join_prune")
+    assert "BroadcastHashJoin" in p  # bit frame broadcasts to the probe
+    assert "LeftSemi" in p  # exact membership as a semi join
+    assert "SortMergeJoin" not in p
+    p = plans("hard_negative_mining")
+    # the 8-row query side broadcasts into the pair scoring; the corpus
+    # is never self-joined or sort-merge shuffled
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    p = plans("quality_weighted_sampling", "simple")
+    # one exchange total: the per-source report aggregate. quality, hash
+    # and the accept test are a single map-side projection.
+    assert p.count("Exchange") == 1
+    assert "Window" not in p
+    assert "Python" not in p and "SortMergeJoin" not in p
