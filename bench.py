@@ -140,6 +140,8 @@ BENCH_QUERIES_EXT = [
     "bloom_filter_join_prune",
     "hard_negative_mining",
     "quality_weighted_sampling",
+    "hll_set_union_intersect",
+    "token_pmi_collocations",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

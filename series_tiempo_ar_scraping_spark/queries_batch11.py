@@ -681,16 +681,16 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL geometry: the single source is streaming/sketch.py (shared by the
-# streaming registers, the batch calibration, and both oracles below).
+# HLL geometry AND estimator scale: the single source is
+# streaming/sketch.py (shared by the streaming registers, the batch
+# calibration, batch-12's set-operation estimator, and their oracles).
 from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
     HLL_M as _HLL_M,
     HLL_RMAX as _HLL_RMAX,
+    hll_est_scale as _hll_est_scale,
 )
-# alpha_m * m^2 * 2^60 (registers are summed as exact ints 2^(60-r)).
-# (0.709 * 4096) is one float multiply, * 2^60 is exact scaling; repr()
-# round-trips the identical double into both engines' literals.
-_HLL_C = (0.709 * _HLL_M * _HLL_M) * float(2**60)
+
+_HLL_C = _hll_est_scale(_HLL_M)
 
 
 def _hll_oracle() -> str:

@@ -347,3 +347,300 @@ def quality_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations (sketch union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.queries import det_round_sql  # noqa: E402
+from series_tiempo_ar_scraping_spark.sqlfrags import _HEX60  # noqa: E402
+from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
+    HLL_M,
+    HLL_RMAX,
+    hll_bucket_rho,
+    hll_est_scale,
+)
+
+_HLL_C = hll_est_scale(HLL_M)
+
+
+def _hll_s_sql(regs: str) -> str:
+    """DuckDB: exact-integer register sum ``S`` over a register CTE
+    (same spelling as the batch-11 calibration oracle — empty registers
+    contribute their ``2^60`` term)."""
+    return f"""
+      SELECT SUM((1::HUGEINT) << CAST(60 - r AS INT))
+             + ({HLL_M} - COUNT(*)) * ((1::HUGEINT) << 60) AS S
+      FROM {regs}
+    """
+
+
+def _hll_est_sql(s: str) -> str:
+    return f"{_HLL_C!r} / CAST(({s}) AS DOUBLE)"
+
+
+@register(
+    "hll_set_union_intersect",
+    oracle=f"""
+    WITH src AS (
+      SELECT 'a' AS stream, CAST(o_custkey AS VARCHAR) AS v
+      FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL
+      SELECT 'b', CAST(o_custkey AS VARCHAR)
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    hh AS (SELECT stream, v,
+                  {_HEX60.format(x="'0|' || v")} AS h FROM src),
+    rr AS (
+      SELECT stream, v, h % {HLL_M} AS bucket,
+             CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_RMAX}
+                  ELSE least(bit_count(((h // {HLL_M})
+                                        & -(h // {HLL_M})) - 1) + 1,
+                             {HLL_RMAX})
+             END AS rho
+      FROM hh
+    ),
+    ra AS (SELECT bucket, MAX(rho) AS r FROM rr
+           WHERE stream = 'a' GROUP BY 1),
+    rb AS (SELECT bucket, MAX(rho) AS r FROM rr
+           WHERE stream = 'b' GROUP BY 1),
+    ru AS (SELECT bucket, MAX(rho) AS r FROM rr GROUP BY 1),
+    sa AS ({_hll_s_sql('ra')}), sb AS ({_hll_s_sql('rb')}),
+    su AS ({_hll_s_sql('ru')}),
+    ea AS (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_a
+           FROM rr WHERE stream = 'a'),
+    eb AS (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_b
+           FROM rr WHERE stream = 'b'),
+    eu AS (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS exact_union
+           FROM rr)
+    SELECT {HLL_M} AS m,
+           ea.exact_a, eb.exact_b, eu.exact_union,
+           ea.exact_a + eb.exact_b - eu.exact_union AS exact_inter,
+           {det_round_sql(_hll_est_sql('SELECT S FROM sa'), 6)} AS est_a,
+           {det_round_sql(_hll_est_sql('SELECT S FROM sb'), 6)} AS est_b,
+           {det_round_sql(_hll_est_sql('SELECT S FROM su'), 6)}
+             AS est_union,
+           {det_round_sql(
+               f"(({_hll_est_sql('SELECT S FROM sa')})"
+               f" + ({_hll_est_sql('SELECT S FROM sb')}))"
+               f" - ({_hll_est_sql('SELECT S FROM su')})", 6)}
+             AS est_inter,
+           {det_round_sql(
+               f"(((({_hll_est_sql('SELECT S FROM sa')})"
+               f" + ({_hll_est_sql('SELECT S FROM sb')}))"
+               f" - ({_hll_est_sql('SELECT S FROM su')}))"
+               " - CAST(ea.exact_a + eb.exact_b - eu.exact_union"
+               " AS DOUBLE))"
+               " / CAST(ea.exact_a + eb.exact_b - eu.exact_union"
+               " AS DOUBLE)", 6)} AS inter_rel_err
+    FROM ea, eb, eu
+    """,
+)
+def hll_set_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch SET OPERATIONS: estimate |A|, |B|, |A∪B| and — via
+    inclusion-exclusion — |A∩B| for two customer cohorts (ordered in
+    1995 vs 1996) from three m=64 register sets, beside their exact
+    counts. The union registers are the register-wise MAX of the two
+    sketches — the merge that makes HLL the 100 TB answer for overlap
+    questions: per-shard/per-day sketches (64 cells each) union in
+    O(m) without re-touching data, while the exact lane needs a full
+    distinct shuffle over both sides. Intersection via
+    inclusion-exclusion inherits the union's error (the reported
+    ``inter_rel_err`` measures exactly that amplification).
+
+    Determinism: same register geometry and exact-int ``2^(60-r)``
+    sums as ``hll_distinct_calibration`` (single source
+    ``streaming/sketch.py``); every estimate is a shared-literal /
+    exact-int division; sums/differences of identically-derived
+    doubles; det-rounded only at the edge."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int, tag: str) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select(
+            F.lit(tag).alias("stream"),
+            F.col("o_custkey").cast("string").alias("v"),
+        )
+
+    u = cohort(1995, "a").unionByName(cohort(1996, "b"))
+    bucket, rho = hll_bucket_rho(F.col("v"), HLL_M)
+    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=True)
+
+    def s_frame(regs: DataFrame, name: str) -> DataFrame:
+        return regs.agg(
+            (
+                F.sum(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))"
+                    ).cast("decimal(38,0)")
+                )
+                + (F.lit(HLL_M).cast("long") - F.count("*"))
+                .cast("decimal(38,0)")
+                * F.lit(2**60).cast("decimal(38,0)")
+            ).alias(name)
+        )
+
+    ra = rr.filter(F.col("stream") == "a").groupBy("bucket").agg(
+        F.max("rho").alias("r")
+    )
+    rb = rr.filter(F.col("stream") == "b").groupBy("bucket").agg(
+        F.max("rho").alias("r")
+    )
+    ru = rr.groupBy("bucket").agg(F.max("rho").alias("r"))
+    sa, sb, su = (
+        s_frame(ra, "s_a"),
+        s_frame(rb, "s_b"),
+        s_frame(ru, "s_u"),
+    )
+    ea = rr.filter(F.col("stream") == "a").agg(
+        F.countDistinct("v").alias("exact_a")
+    )
+    eb = rr.filter(F.col("stream") == "b").agg(
+        F.countDistinct("v").alias("exact_b")
+    )
+    eu = rr.agg(F.countDistinct("v").alias("exact_union"))
+
+    est_a = F.lit(_HLL_C) / F.col("s_a").cast("double")
+    est_b = F.lit(_HLL_C) / F.col("s_b").cast("double")
+    est_u = F.lit(_HLL_C) / F.col("s_u").cast("double")
+    est_i = (est_a + est_b) - est_u
+    exact_i = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(su)
+        .select(
+            F.lit(HLL_M).alias("m"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            exact_i.alias("exact_inter"),
+            det_round(est_a, 6).alias("est_a"),
+            det_round(est_b, 6).alias("est_b"),
+            det_round(est_u, 6).alias("est_union"),
+            det_round(est_i, 6).alias("est_inter"),
+            det_round(
+                (est_i - exact_i.cast("double"))
+                / exact_i.cast("double"),
+                6,
+            ).alias("inter_rel_err"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.operators.dedup import (  # noqa: E402
+    upper_triangle_pairs,
+)
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _toks_of_norm,
+)
+
+_PMI_MIN_DF = 10  # support threshold: pairs co-occurring in >= 10 docs
+
+
+@register(
+    "token_pmi_collocations",
+    oracle=f"""
+    WITH presence AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_toks_of_norm('text')}) AS tok
+        FROM documents
+      )
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM presence
+           GROUP BY 1),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS df_ab
+      FROM presence a JOIN presence b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_DF}
+    )
+    SELECT p.tok_a, p.tok_b, da.df AS df_a, db.df AS df_b, p.df_ab,
+           n.n_docs,
+           CAST(FLOOR(ln(CAST(p.df_ab * n.n_docs AS DOUBLE)
+                         / CAST(da.df * db.df AS DOUBLE))
+                      * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN df da ON da.tok = p.tok_a
+    JOIN df db ON db.tok = p.tok_b
+    CROSS JOIN n
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over
+    document-level co-occurrence: for every token pair seen together in
+    >= {_PMI_MIN_DF} documents, ``PMI = ln(P(a,b) / (P(a)P(b)))`` with
+    document presence as the event space — the corpus-analysis operator
+    behind phrase detection and topic seeding.
+
+    Scale shape: per-document DISTINCT token sets collapse the corpus
+    once; pairs come from ``upper_triangle_pairs`` over the sorted
+    per-doc array (ONE generator expression — the oracle's presence
+    self-join is what this avoids: no second shuffle of the presence
+    table, no join explosion beyond each doc's own pairs); document
+    frequencies are a vocab-sized frame that BROADCASTS onto the pair
+    aggregate. PMI itself: ``df_ab*N`` and ``df_a*df_b`` are exact
+    bigints, ONE double division feeds ``ln``, micro-unit floored —
+    the bigram-LM determinism recipe."""
+    docs = load_table(spark, sf_dir, "documents")
+    presence = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "tok"
+        ),
+    ).distinct()
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = presence.groupBy("tok").agg(F.count("*").alias("df"))
+    per_doc = presence.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("toks")
+    )
+    pairs = (
+        per_doc.select(
+            F.explode(
+                upper_triangle_pairs(
+                    F.col("toks"),
+                    lambda x, y: F.struct(
+                        x.alias("tok_a"), y.alias("tok_b")
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.tok_a", "p.tok_b")
+        .agg(F.count("*").alias("df_ab"))
+        .filter(F.col("df_ab") >= _PMI_MIN_DF)
+    )
+    da = df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "df_a",
+            "df_b",
+            "df_ab",
+            "n_docs",
+            F.floor(
+                F.log(
+                    (F.col("df_ab") * F.col("n_docs")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )

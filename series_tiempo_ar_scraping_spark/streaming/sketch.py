@@ -65,6 +65,24 @@ HLL_M = 64
 HLL_RMAX = 55  # = 61 - log2(HLL_M): one above any natural rank
 
 
+def hll_est_scale(m: int = HLL_M) -> float:
+    """``alpha_m * m^2 * 2^60`` — the numerator of the raw HLL estimate
+    when registers are summed as exact ints ``2^(60-r)``. Standard alpha
+    table (Flajolet et al. 2007); computed in ONE fixed op order so the
+    identical double reaches both engines (Spark literal and DuckDB
+    ``repr`` literal). Single source for the batch calibration entry and
+    the set-operation estimator."""
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    return (alpha * m * m) * float(2**60)
+
+
 def hll_bucket_rho(t: Column, m: int = HLL_M) -> tuple[Column, Column]:
     """Shared HLL geometry: (bucket, rho) columns for a term column.
     ``m`` must be a power of two; the bucket takes the LOW log2(m) hash
