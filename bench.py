@@ -142,6 +142,7 @@ BENCH_QUERIES_EXT = [
     "quality_weighted_sampling",
     "hll_set_union_intersect",
     "token_pmi_collocations",
+    "event_transition_matrix",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -124,7 +124,8 @@ def _bloom_bit_cols(key_col: F.Column) -> F.Column:
         AS n_false_pos,
       CAST((SELECT COUNT(*) FROM cand) - (SELECT COUNT(*) FROM truth)
            AS DOUBLE)
-        / ((SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM truth))
+        / NULLIF((SELECT COUNT(*) FROM customer)
+                 - (SELECT COUNT(*) FROM truth), 0)
         AS fp_rate
     """,
 )
@@ -188,7 +189,11 @@ def bloom_filter_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_candidates") - F.col("n_true")).alias("n_false_pos"),
             (
                 (F.col("n_candidates") - F.col("n_true")).cast("double")
-                / (F.col("n_probe") - F.col("n_true"))
+                # nullif guard: every probe a true member -> no FP
+                # population to rate (NULL, matching the oracle)
+                / F.nullif(
+                    F.col("n_probe") - F.col("n_true"), F.lit(0)
+                )
             ).alias("fp_rate"),
         )
     )
@@ -593,12 +598,18 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigints, ONE double division feeds ``ln``, micro-unit floored —
     the bigram-LM determinism recipe."""
     docs = load_table(spark, sf_dir, "documents")
-    presence = docs.select(
-        "doc_id",
-        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
-            "tok"
-        ),
-    ).distinct()
+    # checkpointed: df, da/db and the pair generation all read presence —
+    # without this the corpus tokenize+distinct would execute 3x
+    presence = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                TX.tokens(TX.normalize_text(F.col("text")))
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n = docs.agg(F.count("*").alias("n_docs"))
     df = presence.groupBy("tok").agg(F.count("*").alias("df"))
     per_doc = presence.groupBy("doc_id").agg(
@@ -643,4 +654,74 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pmi_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT)
+                   AS row_total
+          FROM c GROUP BY 1)
+    SELECT c.prev_type, c.event_type, c.n_transitions, t.row_total,
+           CAST(c.n_transitions AS DOUBLE) / t.row_total AS p
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current event type) — the sequence
+    model behind next-action prediction, session simulation, and
+    anomalous-flow detection (a transition probability collapsing
+    week-over-week is a product bug signal).
+
+    Scale shape: ONE window (lag over user_id, ordered by ts with
+    event_id as the total-order tiebreak) — the sequence shuffle is
+    keyed by user, so it reuses the same partitioning every
+    sessionization query needs; transitions then reduce to a
+    |event_types|^2-bounded aggregate (25 cells here) with map-side
+    partials, and row totals come from a WINDOW over that tiny
+    aggregate — not a join back through a second copy of the sequence
+    pipeline, which would scan events twice. ``p`` is one double
+    division of identical exact ints per cell."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wt = W.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        "n_transitions",
+        F.sum("n_transitions").over(wt).alias("row_total"),
+    ).select(
+        "*",
+        (
+            F.col("n_transitions").cast("double") / F.col("row_total")
+        ).alias("p"),
     )
