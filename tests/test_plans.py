@@ -491,3 +491,17 @@ def test_batch12_plan_properties(plans):
     assert p.count("Exchange") == 1
     assert "Window" not in p
     assert "Python" not in p and "SortMergeJoin" not in p
+    p = plans("hll_set_union_intersect")
+    # scalar assembly only: every nested-loop join is a 1-row frame;
+    # the register/exact aggregates never sort-merge
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" in p
+    p = plans("token_pmi_collocations")
+    # doc-frequency frames broadcast; pairs come from the generator,
+    # not a presence self-join
+    assert "BroadcastHashJoin" in p and "Generate" in p
+    assert "SortMergeJoin" not in p
+    p = plans("event_transition_matrix", "simple")
+    # sequence lag + row-total window, zero joins: totals come from a
+    # window over the 25-cell aggregate, not a second events scan
+    assert "Join" not in p
+    assert p.count("Window") == 2
