@@ -143,6 +143,7 @@ BENCH_QUERIES_EXT = [
     "hll_set_union_intersect",
     "token_pmi_collocations",
     "event_transition_matrix",
+    "series_time_weighted_avg",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

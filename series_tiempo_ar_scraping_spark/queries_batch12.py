@@ -725,3 +725,76 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_transitions").cast("double") / F.col("row_total")
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average over irregular event series (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "series_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+             date_trunc('second', ts) AS t0,
+             date_trunc('second',
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)) AS t1
+      FROM events
+    ),
+    iv AS (
+      SELECT user_id, v,
+             CAST(date_diff('second', t0, t1) AS BIGINT) AS secs
+      FROM seq WHERE t1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(secs) AS BIGINT) AS total_secs,
+           CAST(SUM(v * secs) AS DOUBLE) AS sum_weighted,
+           CAST(SUM(v * secs) AS DOUBLE)
+             / NULLIF(CAST(SUM(secs) AS BIGINT), 0) AS twap
+    FROM iv GROUP BY 1
+    """,
+)
+def series_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) over IRREGULARLY-sampled event
+    values: each observation holds until the next one, so it weighs by
+    its interval duration — the correct average for sensor/price-style
+    series where arithmetic mean over-counts bursts of rapid updates.
+
+    Scale shape: one lead window keyed by user (the same sequence
+    shuffle as sessionization/transition queries — at 100 TB these
+    share one partitioning), then a plain per-user aggregate with
+    map-side partials. Determinism: values sum as exact
+    ``decimal(12,2) * seconds`` products (the repo's decimal-sum
+    discipline — a float sum would be partition-order dependent);
+    interval seconds come from second-truncated timestamps on BOTH
+    engines (DuckDB ``date_diff`` counts boundary crossings while
+    Spark ``timestampdiff`` truncates — identical only after
+    ``date_trunc('second', ...)``, the documented NTZ recipe); the
+    TWAP itself is ONE double division with a NULLIF(0) guard."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        F.date_trunc("second", F.col("ts")).alias("t0"),
+        F.date_trunc("second", F.lead("ts").over(w)).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    iv = seq.select(
+        "user_id",
+        "v",
+        F.expr("timestampdiff(SECOND, t0, t1)").cast("long").alias("secs"),
+    )
+    return iv.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("secs").cast("long").alias("total_secs"),
+        F.sum(F.col("v") * F.col("secs")).cast("double").alias("sum_weighted"),
+        (
+            F.sum(F.col("v") * F.col("secs")).cast("double")
+            / F.nullif(F.sum("secs").cast("long"), F.lit(0))
+        ).alias("twap"),
+    )
