@@ -144,6 +144,7 @@ BENCH_QUERIES_EXT = [
     "token_pmi_collocations",
     "event_transition_matrix",
     "series_time_weighted_avg",
+    "rank_fusion_rrf",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

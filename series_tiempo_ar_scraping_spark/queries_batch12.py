@@ -798,3 +798,141 @@ def series_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.sum("secs").cast("long"), F.lit(0))
         ).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two retrieval rankings
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF constant (Cormack et al.)
+
+_L2_SQL = """
+      list_sum(list_transform(generate_series(1, 64),
+        i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+             * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))
+"""
+
+
+@register(
+    "rank_fusion_rrf",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv
+      FROM embeddings WHERE vec_id >= 8
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {_COS64_SQL.format(a='qv', b='cv')} AS sim,
+             {_L2_SQL.format(a='qv', b='cv')} AS d2
+      FROM c, q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id)
+               AS rank_cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id)
+               AS rank_l2
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, rank_cos, rank_l2,
+             CAST(FLOOR(1000000.0 / ({_RRF_K} + rank_cos)) AS BIGINT)
+             + CAST(FLOOR(1000000.0 / ({_RRF_K} + rank_l2)) AS BIGINT)
+               AS rrf_micro
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id, rank_cos, rank_l2, rrf_micro,
+           rank_fused
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_micro DESC, neighbor_id) AS rank_fused
+      FROM fused
+    ) WHERE rank_fused <= 5
+    """,
+)
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings —
+    cosine similarity and L2 distance — into one top-5 list per query:
+    the standard hybrid-retrieval combiner (dense + sparse, or here two
+    dense metrics) that needs only RANKS, never calibrated scores.
+
+    Scale shape: both metrics score in the SAME pair pass (one scan,
+    one broadcast of the query side — not one pipeline per ranker),
+    then three windows all partitioned by query_id reuse one shuffle.
+    Determinism: each RRF term ``1e6/(k+rank)`` is a division of exact
+    ints floored to micro-units BEFORE the sum, so the fused score is
+    an exact bigint — float-sum ordering can't move a rank."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        S.norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.filter(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        S.norm(F.col("embedding")).alias("c_norm"),
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("c_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (
+            S.dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("sim"),
+        diff2.alias("d2"),
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("sim"), F.asc("neighbor_id")))
+        .alias("rank_cos"),
+        F.row_number()
+        .over(wq.orderBy(F.asc("d2"), F.asc("neighbor_id")))
+        .alias("rank_l2"),
+    )
+    fused = ranked.select(
+        "*",
+        (
+            F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col("rank_cos")))
+            .cast("bigint")
+            + F.floor(F.lit(1000000.0) / (F.lit(_RRF_K) + F.col("rank_l2")))
+            .cast("bigint")
+        ).alias("rrf_micro"),
+    )
+    return (
+        fused.withColumn(
+            "rank_fused",
+            F.row_number().over(
+                wq.orderBy(F.desc("rrf_micro"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rank_fused") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_cos",
+            "rank_l2",
+            "rrf_micro",
+            "rank_fused",
+        )
+    )
