@@ -505,3 +505,11 @@ def test_batch12_plan_properties(plans):
     # window over the 25-cell aggregate, not a second events scan
     assert "Join" not in p
     assert p.count("Window") == 2
+    p = plans("rank_fusion_rrf", "simple")
+    # both metrics score in ONE pair pass: a single broadcast exchange
+    # (query side) + a single query_id shuffle reused by all three
+    # windows (re-sorts, no re-exchanges); top-5 pushes down as a
+    # WindowGroupLimit before the final window
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange") == 2  # 1 broadcast + 1 window shuffle
+    assert "WindowGroupLimit" in p
