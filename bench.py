@@ -145,6 +145,7 @@ BENCH_QUERIES_EXT = [
     "event_transition_matrix",
     "series_time_weighted_avg",
     "rank_fusion_rrf",
+    "trimmed_winsorized_order_stats",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -936,3 +936,124 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_fused",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust aggregation: trimmed + winsorized means
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trimmed_winsorized_order_stats",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS v,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    marked AS (
+      SELECT priority, v, n,
+             CASE WHEN rk > n * 5 // 100
+                   AND rk <= n - n * 5 // 100 THEN 1 ELSE 0 END AS kept,
+             CASE WHEN rk <= n * 5 // 100 THEN 1 ELSE 0 END AS is_low
+      FROM r
+    ),
+    g AS (
+      SELECT priority,
+             CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(kept) AS BIGINT) AS n_kept,
+             SUM(CASE WHEN kept = 1 THEN v END) AS kept_sum,
+             MIN(CASE WHEN kept = 1 THEN v END) AS low_cut,
+             MAX(CASE WHEN kept = 1 THEN v END) AS high_cut,
+             CAST(SUM(is_low) AS BIGINT) AS n_low
+      FROM marked GROUP BY 1
+    )
+    SELECT priority, n, n_kept,
+           CAST(low_cut AS DOUBLE) AS low_cut,
+           CAST(high_cut AS DOUBLE) AS high_cut,
+           CAST(kept_sum AS DOUBLE) / n_kept AS trimmed_mean,
+           CAST(kept_sum + n_low * low_cut
+                + (n - n_kept - n_low) * high_cut AS DOUBLE) / n
+             AS winsorized_mean
+    FROM g
+    """,
+)
+def trimmed_winsorized_order_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust per-group means: 5%-TRIMMED (drop both tails) and
+    5%-WINSORIZED (clamp both tails to the cut values) of order totals
+    per priority — the outlier-robust aggregates a metrics pipeline
+    publishes when a handful of extreme rows would swamp the plain
+    mean (the rank-cut siblings of ``series_robust_mad_outliers``).
+
+    Determinism: tail cuts are INTEGER rank bounds (``n*5 DIV 100``,
+    positive operands — the documented Spark DIV vs DuckDB // guard),
+    not float percentiles; values sum as decimal(12,2); each mean is
+    one double division. Scale shape: one rank window per group (the
+    same keyed shuffle every per-group quantile needs) feeding one
+    aggregate; the winsorized correction needs no second pass — tail
+    counts and cut values fall out of the same conditional
+    aggregates."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    r = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("v"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("rk"),
+        F.count("*")
+        .over(W.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    lo = F.expr("n * 5 DIV 100")
+    marked = r.select(
+        "priority",
+        "v",
+        "n",
+        F.when((F.col("rk") > lo) & (F.col("rk") <= F.col("n") - lo), 1)
+        .otherwise(0)
+        .alias("kept"),
+        # tail side while ranks are still in scope: below-cut rows are
+        # exactly the first n*5 DIV 100 ranks (value ties are resolved
+        # by the same (value, orderkey) total order on both engines)
+        F.when(F.col("rk") <= lo, 1).otherwise(0).alias("is_low"),
+    )
+    kept_v = F.when(F.col("kept") == 1, F.col("v"))
+    g = marked.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(kept_v).alias("kept_sum"),
+        F.min(kept_v).alias("low_cut"),
+        F.max(kept_v).alias("high_cut"),
+        F.sum("is_low").cast("long").alias("n_low"),
+    )
+    return g.select(
+        "priority",
+        "n",
+        "n_kept",
+        F.col("low_cut").cast("double").alias("low_cut"),
+        F.col("high_cut").cast("double").alias("high_cut"),
+        (F.col("kept_sum").cast("double") / F.col("n_kept")).alias(
+            "trimmed_mean"
+        ),
+        (
+            (
+                F.col("kept_sum")
+                + F.col("n_low") * F.col("low_cut")
+                + (F.col("n") - F.col("n_kept") - F.col("n_low"))
+                * F.col("high_cut")
+            ).cast("double")
+            / F.col("n")
+        ).alias("winsorized_mean"),
+    )
