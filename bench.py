@@ -146,6 +146,7 @@ BENCH_QUERIES_EXT = [
     "series_time_weighted_avg",
     "rank_fusion_rrf",
     "trimmed_winsorized_order_stats",
+    "ab_test_mean_diff",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1057,3 +1057,114 @@ def trimmed_winsorized_order_stats(
             / F.col("n")
         ).alias("winsorized_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis: Welch z-test on two event cohorts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_test_mean_diff",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+             SUM(CAST(value AS DECIMAL(12,2))
+                 * CAST(value AS DECIMAL(12,2))) AS svv
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n,
+             CAST(sv AS DOUBLE) / n AS mean,
+             (CAST(svv AS DOUBLE)
+              - CAST(sv AS DOUBLE) * (CAST(sv AS DOUBLE) / n))
+               / (n - 1) AS var
+      FROM s
+    ),
+    w AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+             a.var AS var_a, b.var AS var_b,
+             (a.mean - b.mean)
+               / sqrt(a.var / a.n + b.var / b.n) AS z
+      FROM (SELECT * FROM m WHERE event_type = 'view') a,
+           (SELECT * FROM m WHERE event_type = 'purchase') b
+    )
+    SELECT n_a, n_b,
+           CAST(FLOOR(mean_a * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS mean_a,
+           CAST(FLOOR(mean_b * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS mean_b,
+           CAST(FLOOR(var_a * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS var_a,
+           CAST(FLOOR(var_b * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS var_b,
+           CAST(FLOOR(z * 1000000 + 0.5) / 1000000 AS DOUBLE) AS z,
+           CASE WHEN abs(z) > 1.96 THEN 1 ELSE 0 END AS significant
+    FROM w
+    """,
+)
+def ab_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test: does mean event value differ between
+    the 'view' and 'purchase' cohorts? — the experiment-analysis
+    primitive behind every A/B readout (here the cohorts are event
+    types; in production they are treatment arms).
+
+    Scale shape: the WHOLE test reduces to three mergeable per-group
+    moments (n, Σv, Σv²) — one map-side-combinable aggregate over the
+    events scan, then scalar arithmetic on a 2-row frame; nothing else
+    shuffles, and the same three moments serve any number of arms.
+    Determinism: moments sum as exact decimals (Σv² via
+    decimal×decimal products), then mean/variance/z are built from
+    identically-ordered double ops on both engines (IEEE ops on
+    identical inputs), micro-unit rounded at the edge; significance is
+    computed from the UNROUNDED z."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    s = (
+        events.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(v).alias("sv"),
+            F.sum(v * v).alias("svv"),
+        )
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean"),
+        (
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * (F.col("sv").cast("double") / F.col("n"))
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        det_round(F.col("mean_a"), 6).alias("mean_a"),
+        det_round(F.col("mean_b"), 6).alias("mean_b"),
+        det_round(F.col("var_a"), 6).alias("var_a"),
+        det_round(F.col("var_b"), 6).alias("var_b"),
+        det_round(z, 6).alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
+    )
