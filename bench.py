@@ -147,6 +147,8 @@ BENCH_QUERIES_EXT = [
     "rank_fusion_rrf",
     "trimmed_winsorized_order_stats",
     "ab_test_mean_diff",
+    "fk_integrity_audit",
+    "association_rules_lift",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

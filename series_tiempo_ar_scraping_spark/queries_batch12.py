@@ -1168,3 +1168,194 @@ def ab_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_round(z, 6).alias("z"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (data-quality ops)
+# ---------------------------------------------------------------------------
+
+# (child_table, child_key, parent_table, parent_key) — the full FK web
+_FK_RELS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+@register(
+    "fk_integrity_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{child}.{ck} -> {parent}.{pk}' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_child,
+           (SELECT CAST(COUNT(DISTINCT {ck}) AS BIGINT) FROM {child})
+             AS n_child_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}
+            WHERE {ck} IS NOT NULL
+              AND {ck} NOT IN (SELECT {pk} FROM {parent}))
+             AS n_orphans
+    """
+        for child, ck, parent, pk in _FK_RELS
+    ),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-report referential-integrity audit over the whole FK web:
+    for each child->parent relationship, child row count, distinct key
+    count, and ORPHAN count (non-null child keys with no parent) — the
+    nightly data-quality gate the reference runs per-catalog
+    (reference/scrapers/validators.py family) generalized to the
+    relational model (SURVEY V1-V3's cross-table sibling).
+
+    Scale shape: each relationship is one LEFT ANTI join — the parent
+    key side is dimension-sized for every relationship here and
+    broadcasts; counts reduce to one-row frames unioned into the
+    report. At 100 TB the fact-fact check (lineitem->orders) is the
+    only shuffle-bearing pair, and it shares the join key with every
+    order-enrichment query, so a bucketed layout (operators/layout.py)
+    removes even that exchange. All-integer output — hash-exact."""
+    frames = []
+    for child, ck, parent, pk in _FK_RELS:
+        cdf = load_table(spark, sf_dir, child)
+        pdf = load_table(spark, sf_dir, parent)
+        orphans = cdf.filter(F.col(ck).isNotNull()).join(
+            pdf.select(F.col(pk).alias("__pk")),
+            F.col(ck) == F.col("__pk"),
+            "left_anti",
+        )
+        frames.append(
+            cdf.agg(F.count("*").alias("n_child"))
+            .crossJoin(
+                cdf.agg(F.countDistinct(ck).alias("n_child_keys"))
+            )
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias(
+                    "relationship"
+                ),
+                "n_child",
+                "n_child_keys",
+                "n_orphans",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Association rules over order baskets (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+_AR_MIN_PAIR = 2  # min basket co-occurrence for a rule
+
+
+@register(
+    "association_rules_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM op),
+    item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS s_item
+             FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS s_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_AR_MIN_PAIR}
+    )
+    SELECT p.pa, p.pb, p.s_pair, ia.s_item AS s_a, ib.s_item AS s_b,
+           n.n_baskets,
+           CAST(FLOOR(CAST(p.s_pair * 1000000 AS DOUBLE) / ia.s_item
+                      + 0.5) AS BIGINT) AS conf_ab_micro,
+           CAST(FLOOR(CAST(p.s_pair * 1000000 AS DOUBLE) / ib.s_item
+                      + 0.5) AS BIGINT) AS conf_ba_micro,
+           CAST(FLOOR(CAST(p.s_pair * n.n_baskets * 1000000 AS DOUBLE)
+                      / CAST(ia.s_item * ib.s_item AS DOUBLE)
+                      + 0.5) AS BIGINT) AS lift_micro
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.pa
+    JOIN item ib ON ib.l_partkey = p.pb
+    CROSS JOIN n
+    """,
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: for every part pair
+    co-occurring in >= {_AR_MIN_PAIR} orders, support, both confidence
+    directions, and lift — market-basket analysis, the classic
+    co-purchase recommender signal (and the batch twin of
+    ``part_co_occurrence``, which stops at the pair graph).
+
+    Scale shape: baskets collapse to DISTINCT (order, part) once; pair
+    candidates come from ``upper_triangle_pairs`` over per-basket
+    sorted arrays (bounded by each basket's own size — the oracle's
+    self-join is exactly what this avoids); item supports are a
+    dimension-sized broadcast. Confidence/lift are micro-unit floored
+    divisions of exact ints."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("s_item"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair = (
+        baskets.select(
+            F.explode(
+                upper_triangle_pairs(
+                    F.col("parts"),
+                    lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("s_pair"))
+        .filter(F.col("s_pair") >= _AR_MIN_PAIR)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("pa"), F.col("s_item").alias("s_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("pb"), F.col("s_item").alias("s_b")
+    )
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "s_pair",
+            "s_a",
+            "s_b",
+            "n_baskets",
+            F.floor(
+                (F.col("s_pair") * 1000000).cast("double") / F.col("s_a")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("conf_ab_micro"),
+            F.floor(
+                (F.col("s_pair") * 1000000).cast("double") / F.col("s_b")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("conf_ba_micro"),
+            F.floor(
+                (F.col("s_pair") * F.col("n_baskets") * 1000000).cast(
+                    "double"
+                )
+                / (F.col("s_a") * F.col("s_b")).cast("double")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
