@@ -149,6 +149,8 @@ BENCH_QUERIES_EXT = [
     "ab_test_mean_diff",
     "fk_integrity_audit",
     "association_rules_lift",
+    "abc_classification_parts",
+    "user_activity_entropy",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

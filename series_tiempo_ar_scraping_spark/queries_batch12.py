@@ -1359,3 +1359,167 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) contribution classification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(revenue) AS total FROM rev),
+    c AS (
+      SELECT l_partkey, revenue,
+             SUM(revenue) OVER (
+               ORDER BY revenue DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS cum_revenue
+      FROM rev
+    ),
+    s AS (
+      SELECT l_partkey,
+             CAST(revenue AS DOUBLE) AS revenue,
+             CAST(cum_revenue AS DOUBLE) / CAST(tot.total AS DOUBLE)
+               AS cum_share
+      FROM c CROSS JOIN tot
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(FLOOR(SUM(revenue) * 100 + 0.5) / 100 AS DOUBLE)
+             AS class_revenue,
+           CAST(FLOOR(MIN(cum_share) * 1000000 + 0.5) / 1000000
+                AS DOUBLE) AS min_cum_share,
+           CAST(FLOOR(MAX(cum_share) * 1000000 + 0.5) / 1000000
+                AS DOUBLE) AS max_cum_share
+    FROM s GROUP BY 1
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto contribution classification: parts ranked by
+    revenue, classified A (first 80% of cumulative revenue), B (next
+    15%), C (tail 5%) — the inventory/contribution analysis every BI
+    deployment of the reference's indicator reports grows into.
+
+    Scale shape: the fact table collapses FIRST to a per-part revenue
+    aggregate (dimension-sized — the global cumulative window then
+    runs over |parts| rows, not |lineitem|); cumulative revenue is an
+    exact-decimal running sum with a (revenue, partkey) total order.
+    For fact-scale cumulative shares (no aggregate to hide behind) the
+    catalog's two-phase prefix-sum is the path
+    (``equidepth_partition_boundaries``). Shares are decimal-exact
+    numerators over one total, micro-rounded at the edge; class
+    boundaries compare UNROUNDED shares."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)"))
+        ).alias("revenue")
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = W.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = rev.withColumn("cum_revenue", F.sum("revenue").over(w))
+    s = c.crossJoin(F.broadcast(tot)).select(
+        F.col("revenue").cast("double").alias("revenue"),
+        (
+            F.col("cum_revenue").cast("double")
+            / F.col("total").cast("double")
+        ).alias("cum_share"),
+    )
+    abc = F.when(F.col("cum_share") <= 0.8, "A").when(
+        F.col("cum_share") <= 0.95, "B"
+    ).otherwise("C")
+    return s.groupBy(abc.alias("abc_class")).agg(
+        F.count("*").alias("n_parts"),
+        (
+            F.floor(F.sum("revenue") * 100 + F.lit(0.5)) / 100
+        ).cast("double").alias("class_revenue"),
+        (
+            F.floor(F.min("cum_share") * 1000000 + F.lit(0.5)) / 1000000
+        ).cast("double").alias("min_cum_share"),
+        (
+            F.floor(F.max("cum_share") * 1000000 + F.lit(0.5)) / 1000000
+        ).cast("double").alias("max_cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-user activity entropy (information-theoretic profiling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_activity_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c
+          GROUP BY 1),
+    term AS (
+      SELECT c.user_id, c.c, n.n,
+             CAST(FLOOR(c.c * ln(CAST(n.n AS DOUBLE) / c.c)
+                        * 1000000 + 0.5) AS BIGINT) AS micro
+      FROM c JOIN n USING (user_id)
+    )
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(micro) AS DOUBLE) / (1000000.0 * MAX(n))
+             AS entropy_nats
+    FROM term GROUP BY 1
+    """,
+)
+def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution (nats):
+    H = Σ (c/n)·ln(n/c) — the information-theoretic activity profile
+    (bots pin near 0 — one repeated action; exploratory users approach
+    ln(5)). Completes the info-theory family: KL drift
+    (``source_token_drift``), PSI (``value_drift_psi``), PMI
+    (``token_pmi_collocations``), and now plain entropy.
+
+    Scale shape: one (user, type)-keyed aggregate, then per-user terms
+    — the n-per-user frame joins back on the SAME user key (no second
+    events scan). Determinism: the bigram-LM recipe — ln of ONE
+    division of exact ints, per-term micro floor, integer sum, one
+    double division at the edge."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    n = c.groupBy("user_id").agg(F.sum("c").cast("long").alias("n"))
+    term = c.join(n, "user_id").select(
+        "user_id",
+        "c",
+        "n",
+        F.floor(
+            F.col("c")
+            * F.log(F.col("n").cast("double") / F.col("c"))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("micro"),
+    )
+    return term.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count("*").alias("n_types"),
+        (
+            F.sum("micro").cast("double")
+            / (F.lit(1000000.0) * F.max("n"))
+        ).alias("entropy_nats"),
+    )
