@@ -151,6 +151,8 @@ BENCH_QUERIES_EXT = [
     "association_rules_lift",
     "abc_classification_parts",
     "user_activity_entropy",
+    "text_readability_scores",
+    "gini_revenue_concentration",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

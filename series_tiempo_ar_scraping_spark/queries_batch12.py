@@ -1523,3 +1523,151 @@ def user_activity_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.max("n"))
         ).alias("entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (text-analysis family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(FLOOR((206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                      * 10000 + 0.5) / 10000 AS DOUBLE)
+             AS flesch_score
+    FROM m WHERE n_words > 0
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring per document from three regex-derived
+    counts: words (whitespace tokens), sentences (terminal-punctuation
+    groups, floor 1), syllables (vowel groups — the standard cheap
+    proxy) — the readability lane of corpus quality profiling beside
+    ``text_lang_quality``'s stopword/punctuation heuristics.
+
+    Scale shape: pure map-side projection (three regex counts + scalar
+    arithmetic per row), no shuffle at all — the cheapest possible
+    plan class. Determinism: counts are exact ints from identical
+    regex semantics on both engines; the score is two int divisions
+    folded in one fixed op tree, det-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        )
+    ).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    n_syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "*",
+        (F.floor(score * 10000 + F.lit(0.5)) / 10000)
+        .cast("double")
+        .alias("flesch_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS x
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+      FROM rev
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(i * x) AS six
+      FROM r
+    )
+    SELECT n,
+           CAST(sx AS DOUBLE) AS total_revenue,
+           CAST(2 * six - (n + 1) * sx AS DOUBLE)
+             / CAST(n * sx AS DOUBLE) AS gini
+    FROM g
+    """,
+)
+def gini_revenue_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality scalar
+    behind every concentration dashboard (0 = revenue spread evenly,
+    ->1 = a few customers carry everything); pairs with
+    ``abc_classification_parts``' discrete Pareto classes.
+
+    Uses the rank identity G = (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted values, so the whole statistic is exact decimal
+    arithmetic (bigint rank × decimal value) until ONE double division
+    at the edge — no per-pair |x_i − x_j| comparison (the naive O(n²)
+    definition). Scale shape: fact rows collapse to the per-customer
+    aggregate first; the global rank window runs over that
+    dimension-sized frame (fact-scale ranking would route through the
+    two-phase prefix sum, ``equidepth_partition_boundaries``)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("x")
+    )
+    r = rev.select(
+        "x",
+        F.row_number()
+        .over(W.orderBy(F.asc("x"), F.asc("o_custkey")))
+        .alias("i"),
+    )
+    g = r.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return g.select(
+        "n",
+        F.col("sx").cast("double").alias("total_revenue"),
+        (
+            (F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("sx"))
+            .cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
