@@ -153,6 +153,7 @@ BENCH_QUERIES_EXT = [
     "user_activity_entropy",
     "text_readability_scores",
     "gini_revenue_concentration",
+    "snapshot_diff_report",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

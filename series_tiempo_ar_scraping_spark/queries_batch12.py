@@ -1227,9 +1227,11 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
         frames.append(
-            cdf.agg(F.count("*").alias("n_child"))
-            .crossJoin(
-                cdf.agg(F.countDistinct(ck).alias("n_child_keys"))
+            # count + countDistinct combine into ONE aggregate (one child
+            # scan); only the orphan anti-join needs its own pass
+            cdf.agg(
+                F.count("*").alias("n_child"),
+                F.countDistinct(ck).alias("n_child_keys"),
             )
             .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
             .select(
@@ -1670,4 +1672,109 @@ def gini_revenue_concentration(
             .cast("double")
             / (F.col("n") * F.col("sx")).cast("double")
         ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC-style reconciliation)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic snapshots of `orders`:
+#   A (yesterday) = all rows except orderkey % 89 == 0 ("added later")
+#   B (today)     = all rows except orderkey % 97 == 0 ("deleted"),
+#                   with totalprice re-stated for orderkey % 101 == 0
+_SNAP_DIFF_SQL = """
+    a AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|'
+                 || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+                 || '|' || o_orderstatus) AS fp
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|'
+                 || CAST(CASE WHEN o_orderkey % 101 = 0
+                              THEN CAST(o_totalprice AS DECIMAL(12,2))
+                                   + 1
+                              ELSE CAST(o_totalprice AS DECIMAL(12,2))
+                         END AS VARCHAR)
+                 || '|' || o_orderstatus) AS fp
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+"""
+
+
+@register(
+    "snapshot_diff_report",
+    oracle=f"""
+    WITH {_SNAP_DIFF_SQL},
+    d AS (
+      SELECT COALESCE(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.fp <> b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS verdict
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM d GROUP BY 1
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot reconciliation: diff two table snapshots into
+    added / removed / changed / unchanged classes via ONE full-outer
+    join on the key with per-row content FINGERPRINTS (md5 over the
+    tracked columns) — the nightly "what moved since yesterday" report
+    behind every warehouse sync audit, and the set-level sibling of
+    ``observations_last_wins_upsert``'s row-level merge. Snapshots are
+    carved deterministically from `orders` (key-modulus adds, deletes,
+    and a re-stated price) so both engines derive identical inputs.
+
+    Scale shape: rows collapse to (key, fingerprint) BEFORE the join —
+    the diff shuffles two narrow frames, never the wide tables; change
+    detection is ONE string compare per key instead of N column
+    compares; the verdict aggregate is 4-row bounded with map-side
+    partials. At 100 TB both sides hash-partition on the same key, so
+    a bucketed layout removes the exchanges entirely."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+
+    def snap(pred, restate: bool) -> DataFrame:
+        p = (
+            F.when(F.col("o_orderkey") % 101 == 0, price + 1).otherwise(
+                price
+            )
+            if restate
+            else price
+        )
+        return orders.filter(pred).select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    p.cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ).alias("fp"),
+        )
+
+    a = snap(F.col("o_orderkey") % 89 != 0, restate=False)
+    b = snap(F.col("o_orderkey") % 97 != 0, restate=True)
+    d = a.withColumnRenamed("fp", "fp_a").join(
+        b.withColumnRenamed("fp", "fp_b"), "k", "full_outer"
+    )
+    verdict = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return d.groupBy(verdict.alias("verdict")).agg(
+        F.count("*").alias("n"),
+        F.min("k").cast("long").alias("min_key"),
+        F.max("k").cast("long").alias("max_key"),
     )
