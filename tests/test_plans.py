@@ -513,3 +513,24 @@ def test_batch12_plan_properties(plans):
     assert "SortMergeJoin" not in p
     assert p.count("Exchange") == 2  # 1 broadcast + 1 window shuffle
     assert "WindowGroupLimit" in p
+
+
+def test_batch12_part3_plan_properties(plans):
+    """Late batch-12 plan contracts: broadcast-only joins in the FK
+    audit and rule mining, zero-shuffle readability, and the
+    fingerprint-diff's single sort-merge full-outer (both sides
+    fact-sized — broadcasting would be wrong, re-scanning wider rows
+    would be worse)."""
+    p = plans("fk_integrity_audit")
+    assert "SortMergeJoin" not in p  # every parent side broadcasts
+    p = plans("association_rules_lift")
+    assert "Generate" in p  # pairs from per-basket arrays, no self-join
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = plans("text_readability_scores", "simple")
+    assert "Exchange" not in p  # pure map-side projection
+    p = plans("snapshot_diff_report", "simple")
+    # narrow (key, fp) frames meet in ONE full-outer sort-merge join
+    assert p.count("SortMergeJoin") == 1
+    assert "FullOuter" in p
+    p = plans("user_activity_entropy")
+    assert "SortMergeJoin" not in p  # per-user totals broadcast back
