@@ -154,6 +154,7 @@ BENCH_QUERIES_EXT = [
     "text_readability_scores",
     "gini_revenue_concentration",
     "snapshot_diff_report",
+    "quantile_normalize_sources",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1778,3 +1778,124 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("min_key"),
         F.max("k").cast("long").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect correction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_normalize_sources",
+    oracle="""
+    WITH counts AS (
+      SELECT value AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows FROM counts),
+    ranks AS (
+      SELECT k, (k * n.n_rows + 9) // 10 AS r
+      FROM generate_series(1, 10) AS g(k) CROSS JOIN n
+    ),
+    bounds AS (
+      SELECT k, CAST(MIN(v) AS DOUBLE) AS boundary
+      FROM cum JOIN ranks ON cum.cum >= ranks.r
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_s
+      FROM events
+    ),
+    mapped AS (
+      SELECT event_type, value,
+             (rk * 10 + n_s - 1) // n_s AS p
+      FROM s
+    )
+    SELECT m.event_type, m.p AS bucket, b.boundary AS mapped_value,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(m.value) AS DOUBLE) AS src_min,
+           CAST(MAX(m.value) AS DOUBLE) AS src_max
+    FROM mapped m JOIN bounds b ON b.k = m.p
+    GROUP BY 1, 2, 3
+    """,
+)
+def quantile_normalize_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization: map every source's (event type's) value
+    distribution onto the CORPUS decile scale — rank within source →
+    decile bucket → corpus boundary value. The batch-effect correction
+    that makes heterogeneous sources comparable before pooled training
+    (expression arrays, sensor fleets, per-crawl quality scores).
+
+    Scale shape: the corpus side never globally sorts raw rows —
+    boundaries come from a distinct-value count frame + the two-phase
+    prefix sum (same machinery as ``equidepth_partition_boundaries``)
+    and reduce to a 10-row broadcast; per-source ranks use the keyed
+    source window. Bucket assignment is integer CEILING division
+    ``(rk*10 + n_s - 1) DIV n_s`` (positive operands — the Spark DIV
+    vs DuckDB // guard), so every mapping decision is exact-int."""
+    from pyspark.sql import Window as W
+
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("cnt")
+    )
+    counts = counts.localCheckpoint(eager=False)
+    cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
+    n_rows = F.broadcast(counts.agg(F.sum("cnt").alias("n_rows")))
+    ranks = (
+        spark.range(1, 11)
+        .toDF("k")
+        .crossJoin(n_rows)
+        .select(
+            "k",
+            F.expr("(k * n_rows + 9) DIV 10").cast("bigint").alias("r"),
+        )
+    )
+    bounds = (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("r"))
+        .groupBy("k")
+        .agg(F.min("v").cast("double").alias("boundary"))
+    )
+    w = W.partitionBy("event_type")
+    s = events.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(w.orderBy("value", "event_id"))
+        .alias("rk"),
+        F.count("*").over(w).alias("n_s"),
+    )
+    mapped = s.select(
+        "event_type",
+        "value",
+        F.expr("(rk * 10 + n_s - 1) DIV n_s").alias("p"),
+    )
+    return (
+        mapped.join(
+            F.broadcast(bounds), F.col("p") == F.col("k")
+        )
+        .groupBy(
+            "event_type",
+            F.col("p").alias("bucket"),
+            F.col("boundary").alias("mapped_value"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").cast("double").alias("src_min"),
+            F.max("value").cast("double").alias("src_max"),
+        )
+    )
