@@ -1081,7 +1081,7 @@ def trimmed_winsorized_order_stats(
              CAST(sv AS DOUBLE) / n AS mean,
              (CAST(svv AS DOUBLE)
               - CAST(sv AS DOUBLE) * (CAST(sv AS DOUBLE) / n))
-               / (n - 1) AS var
+               / NULLIF(n - 1, 0) AS var
       FROM s
     ),
     w AS (
@@ -1142,7 +1142,9 @@ def ab_test_mean_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("sv").cast("double")
                 * (F.col("sv").cast("double") / F.col("n"))
             )
-            / (F.col("n") - 1)
+            # nullif: a single-row arm has no sample variance (NULL on
+            # both engines, instead of engine-divergent div-by-zero)
+            / F.nullif(F.col("n") - 1, F.lit(0))
         ).alias("var"),
     )
     a = m.filter(F.col("event_type") == "view").select(
