@@ -155,6 +155,7 @@ BENCH_QUERIES_EXT = [
     "gini_revenue_concentration",
     "snapshot_diff_report",
     "quantile_normalize_sources",
+    "basket_recommender_hitrate",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1901,3 +1901,182 @@ def quantile_normalize_sources(
             F.max("value").cast("double").alias("src_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recommender evaluation: leave-one-out hit-rate@3 for the co-occurrence
+# recommender
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_recommender_hitrate",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sz AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+           FROM op GROUP BY 1),
+    eligible AS (SELECT l_orderkey, n_items FROM sz WHERE n_items >= 2),
+    holdout AS (
+      SELECT op.l_orderkey, MAX(op.l_partkey) AS h
+      FROM op JOIN eligible USING (l_orderkey) GROUP BY 1
+    ),
+    context AS (
+      SELECT op.l_orderkey, op.l_partkey AS i
+      FROM op JOIN holdout USING (l_orderkey)
+      WHERE op.l_partkey <> holdout.h
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS s_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    cand AS (
+      SELECT c.l_orderkey, p.pb AS j,
+             MAX(p.s_pair
+                 - CASE WHEN p.pb = h.h THEN 1 ELSE 0 END) AS score
+      FROM context c
+      JOIN pair p ON p.pa = c.i
+      JOIN holdout h ON h.l_orderkey = c.l_orderkey
+      WHERE NOT EXISTS (
+        SELECT 1 FROM context c2
+        WHERE c2.l_orderkey = c.l_orderkey AND c2.i = p.pb
+      )
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT l_orderkey, j,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY score DESC, j) AS rk
+      FROM cand
+    ),
+    verdict AS (
+      SELECT e.l_orderkey, LEAST(e.n_items, 5) AS size_bucket,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM ranked r JOIN holdout h
+                 ON h.l_orderkey = r.l_orderkey
+               WHERE r.l_orderkey = e.l_orderkey
+                 AND r.rk <= 3 AND r.j = h.h
+             ) THEN 1 ELSE 0 END AS hit
+      FROM eligible e
+    )
+    SELECT size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS hitrate
+    FROM verdict GROUP BY 1
+    """,
+)
+def basket_recommender_hitrate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-out evaluation of the co-occurrence recommender:
+    hold out each basket's max-partkey item, recommend top-3 co-items
+    of the remaining context by co-occurrence count, report hit-rate@3
+    per basket-size bucket — the eval harness that turns
+    ``association_rules_lift`` from a table into a measured
+    recommender (the retrieval sibling of ``ann_recall_eval``).
+
+    The holdout LEAKAGE is corrected exactly, not approximately: the
+    evaluated basket contributed exactly 1 to every (context-item,
+    holdout) pair count, so scoring subtracts 1 from candidates equal
+    to the basket's own holdout — integer-exact leave-one-basket-out.
+    (The candidate-support threshold stays pre-adjustment; documented
+    optimism of one count at the margin.)
+
+    Scale shape: pair counts come from the directed co-occurrence
+    aggregate (the same bounded frame association rules use, built
+    once and checkpointed); per-basket candidates are context-degree
+    bounded and in production truncate to per-item top-k; ranking is
+    one basket-keyed window; every score is an exact int, the final
+    hit-rate one division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=True
+    )
+    sz = op.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    eligible = sz.filter(F.col("n_items") >= 2)
+    holdout = (
+        op.join(eligible.select("l_orderkey"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_partkey").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    context = (
+        op.join(holdout, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("h"))
+        .select("l_orderkey", F.col("l_partkey").alias("i"))
+    )
+    # directed pair counts from per-basket arrays (generator, no
+    # self-join): emit both directions of each upper-triangle pair
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    und = (
+        baskets.select(
+            F.explode(
+                upper_triangle_pairs(
+                    F.col("parts"),
+                    lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("s_pair"))
+        .filter(F.col("s_pair") >= 2)
+    )
+    pair = und.unionByName(
+        und.select(
+            F.col("pb").alias("pa"),
+            F.col("pa").alias("pb"),
+            "s_pair",
+        )
+    ).localCheckpoint(eager=True)
+    cand = (
+        context.join(pair, F.col("i") == F.col("pa"))
+        .join(holdout, "l_orderkey")
+        # exclude candidates already in the basket's context
+        .join(
+            context.select(
+                F.col("l_orderkey").alias("ok2"),
+                F.col("i").alias("j_in_ctx"),
+            ),
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("pb") == F.col("j_in_ctx")),
+            "left_anti",
+        )
+        .groupBy("l_orderkey", F.col("pb").alias("j"))
+        .agg(
+            F.max(
+                F.col("s_pair")
+                - F.when(F.col("pb") == F.col("h"), 1).otherwise(0)
+            ).alias("score")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    ranked = cand.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("l_orderkey").orderBy(
+                F.desc("score"), F.asc("j")
+            )
+        ),
+    ).filter(F.col("rk") <= 3)
+    hits = (
+        ranked.join(holdout, "l_orderkey")
+        .filter(F.col("j") == F.col("h"))
+        .select("l_orderkey")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    verdict = eligible.join(hits, "l_orderkey", "left").select(
+        F.least(F.col("n_items"), F.lit(5)).alias("size_bucket"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    return verdict.groupBy("size_bucket").agg(
+        F.count("*").alias("n_baskets"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        (F.sum("hit").cast("double") / F.count("*")).alias("hitrate"),
+    )
