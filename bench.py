@@ -156,6 +156,7 @@ BENCH_QUERIES_EXT = [
     "snapshot_diff_report",
     "quantile_normalize_sources",
     "basket_recommender_hitrate",
+    "label_noise_knn_disagreement",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

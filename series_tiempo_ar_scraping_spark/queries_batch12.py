@@ -2080,3 +2080,108 @@ def basket_recommender_hitrate(
         F.sum("hit").cast("long").alias("n_hits"),
         (F.sum("hit").cast("double") / F.count("*")).alias("hitrate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-noise detection via k-NN disagreement
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_noise_knn_disagreement",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS va, a.label AS la,
+             b.vec_id AS vb, b.label AS lb,
+             {_COS64_SQL.format(a='a.embedding', b='b.embedding')} AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT va, la, lb,
+             row_number() OVER (PARTITION BY va
+                                ORDER BY sim DESC, vb) AS rk
+      FROM scored
+    ),
+    per AS (
+      SELECT va, la,
+             CAST(SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_diff
+      FROM nn WHERE rk <= 5 GROUP BY 1, 2
+    )
+    SELECT la AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n_diff >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspects,
+           CAST(SUM(n_diff) AS BIGINT) AS total_disagreement,
+           CAST(SUM(n_diff) AS DOUBLE) / (5 * COUNT(*))
+             AS disagreement_rate
+    FROM per GROUP BY 1
+    """,
+)
+def label_noise_knn_disagreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-noise detection by neighborhood voting: for every labeled
+    embedding, how many of its 5 nearest neighbors (cosine) carry a
+    DIFFERENT label — vectors whose neighborhoods outvote them (>=4/5)
+    are mislabeling suspects. The label-QA pass a training-data
+    pipeline runs before trusting its supervision (confident-learning
+    family), reported per label class.
+
+    Scale shape: brute-force self-kNN here (the corpus side broadcasts
+    once, norms materialize once per vector); at fleet scale the pair
+    generation swaps for the IVF/k-means blocking already in the
+    catalog (``semantic_cluster_dedup``) — neighborhoods only form
+    within cells, capping candidates per vector. Disagreement counts
+    are exact ints; the per-class rate is one division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("a_vec"),
+        S.norm(F.col("embedding")).alias("a_norm"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("b_vec"),
+        S.norm(F.col("embedding")).alias("b_norm"),
+    )
+    scored = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "la",
+            "vb",
+            "lb",
+            (
+                S.dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("sim"),
+        )
+    )
+    nn = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("va").orderBy(
+                F.desc("sim"), F.asc("vb")
+            )
+        ),
+    ).filter(F.col("rk") <= 5)
+    per = nn.groupBy("va", "la").agg(
+        F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_diff")
+    )
+    return per.groupBy(F.col("la").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("n_diff") >= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suspects"),
+        F.sum("n_diff").cast("long").alias("total_disagreement"),
+        (
+            F.sum("n_diff").cast("double") / (F.lit(5) * F.count("*"))
+        ).alias("disagreement_rate"),
+    )
