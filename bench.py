@@ -157,6 +157,7 @@ BENCH_QUERIES_EXT = [
     "quantile_normalize_sources",
     "basket_recommender_hitrate",
     "label_noise_knn_disagreement",
+    "vocab_size_oov_curve",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2185,3 +2185,81 @@ def label_noise_knn_disagreement(
             F.sum("n_diff").cast("double") / (F.lit(5) * F.count("*"))
         ).alias("disagreement_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-size OOV curve (tokenizer sizing)
+# ---------------------------------------------------------------------------
+
+_VOCAB_SWEEP = (4, 8, 16, 24)
+
+
+@register(
+    "vocab_size_oov_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_toks_of_norm('text')}) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+            GROUP BY 1),
+    ranked AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS rk
+      FROM cnt
+    ),
+    j AS (SELECT r.rk FROM toks t JOIN ranked r ON r.tok = t.tok)
+    SELECT v.n AS vocab_size,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM j) AS n_tokens,
+           (SELECT CAST(SUM(CASE WHEN rk > v.n THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM j) AS n_oov,
+           (SELECT CAST(SUM(CASE WHEN rk > v.n THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) FROM j) AS oov_rate
+    FROM (VALUES {", ".join(f"({n})" for n in _VOCAB_SWEEP)}) v(n)
+    """,
+)
+def vocab_size_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV rate as a function of vocabulary size (top-N by frequency,
+    N in {_VOCAB_SWEEP}) — the coverage CURVE that sizes a tokenizer,
+    where ``vocab_oov_rate`` reports one point of it per document.
+
+    Scale shape: the corpus tokenizes ONCE; tokens join the ranked
+    vocabulary once (vocab-sized broadcast); every sweep point is a
+    CONDITIONAL SUM over that single annotated stream — one pass total,
+    not one scan per candidate size. Ranks break count ties by token
+    (total order); the rate is one division of exact ints per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "tok"
+        )
+    )
+    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    ranked = cnt.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+        .alias("rk"),
+    )
+    j = toks.join(F.broadcast(ranked), "tok").select("rk")
+    aggs = [F.count("*").alias("n_tokens")]
+    for n in _VOCAB_SWEEP:
+        aggs.append(
+            F.sum(F.when(F.col("rk") > n, 1).otherwise(0))
+            .cast("long")
+            .alias(f"oov_{n}")
+        )
+    one = j.agg(*aggs)
+    sweep = spark.createDataFrame(
+        [(n,) for n in _VOCAB_SWEEP], "vocab_size int"
+    )
+    n_oov = F.coalesce(
+        *[
+            F.when(F.col("vocab_size") == n, F.col(f"oov_{n}"))
+            for n in _VOCAB_SWEEP
+        ]
+    )
+    return sweep.crossJoin(F.broadcast(one)).select(
+        "vocab_size",
+        "n_tokens",
+        n_oov.alias("n_oov"),
+        (n_oov.cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )
