@@ -158,6 +158,7 @@ BENCH_QUERIES_EXT = [
     "basket_recommender_hitrate",
     "label_noise_knn_disagreement",
     "vocab_size_oov_curve",
+    "survival_kaplan_meier",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2263,3 +2263,177 @@ def vocab_size_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_oov.alias("n_oov"),
         (n_oov.cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival estimate (churn curve with censoring)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH horizon AS (
+      SELECT MAX(date_trunc('day', ts)) AS hmax FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(date_diff('day', date_trunc('day', MIN(ts)),
+                            date_trunc('day', MAX(ts))) AS BIGINT)
+               AS duration,
+             CASE WHEN date_trunc('day', MAX(ts))
+                       >= (SELECT hmax FROM horizon)
+                  THEN 0 ELSE 1 END AS event
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT duration,
+             CAST(SUM(event) AS BIGINT) AS d,
+             CAST(SUM(1 - event) AS BIGINT) AS c,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM u GROUP BY 1
+    ),
+    risk AS (
+      SELECT duration, d, c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM u)
+               - (SUM(leaving) OVER (ORDER BY duration
+                                     ROWS UNBOUNDED PRECEDING)
+                  - leaving) AS n_risk
+      FROM grid
+    ),
+    terms AS (
+      SELECT duration, d, c, n_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_risk > d THEN
+                    CAST(FLOOR(ln(CAST(n_risk - d AS DOUBLE) / n_risk)
+                               * 1000000 + 0.5) AS BIGINT)
+                  ELSE NULL END AS micro,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead
+      FROM risk
+    ),
+    cum AS (
+      SELECT duration, d, c, n_risk,
+             SUM(micro) OVER w AS log_surv_micro,
+             MAX(dead) OVER w AS any_dead
+      FROM terms
+      WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT duration AS duration_days, n_risk, d AS n_events,
+           c AS n_censored,
+           CASE WHEN any_dead = 1 THEN NULL
+                ELSE log_surv_micro END AS log_surv_micro,
+           CASE WHEN any_dead = 1 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(FLOOR(exp(log_surv_micro / 1000000.0)
+                                * 1000000 + 0.5) / 1000000 AS DOUBLE)
+           END AS survival
+    FROM cum WHERE d > 0
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (first->last
+    event day), with users still active on the corpus horizon day
+    RIGHT-CENSORED (they leave the risk set without counting as
+    churn) — the churn/retention curve estimator, a statistical family
+    none of the moment/rank entries cover.
+
+    Determinism: the product Π(1 - dᵢ/nᵢ) moves to LOG SPACE — each
+    factor is ln of ONE exact-int division, micro-floored, and the
+    running product becomes an integer cumulative sum (float products
+    would be order-sensitive); survival re-exponentiates once at the
+    edge. The d = n_risk boundary (curve hits zero) short-circuits via
+    an integer flag instead of ln(0). Scale shape: the event stream
+    collapses to one row per user FIRST; everything after runs on the
+    distinct-duration grid (bounded by the time horizon, not the user
+    count), with suffix risk counts from one cumulative window."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(
+        F.max(F.date_trunc("day", F.col("ts"))).alias("hmax")
+    )
+    u = (
+        events.groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("f"),
+            F.date_trunc("day", F.max("ts")).alias("l"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.expr("timestampdiff(DAY, f, l)").cast("long").alias(
+                "duration"
+            ),
+            F.when(
+                F.col("l") >= F.col("hmax"), 0
+            )
+            .otherwise(1)
+            .alias("event"),
+        )
+    )
+    u = u.localCheckpoint(eager=True)
+    n_total = u.agg(F.count("*").alias("n_total"))
+    grid = u.groupBy("duration").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c"),
+        F.count("*").alias("leaving"),
+    )
+    w = W.orderBy("duration").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = grid.crossJoin(F.broadcast(n_total)).select(
+        "duration",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - (F.sum("leaving").over(w) - F.col("leaving"))
+        ).alias("n_risk"),
+    )
+    micro = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_risk") > F.col("d"),
+            F.floor(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk")
+                )
+                * 1000000
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    dead = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    terms = risk.select(
+        "duration", "d", "c", "n_risk",
+        micro.alias("micro"), dead.alias("dead"),
+    )
+    cum = terms.select(
+        "duration",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("micro").over(w).alias("log_surv_micro"),
+        F.max("dead").over(w).alias("any_dead"),
+    )
+    return cum.filter(F.col("d") > 0).select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(
+            F.col("any_dead") == 1, F.lit(None).cast("bigint")
+        )
+        .otherwise(F.col("log_surv_micro"))
+        .alias("log_surv_micro"),
+        F.when(F.col("any_dead") == 1, F.lit(0.0))
+        .otherwise(
+            (
+                F.floor(
+                    F.exp(F.col("log_surv_micro") / F.lit(1000000.0))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000
+            ).cast("double")
+        )
+        .alias("survival"),
+    )
