@@ -159,6 +159,7 @@ BENCH_QUERIES_EXT = [
     "label_noise_knn_disagreement",
     "vocab_size_oov_curve",
     "survival_kaplan_meier",
+    "embedding_power_iteration",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2437,3 +2437,154 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dominant principal component via integer power iteration (5th iterative
+# family: pagerank, connected components, k-means, BPE, now power iteration)
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+
+
+def _pi_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled power-iteration round: u = G·w, then max-abs
+    normalization back to 1e6 scale with sign-safe integer division
+    (abs() first — HUGEINT // floors toward -inf while Spark DIV
+    truncates toward 0; they agree on non-negative operands only)."""
+    return f"""
+    u{cur} AS (
+      SELECT da AS d, SUM(g * {prev}.w) AS u
+      FROM gram JOIN {prev} ON gram.db = {prev}.d GROUP BY 1
+    ),
+    m{cur} AS (SELECT MAX(abs(u)) AS m FROM u{cur}),
+    {cur} AS (
+      SELECT d,
+             (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+             * ((abs(u) * 1000000) // (SELECT m FROM m{cur})) AS w
+      FROM u{cur}
+    )"""
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, g.d,
+             CAST(FLOOR(CAST(embedding[g.d] AS DOUBLE) * 1000 + 0.5)
+                  AS BIGINT) AS x
+      FROM embeddings, generate_series(1, 64) g(d)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    s AS (SELECT d, CAST(SUM(x) AS BIGINT) AS sd FROM q GROUP BY 1),
+    y AS (
+      SELECT q.vec_id, q.d, (n.n * q.x - s.sd) AS y
+      FROM q JOIN s USING (d) CROSS JOIN n
+    ),
+    gram AS (
+      SELECT a.d AS da, b.d AS db,
+             SUM(CAST(a.y AS HUGEINT) * b.y) AS g
+      FROM y a JOIN y b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    w0 AS (SELECT g.d, CAST(1000000 AS HUGEINT) AS w
+           FROM generate_series(1, 64) g(d)),
+    {_pi_iter_sql('w0', 'w1')},
+    {_pi_iter_sql('w1', 'w2')},
+    {_pi_iter_sql('w2', 'w3')}
+    SELECT d AS dim, CAST(w AS BIGINT) AS w_micro,
+           CAST((SELECT m FROM mw3) AS DOUBLE) AS lambda_scale
+    FROM w3
+    """,
+)
+def embedding_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dominant principal direction of the (centered) embedding cloud
+    by POWER ITERATION on the exact integer Gram matrix — the fifth
+    iterative algorithm family in the catalog (pagerank, connected
+    components, k-means, BPE, now eigen iteration), and the building
+    block behind PCA whitening / spectral embedding passes.
+
+    Exactness: embeddings quantize to milli-units; centering multiplies
+    through by N (``y = N·x − Σx``) so it stays integer; Gram entries
+    are exact 128-bit-class sums (Spark decimal(38,0) / DuckDB
+    HUGEINT); each iteration is one G·w mat-vec (64-row broadcast
+    join) followed by max-abs normalization via SIGN-SAFE integral
+    division (abs first — the documented DIV-vs-// negative-operand
+    guard) back to 1e6 scale — so the whole fixed point is
+    bit-identical across engines and partitionings, like the other
+    iterative families. ``lambda_scale`` (the final normalization
+    factor) converges to the dominant eigenvalue in the scaled units.
+
+    Scale shape: the N×4096 outer-product expansion aggregates
+    map-side into the fixed 64×64 Gram (the ONLY full-width pass);
+    iterations run on 64-row frames with per-round checkpoints, plan
+    size O(1) in iterations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("d"),
+        F.floor(F.col("v").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+    )
+    n = emb.agg(F.count("*").alias("n"))
+    s = q.groupBy("d").agg(F.sum("x").cast("long").alias("sd"))
+    y = (
+        q.join(F.broadcast(s), "d")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            "d",
+            (F.col("n") * F.col("x") - F.col("sd")).alias("y"),
+        )
+    )
+    ya = y.select(
+        "vec_id", F.col("d").alias("da"), F.col("y").alias("ya")
+    )
+    yb = y.select(
+        "vec_id", F.col("d").alias("db"), F.col("y").alias("yb")
+    )
+    gram = (
+        ya.join(yb, "vec_id")
+        .groupBy("da", "db")
+        .agg(
+            F.sum(
+                F.col("ya").cast("decimal(38,0)") * F.col("yb")
+            ).alias("g")
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = spark.range(1, 65).select(
+        F.col("id").alias("d"),
+        F.lit(1000000).cast("decimal(38,0)").alias("w"),
+    )
+    m = None
+    for _ in range(_PI_ITERS):
+        u = (
+            gram.join(F.broadcast(w), gram["db"] == w["d"])
+            .groupBy("da")
+            .agg(F.sum(F.col("g") * F.col("w")).alias("u"))
+        )
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        w = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("da").alias("d"),
+                (
+                    F.when(F.col("u") < 0, -1).otherwise(1)
+                    * F.expr("(abs(u) * 1000000) DIV m")
+                )
+                .cast("decimal(38,0)")
+                .alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return w.crossJoin(F.broadcast(m)).select(
+        F.col("d").alias("dim"),
+        F.col("w").cast("long").alias("w_micro"),
+        F.col("m").cast("double").alias("lambda_scale"),
+    )
