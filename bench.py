@@ -160,6 +160,7 @@ BENCH_QUERIES_EXT = [
     "vocab_size_oov_curve",
     "survival_kaplan_meier",
     "embedding_power_iteration",
+    "benford_digit_test",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2588,3 +2588,92 @@ def embedding_power_iteration(
         F.col("w").cast("long").alias("w_micro"),
         F.col("m").cast("double").alias("lambda_scale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance (data forensics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_digit_test",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM src
+            GROUP BY 1),
+    n AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+    e AS (
+      SELECT g.d AS digit,
+             ln(1.0 + 1.0 / g.d) / ln(10.0) AS p_expected
+      FROM generate_series(1, 9) g(d)
+    )
+    SELECT e.digit,
+           COALESCE(obs.n, 0) AS n_observed,
+           CAST(FLOOR(e.p_expected * n.total * 1000000 + 0.5) AS BIGINT)
+             AS expected_micro,
+           CAST(FLOOR((CAST(COALESCE(obs.n, 0) AS DOUBLE) / n.total
+                       - e.p_expected) * 1000000 + 0.5) AS BIGINT)
+             AS deviation_micro
+    FROM e LEFT JOIN obs ON obs.digit = e.digit CROSS JOIN n
+    """,
+)
+def benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit conformance of order totals: observed
+    leading-digit counts against the log10(1+1/d) expectation — the
+    fabricated-data / unit-mixing forensic every financial data-quality
+    suite ships (uniform synthetic prices will FAIL it loudly, which is
+    itself the fixture's documentation).
+
+    Scale shape: a map-side digit projection + 9-group aggregate; the
+    expectation frame is 9 constant rows. Determinism: the leading
+    digit comes from the DECIMAL string rendering (identical on both
+    engines — no float formatting); expectation and deviation build
+    from one fixed ln/division op tree, micro-floored."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = src.groupBy("digit").agg(F.count("*").alias("n"))
+    n = obs.agg(F.sum("n").cast("long").alias("total"))
+    e = spark.range(1, 10).select(
+        F.col("id").alias("digit"),
+        (
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("id"))
+            / F.log(F.lit(10.0))
+        ).alias("p_expected"),
+    )
+    return (
+        e.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_observed"),
+            F.floor(
+                F.col("p_expected") * F.col("total") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("expected_micro"),
+            F.floor(
+                (
+                    F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                    / F.col("total")
+                    - F.col("p_expected")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("deviation_micro"),
+        )
+    )
