@@ -161,6 +161,7 @@ BENCH_QUERIES_EXT = [
     "survival_kaplan_meier",
     "embedding_power_iteration",
     "benford_digit_test",
+    "cdc_apply_roundtrip",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
