@@ -162,6 +162,7 @@ BENCH_QUERIES_EXT = [
     "embedding_power_iteration",
     "benford_digit_test",
     "cdc_apply_roundtrip",
+    "forecast_interval_coverage",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

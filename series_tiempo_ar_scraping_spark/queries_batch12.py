@@ -2834,3 +2834,144 @@ def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("roundtrip_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast interval coverage (empirical uncertainty quantification)
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _DAILY_SERIES_DDAY_SQL as _DAILY_SQL,
+)
+
+
+@register(
+    "forecast_interval_coverage",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL}),
+    r AS (
+      SELECT d.series_id, d.dday, d.v - p.v AS resid
+      FROM daily d
+      JOIN daily p ON p.series_id = d.series_id
+                  AND p.dday = d.dday - 7
+    ),
+    cut AS (SELECT MAX(dday) - 7 AS cutoff FROM r),
+    train AS (
+      SELECT series_id, resid,
+             row_number() OVER (PARTITION BY series_id
+                                ORDER BY resid, dday) AS rk,
+             COUNT(*) OVER (PARTITION BY series_id) AS n
+      FROM r WHERE dday <= (SELECT cutoff FROM cut)
+    ),
+    bounds AS (
+      SELECT series_id,
+             CAST(MAX(n) AS BIGINT) AS n_train,
+             MIN(CASE WHEN rk = (n * 5 + 99) // 100 THEN resid END)
+               AS lo,
+             MIN(CASE WHEN rk = (n * 95 + 99) // 100 THEN resid END)
+               AS hi
+      FROM train GROUP BY 1
+    ),
+    test AS (
+      SELECT r.series_id, r.resid
+      FROM r WHERE r.dday > (SELECT cutoff FROM cut)
+    )
+    SELECT t.series_id, b.n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(b.lo AS DOUBLE) AS lo,
+           CAST(b.hi AS DOUBLE) AS hi,
+           CAST(SUM(CASE WHEN t.resid >= b.lo AND t.resid <= b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(SUM(CASE WHEN t.resid >= b.lo AND t.resid <= b.hi
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS coverage
+    FROM test t JOIN bounds b USING (series_id)
+    GROUP BY 1, 2, 4, 5
+    """,
+)
+def forecast_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical prediction-interval coverage (split-conformal shape):
+    fit nothing — take the seasonal-naive forecast's TRAINING residual
+    distribution per series, cut a rank-based 5%..95% band, and
+    measure how often HELD-OUT residuals (the last week) actually land
+    inside it. The uncertainty-quantification lane the point-forecast
+    entries (``series_backtest_mape``, ``series_holt_forecast``) stop
+    short of: a forecaster that cannot state calibrated intervals
+    can't be used for alerting thresholds.
+
+    Determinism: residuals stay exact decimal end-to-end; band cuts
+    are rank positions via positive-int ceiling division (no
+    interpolated quantile); coverage is one division. Scale shape:
+    the 7-day shift is the co-partitioned calendar self-join (not a
+    row-lag), train ranking is one series-keyed window, and the
+    per-series bounds frame broadcasts onto the test rows."""
+    from pyspark.sql import Window as W
+
+    from series_tiempo_ar_scraping_spark.queries_batch8 import _daily
+
+    d = _daily(spark, sf_dir)
+    prev = d.select(
+        "series_id",
+        (F.col("dday") + 7).alias("dday"),
+        F.col("v").alias("v7"),
+    )
+    r = (
+        d.join(prev, ["series_id", "dday"])
+        .select(
+            "series_id", "dday", (F.col("v") - F.col("v7")).alias("resid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    cut = r.agg((F.max("dday") - 7).alias("cutoff"))
+    rc = r.crossJoin(F.broadcast(cut))
+    w = W.partitionBy("series_id")
+    train = rc.filter(F.col("dday") <= F.col("cutoff")).select(
+        "series_id",
+        "resid",
+        F.row_number()
+        .over(w.orderBy("resid", "dday"))
+        .alias("rk"),
+        F.count("*").over(w).alias("n"),
+    )
+    bounds = train.groupBy("series_id").agg(
+        F.max("n").cast("long").alias("n_train"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(n * 5 + 99) DIV 100"),
+                F.col("resid"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rk") == F.expr("(n * 95 + 99) DIV 100"),
+                F.col("resid"),
+            )
+        ).alias("hi"),
+    )
+    test = rc.filter(F.col("dday") > F.col("cutoff")).select(
+        "series_id", "resid"
+    )
+    covered = (F.col("resid") >= F.col("lo")) & (
+        F.col("resid") <= F.col("hi")
+    )
+    return (
+        test.join(F.broadcast(bounds), "series_id")
+        .groupBy(
+            "series_id",
+            "n_train",
+            F.col("lo").cast("double").alias("lo"),
+            F.col("hi").cast("double").alias("hi"),
+        )
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(covered, 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            (
+                F.sum(F.when(covered, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("coverage"),
+        )
+    )
