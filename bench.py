@@ -163,6 +163,7 @@ BENCH_QUERIES_EXT = [
     "benford_digit_test",
     "cdc_apply_roundtrip",
     "forecast_interval_coverage",
+    "chi_square_independence",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2975,3 +2975,101 @@ def forecast_interval_coverage(
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (event type x day-of-week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM obs
+           GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.event_type, obs.dow, obs.o, rt.r, ct.c, n.n,
+             CAST(FLOOR(
+               (CAST(obs.o AS DOUBLE)
+                - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+               * (CAST(obs.o AS DOUBLE)
+                  - CAST(rt.r * ct.c AS DOUBLE) / n.n)
+               / (CAST(rt.r * ct.c AS DOUBLE) / n.n)
+               * 1000000 + 0.5) AS BIGINT) AS chi_micro
+      FROM obs JOIN rt USING (event_type) JOIN ct USING (dow)
+      CROSS JOIN n
+    ),
+    dims AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows_dim,
+             CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_cols_dim,
+             CAST(SUM(chi_micro) AS BIGINT) AS chi2_micro
+      FROM cells
+    )
+    SELECT n_rows_dim, n_cols_dim,
+           (n_rows_dim - 1) * (n_cols_dim - 1) AS dof,
+           chi2_micro,
+           CAST(chi2_micro AS DOUBLE) / 1000000.0 AS chi2
+    FROM dims
+    """,
+)
+def chi_square_independence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week — "does activity mix shift across the week?", the
+    categorical sibling of ``ab_test_mean_diff``'s mean test and the
+    third member of the hypothesis-testing family (means, digits,
+    independence).
+
+    Scale shape: the WHOLE test reduces to the bounded contingency
+    aggregate (|types| x 7 cells with map-side partials); margins are
+    tiny grouped sums of that frame, joined back cell-wise — nothing
+    rescans events. Determinism: expected counts are
+    ``(r*c exact int) / n`` — one division — and each cell's chi
+    contribution micro-floors before the integer sum, so the statistic
+    commutes across partitionings (the bigram-LM recipe)."""
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        "event_type", F.dayofweek("ts").cast("long").alias("dow")
+    ).agg(F.count("*").alias("o"))
+    obs = obs.localCheckpoint(eager=True)
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    chi_micro = F.floor(
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    cells = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(chi_micro.alias("chi_micro"), "event_type", "dow")
+    )
+    dims = cells.agg(
+        F.countDistinct("event_type").alias("n_rows_dim"),
+        F.countDistinct("dow").alias("n_cols_dim"),
+        F.sum("chi_micro").cast("long").alias("chi2_micro"),
+    )
+    return dims.select(
+        "n_rows_dim",
+        "n_cols_dim",
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)).alias(
+            "dof"
+        ),
+        "chi2_micro",
+        (F.col("chi2_micro").cast("double") / F.lit(1000000.0)).alias(
+            "chi2"
+        ),
+    )
