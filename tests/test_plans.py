@@ -534,3 +534,30 @@ def test_batch12_part3_plan_properties(plans):
     assert "FullOuter" in p
     p = plans("user_activity_entropy")
     assert "SortMergeJoin" not in p  # per-user totals broadcast back
+
+
+def test_batch12_part4_no_python_and_broadcast_margins(plans):
+    """Newest batch-12 entries: all pure-JVM (no Python UDF anywhere),
+    and the bounded margin/bounds/expectation frames broadcast instead
+    of sort-merging. Fact-fact joins (CDC diffs, recommender context)
+    legitimately sort-merge and are not pinned here."""
+    for q in (
+        "label_noise_knn_disagreement",
+        "vocab_size_oov_curve",
+        "survival_kaplan_meier",
+        "embedding_power_iteration",
+        "benford_digit_test",
+        "cdc_apply_roundtrip",
+        "forecast_interval_coverage",
+        "chi_square_independence",
+        "basket_recommender_hitrate",
+        "quantile_normalize_sources",
+    ):
+        assert "EvalPython" not in plans(q, "simple"), q
+    for q in (
+        "chi_square_independence",  # contingency margins
+        "benford_digit_test",  # 9-row expectation frame
+        "vocab_size_oov_curve",  # ranked-vocab join
+        "label_noise_knn_disagreement",  # pair side broadcast
+    ):
+        assert "SortMergeJoin" not in plans(q), q
