@@ -138,6 +138,22 @@ def main() -> None:
                 )
             ).alias("n")
         ).write.mode("overwrite").format("noop").save(),
+        # round 7 batch 12: the eigen-iteration ingest kernel — per-row
+        # mini-vector outer product aggregated into a fixed D x D Gram
+        # (D=4 here; the catalog query uses D=64). Expansion is D^2
+        # rows per input but the aggregate is map-side combinable into
+        # 16 cells, so the shuffle is constant-size regardless of rows.
+        "gram_outer_product": lambda e: e.select(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " i -> CAST((event_id >> (4 * i)) % 1000 AS BIGINT))"
+            ).alias("v")
+        )
+        .select(F.posexplode("v").alias("a", "xa"), F.col("v"))
+        .select("a", "xa", F.posexplode("v").alias("b", "xb"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")))
+        .write.mode("overwrite").format("noop").save(),
         "broadcast_join": lambda e: e.join(
             F.broadcast(
                 e.sparkSession.createDataFrame(
