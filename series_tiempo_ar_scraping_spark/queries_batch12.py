@@ -1,33 +1,47 @@
-"""Batch-12 queries: runtime-filter pruning, contrastive negative mining,
-and one-pass weighted sampling.
+"""Batch-12 queries: the shapes a 100 TB curation/training/analytics
+platform runs that the earlier batches stopped short of.
 
-Three shapes a 100 TB curation/training pipeline runs constantly that the
-earlier batches stopped short of:
+Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
 
-- an EXPLICIT Bloom-filter semi-join prune (the runtime-filter pattern:
-  hash the small build side into a fixed bit set, broadcast ~KBs, drop
-  probe rows before they reach the expensive join/shuffle — with the
-  false-positive accounting that tells you whether m/k were sized right),
-- hard-negative mining for contrastive training (per query vector, the
-  most-similar corpus vectors with a DIFFERENT label — the batch shape
-  behind every embedding-model fine-tune),
-- quality-weighted Bernoulli sampling (accept each document with
-  probability proportional to its quality score, via a seeded hash
-  instead of an RNG — one map-side pass, no window, no shuffle beyond
-  the final per-source report).
+- Runtime filtering & reconciliation: explicit Bloom semi-join prune
+  with false-positive accounting; CDC snapshot diff + apply with the
+  ``apply(diff(A,B), A) == B`` closure proved by commutative-sum
+  fingerprints; whole-FK-web referential-integrity audit.
+- Training-data curation: contrastive hard-negative mining,
+  quality-weighted Bernoulli sampling (seeded hash, one map-side pass),
+  k-NN label-noise suspects, vocab-size OOV curve, quantile
+  normalization across sources (two-phase prefix-sum boundaries).
+- Retrieval: reciprocal-rank fusion (both metrics in ONE pair pass),
+  leave-one-basket-out recommender hit-rate with the exact own-count
+  correction.
+- Sketches & info theory: HLL set operations (register-max union,
+  inclusion-exclusion intersection), PMI collocations, activity
+  entropy.
+- Statistics: Welch z-test from mergeable moments, chi-square
+  independence, Benford first-digit forensics, trimmed + winsorized
+  means, Gini via the rank identity, Kaplan-Meier survival (log-space
+  integer product), split-conformal forecast-interval coverage,
+  irregular-series TWAP, ABC/Pareto classes, Flesch readability,
+  first-order Markov transitions.
+- Linear algebra: dominant principal component by integer power
+  iteration on the exact Gram (the fifth iterative family).
 
-Determinism recipe (repo standard, queries_batch8): exact bigint
-arithmetic end-to-end; the seeded cross-engine hash is the ONE
+Determinism recipe (repo standard, queries_batch8): exact bigint /
+decimal arithmetic end-to-end; the seeded cross-engine hash is the ONE
 ``hash64_seeded``/``_hex60_seeded`` spelling; at most one double
 division of identical integers per output column (IEEE division is
-correctly rounded, so same ints -> same bits); cosine goes through the
-shared ``_COS64_SQL`` fragment + ``det_round``.
+correctly rounded, so same ints -> same bits); ln/exp feed on single
+divisions and micro-floor per term before any cross-partition sum;
+cosine goes through the shared ``_COS64_SQL`` fragment + ``det_round``;
+FLOAT columns cast to double explicitly before scaling (engine
+promotion orders diverge at boundary values).
 
 Reference parity: extends the reference's harvest-filter family
 (reference/scrapers/base.py get_time_series_distributions — decide
 cheaply which distributions to process before doing the work) to
-set-membership pruning at fleet scale, and its per-series sampling has
-no analog — these are the curation extensions SURVEY §2.13 calls for.
+set-membership pruning at fleet scale, and its validation/report
+family (reference/scrapers/validators.py) to cross-table audits and
+statistical QA — the curation extensions SURVEY §2.13 calls for.
 """
 
 from __future__ import annotations
