@@ -164,6 +164,7 @@ BENCH_QUERIES_EXT = [
     "cdc_apply_roundtrip",
     "forecast_interval_coverage",
     "chi_square_independence",
+    "nightly_quality_report",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -3087,3 +3087,76 @@ def chi_square_independence(
             "chi2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed nightly data-quality report (third composed pipeline)
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
+
+
+def _nqr_oracle() -> str:
+    """Compose the COMPONENT ORACLES (verbatim, from the registry) into
+    the long-format report — the oracle composes exactly what the Spark
+    side composes, so an edit to any component propagates to both.
+    Components are all registered EARLIER IN THIS MODULE, so the
+    registry reads are safe under any batch import order (a
+    cross-module read here broke batchN-first imports — the
+    test_import_order contract)."""
+    return f"""
+    SELECT 'fk_orphans' AS check_name, relationship AS item,
+           CAST(n_orphans AS BIGINT) AS metric
+    FROM ({ORACLES["fk_integrity_audit"]})
+    UNION ALL
+    SELECT 'cdc_diff', verdict, CAST(n AS BIGINT)
+    FROM ({ORACLES["snapshot_diff_report"]})
+    UNION ALL
+    SELECT 'benford_absdev', CAST(digit AS VARCHAR),
+           CAST(abs(deviation_micro) AS BIGINT)
+    FROM ({ORACLES["benford_digit_test"]})
+    UNION ALL
+    SELECT 'mix_shift_chi2', 'event_type_x_dow',
+           CAST(chi2_micro AS BIGINT)
+    FROM ({ORACLES["chi_square_independence"]})
+    """
+
+
+@register("nightly_quality_report", oracle=_nqr_oracle())
+def nightly_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed nightly data-quality run — referential integrity,
+    CDC reconciliation, Benford forensics, and activity-mix shift as ONE
+    long-format report (check, item, metric) — the third composed
+    pipeline beside ``corpus_curation_pipeline`` (curation) and
+    ``series_nightly_rollup`` (series ETL), covering the OPS lane.
+
+    Composition is by REGISTRY on both sides: the Spark body calls the
+    registered component queries and normalizes their outputs; the
+    oracle embeds the components' registered oracle SQL verbatim — so
+    the composed entry can never drift from its parts. Scale shape:
+    the components share no state, so the four branches run as
+    independent subtrees under one union (a scheduler can run them
+    concurrently); each branch keeps its own audited plan."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    fk = QUERIES["fk_integrity_audit"](spark, sf_dir).select(
+        F.lit("fk_orphans").alias("check_name"),
+        F.col("relationship").alias("item"),
+        F.col("n_orphans").cast("long").alias("metric"),
+    )
+    cdc = QUERIES["snapshot_diff_report"](spark, sf_dir).select(
+        F.lit("cdc_diff").alias("check_name"),
+        F.col("verdict").alias("item"),
+        F.col("n").cast("long").alias("metric"),
+    )
+    ben = QUERIES["benford_digit_test"](spark, sf_dir).select(
+        F.lit("benford_absdev").alias("check_name"),
+        F.col("digit").cast("string").alias("item"),
+        F.abs(F.col("deviation_micro")).cast("long").alias("metric"),
+    )
+    chi = QUERIES["chi_square_independence"](spark, sf_dir).select(
+        F.lit("mix_shift_chi2").alias("check_name"),
+        F.lit("event_type_x_dow").alias("item"),
+        F.col("chi2_micro").cast("long").alias("metric"),
+    )
+    return fk.unionByName(cdc).unionByName(ben).unionByName(chi)
