@@ -561,3 +561,15 @@ def test_batch12_part4_no_python_and_broadcast_margins(plans):
         "label_noise_knn_disagreement",  # pair side broadcast
     ):
         assert "SortMergeJoin" not in plans(q), q
+
+
+def test_nightly_quality_report_composed_plan(plans):
+    """The composed ops report is a UNION of four independent component
+    subtrees — pure JVM, no Python, and no sort-merge joins outside
+    the CDC branch's fact-fact full-outer (which is that component's
+    audited plan)."""
+    p = plans("nightly_quality_report", "simple")
+    assert "EvalPython" not in p
+    assert "Union" in p
+    # the only SMJs are the CDC snapshot diff's (fact-fact full outer)
+    assert p.count("SortMergeJoin") <= 3
