@@ -165,6 +165,7 @@ BENCH_QUERIES_EXT = [
     "forecast_interval_coverage",
     "chi_square_independence",
     "nightly_quality_report",
+    "bitmap_segment_overlap",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -3160,3 +3160,126 @@ def nightly_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chi2_micro").cast("long").alias("metric"),
     )
     return fk.unionByName(cdc).unionByName(ben).unionByName(chi)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index segment overlap (exact twin of the HLL set operations)
+# ---------------------------------------------------------------------------
+
+_BM_W = 63  # 63-bit words: keeps 1 << bit positive on both engines
+
+
+def _bm_words_sql(etype: str) -> str:
+    return f"""
+      SELECT user_id // {_BM_W} AS word,
+             bit_or(1::BIGINT << CAST(user_id % {_BM_W} AS INT)) AS bits
+      FROM events WHERE event_type = '{etype}'
+      GROUP BY 1
+    """
+
+
+@register(
+    "bitmap_segment_overlap",
+    oracle=f"""
+    WITH wa AS ({_bm_words_sql("click")}),
+    wb AS ({_bm_words_sql("purchase")}),
+    j AS (
+      SELECT COALESCE(wa.word, wb.word) AS word,
+             COALESCE(wa.bits, 0) AS ba, COALESCE(wb.bits, 0) AS bb
+      FROM wa FULL OUTER JOIN wb ON wa.word = wb.word
+    ),
+    agg AS (
+      SELECT CAST(SUM(bit_count(ba)) AS BIGINT) AS n_a,
+             CAST(SUM(bit_count(bb)) AS BIGINT) AS n_b,
+             CAST(SUM(bit_count(ba & bb)) AS BIGINT) AS n_and,
+             CAST(SUM(bit_count(ba | bb)) AS BIGINT) AS n_or
+      FROM j
+    ),
+    truth AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+      )
+    )
+    SELECT agg.n_a, agg.n_b, agg.n_and, agg.n_or, truth.exact_inter,
+           CASE WHEN agg.n_and = truth.exact_inter THEN 1 ELSE 0 END
+             AS bitmap_matches_exact
+    FROM agg, truth
+    """,
+)
+def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience-overlap via bitmap indexes: each segment's user
+    set compresses to (word, 63-bit bitmap) rows built with one
+    ``bit_or`` aggregate; intersection/union cardinalities are then
+    ``bit_count`` sums over a word-aligned join — the roaring-bitmap
+    pattern OLAP engines use when the overlap answer must be EXACT
+    (the sketch twin is ``hll_set_union_intersect``: 64 cells of
+    fixed state vs |users|/63 words of exact state; this entry
+    self-audits by comparing n_and against the INTERSECT ground truth
+    in the same result row).
+
+    Scale shape: bitmaps build map-side (bit_or partials merge like
+    any aggregate), the segment-overlap join is keyed by word (dense
+    user-id spaces make it |users|/63 rows per segment), and the
+    final counts are one bounded aggregate. Set algebra on compressed
+    state — no distinct-shuffle of raw events at query time."""
+    events = load_table(spark, sf_dir, "events")
+
+    def words(etype: str, bits_name: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy(
+                F.expr(f"user_id DIV {_BM_W}").alias("word")
+            )
+            .agg(
+                # shiftleft takes a literal count in the PySpark API;
+                # the SQL function accepts a column
+                F.bit_or(
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT),"
+                        f" CAST(user_id % {_BM_W} AS INT))"
+                    )
+                ).alias(bits_name)
+            )
+        )
+
+    j = (
+        words("click", "ba")
+        .join(words("purchase", "bb"), "word", "full_outer")
+        .select(
+            F.coalesce(F.col("ba"), F.lit(0)).alias("ba"),
+            F.coalesce(F.col("bb"), F.lit(0)).alias("bb"),
+        )
+    )
+    agg = j.agg(
+        F.sum(F.bit_count("ba")).cast("long").alias("n_a"),
+        F.sum(F.bit_count("bb")).cast("long").alias("n_b"),
+        F.sum(F.bit_count(F.col("ba").bitwiseAND(F.col("bb"))))
+        .cast("long")
+        .alias("n_and"),
+        F.sum(F.bit_count(F.col("ba").bitwiseOR(F.col("bb"))))
+        .cast("long")
+        .alias("n_or"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id"
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    truth = (
+        clicks.intersect(buys)
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    return agg.crossJoin(truth).select(
+        "n_a",
+        "n_b",
+        "n_and",
+        "n_or",
+        "exact_inter",
+        F.when(F.col("n_and") == F.col("exact_inter"), 1)
+        .otherwise(0)
+        .alias("bitmap_matches_exact"),
+    )
