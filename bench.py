@@ -166,6 +166,7 @@ BENCH_QUERIES_EXT = [
     "chi_square_independence",
     "nightly_quality_report",
     "bitmap_segment_overlap",
+    "spatial_cell_knn_join",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

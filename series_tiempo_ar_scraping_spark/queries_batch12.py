@@ -3283,3 +3283,130 @@ def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("bitmap_matches_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join: grid-cell-blocked nearest neighbor
+# ---------------------------------------------------------------------------
+
+_SP_GRID = 10000  # coordinate space [0, 10000)^2
+_SP_CELL = 500  # cell edge -> 20 x 20 cells
+
+
+def _sp_points_sql() -> str:
+    return f"""
+      SELECT c_custkey AS pid,
+             ({_hex60_seeded(11, "CAST(c_custkey AS VARCHAR)")}
+              % {_SP_GRID}) AS x,
+             ({_hex60_seeded(12, "CAST(c_custkey AS VARCHAR)")}
+              % {_SP_GRID}) AS y
+      FROM customer
+    """
+
+
+@register(
+    "spatial_cell_knn_join",
+    oracle=f"""
+    WITH pts AS ({_sp_points_sql()}),
+    probe AS (
+      SELECT pid, x, y,
+             (x // {_SP_CELL}) + dx.d AS cx,
+             (y // {_SP_CELL}) + dy.d AS cy
+      FROM pts,
+           generate_series(-1, 1) dx(d),
+           generate_series(-1, 1) dy(d)
+    ),
+    cand AS (
+      SELECT p.pid, c.pid AS nid,
+             (p.x - c.x) * (p.x - c.x)
+             + (p.y - c.y) * (p.y - c.y) AS d2
+      FROM probe p
+      JOIN pts c ON c.x // {_SP_CELL} = p.cx
+                AND c.y // {_SP_CELL} = p.cy
+                AND c.pid <> p.pid
+    ),
+    nn AS (
+      SELECT pid, nid, d2,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY d2, nid) AS rk
+      FROM cand
+    )
+    SELECT pid, nid AS nn_pid, d2 AS nn_d2
+    FROM nn WHERE rk = 1
+    """,
+)
+def spatial_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell-blocked nearest-neighbor SPATIAL join: deterministic
+    point coordinates per customer (seeded hash onto a 10000² grid),
+    500-unit cells, each point probing its 3×3 cell neighborhood for
+    the nearest other point by squared Euclidean distance — the
+    standard spatial-join blocking (geohash/S2-cell pattern) with
+    integer-only geometry (no trig, whose libm rounding differs
+    between engines). NN is cell-bounded by construction (exact within
+    one cell radius — the documented contract of grid blocking; widen
+    the neighborhood or re-probe empty rings for unbounded NN).
+
+    Scale shape: the probe side explodes 9× (a generator, bounded),
+    the join is an EQUI-join on cell ids (hash-partitionable — never
+    an all-pairs distance join), candidates per point are bounded by
+    local density, and the top-1 window gets a group-limit pushdown.
+    All-integer distances, total-order tiebreak."""
+    from pyspark.sql import Window as W
+
+    customer = load_table(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").alias("pid"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % _SP_GRID)
+        .alias("x"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % _SP_GRID)
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        pts.select(
+            "pid",
+            "x",
+            "y",
+            F.explode(offs).alias("dxo"),
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            (F.expr(f"x DIV {_SP_CELL}") + F.col("dxo")).alias("cx"),
+            F.explode(offs).alias("dyo"),
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            "cx",
+            (F.expr(f"y DIV {_SP_CELL}") + F.col("dyo")).alias("cy"),
+        )
+    )
+    cand_src = pts.select(
+        F.col("pid").alias("nid"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.expr(f"x DIV {_SP_CELL}").alias("cx"),
+        F.expr(f"y DIV {_SP_CELL}").alias("cy"),
+    )
+    cand = (
+        probe.join(cand_src, ["cx", "cy"])
+        .filter(F.col("nid") != F.col("pid"))
+        .select(
+            "pid",
+            "nid",
+            (
+                (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+                + (F.col("y") - F.col("ny"))
+                * (F.col("y") - F.col("ny"))
+            ).alias("d2"),
+        )
+    )
+    w = W.partitionBy("pid").orderBy(F.asc("d2"), F.asc("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("pid", F.col("nid").alias("nn_pid"), F.col("d2").alias("nn_d2"))
+    )
