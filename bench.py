@@ -167,6 +167,7 @@ BENCH_QUERIES_EXT = [
     "nightly_quality_report",
     "bitmap_segment_overlap",
     "spatial_cell_knn_join",
+    "graph_bounded_shortest_paths",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -3410,3 +3410,150 @@ def spatial_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("pid", F.col("nid").alias("nn_pid"), F.col("d2").alias("nn_d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (min-plus / Bellman-Ford — the
+# sixth iterative family)
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 3
+_BF_INF = 10**15
+
+
+def _bf_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS id, MIN({prev}.dist + e.w) AS cand
+      FROM edges e JOIN {prev} ON {prev}.id = e.src
+      GROUP BY 1
+    ),
+    {cur} AS (
+      SELECT {prev}.id,
+             LEAST({prev}.dist, COALESCE(c{cur}.cand, {prev}.dist))
+               AS dist
+      FROM {prev} LEFT JOIN c{cur} ON c{cur}.id = {prev}.id
+    )"""
+
+
+@register(
+    "graph_bounded_shortest_paths",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS s_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT pa AS src, pb AS dst, 1 + 1000 // s_pair AS w FROM pairs
+      UNION ALL
+      SELECT pb, pa, 1 + 1000 // s_pair FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM op),
+    src AS (SELECT MIN(id) AS s FROM nodes),
+    d0 AS (
+      SELECT id, CASE WHEN id = (SELECT s FROM src)
+                      THEN CAST(0 AS BIGINT)
+                      ELSE CAST({_BF_INF} AS BIGINT) END AS dist
+      FROM nodes
+    ),
+    {_bf_iter_sql('d0', 'd1')},
+    {_bf_iter_sql('d1', 'd2')},
+    {_bf_iter_sql('d2', 'd3')}
+    SELECT id AS part_id,
+           CASE WHEN dist < {_BF_INF} THEN dist END AS dist,
+           CASE WHEN dist < {_BF_INF} THEN 1 ELSE 0 END AS reached
+    FROM d3
+    """,
+)
+def graph_bounded_shortest_paths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-hop weighted shortest paths (3 Bellman-Ford relaxation
+    rounds) from the min-id part over the co-occurrence graph, with
+    edge weight ``1 + 1000 DIV support`` (stronger co-purchase =
+    shorter) — the SIXTH iterative family (pagerank, CC, k-means, BPE,
+    power iteration, now min-plus), and the BSP shortest-path shape
+    (Pregel supersteps) every graph engine builds on. Distances after
+    k rounds are exact within k hops — the standard bounded-frontier
+    contract; unreached nodes report NULL/0.
+
+    Determinism: pure integer min-plus (MIN and + commute across
+    partitionings); positive-operand DIV for weights. Scale shape:
+    per round, ONE join of the checkpointed edge list against current
+    distances and one MIN shuffle keyed by dst — the edge list stays
+    partitioned while the 1-row-per-node distance frame moves, plan
+    size O(1) in rounds via per-round checkpoints (the pagerank
+    discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    und = (
+        baskets.select(
+            F.explode(
+                upper_triangle_pairs(
+                    F.col("parts"),
+                    lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("s_pair"))
+        .filter(F.col("s_pair") >= 2)
+    )
+    w_expr = F.expr("1 + 1000 DIV s_pair")
+    edges = (
+        und.select(
+            F.col("pa").alias("src"),
+            F.col("pb").alias("dst"),
+            w_expr.alias("w"),
+        )
+        .unionByName(
+            und.select(
+                F.col("pb").alias("src"),
+                F.col("pa").alias("dst"),
+                w_expr.alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = op.select(F.col("l_partkey").alias("id")).distinct()
+    src = nodes.agg(F.min("id").alias("s"))
+    d = (
+        nodes.crossJoin(F.broadcast(src))
+        .select(
+            "id",
+            F.when(F.col("id") == F.col("s"), F.lit(0))
+            .otherwise(F.lit(_BF_INF))
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BF_ROUNDS):
+        cand = (
+            edges.join(d, edges["src"] == d["id"])
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+        )
+        d = (
+            d.join(cand, d["id"] == cand["cid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("cand"), F.col("dist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return d.select(
+        F.col("id").alias("part_id"),
+        F.when(F.col("dist") < _BF_INF, F.col("dist")).alias("dist"),
+        F.when(F.col("dist") < _BF_INF, 1).otherwise(0).alias("reached"),
+    )
