@@ -573,3 +573,23 @@ def test_nightly_quality_report_composed_plan(plans):
     assert "Union" in p
     # the only SMJs are the CDC snapshot diff's (fact-fact full outer)
     assert p.count("SortMergeJoin") <= 3
+
+
+def test_spatial_knn_generator_blocking_and_group_limit(plans):
+    """Spatial NN: 3x3 neighborhood via generators (never an all-pairs
+    distance join), equi-join on cell ids, and the top-1 ranking prunes
+    through a WindowGroupLimit."""
+    p = plans("spatial_cell_knn_join", "simple")
+    assert p.count("Generate") == 2  # dx, dy offsets
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "WindowGroupLimit" in p
+
+
+def test_bellman_ford_plan_is_checkpoint_truncated(plans):
+    """Min-plus iteration keeps plan size O(1) in rounds: every join
+    and shuffle executes inside the per-round eager checkpoints, so
+    the FINAL displayed plan is just the projection over the last
+    checkpointed distance frame (the pagerank discipline)."""
+    p = plans("graph_bounded_shortest_paths", "simple")
+    assert "Exchange" not in p and "Join" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed frame
