@@ -168,6 +168,7 @@ BENCH_QUERIES_EXT = [
     "bitmap_segment_overlap",
     "spatial_cell_knn_join",
     "graph_bounded_shortest_paths",
+    "hierarchy_subtree_rollup",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

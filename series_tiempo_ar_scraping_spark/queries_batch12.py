@@ -3557,3 +3557,69 @@ def graph_bounded_shortest_paths(
         F.when(F.col("dist") < _BF_INF, F.col("dist")).alias("dist"),
         F.when(F.col("dist") < _BF_INF, 1).otherwise(0).alias("reached"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtree rollup (BOM / org-tree aggregation)
+# ---------------------------------------------------------------------------
+
+_HIER_LEVELS = 3  # ancestors p DIV 2, DIV 4, DIV 8
+
+
+@register(
+    "hierarchy_subtree_rollup",
+    oracle=f"""
+    WITH anc AS (
+      SELECT g.k AS ancestor_level,
+             p.p_partkey // (1 << g.k) AS ancestor_id,
+             CAST(p.p_retailprice AS DECIMAL(12,2)) AS price,
+             p.p_partkey
+      FROM part p, generate_series(1, {_HIER_LEVELS}) g(k)
+    )
+    SELECT ancestor_level, ancestor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(price) AS DOUBLE) AS subtree_price,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_part,
+           CAST(MAX(p_partkey) AS BIGINT) AS max_part
+    FROM anc GROUP BY 1, 2
+    """,
+)
+def hierarchy_subtree_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical (BOM / org-tree) subtree aggregation: every part
+    rolls its retail price up to its ancestors at 3 levels of an
+    implicit binary hierarchy (``ancestor_k = id DIV 2^k`` — the
+    deterministic stand-in for a parent edge list), producing per-
+    ancestor subtree totals — the recursive-hierarchy aggregation
+    family (category trees, cost rollups, org charts) that dimensional
+    ``rollup_order_indicators`` does NOT cover.
+
+    Scale shape: ancestor PATHS materialize as ONE generator expansion
+    (k rows per part, k bounded by hierarchy depth) feeding one
+    aggregate with map-side partials — the standard flattened-closure
+    trick that replaces k self-joins or a recursive CTE; for unbounded
+    depth the iterative-family pattern (per-round checkpointed joins,
+    as in ``graph_bounded_shortest_paths``) takes over. Positive-int
+    DIV; exact decimal sums."""
+    part = load_table(spark, sf_dir, "part")
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("ancestor_level"),
+                F.expr(f"p_partkey DIV {1 << k}").alias("ancestor_id"),
+            )
+            for k in range(1, _HIER_LEVELS + 1)
+        ]
+    )
+    anc = part.select(
+        F.explode(levels).alias("a"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+        "p_partkey",
+    )
+    return anc.groupBy("a.ancestor_level", "a.ancestor_id").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("price").cast("double").alias("subtree_price"),
+        F.min("p_partkey").cast("long").alias("min_part"),
+        F.max("p_partkey").cast("long").alias("max_part"),
+    )
