@@ -169,6 +169,7 @@ BENCH_QUERIES_EXT = [
     "spatial_cell_knn_join",
     "graph_bounded_shortest_paths",
     "hierarchy_subtree_rollup",
+    "bitmap_words_hourly",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

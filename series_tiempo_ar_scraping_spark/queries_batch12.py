@@ -3623,3 +3623,36 @@ def hierarchy_subtree_rollup(
         F.min("p_partkey").cast("long").alias("min_part"),
         F.max("p_partkey").cast("long").alias("max_part"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-exact distinct: hourly bitmap words (batch lane)
+# ---------------------------------------------------------------------------
+
+from series_tiempo_ar_scraping_spark.streaming.sketch import (  # noqa: E402
+    BITMAP_W,
+    bitmap_words,
+)
+
+
+@register(
+    "bitmap_words_hourly",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           user_id // {BITMAP_W} AS word,
+           bit_or(1::BIGINT << CAST(user_id % {BITMAP_W} AS INT)) AS bits
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def bitmap_words_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 + bitmaps: per-hour EXACT-distinct bitmap words over the
+    event stream's user ids — the BATCH lane of
+    ``streaming/sketch.py:bitmap_words`` (the same function runs under
+    readStream; bit_or is both the incremental state update AND the
+    shard/window merge). Completes the sketch trio: CMS (frequency,
+    additive merge), HLL (cardinality estimate, max merge), bitmap
+    (cardinality EXACT, or merge) — each batch-oracled AND
+    streaming-mergeable, so the platform can trade state size for
+    exactness per use case without changing the pipeline shape."""
+    return bitmap_words(load_table(spark, sf_dir, "events"))

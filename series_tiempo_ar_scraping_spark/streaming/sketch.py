@@ -136,3 +136,37 @@ def hll_registers(
         .agg(F.max("rho").alias("r"))
         .select(F.col("_w.start").alias("window_start"), "bucket", "r")
     )
+
+
+BITMAP_W = 63  # 63-bit words: 1 << bit stays positive on both engines
+
+
+def bitmap_words(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT-distinct state per event-time window:
+    (window_start, word, bits) where ``bits`` is the bit_or of
+    ``1 << (user_id % 63)`` within word ``user_id DIV 63`` — the exact
+    twin of ``hll_registers``: bit_or is both the incremental state
+    update AND the shard/window merge, state is |users|/63 words per
+    window (vs HLL's fixed m cells), and any window's distinct count
+    is SUM(bit_count(bits)) with no rescan. Same function runs batch
+    and streaming (the repo's sketch-pair convention)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    keyed = src.select(
+        "ts",
+        F.expr(f"user_id DIV {BITMAP_W}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_W}"
+            " AS INT))"
+        ).alias("bit"),
+    )
+    return (
+        keyed.groupBy(F.window("ts", window_len).alias("_w"), "word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .select(F.col("_w.start").alias("window_start"), "word", "bits")
+    )

@@ -501,3 +501,83 @@ def test_hll_bucket_rho_geometry_derives_from_m(spark):
             assert 0 <= r.bucket < m and 1 <= r.rho <= rmax
     with pytest.raises(ValueError, match="power of two"):
         hll_bucket_rho(F.col("v"), 48)
+
+
+def test_bitmap_words_stream_merges_to_batch_and_counts_exactly(
+    spark, tmp_path
+):
+    """bit_or is the bitmap merge: streaming two microbatches produces
+    exactly the batch words of the union, and SUM(bit_count(bits))
+    over a window equals the true COUNT(DISTINCT user) — the EXACT
+    counterpart of the HLL register test."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.sketch import (
+        bitmap_words,
+    )
+
+    d = str(tmp_path / "bm_src")
+    os.makedirs(d)
+    t0 = time.time() - 1000
+    batches = [
+        [(i, f"2024-01-01 10:{i % 60:02d}:00", 1000 + (i % 70), "click",
+          1.0, "{}") for i in range(50)],
+        [(100 + i, f"2024-01-01 10:{i % 60:02d}:00", 1040 + (i % 70),
+          "view", 1.0, "{}") for i in range(50)],
+    ]
+    for idx, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / f"bs_{idx}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, f"b{idx}.parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (t0 + idx * 100, t0 + idx * 100))
+
+    streamed = bitmap_words(
+        SE.read_events_stream(spark, d, max_files_per_trigger=1)
+    )
+    q = (
+        streamed.writeStream.format("memory")
+        .queryName("bm_merge_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.window_start, r.word, r.bits)
+        for r in spark.table("bm_merge_test").collect()
+    )
+    union = spark.read.parquet(d)
+    want = sorted(
+        (r.window_start, r.word, r.bits)
+        for r in bitmap_words(union).collect()
+    )
+    assert got == want and len(want) > 0
+    # exactness: popcount sum == true distinct per window
+    counted = (
+        bitmap_words(union)
+        .groupBy("window_start")
+        .agg(F.sum(F.bit_count("bits")).alias("n"))
+        .collect()
+    )
+    truth = {
+        r.window_start: r.n
+        for r in union.select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        .groupBy("window_start")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in counted:
+        assert r.n == truth[r.window_start]
