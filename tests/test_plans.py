@@ -593,3 +593,28 @@ def test_bellman_ford_plan_is_checkpoint_truncated(plans):
     p = plans("graph_bounded_shortest_paths", "simple")
     assert "Exchange" not in p and "Join" not in p
     assert "Scan ExistingRDD" in p  # the checkpointed frame
+
+
+def test_batch13_plan_properties(plans):
+    """Batch-13 plan contracts: BM25 tf is map-side (no explode, no
+    per-term join — only the 1-row stats frame nested-loops in) with a
+    global TakeOrdered top-k; A-Res sampling is ONE exchange with the
+    per-stratum top-k pruned by WindowGroupLimit; span dedup explodes
+    via generators (never a token self-join) and keeps all joins on
+    the shingle hash; mix-shift never sort-merges (dim join + tiny
+    pivot)."""
+    p = plans("bm25_search_topk", "simple")
+    assert "Generate" not in p  # tf is a higher-order filter, no explode
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stats frame
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    assert "TakeOrdered" in p  # top-k is not a full global sort
+    p = plans("weighted_sample_ares", "simple")
+    assert p.count("Exchange") == 1  # one shuffle on the stratum key
+    assert "WindowGroupLimit" in p  # partial top-k before the shuffle
+    assert "Join" not in p and "EvalPython" not in p
+    p = plans("substring_span_dedup", "simple")
+    assert "Generate" in p  # positional shingles from a generator
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "LeftSemi" in p  # duplicated-hash membership as a semi join
+    p = plans("mix_shift_decomposition", "simple")
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
