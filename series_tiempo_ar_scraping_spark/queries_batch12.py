@@ -3289,19 +3289,12 @@ def bitmap_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spatial join: grid-cell-blocked nearest neighbor
 # ---------------------------------------------------------------------------
 
-_SP_GRID = 10000  # coordinate space [0, 10000)^2
+from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
+    _SP_GRID,
+    _sp_points_sql,
+)
+
 _SP_CELL = 500  # cell edge -> 20 x 20 cells
-
-
-def _sp_points_sql() -> str:
-    return f"""
-      SELECT c_custkey AS pid,
-             ({_hex60_seeded(11, "CAST(c_custkey AS VARCHAR)")}
-              % {_SP_GRID}) AS x,
-             ({_hex60_seeded(12, "CAST(c_custkey AS VARCHAR)")}
-              % {_SP_GRID}) AS y
-      FROM customer
-    """
 
 
 @register(

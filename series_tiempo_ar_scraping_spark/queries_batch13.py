@@ -47,6 +47,7 @@ from series_tiempo_ar_scraping_spark.queries import (
 )
 from series_tiempo_ar_scraping_spark.sqlfrags import (
     _hex60_seeded,
+    _sp_points_sql,
     _toks_of_norm,
 )
 
@@ -562,5 +563,626 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight",
             "key_micro",
             F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked DBSCAN (spatial + graph family)
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 300  # neighborhood radius (grid units)
+_DB_EPS2 = _DB_EPS * _DB_EPS
+_DB_MINPTS = 4  # core point: |closed eps-neighborhood| >= 4
+
+
+def _dbscan_cand_sql() -> str:
+    """Shared candidate-pair CTEs: eps-cell blocking, 3x3 probe, exact
+    squared-distance filter — the same blocking recipe as
+    spatial_cell_knn_join with cell edge = eps (so the 3x3 neighborhood
+    provably covers every eps-ball)."""
+    return f"""
+    pts AS ({_sp_points_sql()}),
+    probe AS (
+      SELECT pid, x, y,
+             (x // {_DB_EPS}) + dx.d AS cx,
+             (y // {_DB_EPS}) + dy.d AS cy
+      FROM pts,
+           generate_series(-1, 1) dx(d),
+           generate_series(-1, 1) dy(d)
+    ),
+    cand AS (
+      SELECT p.pid AS a, c.pid AS b
+      FROM probe p
+      JOIN pts c ON c.x // {_DB_EPS} = p.cx
+                AND c.y // {_DB_EPS} = p.cy
+                AND c.pid <> p.pid
+      WHERE (p.x - c.x) * (p.x - c.x)
+            + (p.y - c.y) * (p.y - c.y) <= {_DB_EPS2}
+    ),
+    ncnt AS (SELECT a, COUNT(*) AS n_nb FROM cand GROUP BY a),
+    cores AS (SELECT a AS pid FROM ncnt WHERE n_nb + 1 >= {_DB_MINPTS})
+    """
+
+
+@register(
+    "spatial_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_dbscan_cand_sql()},
+    ce AS (
+      SELECT a AS src, b AS dst FROM cand
+      WHERE a IN (SELECT pid FROM cores)
+        AND b IN (SELECT pid FROM cores)
+    ),
+    reach(id, comp) AS (
+      SELECT pid, pid FROM cores
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN ce e ON e.src = r.id
+    ),
+    comp AS (SELECT id AS pid, MIN(comp) AS component_id
+             FROM reach GROUP BY id),
+    border AS (
+      SELECT c.a AS pid, MIN(k.component_id) AS component_id
+      FROM cand c JOIN comp k ON c.b = k.pid
+      WHERE c.a NOT IN (SELECT pid FROM cores)
+      GROUP BY c.a
+    ),
+    cl AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_core
+           FROM comp GROUP BY 1),
+    bd AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_border
+           FROM border GROUP BY 1)
+    SELECT cl.component_id AS cluster_id,
+           cl.n_core,
+           COALESCE(bd.n_border, 0) AS n_border,
+           cl.n_core + COALESCE(bd.n_border, 0) AS n_total
+    FROM cl LEFT JOIN bd USING (component_id)
+    """,
+)
+def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the deterministic spatial point cloud (the seeded
+    [0,10000)² customer points shared with ``spatial_cell_knn_join``):
+    eps=300, minPts=4. Core points have ≥ minPts points in their closed
+    eps-ball; clusters are connected components of the core-core
+    eps-graph; border points attach to the min cluster label among
+    their core neighbors; everything else is noise. Reported per
+    cluster: core/border/total counts.
+
+    Scale shape: the eps-ball test is grid-blocked (cell edge = eps, so
+    a 3×3 cell probe provably covers every ball — an EQUI-join on cell
+    ids, never an all-pairs distance join); the candidate-pair frame is
+    checkpointed ONCE and reused by the degree count, the core-core
+    edge list, and the border assignment; components run on
+    large-star/small-star (O(log n) rounds — at 100 TB density the
+    core graph has a giant component whose diameter would sink
+    min-label propagation). All-integer geometry end to end.
+    Cites: Ester et al. KDD'96 (DBSCAN); Kiveris et al. SoCC'14 (CC)."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    pts = customer.select(
+        F.col("c_custkey").alias("pid"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % 10000)
+        .alias("x"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % 10000)
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    probe = (
+        pts.select("pid", "x", "y", F.explode(offs).alias("dxo"))
+        .select(
+            "pid",
+            "x",
+            "y",
+            (F.expr(f"x DIV {_DB_EPS}") + F.col("dxo")).alias("cx"),
+            F.explode(offs).alias("dyo"),
+        )
+        .select(
+            "pid",
+            "x",
+            "y",
+            "cx",
+            (F.expr(f"y DIV {_DB_EPS}") + F.col("dyo")).alias("cy"),
+        )
+    )
+    cand_src = pts.select(
+        F.col("pid").alias("b"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.expr(f"x DIV {_DB_EPS}").alias("cx"),
+        F.expr(f"y DIV {_DB_EPS}").alias("cy"),
+    )
+    cand = (
+        probe.join(cand_src, ["cx", "cy"])
+        .filter(F.col("b") != F.col("pid"))
+        .filter(
+            (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+            + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+            <= _DB_EPS2
+        )
+        .select(F.col("pid").alias("a"), "b")
+        .localCheckpoint(eager=True)  # reused 3x: degrees, edges, border
+    )
+    cores = (
+        cand.groupBy("a")
+        .agg(F.count("*").alias("n_nb"))
+        .filter(F.col("n_nb") + 1 >= _DB_MINPTS)
+        .select(F.col("a").alias("pid"))
+        .localCheckpoint(eager=True)
+    )
+    core_edges = (
+        cand.join(cores.select(F.col("pid").alias("a")), "a", "left_semi")
+        .join(cores.select(F.col("pid").alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
+    comp = connected_components_star(
+        cores, core_edges, id_col="pid", src_col="a", dst_col="b"
+    )
+    border = (
+        cand.join(
+            cores.select(F.col("pid").alias("a")), "a", "left_anti"
+        )
+        .join(comp.select(F.col("pid").alias("b"), "component_id"), "b")
+        .groupBy(F.col("a").alias("pid"))
+        .agg(F.min("component_id").alias("component_id"))
+    )
+    cl = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_core")
+    )
+    bd = border.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("n_border")
+    )
+    return (
+        cl.join(bd, "component_id", "left")
+        .select(
+            F.col("component_id").alias("cluster_id"),
+            "n_core",
+            F.coalesce(F.col("n_border"), F.lit(0))
+            .cast("long")
+            .alias("n_border"),
+            (
+                F.col("n_core")
+                + F.coalesce(F.col("n_border"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group multiple linear regression (distributed-ML family)
+# ---------------------------------------------------------------------------
+
+# Cramer expansions for the 3x3 normal-equation system, written ONCE as
+# format templates so the Spark and DuckDB op trees are character-for-
+# character the same shape (identical IEEE evaluation order).
+_OLS_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+)
+_OLS_DET0 = (
+    "({sy} * ({s11} * {s22} - {s12} * {s12})"
+    " - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+    " + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+)
+_OLS_DET1 = (
+    "({n} * ({s1y} * {s22} - {s12} * {s2y})"
+    " - {sy} * ({s1} * {s22} - {s12} * {s2})"
+    " + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+)
+_OLS_DET2 = (
+    "({n} * ({s11} * {s2y} - {s1y} * {s12})"
+    " - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+    " + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+)
+
+_OLS_VARS = {
+    "n": "CAST(n AS DOUBLE)",
+    "s1": "CAST(s1s AS DOUBLE) / 100",
+    "s2": "CAST(s2s AS DOUBLE) / 10000",
+    "sy": "CAST(sys AS DOUBLE) / 100",
+    "s11": "CAST(s11s AS DOUBLE) / 10000",
+    "s12": "CAST(s12s AS DOUBLE) / 1000000",
+    "s22": "CAST(s22s AS DOUBLE) / 100000000",
+    "s1y": "CAST(s1ys AS DOUBLE) / 10000",
+    "s2y": "CAST(s2ys AS DOUBLE) / 1000000",
+    "syy": "CAST(syys AS DOUBLE) / 10000",
+}
+
+
+@register(
+    "ols_normal_equations",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS x1,
+             CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)
+               AS x2,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x1 AS DECIMAL(38,0))) AS s1s,
+             SUM(CAST(x2 AS DECIMAL(38,0))) AS s2s,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sys,
+             SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS s11s,
+             SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS s12s,
+             SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS s22s,
+             SUM(CAST(x1 AS DECIMAL(38,0)) * y) AS s1ys,
+             SUM(CAST(x2 AS DECIMAL(38,0)) * y) AS s2ys,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syys
+      FROM m GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           {det_round_sql(
+               _OLS_DET0.format(**_OLS_VARS)
+               + ' / ' + _OLS_DET.format(**_OLS_VARS), 6)} AS b0,
+           {det_round_sql(
+               _OLS_DET1.format(**_OLS_VARS)
+               + ' / ' + _OLS_DET.format(**_OLS_VARS), 6)} AS b1,
+           {det_round_sql(
+               _OLS_DET2.format(**_OLS_VARS)
+               + ' / ' + _OLS_DET.format(**_OLS_VARS), 6)} AS b2,
+           {det_round_sql(
+               '1 - ({syy} - ({d0} / {d}) * {sy} - ({d1} / {d}) * {s1y}'
+               ' - ({d2} / {d}) * {s2y})'
+               ' / ({syy} - {sy} * {sy} / {n})'.format(
+                   d=_OLS_DET.format(**_OLS_VARS),
+                   d0=_OLS_DET0.format(**_OLS_VARS),
+                   d1=_OLS_DET1.format(**_OLS_VARS),
+                   d2=_OLS_DET2.format(**_OLS_VARS),
+                   **_OLS_VARS), 6)} AS r2
+    FROM g
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group multiple linear regression (extendedprice ~ quantity +
+    discount per return flag) solved in closed form from the normal
+    equations: ONE aggregate computes the Gram-matrix sums (n, Σx, Σxxᵀ,
+    Σxy, Σyy), then Cramer's rule on the tiny per-group frame yields
+    coefficients and R². The canonical "distributed ML as aggregation"
+    shape: at 100 TB the fit costs exactly one map-side-combined
+    shuffle of 10 numbers per group — no gradient iterations, no
+    driver-side matrix library.
+
+    Determinism: inputs quantize to exact ints (cents / basis points);
+    all Gram sums are decimal(38,0) — exact and commutative, so
+    partial-aggregation order can't matter; the decimal→double casts
+    and the Cramer op tree are format-template-shared with the oracle,
+    so both engines evaluate the identical IEEE expression DAG."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("x1"),
+        (F.col("l_discount").cast("decimal(6,4)") * 10000)
+        .cast("bigint")
+        .alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = m.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x1")).alias("s1s"),
+        F.sum(dec("x2")).alias("s2s"),
+        F.sum(dec("y")).alias("sys"),
+        F.sum(dec("x1") * F.col("x1")).alias("s11s"),
+        F.sum(dec("x1") * F.col("x2")).alias("s12s"),
+        F.sum(dec("x2") * F.col("x2")).alias("s22s"),
+        F.sum(dec("x1") * F.col("y")).alias("s1ys"),
+        F.sum(dec("x2") * F.col("y")).alias("s2ys"),
+        F.sum(dec("y") * F.col("y")).alias("syys"),
+    )
+    d = _OLS_DET.format(**_OLS_VARS)
+    d0 = _OLS_DET0.format(**_OLS_VARS)
+    d1 = _OLS_DET1.format(**_OLS_VARS)
+    d2 = _OLS_DET2.format(**_OLS_VARS)
+    v = _OLS_VARS
+    r2 = (
+        "1 - ({syy} - ({d0} / {d}) * {sy} - ({d1} / {d}) * {s1y}"
+        " - ({d2} / {d}) * {s2y})"
+        " / ({syy} - {sy} * {sy} / {n})"
+    ).format(d=d, d0=d0, d1=d1, d2=d2, **v)
+    from series_tiempo_ar_scraping_spark.queries import det_round_sql as drs
+
+    return g.selectExpr(
+        "l_returnflag",
+        "n",
+        f"{drs(d0 + ' / ' + d, 6)} AS b0",
+        f"{drs(d1 + ' / ' + d, 6)} AS b1",
+        f"{drs(d2 + ' / ' + d, 6)} AS b2",
+        f"{drs(r2, 6)} AS r2",
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (BI family)
+# ---------------------------------------------------------------------------
+
+_RFM_SEGMENT_CASE = """
+    CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+           THEN 'champion'
+         WHEN r_score >= 3 AND f_score >= 4 THEN 'loyal'
+         WHEN m_score >= 4 THEN 'big_spender'
+         WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+         WHEN r_score <= 2 THEN 'hibernating'
+         ELSE 'regular' END
+"""
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       (SELECT CAST(MAX(o_orderdate) AS DATE)
+                        FROM orders)) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT r.*,
+             COUNT(*) OVER (ORDER BY recency_days) AS cum_r,
+             COUNT(*) OVER (ORDER BY frequency) AS cum_f,
+             COUNT(*) OVER (ORDER BY monetary_cents) AS cum_m,
+             (SELECT COUNT(*) FROM rfm) AS n
+      FROM rfm r
+    ),
+    sc AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             CAST(6 - (cum_r * 5 + n - 1) // n AS INT) AS r_score,
+             CAST((cum_f * 5 + n - 1) // n AS INT) AS f_score,
+             CAST((cum_m * 5 + n - 1) // n AS INT) AS m_score
+      FROM s
+    )
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+           r_score, f_score, m_score,
+           {_RFM_SEGMENT_CASE} AS segment
+    FROM sc
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — THE
+    classic customer-base scoring: each dimension maps to a 1-5 score
+    (5 best: most recent, most orders, most spend), combined into named
+    segments (champion / loyal / big_spender / at_risk / hibernating /
+    regular). Ties share a score by construction: the quintile of a
+    metric VALUE is ceil(5·cum/n) of its inclusive cumulative count, so
+    equal values can never straddle a boundary (the determinism trap in
+    ntile()).
+
+    Scale shape: scores come from per-DISTINCT-VALUE count frames run
+    through the two-phase prefix sum (repartitionByRange + local window
+    + broadcast carry — never a single-partition global window), then
+    broadcast back onto the per-customer frame as tiny (value, score)
+    lookups. The per-customer frame itself is one orders aggregate.
+    Determinism: day counts, order counts, and cent sums are exact
+    ints; ceiling division is ``(cum*5 + n - 1) DIV n`` (positive
+    operands — the Spark DIV vs DuckDB // guard); the only double is
+    cents/100 at the edge."""
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("ref_date")
+    )
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_od"),
+            F.count("*").alias("frequency"),
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff(F.col("ref_date"), F.col("last_od"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+        .localCheckpoint(eager=False)  # reused by 3 count frames + join
+    )
+    n_frame = rfm.agg(F.count("*").cast("long").alias("n"))
+
+    def scores(value_col: str, invert: bool) -> DataFrame:
+        counts = rfm.groupBy(value_col).agg(F.count("*").alias("cnt"))
+        cum = two_phase_prefix_sum(
+            counts, [value_col], "cnt", out_col="cum"
+        )
+        q = F.expr("(cum * 5 + n - 1) DIV n")
+        return (
+            cum.crossJoin(F.broadcast(n_frame))
+            .select(
+                value_col,
+                (F.lit(6) - q if invert else q)
+                .cast("int")
+                .alias(f"{value_col}_score"),
+            )
+        )
+
+    r_sc = scores("recency_days", invert=True)
+    f_sc = scores("frequency", invert=False)
+    m_sc = scores("monetary_cents", invert=False)
+    out = (
+        rfm.join(F.broadcast(r_sc), "recency_days")
+        .join(F.broadcast(f_sc), "frequency")
+        .join(F.broadcast(m_sc), "monetary_cents")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            (F.col("monetary_cents").cast("double") / 100).alias(
+                "monetary"
+            ),
+            F.col("recency_days_score").alias("r_score"),
+            F.col("frequency_score").alias("f_score"),
+            F.col("monetary_cents_score").alias("m_score"),
+        )
+    )
+    return out.withColumn("segment", F.expr(_RFM_SEGMENT_CASE))
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking evaluation (retrieval-eval family)
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+_NDCG_K = 10
+# Discount table 1/log2(i+1), micro-quantized ONCE in Python and embedded
+# as integer literals in BOTH engines — no runtime transcendental at all,
+# so there is nothing to diverge.
+_NDCG_D = [
+    int(math.floor(1000000 / math.log2(i + 1) + 0.5))
+    for i in range(1, _NDCG_K + 1)
+]
+_NDCG_PREFIX = [0]
+for _d in _NDCG_D:
+    _NDCG_PREFIX.append(_NDCG_PREFIX[-1] + _d)
+
+from series_tiempo_ar_scraping_spark.sqlfrags import _COS64_SQL  # noqa: E402
+
+
+@register(
+    "ndcg_ranking_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS nid,
+             q.label AS qlabel, v.label AS nlabel,
+             {_COS64_SQL.format(a='q.embedding', b='v.embedding')} AS sim
+      FROM q JOIN embeddings v ON v.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, nlabel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, nid) AS rk
+      FROM scored
+    ),
+    dc AS (
+      SELECT query_id, MAX(qlabel) AS qlabel,
+             CAST(SUM(CASE WHEN nlabel = qlabel
+                           THEN ({_NDCG_D})[rk] ELSE 0 END)
+               AS BIGINT) AS dcg_micro
+      FROM ranked WHERE rk <= {_NDCG_K}
+      GROUP BY query_id
+    ),
+    pool AS (
+      SELECT label, CAST(COUNT(*) - 1 AS BIGINT) AS n_rel_pool
+      FROM embeddings GROUP BY 1
+    )
+    SELECT d.query_id, p.n_rel_pool, d.dcg_micro,
+           CAST(({_NDCG_PREFIX})[
+             CAST(LEAST(p.n_rel_pool, {_NDCG_K}) AS INT) + 1]
+             AS BIGINT) AS idcg_micro,
+           {det_round_sql(
+               'CAST(d.dcg_micro AS DOUBLE) / NULLIF(('
+               + str(_NDCG_PREFIX)
+               + ')[CAST(LEAST(p.n_rel_pool, ' + str(_NDCG_K)
+               + ') AS INT) + 1], 0)', 6)} AS ndcg_at_10
+    FROM dc d JOIN pool p ON p.label = d.qlabel
+    """,
+)
+def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact-cosine retrieval ranking against label-match
+    relevance: DCG discounts each relevant neighbor by 1/log2(rank+1);
+    IDCG is the best achievable ordering given how many relevant items
+    exist in the whole pool; NDCG = DCG/IDCG. The graded-ranking
+    complement to ``ann_recall_eval``'s recall/MRR — the metric that
+    notices WHERE in the top-k the relevant results sit.
+
+    Determinism: the discount table is quantized to micro-ints ONCE in
+    Python and embedded as literals in both engines (no runtime log2
+    anywhere); DCG/IDCG are exact integer sums; NDCG is one double
+    division, det-rounded. Scale shape: ranking reuses the brute-force
+    cosine top-k (documented exact baseline — broadcast query side,
+    WindowGroupLimit top-k); relevance and pool counts are broadcast
+    label lookups."""
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    ranked = S.cosine_topk(
+        emb, queries, k=_NDCG_K, exclude_self=True
+    )
+    labels = emb.select("vec_id", "label")
+    j = (
+        ranked.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("qlabel"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("nlabel"),
+                )
+            ),
+            "neighbor_id",
+        )
+    )
+    d_arr = F.array(*[F.lit(x) for x in _NDCG_D])
+    dc = j.groupBy("query_id").agg(
+        F.max("qlabel").alias("qlabel"),
+        F.sum(
+            F.when(
+                F.col("nlabel") == F.col("qlabel"),
+                F.element_at(d_arr, F.col("rank")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_micro"),
+    )
+    pool = emb.groupBy("label").agg(
+        (F.count("*") - 1).cast("long").alias("n_rel_pool")
+    )
+    p_arr = F.array(*[F.lit(x) for x in _NDCG_PREFIX])
+    idcg = F.element_at(
+        p_arr,
+        F.least(F.col("n_rel_pool"), F.lit(_NDCG_K)).cast("int") + 1,
+    ).cast("bigint")
+    return (
+        dc.join(
+            F.broadcast(pool), dc["qlabel"] == pool["label"]
+        )
+        .select(
+            "query_id",
+            "n_rel_pool",
+            "dcg_micro",
+            idcg.alias("idcg_micro"),
+            det_round(
+                F.col("dcg_micro").cast("double")
+                / F.nullif(idcg, F.lit(0)),
+                6,
+            ).alias("ndcg_at_10"),
         )
     )

@@ -362,3 +362,24 @@ def _ivf_trained_ctes(iters: int = 2) -> str:
                                 ORDER BY sim DESC, neighbor_id) AS rank
       FROM scored
     )"""
+
+
+# --- deterministic spatial point cloud (shared by the spatial family) ------
+
+_SP_GRID = 10000  # coordinate space [0, 10000)^2
+
+
+def _sp_points_sql() -> str:
+    """Seeded-hash 2D point per customer on the [0, _SP_GRID)² grid —
+    the ONE spelling of the synthetic spatial dataset (seeds 11/12),
+    shared by spatial_cell_knn_join (queries_batch12) and
+    spatial_dbscan_clusters (queries_batch13); every Spark-side point
+    builder must mirror it via hash64_seeded."""
+    return f"""
+      SELECT c_custkey AS pid,
+             ({_hex60_seeded(11, "CAST(c_custkey AS VARCHAR)")}
+              % {_SP_GRID}) AS x,
+             ({_hex60_seeded(12, "CAST(c_custkey AS VARCHAR)")}
+              % {_SP_GRID}) AS y
+      FROM customer
+    """

@@ -618,3 +618,25 @@ def test_batch13_plan_properties(plans):
     assert "LeftSemi" in p  # duplicated-hash membership as a semi join
     p = plans("mix_shift_decomposition", "simple")
     assert "SortMergeJoin" not in p and "EvalPython" not in p
+
+
+def test_batch13_wave2_plan_properties(plans):
+    """OLS is the canonical gram-matrix plan: ONE map-side-combined
+    exchange, no joins; RFM never global-sorts (prefix-sum scores,
+    broadcast lookups); NDCG broadcasts the query/label side and prunes
+    top-k via WindowGroupLimit; DBSCAN blocks on cell ids (equi-join,
+    never an all-pairs distance product)."""
+    p = plans("ols_normal_equations", "simple")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p and "EvalPython" not in p
+    assert "partial_sum" in p  # map-side combine of the gram sums
+    p = plans("rfm_customer_segments", "simple")
+    assert "SortMergeJoin" not in p  # every score lookup broadcasts
+    assert "EvalPython" not in p
+    p = plans("ndcg_ranking_eval", "simple")
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # broadcast query side
+    assert "WindowGroupLimit" in p
+    p = plans("spatial_dbscan_clusters", "simple")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    assert "Scan ExistingRDD" in p  # checkpointed candidate/CC frames
