@@ -170,6 +170,19 @@ BENCH_QUERIES_EXT = [
     "graph_bounded_shortest_paths",
     "hierarchy_subtree_rollup",
     "bitmap_words_hourly",
+    # batch 13
+    "mix_shift_decomposition",
+    "substring_span_dedup",
+    "bm25_search_topk",
+    "weighted_sample_ares",
+    "spatial_dbscan_clusters",
+    "ols_normal_equations",
+    "rfm_customer_segments",
+    "ndcg_ranking_eval",
+    "naive_bayes_classify",
+    "decision_stump_split",
+    "graph_kcore_extraction",
+    "largest_remainder_apportionment",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

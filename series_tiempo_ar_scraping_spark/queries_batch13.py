@@ -1186,3 +1186,570 @@ def ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_at_10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder apportionment (BI allocation family)
+# ---------------------------------------------------------------------------
+
+_SEATS = 100
+
+
+@register(
+    "largest_remainder_apportionment",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_nationkey, n.n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(cents) AS total_cents FROM rev),
+    b AS (
+      SELECT r.*, t.total_cents,
+             (r.cents * {_SEATS}) // t.total_cents AS base_seats,
+             r.cents * {_SEATS}
+               - ((r.cents * {_SEATS}) // t.total_cents)
+                 * t.total_cents AS rem_num
+      FROM rev r, t
+    ),
+    s AS (SELECT SUM(base_seats) AS base_total FROM b),
+    rk AS (
+      SELECT b.*, s.base_total,
+             row_number() OVER (ORDER BY b.rem_num DESC, b.n_nationkey)
+               AS rem_rank
+      FROM b, s
+    )
+    SELECT n_nationkey AS nationkey, n_name AS nation,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(base_seats AS BIGINT) AS base_seats,
+           CAST(rem_rank AS INT) AS rem_rank,
+           CAST(base_seats + CASE WHEN rem_rank <= {_SEATS} - base_total
+                                  THEN 1 ELSE 0 END AS BIGINT) AS seats
+    FROM rk
+    """,
+)
+def largest_remainder_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment: allocate a fixed
+    budget of 100 "seats" across nations proportionally to revenue —
+    each nation gets floor(share·seats), and the leftover seats go to
+    the largest fractional remainders. The exact-integer allocation
+    shape behind budget splits, shard assignment, and sampling quotas
+    (sums to EXACTLY the budget, no float drift).
+
+    Scale shape: one fact aggregate to a 25-row nation frame; every
+    subsequent step (totals, remainder rank) is scalar-frame math —
+    the final window runs over the bounded dimension frame, never the
+    facts. Determinism: all quotas are exact bigint products and
+    truncating DIV (positive operands); remainders are exact; ties
+    broken by nationkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_nationkey", "n_name")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    t = rev.agg(F.sum("cents").alias("total_cents"))
+    b = rev.crossJoin(F.broadcast(t)).select(
+        "*",
+        F.expr(f"(cents * {_SEATS}) DIV total_cents").alias(
+            "base_seats"
+        ),
+        F.expr(
+            f"cents * {_SEATS}"
+            f" - ((cents * {_SEATS}) DIV total_cents) * total_cents"
+        ).alias("rem_num"),
+    )
+    s = b.agg(F.sum("base_seats").alias("base_total"))
+    win = Window.orderBy(F.col("rem_num").desc(), F.col("n_nationkey"))
+    rk = (
+        b.crossJoin(F.broadcast(s))
+        # 25-row dimension frame: the unpartitioned window is bounded
+        .withColumn("rem_rank", F.row_number().over(win))
+    )
+    return rk.select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.col("base_seats").cast("long").alias("base_seats"),
+        F.col("rem_rank").cast("int").alias("rem_rank"),
+        (
+            F.col("base_seats")
+            + F.when(
+                F.col("rem_rank")
+                <= F.lit(_SEATS) - F.col("base_total"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes text classification (text-ML family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "naive_bayes_classify",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang,
+             unnest({_toks_of_norm('text')}) AS token
+      FROM documents
+    ),
+    dt AS (
+      SELECT doc_id, lang, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tk GROUP BY 1, 2, 3
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    cls AS (
+      SELECT lang AS cl,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS c_docs,
+             CAST(COUNT(*) AS BIGINT) AS c_tokens
+      FROM tk GROUP BY 1
+    ),
+    clx AS (
+      SELECT cl, c_docs, c_tokens, v, n_docs,
+             CAST(FLOOR(ln(CAST(c_docs AS DOUBLE) / n_docs)
+                        * 1000000 + 0.5) AS BIGINT) AS prior_micro,
+             CAST(FLOOR(ln(CAST(1 AS DOUBLE) / (c_tokens + v))
+                        * 1000000 + 0.5) AS BIGINT) AS default_micro
+      FROM cls, vocab, nd
+    ),
+    tc AS (
+      SELECT lang AS cl, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tk GROUP BY 1, 2
+    ),
+    lik AS (
+      SELECT tc.cl, tc.token,
+             CAST(FLOOR(ln(CAST(tc.cnt + 1 AS DOUBLE)
+                           / (x.c_tokens + x.v))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_micro
+      FROM tc JOIN clx x ON x.cl = tc.cl
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang AS actual, x.cl,
+             MAX(x.prior_micro)
+               + SUM(d.c * COALESCE(l.lp_micro, x.default_micro))
+               AS score_micro
+      FROM dt d
+      CROSS JOIN clx x
+      LEFT JOIN lik l ON l.cl = x.cl AND l.token = d.token
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, cl)
+               AS rk
+      FROM scored
+    )
+    SELECT doc_id, actual, cl AS predicted,
+           CAST(score_micro AS BIGINT) AS score_micro,
+           CAST(CASE WHEN cl = actual THEN 1 ELSE 0 END AS INT)
+             AS is_correct
+    FROM ranked WHERE rk = 1
+    """,
+)
+def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classification, trained and
+    applied distributively: class priors and Laplace-smoothed token
+    likelihoods come from counting aggregates; each document scores
+    ln P(c) + Σ count(t)·ln P(t|c) per class and takes the argmax —
+    text classification as pure join/aggregate dataflow (no model
+    object, no driver-side fit). Complements ``lang_id``'s stopword
+    heuristic with the actual generative classifier.
+
+    Scale shape: train = two token aggregates; apply = the per-doc
+    token-count frame cross-joined with the tiny class frame and
+    broadcast-joined to the (class, token) likelihood table — map-side
+    after the broadcasts; argmax is a per-doc window over |classes|
+    rows. Determinism: every ln feeds on ONE division of exact ints
+    and is micro-floored into bigint BEFORE the per-doc sum (exact,
+    commutative); argmax ties break on class name."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(TX.tokens(TX.normalize_text("text"))).alias("token"),
+    )
+    dt = tk.groupBy("doc_id", "lang", "token").agg(
+        F.count("*").alias("c")
+    )
+    vocab = tk.agg(F.countDistinct("token").alias("v"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    cls = tk.groupBy(F.col("lang").alias("cl")).agg(
+        F.countDistinct("doc_id").alias("c_docs"),
+        F.count("*").alias("c_tokens"),
+    )
+    micro_ln = lambda num, den: F.floor(  # noqa: E731
+        F.log(num.cast("double") / den) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    clx = (
+        cls.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "cl",
+            "c_tokens",
+            "v",
+            micro_ln(F.col("c_docs"), F.col("n_docs")).alias(
+                "prior_micro"
+            ),
+            micro_ln(
+                F.lit(1), F.col("c_tokens") + F.col("v")
+            ).alias("default_micro"),
+        )
+    )
+    tc = tk.groupBy(F.col("lang").alias("cl"), "token").agg(
+        F.count("*").alias("cnt")
+    )
+    lik = tc.join(F.broadcast(clx), "cl").select(
+        "cl",
+        "token",
+        micro_ln(
+            F.col("cnt") + 1, F.col("c_tokens") + F.col("v")
+        ).alias("lp_micro"),
+    )
+    scored = (
+        dt.crossJoin(
+            F.broadcast(clx.select("cl", "prior_micro", "default_micro"))
+        )
+        .join(F.broadcast(lik), ["cl", "token"], "left")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "cl")
+        .agg(
+            (
+                F.max("prior_micro")
+                + F.sum(
+                    F.col("c")
+                    * F.coalesce(
+                        F.col("lp_micro"), F.col("default_micro")
+                    )
+                )
+            ).alias("score_micro")
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "cl"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("cl").alias("predicted"),
+            F.col("score_micro").cast("bigint").alias("score_micro"),
+            F.when(F.col("cl") == F.col("actual"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision stump (distributed-ML family)
+# ---------------------------------------------------------------------------
+
+_STUMP_POS = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "decision_stump_split",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN o_orderpriority IN
+                    ('{_STUMP_POS[0]}', '{_STUMP_POS[1]}')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ),
+    vals AS (
+      SELECT cents,
+             CAST(SUM(pos) AS BIGINT) AS pos_cnt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM m GROUP BY 1
+    ),
+    cum AS (
+      SELECT cents,
+             SUM(pos_cnt) OVER (ORDER BY cents) AS cum_p,
+             SUM(cnt) OVER (ORDER BY cents) AS cum_t
+      FROM vals
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos_cnt) AS BIGINT) AS p_tot,
+             CAST(SUM(cnt) AS BIGINT) AS n_tot
+      FROM vals
+    ),
+    sc AS (
+      SELECT c.cents,
+             cum_p AS p_l, cum_t - cum_p AS n_l, cum_t AS l,
+             t.p_tot - cum_p AS p_r,
+             (t.n_tot - cum_t) - (t.p_tot - cum_p) AS n_r,
+             t.n_tot - cum_t AS r,
+             t.n_tot,
+             (cum_t * cum_t - cum_p * cum_p
+              - (cum_t - cum_p) * (cum_t - cum_p))
+               * (t.n_tot - cum_t)
+             + ((t.n_tot - cum_t) * (t.n_tot - cum_t)
+                - (t.p_tot - cum_p) * (t.p_tot - cum_p)
+                - ((t.n_tot - cum_t) - (t.p_tot - cum_p))
+                  * ((t.n_tot - cum_t) - (t.p_tot - cum_p)))
+               * cum_t AS cost
+      FROM cum c, tot t
+      WHERE cum_t < t.n_tot
+    )
+    SELECT CAST(cents AS BIGINT) AS threshold_cents,
+           CAST(cents AS DOUBLE) / 100 AS threshold,
+           CAST(l AS BIGINT) AS n_left, CAST(p_l AS BIGINT) AS pos_left,
+           CAST(r AS BIGINT) AS n_right,
+           CAST(p_r AS BIGINT) AS pos_right,
+           {det_round_sql(
+               'CAST(cost AS DOUBLE) / (CAST(l AS DOUBLE) * r * n_tot)',
+               6)} AS weighted_gini
+    FROM sc
+    ORDER BY cost, cents
+    LIMIT 1
+    """,
+)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree: find the price threshold that
+    best splits urgent/high-priority orders from the rest by weighted
+    Gini impurity — the inner loop of every distributed tree learner
+    (XGBoost/LightGBM histogram split finding), expressed as one
+    value-level aggregate + prefix sums + a global argmin.
+
+    Scale shape: candidate thresholds are the DISTINCT price values
+    (one aggregate), cumulative class counts come from the two-phase
+    prefix sum (never a single-partition window over raw facts), and
+    the argmin is a TakeOrdered(1). Determinism: the weighted-Gini
+    comparison is done on the EXACT integer cross-multiplied cost
+    (L²−pL²−nL²)·R + (R²−pR²−nR²)·L — bigint at bench scales (cast to
+    decimal(38,0) beyond ~10⁶ rows per side); the reported impurity is
+    one double division at the edge; ties break on the threshold."""
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin(*_STUMP_POS), 1
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    vals = m.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("pos_cnt"),
+        F.count("*").alias("cnt"),
+    )
+    cum = two_phase_prefix_sum(
+        two_phase_prefix_sum(vals, ["cents"], "pos_cnt", out_col="cum_p"),
+        ["cents"],
+        "cnt",
+        out_col="cum_t",
+    )
+    tot = vals.agg(
+        F.sum("pos_cnt").cast("long").alias("p_tot"),
+        F.sum("cnt").cast("long").alias("n_tot"),
+    )
+    p_l = F.col("cum_p")
+    l_ = F.col("cum_t")
+    n_l = l_ - p_l
+    r_ = F.col("n_tot") - l_
+    p_r = F.col("p_tot") - p_l
+    n_r = r_ - p_r
+    cost = (l_ * l_ - p_l * p_l - n_l * n_l) * r_ + (
+        r_ * r_ - p_r * p_r - n_r * n_r
+    ) * l_
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(l_ < F.col("n_tot"))
+        .select(
+            "cents",
+            l_.alias("l"),
+            p_l.alias("p_l"),
+            r_.alias("r"),
+            p_r.alias("p_r"),
+            F.col("n_tot"),
+            cost.alias("cost"),
+        )
+    )
+    return (
+        sc.orderBy("cost", "cents")
+        .limit(1)
+        .select(
+            F.col("cents").cast("long").alias("threshold_cents"),
+            (F.col("cents").cast("double") / 100).alias("threshold"),
+            F.col("l").cast("long").alias("n_left"),
+            F.col("p_l").cast("long").alias("pos_left"),
+            F.col("r").cast("long").alias("n_right"),
+            F.col("p_r").cast("long").alias("pos_right"),
+            det_round(
+                F.col("cost").cast("double")
+                / (
+                    F.col("l").cast("double")
+                    * F.col("r")
+                    * F.col("n_tot")
+                ),
+                6,
+            ).alias("weighted_gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction (iterative graph family — peeling)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ORACLE_ROUNDS = 12  # converges in <=10 at gate scale; margin +2
+
+
+def _kcore_round_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT src AS id FROM edges
+      WHERE src IN (SELECT id FROM {prev})
+        AND dst IN (SELECT id FROM {prev})
+      GROUP BY src HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+
+
+def _kcore_oracle() -> str:
+    # pair construction mirrors queries_batch5._PAGERANK_EDGES_SQL
+    # (basket upper-triangle, co-occurrence count >= 2) — keep lockstep
+    rounds = ",".join(
+        _kcore_round_sql(f"a{i}", f"a{i + 1}")
+        for i in range(_KCORE_ORACLE_ROUNDS)
+    )
+    return f"""
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+    {rounds}
+    SELECT e.src AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM edges e
+    WHERE e.src IN (SELECT id FROM a{_KCORE_ORACLE_ROUNDS})
+      AND e.dst IN (SELECT id FROM a{_KCORE_ORACLE_ROUNDS})
+    GROUP BY 1
+    """
+
+
+@register("graph_kcore_extraction", oracle=_kcore_oracle())
+def graph_kcore_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction (k=3) over the part co-occurrence graph by
+    iterative peeling: repeatedly delete nodes with degree < k until
+    the remainder is stable; report each surviving node with its
+    within-core degree. The density-mining primitive behind community
+    seeds, spam-cluster detection, and graph sparsification — the
+    PEELING iterative shape (monotone shrinking vertex set), distinct
+    from propagation (PageRank/CC/Bellman-Ford) and assignment
+    (k-means) iterations.
+
+    Scale shape: the symmetric edge list is checkpointed ONCE; each
+    round is two semi joins (edge endpoints against the alive set) +
+    one degree aggregate, with the alive frame checkpointed per round
+    (O(1) plan size). Because the alive set only SHRINKS, convergence
+    detection is just the count — one scalar action per round, no
+    hash fingerprint needed. The oracle unrolls 12 rounds (gate scale
+    converges in ≤10; extra rounds are idempotent). All-integer.
+    Cites: Kiveris et al. SoCC'14 for the iterative discipline;
+    Matula & Beck 1983 for k-core peeling."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        upper_triangle_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                upper_triangle_pairs(
+                    F.col("parts"),
+                    lambda x, y: F.struct(x.alias("pa"), y.alias("pb")),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    alive = edges.select(F.col("src").alias("id")).distinct()
+    alive = alive.localCheckpoint(eager=False)
+    prev_n = alive.count()
+    for _ in range(30):
+        surv = (
+            edges.join(
+                alive.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                alive.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=False)
+        )
+        n = surv.count()
+        alive = surv
+        if n == prev_n:  # monotone shrink: equal count == fixpoint
+            break
+        prev_n = n
+    return (
+        edges.join(
+            alive.select(F.col("id").alias("src")), "src", "left_semi"
+        )
+        .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("part_id"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

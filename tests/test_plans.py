@@ -640,3 +640,22 @@ def test_batch13_wave2_plan_properties(plans):
     p = plans("spatial_dbscan_clusters", "simple")
     assert "CartesianProduct" not in p and "EvalPython" not in p
     assert "Scan ExistingRDD" in p  # checkpointed candidate/CC frames
+
+
+def test_batch13_wave3_plan_properties(plans):
+    """Naive Bayes: model-side frames broadcast into the apply join (no
+    sort-merge anywhere); the stump's argmin is a TakeOrdered over the
+    prefix-summed value frame; k-core's final projection runs off
+    checkpointed frames with semi joins only; apportionment windows
+    only the bounded nation frame."""
+    p = plans("naive_bayes_classify", "simple")
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    assert "BroadcastHashJoin" in p  # likelihood/class lookups
+    p = plans("decision_stump_split", "simple")
+    assert "TakeOrdered" in p  # global argmin, never a full sort
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    p = plans("graph_kcore_extraction", "simple")
+    assert "Scan ExistingRDD" in p  # checkpointed edges + alive set
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    p = plans("largest_remainder_apportionment", "simple")
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
