@@ -14,9 +14,19 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
 - Weighted sampling without replacement: Efraimidis–Spirakis A-Res
   (key = u^(1/w), ranked in log space) — exactly k per stratum, fully
   deterministic from the seeded cross-engine hash.
-- Mix-shift decomposition: period-over-period metric change split into
-  volume/mix vs rate effects per segment, with exact telescoping
-  closure (mix + rate = delta).
+- BI attribution & allocation: mix-shift decomposition (volume vs rate
+  effects with exact telescoping closure), RFM quintile segmentation
+  (prefix-sum scores, never a global ntile), largest-remainder seat
+  apportionment (exact-integer Hamilton method).
+- Distributed ML as dataflow: per-group multiple regression from exact
+  Gram sums + Cramer's rule (ONE exchange), multinomial naive Bayes
+  train+apply (broadcast model frames, micro-floored log terms),
+  decision-stump split finding (prefix-summed class counts, exact
+  integer Gini comparison), NDCG@10 ranking eval (Python-precomputed
+  micro-int discount table — no runtime transcendental).
+- Spatial & graph: grid-blocked DBSCAN (eps-cell blocking + star CC),
+  k-core extraction by iterative peeling (the monotone-shrink
+  iterative shape — the 7th iterative family).
 
 Determinism recipe (repo standard, queries_batch8/12): exact
 bigint/decimal arithmetic end-to-end; the seeded cross-engine hash is
@@ -1025,10 +1035,15 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_sc = scores("recency_days", invert=True)
     f_sc = scores("frequency", invert=False)
     m_sc = scores("monetary_cents", invert=False)
+    # recency (~thousands of day values) and frequency (tens) are
+    # genuinely tiny lookups — broadcast. monetary cents are near-
+    # DISTINCT (the score frame scales with the customer count), so
+    # that join must stay a shuffle join at fleet scale — no forced
+    # broadcast; AQE may still choose one at small SF.
     out = (
         rfm.join(F.broadcast(r_sc), "recency_days")
         .join(F.broadcast(f_sc), "frequency")
-        .join(F.broadcast(m_sc), "monetary_cents")
+        .join(m_sc, "monetary_cents")
         .select(
             "custkey",
             "recency_days",
