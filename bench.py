@@ -183,6 +183,11 @@ BENCH_QUERIES_EXT = [
     "decision_stump_split",
     "graph_kcore_extraction",
     "largest_remainder_apportionment",
+    # batch 14
+    "inventory_clamped_balance",
+    "series_theilsen_trend",
+    "weighted_median_discount",
+    "asof_nearest_click_to_purchase",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

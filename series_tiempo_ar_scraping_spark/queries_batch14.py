@@ -1,0 +1,575 @@
+"""Batch-14 queries: operations-analytics and robust-statistics shapes.
+
+Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
+
+- Clamped running balance (reflected-walk identity): inventory that
+  can't go negative, computed WITHOUT per-row iteration via
+  B_i = S_i - min(0, min_{j<=i} S_j) — two per-key window passes over
+  the plain prefix sum, so the "stateful" simulation stays a
+  whole-stage-codegen window scan.
+- Robust trend: Theil-Sen median slope + the Mann-Kendall S statistic
+  per series (the robust-regression twin of ``ols_normal_equations`` —
+  immune to outliers that wreck least squares), pairwise over the
+  bounded per-group series via ``upper_triangle_pairs``.
+- Weighted order statistics: weighted median / p90 over the per-value
+  count frame (never a sort of the raw facts) — the quantity-weighted
+  complement of ``trimmed_winsorized_order_stats``' unweighted cuts.
+- Nearest as-of join (pandas ``merge_asof(direction='nearest')``):
+  backward AND forward carries from one unioned window scan, then an
+  exact integer-seconds argmin with tolerance — no join at all, the
+  third as-of direction after ``asof_last_click_before_purchase``
+  (backward) and ``scd2_point_in_time_join`` (interval).
+
+Determinism recipe (repo standard, queries_batch8/12/13): exact
+bigint/decimal arithmetic end-to-end; portable floor division is
+spelled ``(num - ((num % den) + den) % den) / den`` in BOTH engines
+(Spark DIV truncates while DuckDB ``//`` floors — subtracting the
+positive mod first makes the quotient exact so either semantics
+agree); timestamps are second-truncated before any diff (the
+documented NTZ recipe); at most one double division per output column,
+det-rounded.
+
+Reference parity: extends the reference's series-transform family
+(reference/scrapers/base.py pandas resample/mean lane) with the robust
+trend/quantile statistics and stock-style balance logic a production
+deployment of its output series would ask for next (SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators.dedup import (
+    upper_triangle_pairs,
+)
+from series_tiempo_ar_scraping_spark.queries import (
+    det_round,
+    det_round_sql,
+    load_table,
+    register,
+)
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (reflected-walk / inventory family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inventory_clamped_balance",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey AS suppkey,
+             l_shipdate AS sd, l_orderkey AS ok, l_linenumber AS ln,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                            AS BIGINT)
+                  ELSE -CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                             AS BIGINT) END AS delta
+      FROM lineitem
+    ),
+    s AS (
+      SELECT suppkey, sd, ok, ln, delta,
+             SUM(delta) OVER (PARTITION BY suppkey
+                              ORDER BY sd, ok, ln
+                              ROWS UNBOUNDED PRECEDING) AS run
+      FROM m
+    ),
+    b AS (
+      SELECT suppkey, delta, run,
+             run - LEAST(0, MIN(run) OVER (PARTITION BY suppkey
+                                           ORDER BY sd, ok, ln
+                                           ROWS UNBOUNDED PRECEDING))
+               AS bal
+      FROM s
+    )
+    SELECT suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(delta) - LEAST(0, MIN(run)) AS BIGINT)
+             AS final_stock,
+           CAST(MAX(bal) AS BIGINT) AS peak_stock,
+           CAST(-LEAST(0, MIN(run)) AS BIGINT) AS lost_demand,
+           CAST(SUM(CASE WHEN bal = 0 AND delta < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockout_events
+    FROM b GROUP BY suppkey
+    """,
+)
+def inventory_clamped_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier stock simulation where the balance clamps at zero
+    (returns replenish, shipments draw down, unmet draw-down is lost
+    demand): B_i = max(0, B_{i-1} + delta_i). The naive formulation is
+    inherently sequential; the reflected-random-walk identity
+    B_i = S_i - min(0, min_{j<=i} S_j) turns it into two ordinary
+    cumulative windows over the prefix sum S — fully parallel per
+    supplier, whole-stage-codegen all the way.
+
+    Reported per supplier: event count, final stock, peak stock, lost
+    (clamped-away) demand = -min(0, min prefix), and the number of
+    stock-out events (balance pinned at 0 by a draw-down).
+
+    Scale shape: ONE shuffle on suppkey; both windows share the same
+    (partition, order) spec so Spark evaluates them in a single Window
+    exec over one sort; the final per-supplier aggregate is map-side
+    combinable. Determinism: quantities are exact cent-ints; the event
+    order (shipdate, orderkey, linenumber) is a total order per
+    supplier; everything stays bigint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    m = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").alias("sd"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.when(F.col("l_returnflag") == "R", qty)
+        .otherwise(-qty)
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("sd", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = m.withColumn("run", F.sum("delta").over(w))
+    b = s.withColumn(
+        "bal",
+        F.col("run") - F.least(F.lit(0), F.min("run").over(w)),
+    )
+    return b.groupBy("suppkey").agg(
+        F.count("*").cast("long").alias("n_events"),
+        (F.sum("delta") - F.least(F.lit(0), F.min("run")))
+        .cast("long")
+        .alias("final_stock"),
+        F.max("bal").cast("long").alias("peak_stock"),
+        (-F.least(F.lit(0), F.min("run")))
+        .cast("long")
+        .alias("lost_demand"),
+        F.sum(
+            F.when((F.col("bal") == 0) & (F.col("delta") < 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_stockout_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen slope + Mann-Kendall trend test (robust-statistics family)
+# ---------------------------------------------------------------------------
+
+_TS_BASE_YEAR = 1992
+
+
+@register(
+    "series_theilsen_trend",
+    oracle=f"""
+    WITH mo AS (
+      SELECT n.n_name AS nation,
+             CAST((year(o_orderdate) - {_TS_BASE_YEAR}) * 12
+                  + month(o_orderdate) - 1 AS BIGINT) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT a.nation,
+             (b.cents - a.cents) * 1000000 AS num,
+             b.m - a.m AS den,
+             CASE WHEN b.cents > a.cents THEN 1
+                  WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+      FROM mo a JOIN mo b ON a.nation = b.nation AND a.m < b.m
+    ),
+    sl AS (
+      SELECT nation, sgn,
+             -- the mod-subtraction makes num exactly divisible, so //
+             -- is exact integer math (never a double division)
+             CAST((num - ((num % den) + den) % den) // den AS BIGINT)
+               AS slope_micro
+      FROM pr
+    ),
+    rk AS (
+      SELECT nation, sgn, slope_micro,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY slope_micro) AS rn,
+             COUNT(*) OVER (PARTITION BY nation) AS n_pairs,
+             SUM(sgn) OVER (PARTITION BY nation) AS s_stat
+      FROM sl
+    ),
+    np AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_points FROM mo
+      GROUP BY 1
+    )
+    SELECT r.nation, np.n_points,
+           CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           CAST(r.s_stat AS BIGINT) AS s_stat,
+           {det_round_sql(
+               'CAST(r.s_stat AS DOUBLE) / r.n_pairs', 6)} AS kendall_tau,
+           CAST(r.slope_micro AS BIGINT) AS theilsen_slope_micro,
+           CAST(r.slope_micro AS DOUBLE) / 1000000 AS theilsen_slope
+    FROM rk r JOIN np ON np.nation = r.nation
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+)
+def series_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend per nation's monthly-revenue series: the Theil-Sen
+    estimator (median of all pairwise slopes — 29% breakdown point, vs
+    0 for OLS) plus the Mann-Kendall S statistic and Kendall's tau (the
+    nonparametric "is there a monotone trend" test). The
+    outlier-immune complement to ``ols_normal_equations`` and
+    ``series_linear_trend``'s least-squares fits.
+
+    Scale shape: the fact tables collapse to one (nation, month)
+    aggregate first; each nation's bounded series (≤ ~84 points) is
+    group-collected ONCE and pair-expanded via ``upper_triangle_pairs``
+    — evaluating the upstream pipeline once where a self-join would
+    run it per side and shuffle twice. Pair counts are quadratic only
+    in the BOUNDED per-series length, never in fact rows (at 100 TB
+    you bound the window, not the corpus). Determinism: slopes are
+    exact integer micro-units via the portable floor division
+    ``(num - ((num % den) + den) % den) / den`` (den > 0 by i<j
+    construction, num any sign); the median is the ((n+1) DIV 2)-th
+    order statistic of those exact ints; tau is one double division.
+    Cites: Theil 1950 / Sen 1968; Mann 1945 / Kendall 1975."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    mo = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - _TS_BASE_YEAR) * 12
+                + F.month("o_orderdate")
+                - 1
+            )
+            .cast("long")
+            .alias("m"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    series = mo.groupBy("nation").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("m"), F.col("cents")))
+        ).alias("pts")
+    )
+    pairs = series.select(
+        "nation",
+        F.size("pts").cast("long").alias("n_points"),
+        F.explode(
+            upper_triangle_pairs(
+                F.col("pts"),
+                lambda a, b: F.struct(
+                    ((b["cents"] - a["cents"]) * 1000000).alias("num"),
+                    (b["m"] - a["m"]).alias("den"),
+                    F.when(b["cents"] > a["cents"], 1)
+                    .when(b["cents"] < a["cents"], -1)
+                    .otherwise(0)
+                    .alias("sgn"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "nation",
+        "n_points",
+        F.col("p.sgn").alias("sgn"),
+        # the mod-subtraction makes num exactly divisible, so truncating
+        # DIV equals floor division and stays exact bigint (a `/` here
+        # would be a double division — inexact past 2^53)
+        F.expr(
+            "CAST((p.num - ((p.num % p.den) + p.den) % p.den)"
+            " DIV p.den AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+    w_rank = Window.partitionBy("nation").orderBy("slope_micro")
+    w_all = Window.partitionBy("nation")
+    rk = pairs.select(
+        "nation",
+        "n_points",
+        "slope_micro",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n_pairs"),
+        F.sum("sgn").over(w_all).alias("s_stat"),
+    )
+    return rk.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) DIV 2")
+    ).select(
+        "nation",
+        "n_points",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        det_round(
+            F.col("s_stat").cast("double") / F.col("n_pairs"), 6
+        ).alias("kendall_tau"),
+        F.col("slope_micro").cast("bigint").alias(
+            "theilsen_slope_micro"
+        ),
+        (F.col("slope_micro").cast("double") / 1000000).alias(
+            "theilsen_slope"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted order statistics (weighted median / p90)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "weighted_median_discount",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)
+               AS bp,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus, bp,
+             CAST(SUM(w) AS BIGINT) AS w
+      FROM m GROUP BY 1, 2, 3
+    ),
+    c AS (
+      SELECT l_returnflag, l_linestatus, bp, w,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+                          ORDER BY bp ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+               AS tot
+      FROM g
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(MAX(tot) AS BIGINT) AS total_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN bp END) AS BIGINT)
+             AS w_median_bp,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN bp END) AS DOUBLE)
+             / 10000 AS w_median,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN bp END)
+             AS BIGINT) AS w_p90_bp
+    FROM c GROUP BY 1, 2
+    """,
+)
+def weighted_median_discount(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted median and p90 of the discount per (returnflag,
+    linestatus): the weighted quantile is the smallest value whose
+    cumulative weight reaches the target share — "the discount at
+    which half the shipped units sit at or below". Weighted order
+    statistics are what pricing/allocation dashboards actually need
+    (every unit votes, not every line), complementing
+    ``percentile_order_values`` (unweighted, interpolated) and
+    ``trimmed_winsorized_order_stats`` (unweighted rank cuts).
+
+    Scale shape: the raw facts collapse to a per-DISTINCT-value weight
+    frame first (11 discount values per group), so the cumulative
+    window runs over dozens of rows — never a sort of the fact table.
+    Determinism: weights are exact cent-ints; the threshold test
+    ``2*cum >= tot`` / ``10*cum >= 9*tot`` stays in exact integers (no
+    division at all); the only double is the bp/10000 display cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_discount").cast("decimal(6,4)") * 10000)
+        .cast("bigint")
+        .alias("bp"),
+        (F.col("l_quantity").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("w"),
+    )
+    g = m.groupBy("l_returnflag", "l_linestatus", "bp").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("bp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag", "l_linestatus")
+    c = g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "bp",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_all).alias("tot"),
+    )
+    med = F.min(
+        F.when(2 * F.col("cum") >= F.col("tot"), F.col("bp"))
+    )
+    return c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.max("tot").cast("long").alias("total_weight"),
+        F.count("*").alias("n_values"),
+        med.cast("long").alias("w_median_bp"),
+        (med.cast("double") / 10000).alias("w_median"),
+        F.min(
+            F.when(10 * F.col("cum") >= 9 * F.col("tot"), F.col("bp"))
+        )
+        .cast("long")
+        .alias("w_p90_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (merge_asof direction='nearest')
+# ---------------------------------------------------------------------------
+
+_NEAREST_TOL_SECS = 6 * 3600
+_NEAREST_ANCHOR = "1995-01-01 00:00:00"
+
+
+@register(
+    "asof_nearest_click_to_purchase",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             date_diff('second', TIMESTAMP '{_NEAREST_ANCHOR}',
+                       date_trunc('second', ts)) AS e
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    p AS (SELECT event_id, user_id, e FROM ev
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, e FROM ev WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.event_id, p.user_id, p.e,
+             (SELECT MAX(c.e) FROM c
+              WHERE c.user_id = p.user_id AND c.e <= p.e) AS back_e,
+             (SELECT MIN(c.e) FROM c
+              WHERE c.user_id = p.user_id AND c.e >= p.e) AS fwd_e
+      FROM p
+    ),
+    d AS (
+      SELECT event_id, user_id, e,
+             CASE WHEN e - back_e <= {_NEAREST_TOL_SECS}
+                  THEN e - back_e END AS bd,
+             CASE WHEN fwd_e - e <= {_NEAREST_TOL_SECS}
+                  THEN fwd_e - e END AS fd,
+             back_e, fwd_e
+      FROM cand
+    )
+    SELECT event_id, user_id, CAST(e AS BIGINT) AS purchase_sec,
+           CAST(CASE WHEN bd IS NOT NULL
+                       AND (fd IS NULL OR bd <= fd) THEN back_e
+                     WHEN fd IS NOT NULL THEN fwd_e END AS BIGINT)
+             AS nearest_click_sec,
+           CAST(CASE WHEN bd IS NOT NULL
+                       AND (fd IS NULL OR bd <= fd) THEN bd
+                     WHEN fd IS NOT NULL THEN fd END AS BIGINT)
+             AS diff_secs,
+           CASE WHEN bd IS NOT NULL AND (fd IS NULL OR bd <= fd)
+                  THEN 'back'
+                WHEN fd IS NOT NULL THEN 'fwd'
+                ELSE 'none' END AS direction
+    FROM d
+    """,
+)
+def asof_nearest_click_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (pandas
+    ``merge_asof(direction='nearest', tolerance=6h)``): each purchase
+    finds its temporally closest click by the same user within ±6
+    hours, preferring the earlier click on exact ties. Completes the
+    as-of family: backward (``asof_last_click_before_purchase``),
+    interval (``scd2_point_in_time_join``), and now nearest.
+
+    Scale shape: NO join — clicks and purchases union into one stream,
+    ONE shuffle on user_id, and two carry windows over the same sort
+    (last click at-or-before, first click at-or-after via the reversed
+    frame); the argmin is per-row CASE arithmetic. The correlated-
+    subquery oracle is the spec, not the plan. Determinism: both
+    engines diff second-TRUNCATED timestamps from a fixed anchor (the
+    documented NTZ recipe — DuckDB date_diff counts boundary crossings
+    while Spark timestampdiff truncates; identical only after
+    date_trunc), so every distance is an exact bigint; ties prefer
+    'back' by the <= in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            f"timestampdiff(SECOND, timestamp'{_NEAREST_ANCHOR}',"
+            " date_trunc('second', ts))"
+        )
+        .cast("long")
+        .alias("e"),
+        F.when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("is_click"),
+    )
+    # Clicks sort before purchases at equal seconds in BOTH directions,
+    # so a same-second click is visible to both carries (diff 0).
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("e"), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("e").desc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_e = F.when(F.col("is_click") == 1, F.col("e"))
+    carried = ev.withColumn(
+        "back_e", F.last(click_e, ignorenulls=True).over(w_back)
+    ).withColumn(
+        "fwd_e", F.last(click_e, ignorenulls=True).over(w_fwd)
+    )
+    tol = F.lit(_NEAREST_TOL_SECS)
+    bd = F.when(
+        F.col("e") - F.col("back_e") <= tol,
+        F.col("e") - F.col("back_e"),
+    )
+    fd = F.when(
+        F.col("fwd_e") - F.col("e") <= tol,
+        F.col("fwd_e") - F.col("e"),
+    )
+    d = carried.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("e").alias("purchase_sec"),
+        bd.alias("bd"),
+        fd.alias("fd"),
+        "back_e",
+        "fwd_e",
+    )
+    take_back = F.col("bd").isNotNull() & (
+        F.col("fd").isNull() | (F.col("bd") <= F.col("fd"))
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_sec").cast("long").alias("purchase_sec"),
+        F.when(take_back, F.col("back_e"))
+        .when(F.col("fd").isNotNull(), F.col("fwd_e"))
+        .cast("long")
+        .alias("nearest_click_sec"),
+        F.when(take_back, F.col("bd"))
+        .when(F.col("fd").isNotNull(), F.col("fd"))
+        .cast("long")
+        .alias("diff_secs"),
+        F.when(take_back, F.lit("back"))
+        .when(F.col("fd").isNotNull(), F.lit("fwd"))
+        .otherwise(F.lit("none"))
+        .alias("direction"),
+    )

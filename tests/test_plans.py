@@ -659,3 +659,26 @@ def test_batch13_wave3_plan_properties(plans):
     assert "EvalPython" not in p and "CartesianProduct" not in p
     p = plans("largest_remainder_apportionment", "simple")
     assert "SortMergeJoin" not in p and "EvalPython" not in p
+
+
+def test_batch14_plan_properties(plans):
+    """Batch-14 plan contracts: the clamped balance is ONE exchange
+    with both cumulative windows sharing a single sort (the reflected-
+    walk identity never iterates); the nearest as-of is JOIN-FREE —
+    one union, one exchange on user_id, two sorted carries; weighted
+    median windows only the per-distinct-value frame (2 bounded
+    exchanges); Theil-Sen pair expansion is a generator over the
+    group-collected bounded series, never a self-join of facts."""
+    p = plans("inventory_clamped_balance", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert p.count("Exchange") == 1  # one shuffle on suppkey
+    assert p.count("Sort") == 1  # both windows share the sort
+    p = plans("asof_nearest_click_to_purchase", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert p.count("Exchange") == 1  # union + one shuffle on user_id
+    p = plans("weighted_median_discount", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert p.count("Exchange") <= 2  # value agg + group windows
+    p = plans("series_theilsen_trend", "simple")
+    assert "Generate" in p  # pair expansion from the collected array
+    assert "CartesianProduct" not in p and "EvalPython" not in p
