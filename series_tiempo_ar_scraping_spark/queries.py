@@ -104,9 +104,20 @@ def register(name: str, oracle: str | None = None,
     assigned later (``ORACLES[name] = ...`` after shared fragments are
     defined) or carry ``no_oracle_reason`` — the checker treats a reasonless
     oracle-less query as a failure, so coverage can't silently erode.
+
+    Duplicate names raise: a same-name re-registration silently SHADOWS
+    the earlier query (dict overwrite), shrinking the catalog with every
+    signal still green — exactly what happened to batch4's signup cohort
+    matrix until the r7 review (now ``signup_cohort_retention``).
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"query {name!r} already registered "
+                f"({QUERIES[name].__module__}) — duplicate registration "
+                "shadows the earlier query; pick a distinct name"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1215,7 +1215,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cohort_retention",
+    # batch7 later registers a weekly first-activity "cohort_retention";
+    # this one is the SIGNUP-day daily matrix. Distinct names keep both
+    # (found in the r7 review: same-name re-registration shadowed this).
+    "signup_cohort_retention",
     oracle="""
     WITH cohort AS (
       SELECT user_id,
@@ -1233,7 +1236,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
 )
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def signup_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup-cohort retention matrix: users bucketed by first-signup day,
     counted distinct in each subsequent activity day (daily grain because
     the events fixture spans one month). The cohort frame is one row per
