@@ -188,6 +188,9 @@ BENCH_QUERIES_EXT = [
     "series_theilsen_trend",
     "weighted_median_discount",
     "asof_nearest_click_to_purchase",
+    "activity_streak_islands",
+    "corpus_mixture_reweighting",
+    "jl_projection_distortion",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -19,6 +19,14 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
   exact integer-seconds argmin with tolerance — no join at all, the
   third as-of direction after ``asof_last_click_before_purchase``
   (backward) and ``scd2_point_in_time_join`` (interval).
+- Gaps-and-islands value runs: consecutive-day activity streaks via
+  the day-minus-row_number anchor identity.
+- LLM data mixing: temperature (alpha=1/2) corpus mixture
+  reweighting — per-source sqrt acceptance thinning with exact
+  cross-engine thresholds (IEEE sqrt is correctly rounded by
+  standard, unlike pow/exp/ln).
+- Embedding sketching: Johnson-Lindenstrauss +/-1 projection with an
+  exact-integer distance-distortion audit on a bounded pair sample.
 
 Determinism recipe (repo standard, queries_batch8/12/13): exact
 bigint/decimal arithmetic end-to-end; portable floor division is
@@ -40,7 +48,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from series_tiempo_ar_scraping_spark.operators import textops as TX
 from series_tiempo_ar_scraping_spark.operators.dedup import (
+    hash64_seeded,
     upper_triangle_pairs,
 )
 from series_tiempo_ar_scraping_spark.queries import (
@@ -48,6 +58,10 @@ from series_tiempo_ar_scraping_spark.queries import (
     det_round_sql,
     load_table,
     register,
+)
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _hex60_seeded,
+    _toks_of_norm,
 )
 
 # ---------------------------------------------------------------------------
@@ -572,4 +586,413 @@ def asof_nearest_click_to_purchase(
         .when(F.col("fd").isNotNull(), F.lit("fwd"))
         .otherwise(F.lit("none"))
         .alias("direction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity-streak islands (gaps-and-islands family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activity_streak_islands",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    anch AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, anchor,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS s, MAX(d) AS e
+      FROM anch GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT user_id, len, s, e,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, s) AS rk,
+             SUM(len) OVER (PARTITION BY user_id) AS n_active_days,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+      FROM streaks
+    )
+    SELECT user_id,
+           CAST(n_active_days AS BIGINT) AS n_active_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks,
+           len AS longest_streak,
+           s AS longest_start, e AS longest_end
+    FROM best WHERE rk = 1
+    """,
+)
+def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands consecutive-day streaks: each user's distinct
+    activity days split into maximal runs of consecutive dates via the
+    classic anchor identity (day − row_number is constant exactly
+    within a consecutive run), reporting active-day total, number of
+    streaks, and the longest streak (ties → earliest). THE
+    engagement-analytics shape (login streaks, SLA run-lengths,
+    sensor-uptime islands), complementing ``sessionize_events``
+    (time-gap islands at second grain) and ``series_gap_check``
+    (calendar-gap detection) with value-run grouping.
+
+    Scale shape: one distinct on (user, day) — the only fact-sized
+    shuffle; every window partitions by user_id and reuses that same
+    hash partitioning (Spark chains them with no extra exchange); the
+    streak frame is |user × streak|, far smaller than events.
+    Determinism: date arithmetic is exact; ties on streak length break
+    on earliest start date."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    w_rn = Window.partitionBy("user_id").orderBy("d")
+    anch = ud.withColumn(
+        "anchor",
+        F.date_sub(F.col("d"), F.row_number().over(w_rn)),
+    )
+    streaks = anch.groupBy("user_id", "anchor").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("d").alias("s"),
+        F.max("d").alias("e"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("s")
+    )
+    w_all = Window.partitionBy("user_id")
+    best = streaks.select(
+        "user_id",
+        "len",
+        "s",
+        "e",
+        F.row_number().over(w_best).alias("rk"),
+        F.sum("len").over(w_all).alias("n_active_days"),
+        F.count("*").over(w_all).alias("n_streaks"),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "user_id",
+        F.col("n_active_days").cast("long").alias("n_active_days"),
+        F.col("n_streaks").cast("long").alias("n_streaks"),
+        F.col("len").alias("longest_streak"),
+        F.col("s").alias("longest_start"),
+        F.col("e").alias("longest_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture reweighting (LLM data-mixing family)
+# ---------------------------------------------------------------------------
+
+_MIX_SEED = 47
+_MIX_U = 1000000  # acceptance threshold resolution
+
+
+@register(
+    "corpus_mixture_reweighting",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len({_toks_of_norm('text')}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tok
+      FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(SUM(tok) AS BIGINT) AS tok_total,
+             CAST(MIN(tok) AS BIGINT) AS tok_min
+      FROM s
+    ),
+    a AS (
+      SELECT s.source, s.n_docs, s.tok, t.tok_total,
+             CAST(FLOOR(sqrt(CAST(t.tok_min AS DOUBLE) / s.tok)
+                        * {_MIX_U} + 0.5) AS BIGINT) AS accept_micro
+      FROM s, t
+    ),
+    kept AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(d.n_tokens) AS BIGINT) AS kept_tok
+      FROM d JOIN a ON a.source = d.source
+      WHERE {_hex60_seeded(str(_MIX_SEED), 'CAST(d.doc_id AS VARCHAR)')}
+            % {_MIX_U} < a.accept_micro
+      GROUP BY 1
+    ),
+    kt AS (SELECT CAST(SUM(kept_tok) AS BIGINT) AS kept_total FROM kept)
+    SELECT a.source, a.n_docs, a.tok AS n_tokens,
+           {det_round_sql('CAST(a.tok AS DOUBLE) / a.tok_total', 6)}
+             AS token_share,
+           a.accept_micro,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tok, 0) AS kept_tokens,
+           {det_round_sql(
+               'CAST(COALESCE(k.kept_tok, 0) AS DOUBLE) / kt.kept_total',
+               6)} AS kept_share
+    FROM a LEFT JOIN kept k ON k.source = a.source, kt
+    """,
+)
+def corpus_mixture_reweighting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based corpus mixture reweighting (the multilingual-
+    LM data-mixing recipe: sample source i proportional to p_i^alpha
+    instead of its natural share p_i, here alpha = 1/2): per-source
+    acceptance rate sqrt(p_min/p_i) — the over-represented source is
+    thinned hardest, the smallest source keeps everything — applied as
+    seeded-hash Bernoulli thinning per document. Reports the before/
+    after token mix. Alpha = 1/2 is chosen deliberately: IEEE 754
+    requires sqrt to be CORRECTLY rounded, so unlike pow/exp/ln the
+    acceptance threshold is bit-identical cross-engine by standard.
+
+    Scale shape: one token-count projection (map-side), one per-source
+    aggregate, the tiny source frame broadcast back onto documents for
+    the thinning filter, one more per-source aggregate — no fact-sized
+    join or sort anywhere. Determinism: token counts exact ints; the
+    threshold is floor(sqrt(exact-int ratio)·1e6+0.5) (one division,
+    one correctly-rounded sqrt); the per-doc draw is the seeded 60-bit
+    hash mod 1e6; shares are one double division each, det-rounded.
+    Cites: Conneau & Lample 2019 (XLM exponentiated sampling);
+    Raffel et al. 2020 (T5 mixing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(TX.normalize_text("text")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tok"),
+    )
+    t = s.agg(
+        F.sum("tok").cast("long").alias("tok_total"),
+        F.min("tok").cast("long").alias("tok_min"),
+    )
+    a = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "tok",
+        "tok_total",
+        F.floor(
+            F.sqrt(F.col("tok_min").cast("double") / F.col("tok"))
+            * _MIX_U
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("accept_micro"),
+    )
+    # |sources| rows, reused by the thinning join AND the final report —
+    # checkpointing stops the corpus token aggregate from re-running per
+    # consumer and keeps the final join a broadcast of two tiny frames.
+    a = a.localCheckpoint(eager=False)
+    u = hash64_seeded(F.col("doc_id").cast("string"), _MIX_SEED) % _MIX_U
+    kept = (
+        d.join(
+            F.broadcast(a.select("source", "accept_micro")), "source"
+        )
+        .filter(u < F.col("accept_micro"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("kept_tok"),
+        )
+        .localCheckpoint(eager=False)  # reused: final join + kept_total
+    )
+    kt = kept.agg(F.sum("kept_tok").cast("long").alias("kept_total"))
+    return (
+        a.join(F.broadcast(kept), "source", "left")
+        .crossJoin(F.broadcast(kt))
+        .select(
+            "source",
+            "n_docs",
+            F.col("tok").alias("n_tokens"),
+            det_round(
+                F.col("tok").cast("double") / F.col("tok_total"), 6
+            ).alias("token_share"),
+            "accept_micro",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("kept_tok"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            det_round(
+                F.coalesce(F.col("kept_tok"), F.lit(0)).cast("double")
+                / F.col("kept_total"),
+                6,
+            ).alias("kept_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (embedding-sketch family)
+# ---------------------------------------------------------------------------
+
+import hashlib  # noqa: E402
+
+_JL_DIM = 64  # input embedding width (fixture contract)
+_JL_OUT = 8  # projected width
+# Deterministic +/-1 sign matrix, derived ONCE in Python from md5 parity
+# and embedded as literals in BOTH engines — like the NDCG discount
+# table, there is no runtime randomness to diverge.
+_JL_SIGNS = [
+    [
+        1
+        if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest(), 16) % 2 == 0
+        else -1
+        for i in range(_JL_DIM)
+    ]
+    for j in range(_JL_OUT)
+]
+_JL_SAMPLE = 24  # vec_id bound for the distortion-audit pair sample
+
+
+def _jl_q_sql(col: str) -> str:
+    """Quantized embedding (milli-int list) — exact bigints, so every
+    distance below is exact integer arithmetic."""
+    return (
+        f"list_transform({col}, "
+        "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+    )
+
+
+def _jl_proj_sql(qcol: str) -> str:
+    """The 8 projections as a SQL list literal of exact integer sums."""
+    terms = []
+    for j in range(_JL_OUT):
+        signs = "[" + ", ".join(str(s) for s in _JL_SIGNS[j]) + "]"
+        terms.append(
+            f"CAST(list_sum(list_transform(generate_series(1, {_JL_DIM}),"
+            f" i -> {qcol}[i] * ({signs}::BIGINT[])[i])) AS BIGINT)"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, {_jl_q_sql('embedding')} AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, q, {_jl_proj_sql('q')} AS p
+      FROM q
+    ),
+    sample AS (SELECT * FROM p WHERE vec_id < {_JL_SAMPLE}),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(list_sum(list_transform(
+               generate_series(1, {_JL_DIM}),
+               i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i])))
+               AS BIGINT) AS d2_orig,
+             CAST(list_sum(list_transform(
+               generate_series(1, {_JL_OUT}),
+               j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])))
+               AS BIGINT) AS d2_proj
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, d2_orig, d2_proj,
+           {det_round_sql(
+               'CAST(d2_proj AS DOUBLE)'
+               f' / NULLIF({_JL_OUT} * d2_orig, 0)', 6)}
+             AS distortion_ratio
+    FROM pairs
+    """,
+)
+def jl_projection_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketching: project every 64-d embedding to
+    8 dims with a fixed +/-1 sign matrix (Achlioptas 2001 — database-
+    friendly random projections), then audit distance preservation on
+    a bounded pair sample: E[|Px - Py|^2] = k*|x - y|^2, so the
+    reported distortion_ratio concentrates around 1. The cheap
+    dimensionality-reduction stage that runs BEFORE ANN indexing at
+    100 TB (8 ints per vector instead of 64 floats shrinks every
+    downstream shuffle 8x); complements PQ (codebook compression) with
+    an oblivious, training-free sketch.
+
+    Scale shape: the projection is a pure map-side expression over the
+    corpus (zip_with + aggregate per output dim — no UDF, no shuffle);
+    only the bounded audit sample (24 vectors, 276 pairs) self-joins,
+    broadcast. Determinism: embeddings quantize to exact milli-ints
+    (explicit double cast first — the FLOAT gotcha), the sign matrix
+    is Python-precomputed literals, so projections and BOTH distances
+    are exact bigint sums; the ratio is one double division,
+    det-rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    zero = F.lit(0).cast("long")
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(s) for s in _JL_SIGNS[j]]),
+                    lambda a, b: a * b.cast("long"),
+                ),
+                zero,
+                lambda acc, x: acc + x,
+            )
+            for j in range(_JL_OUT)
+        ]
+    )
+    p = q.select("vec_id", "q", proj.alias("p"))
+    sample = p.filter(F.col("vec_id") < _JL_SAMPLE)
+    a = sample.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("qa"),
+        F.col("p").alias("pa"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("qb"),
+        F.col("p").alias("pb"),
+    )
+
+    def sq_dist(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(x), F.col(y), lambda u, v: (u - v) * (u - v)
+            ),
+            zero,
+            lambda acc, z: acc + z,
+        )
+
+    pairs = a.join(
+        F.broadcast(b), F.col("a_id") < F.col("b_id")
+    ).select(
+        "a_id",
+        "b_id",
+        sq_dist("qa", "qb").cast("bigint").alias("d2_orig"),
+        sq_dist("pa", "pb").cast("bigint").alias("d2_proj"),
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "d2_orig",
+        "d2_proj",
+        det_round(
+            F.col("d2_proj").cast("double")
+            / F.nullif(F.lit(_JL_OUT) * F.col("d2_orig"), F.lit(0)),
+            6,
+        ).alias("distortion_ratio"),
     )

@@ -682,3 +682,21 @@ def test_batch14_plan_properties(plans):
     p = plans("series_theilsen_trend", "simple")
     assert "Generate" in p  # pair expansion from the collected array
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_batch14_wave2_plan_properties(plans):
+    """Streak islands chain every window/aggregate on the user_id
+    partitioning (2 exchanges total, join-free); mixture reweighting
+    broadcasts the tiny source frames (never a sort-merge — found at 18
+    exchanges + SMJ before checkpointing the reused |sources| frame);
+    the JL projection is map-side (no shuffle before the bounded audit
+    sample's broadcast pair join, no Python)."""
+    p = plans("activity_streak_islands", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert p.count("Exchange") == 2  # distinct + user_id windows
+    p = plans("corpus_mixture_reweighting", "simple")
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    assert p.count("Exchange") <= 3
+    p = plans("jl_projection_distortion", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange") <= 1  # projection itself is map-side
