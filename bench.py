@@ -191,6 +191,8 @@ BENCH_QUERIES_EXT = [
     "activity_streak_islands",
     "corpus_mixture_reweighting",
     "jl_projection_distortion",
+    "textrank_keywords",
+    "golden_record_survivorship",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

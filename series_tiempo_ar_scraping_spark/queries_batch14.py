@@ -27,6 +27,11 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
   standard, unlike pow/exp/ln).
 - Embedding sketching: Johnson-Lindenstrauss +/-1 projection with an
   exact-integer distance-distortion audit on a bounded pair sample.
+- TextRank keyword extraction: the repo's integer-PageRank discipline
+  composed over a token co-occurrence graph (graph x text).
+- Golden-record survivorship: field-level MDM merge — argmax of
+  (non-null, freshness, priority) per field with provenance, via ONE
+  generator fan-out + one max_by aggregate.
 
 Determinism recipe (repo standard, queries_batch8/12/13): exact
 bigint/decimal arithmetic end-to-end; portable floor division is
@@ -995,4 +1000,353 @@ def jl_projection_distortion(
             / F.nullif(F.lit(_JL_OUT) * F.col("d2_orig"), F.lit(0)),
             6,
         ).alias("distortion_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (graph x text composition)
+# ---------------------------------------------------------------------------
+
+_TR_MINLEN = 4  # content-word heuristic: tokens shorter than this drop
+_TR_TOPK = 25
+_TR_ITERS = 3
+
+
+def _textrank_prefix_sql() -> str:
+    """Shared WITH-prefix: windowed co-occurrence edges over the
+    length-filtered token sequence, degree frame, node set."""
+    return f"""
+    tk AS (
+      SELECT doc_id,
+             list_filter({_toks_of_norm('text')},
+                         t -> length(t) >= {_TR_MINLEN}) AS toks
+      FROM documents
+    ),
+    adj AS (
+      SELECT u.a, u.b FROM (
+        SELECT unnest(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> struct_pack(a := least(toks[i], toks[i+1]),
+                                  b := greatest(toks[i], toks[i+1]))))
+                 AS u
+        FROM tk WHERE len(toks) >= 2
+      ) WHERE u.a <> u.b
+    ),
+    pairs AS (
+      SELECT a, b FROM adj GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1)
+    """
+
+
+def _textrank_iter_sql(prev: str, cur: str) -> str:
+    # same integer micro-unit recipe as queries_batch5's pagerank —
+    # duplicated locally because shared oracle fragments must live in a
+    # LEAF module and this one is textrank-specific (sqlfrags rule)
+    return f"""
+    c{cur} AS (
+      SELECT e.dst AS id, SUM({prev}.r // d.outdeg) AS s
+      FROM edges e
+      JOIN {prev} ON {prev}.id = e.src
+      JOIN deg d ON d.id = e.src
+      GROUP BY 1
+    ),
+    {cur} AS (
+      SELECT n.id,
+             CAST(150000 + (850 * COALESCE(c.s, 0)) // 1000 AS BIGINT)
+               AS r
+      FROM nodes n LEFT JOIN c{cur} c ON c.id = n.id
+    )"""
+
+
+@register(
+    "textrank_keywords",
+    oracle=f"""
+    WITH {_textrank_prefix_sql()},
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+    {_textrank_iter_sql("r0", "r1")},
+    {_textrank_iter_sql("r1", "r2")},
+    {_textrank_iter_sql("r2", "r3")}
+    SELECT id AS token, r AS rank_micro
+    FROM r3 ORDER BY r DESC, id LIMIT {_TR_TOPK}
+    """,
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keyword extraction (Mihalcea & Tarau 2004):
+    PageRank over the token co-occurrence graph — content tokens
+    (length >= 4) are nodes, adjacent-token pairs seen >= 2 times are
+    undirected edges, 3 damped (0.85) iterations, global top-25. The
+    graph-centrality alternative to frequency-based keywording
+    (``tfidf_top_terms``): a token ranks high when it co-occurs with
+    other well-connected tokens, not merely when it is common.
+
+    Scale shape: edge derivation is ONE corpus scan (generator over
+    consecutive filtered-token pairs) + one count aggregate with the
+    >= 2 prune; the graph is VOCABULARY-sized, so the iterations run on
+    frames orders of magnitude smaller than the corpus. Iteration
+    discipline is the repo's pagerank recipe verbatim: integer
+    micro-unit ranks (contribution = r DIV outdeg; next = 150000 +
+    850*sum DIV 1000 — partial sums commute, bit-identical across
+    partitionings), edge+degree frame checkpointed ONCE, ranks
+    re-checkpointed per round for O(1) plan size, top-k via
+    TakeOrdered with token tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Explicit repartition before the CPU-heavy tokenize + pair explode:
+    # a cold single-row-group parquet scan is ONE task, serializing the
+    # corpus-sized generator (measured 72s -> ~5s cold at sf0.1 on
+    # local[32]) — the queries_batch9 shingle-projection idiom. At
+    # 100 TB the same width comes free from row-group splits.
+    tk = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        F.filter(
+            TX.tokens(TX.normalize_text("text")),
+            lambda t: F.length(t) >= _TR_MINLEN,
+        ).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    adj = tk.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - F.lit(2)),
+                lambda i: F.struct(
+                    F.least(
+                        F.try_element_at("toks", i + 1),
+                        F.try_element_at("toks", i + 2),
+                    ).alias("a"),
+                    F.greatest(
+                        F.try_element_at("toks", i + 1),
+                        F.try_element_at("toks", i + 2),
+                    ).alias("b"),
+                ),
+            )
+        ).alias("u")
+    ).filter(F.col("u.a") != F.col("u.b"))
+    pairs = (
+        adj.groupBy("u.a", "u.b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("src"), F.col("a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("outdeg")
+    )
+    src_deg = (
+        edges.join(deg, edges["src"] == deg["id"])
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select(
+        "id", F.lit(1000000).cast("bigint").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contribs = (
+            src_deg.join(ranks, src_deg["src"] == ranks["id"])
+            .select(F.col("dst"), F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(
+                contribs, nodes["id"] == contribs["dst"], "left"
+            )
+            .select(
+                "id",
+                (
+                    F.lit(150000).cast("bigint")
+                    + F.expr("850 * coalesce(s, 0) DIV 1000")
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), "id")
+        .limit(_TR_TOPK)
+        .select(
+            F.col("id").alias("token"),
+            F.col("r").alias("rank_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (master-data-management family)
+# ---------------------------------------------------------------------------
+
+# Three deterministic "source systems" derived from customer: each
+# carries a subset of fields, with seeded-hash nulls and staleness, so
+# per-field survivorship has real work to do.
+_GR_SOURCES = [
+    ("crm", 3, 61),
+    ("billing", 2, 62),
+    ("legacy", 1, 63),
+]
+
+
+def _gr_union_sql() -> str:
+    h = {
+        s: _hex60_seeded(str(seed), "CAST(c_custkey AS VARCHAR)")
+        for s, _, seed in _GR_SOURCES
+    }
+    cents = "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    return f"""
+      SELECT c_custkey AS custkey, 'crm' AS src, CAST(3 AS BIGINT)
+               AS prio,
+             CAST({h['crm']} % 1000 AS BIGINT) AS ts,
+             CASE WHEN {h['crm']} % 4 <> 0 THEN c_name END AS name,
+             CAST(NULL AS BIGINT) AS acctbal_cents,
+             CASE WHEN {h['crm']} % 3 <> 0 THEN c_mktsegment END
+               AS mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'billing', 2,
+             CAST({h['billing']} % 1000 AS BIGINT),
+             NULL,
+             CASE WHEN {h['billing']} % 5 <> 0 THEN {cents} END,
+             NULL
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'legacy', 1,
+             CAST({h['legacy']} % 1000 AS BIGINT),
+             upper(c_name), {cents} - 1000, lower(c_mktsegment)
+      FROM customer
+    """
+
+
+def _gr_pick_sql(field: str) -> str:
+    # survivorship key packed into ONE bigint (ts < 1000, prio < 10):
+    # (non-null, freshest ts, priority), lexicographic by construction —
+    # DuckDB's arg_max has no struct-key overload, so both engines rank
+    # on the identical packed integer
+    key = (
+        f"(CASE WHEN {field} IS NULL THEN 0 ELSE 1 END) * 100000"
+        " + ts * 10 + prio"
+    )
+    return (
+        f"arg_max({field}, {key}) AS {field}, "
+        f"arg_max(src, {key}) AS {field}_src"
+    )
+
+
+@register(
+    "golden_record_survivorship",
+    oracle=f"""
+    WITH recs AS ({_gr_union_sql()})
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           {_gr_pick_sql('name')},
+           {_gr_pick_sql('acctbal_cents')},
+           {_gr_pick_sql('mktsegment')}
+    FROM recs GROUP BY custkey
+    """,
+)
+def golden_record_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Master-data golden record with FIELD-level survivorship: three
+    source systems carry overlapping, partially-null, partially-stale
+    views of each customer; per field the winner is argmax of
+    (non-null, freshest timestamp, source priority) — so one golden
+    row can mix sources per field, each with provenance. The MDM merge
+    step after entity resolution (``dedup_connected_components`` /
+    ``fuzzy_blocked_name_join`` find the cluster; this decides what
+    the surviving record SAYS), record-level precedence being the
+    simpler ``merge_sources_by_priority``.
+
+    Scale shape: ONE customer scan fans out to the three source views
+    via a generator (explode of a 3-struct array — no self-union of
+    scans), then ONE groupBy custkey where every field+provenance pick
+    is a max_by with a (notnull, ts, prio) struct key — map-side
+    combinable, 1 exchange total. Determinism: the key is exact ints
+    plus distinct per-source priorities, so no ties exist; struct
+    comparison is lexicographic in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+
+    def h(seed: int):
+        return hash64_seeded(F.col("c_custkey").cast("string"), seed)
+
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("bigint")
+
+    def rec(src, prio, name, acct, seg, seed):
+        return F.struct(
+            F.lit(src).alias("src"),
+            F.lit(prio).cast("long").alias("prio"),
+            (h(seed) % 1000).cast("bigint").alias("ts"),
+            name.alias("name"),
+            acct.alias("acctbal_cents"),
+            seg.alias("mktsegment"),
+        )
+
+    recs = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.explode(
+            F.array(
+                rec(
+                    "crm",
+                    3,
+                    F.when(h(61) % 4 != 0, F.col("c_name")).otherwise(
+                        null_s
+                    ),
+                    null_l,
+                    F.when(
+                        h(61) % 3 != 0, F.col("c_mktsegment")
+                    ).otherwise(null_s),
+                    61,
+                ),
+                rec(
+                    "billing",
+                    2,
+                    null_s,
+                    F.when(h(62) % 5 != 0, cents).otherwise(null_l),
+                    null_s,
+                    62,
+                ),
+                rec(
+                    "legacy",
+                    1,
+                    F.upper(F.col("c_name")),
+                    cents - 1000,
+                    F.lower(F.col("c_mktsegment")),
+                    63,
+                ),
+            )
+        ).alias("r"),
+    ).select("custkey", "r.*")
+
+    def pick(field: str):
+        # same packed-bigint key as the oracle (see _gr_pick_sql)
+        key = (
+            F.when(F.col(field).isNull(), 0).otherwise(1) * 100000
+            + F.col("ts") * 10
+            + F.col("prio")
+        )
+        return [
+            F.max_by(F.col(field), key).alias(field),
+            F.max_by(F.col("src"), key).alias(f"{field}_src"),
+        ]
+
+    return recs.groupBy("custkey").agg(
+        F.count("*").cast("long").alias("n_records"),
+        *pick("name"),
+        *pick("acctbal_cents"),
+        *pick("mktsegment"),
     )

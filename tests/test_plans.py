@@ -700,3 +700,11 @@ def test_batch14_wave2_plan_properties(plans):
     p = plans("jl_projection_distortion", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert p.count("Exchange") <= 1  # projection itself is map-side
+    p = plans("textrank_keywords", "simple")
+    assert "Scan ExistingRDD" in p  # checkpointed edge/degree frames
+    assert "TakeOrdered" in p  # top-k, never a full sort
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    p = plans("golden_record_survivorship", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert p.count("Exchange") == 1  # one scan, generator fan-out, 1 agg
+    assert "Generate" in p  # 3-source fan-out is an explode, not a union
