@@ -193,6 +193,8 @@ BENCH_QUERIES_EXT = [
     "jl_projection_distortion",
     "textrank_keywords",
     "golden_record_survivorship",
+    "markov_removal_attribution",
+    "k_anonymity_audit",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -32,6 +32,11 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
 - Golden-record survivorship: field-level MDM merge — argmax of
   (non-null, freshness, priority) per field with provenance, via ONE
   generator fan-out + one max_by aggregate.
+- Markov removal-effect attribution: absorbing-chain channel valuation
+  (the 8th iterative family) — all removal scenarios iterate together
+  in one (scenario, state) keyed channel-sized frame.
+- Privacy governance: k-anonymity / l-diversity audit over
+  quasi-identifier equivalence classes.
 
 Determinism recipe (repo standard, queries_batch8/12/13): exact
 bigint/decimal arithmetic end-to-end; portable floor division is
@@ -1349,4 +1354,370 @@ def golden_record_survivorship(
         *pick("name"),
         *pick("acctbal_cents"),
         *pick("mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain iterative family)
+# ---------------------------------------------------------------------------
+
+_MK_CHANNELS = ["click", "error", "signup", "view"]  # fixture touch set
+_MK_SCENARIOS = ["base"] + _MK_CHANNELS
+_MK_ITERS = 12  # absorption horizon (part of the spec, both engines)
+
+
+def _mk_trans_sql() -> str:
+    """Shared WITH-prefix: journeys -> transition counts -> per-scenario
+    transition frame (removal drops edges touching the removed channel
+    while DENOMINATORS stay the original totals, i.e. the removed mass
+    redirects to the NULL sink — Anderl et al. 2014 semantics)."""
+    scen = ", ".join(f"('{s}')" for s in _MK_SCENARIOS)
+    return f"""
+    ev AS MATERIALIZED (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rk
+      FROM events
+    ),
+    rp AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN rk END) AS rp
+      FROM ev GROUP BY 1
+    ),
+    j AS MATERIALIZED (
+      SELECT e.user_id, e.event_type, e.rk, r.rp,
+             lead(e.event_type) OVER (PARTITION BY e.user_id
+                                      ORDER BY e.rk) AS nxt
+      FROM ev e JOIN rp r USING (user_id)
+    ),
+    starts AS (
+      SELECT 'START' AS src,
+             CASE WHEN rp = 1 THEN 'CONV' ELSE event_type END AS dst
+      FROM j WHERE rk = 1
+    ),
+    touches AS (
+      SELECT event_type AS src,
+             CASE WHEN rp IS NOT NULL AND rk + 1 = rp THEN 'CONV'
+                  WHEN nxt IS NULL THEN 'NULL'
+                  ELSE nxt END AS dst
+      FROM j WHERE rk < COALESCE(rp, 9223372036854775807)
+    ),
+    cnts AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT * FROM starts UNION ALL SELECT * FROM touches)
+      GROUP BY 1, 2
+    ),
+    tots AS (SELECT src, SUM(cnt) AS tot FROM cnts GROUP BY 1),
+    tr AS MATERIALIZED (
+      SELECT s.sc, c.src, c.dst, c.cnt, t.tot
+      FROM cnts c JOIN tots t USING (src)
+      CROSS JOIN (VALUES {scen}) s(sc)
+      WHERE s.sc = 'base' OR (c.src <> s.sc AND c.dst <> s.sc)
+    ),
+    sinks AS MATERIALIZED (
+      SELECT s.sc, x.state, x.val
+      FROM (VALUES {scen}) s(sc),
+           (VALUES ('CONV', CAST(1000000 AS BIGINT)),
+                   ('NULL', CAST(0 AS BIGINT))) x(state, val)
+    )
+    """
+
+
+def _mk_iter_sql(prev: str, cur: str) -> str:
+    return f"""
+    {cur} AS (
+      SELECT sc, state, val FROM sinks
+      UNION ALL
+      SELECT t.sc, t.src AS state,
+             CAST(SUM(t.cnt * COALESCE(p.val, 0)) // MAX(t.tot)
+                  AS BIGINT) AS val
+      FROM tr t LEFT JOIN {prev} p
+        ON p.sc = t.sc AND p.state = t.dst
+      GROUP BY t.sc, t.src
+    )"""
+
+
+def _mk_oracle() -> str:
+    iters = ",".join(
+        _mk_iter_sql(f"p{k}", f"p{k + 1}") for k in range(_MK_ITERS)
+    )
+    last = f"p{_MK_ITERS}"
+    return f"""
+    WITH {_mk_trans_sql()},
+    p0 AS (SELECT sc, state, val FROM sinks),
+    {iters},
+    eff AS (SELECT sc AS channel, val FROM {last}
+            WHERE state = 'START' AND sc <> 'base'),
+    b AS (SELECT val AS base FROM {last}
+          WHERE state = 'START' AND sc = 'base'),
+    te AS (SELECT CAST(SUM(b.base - e.val) AS BIGINT) AS tot_eff
+           FROM eff e, b)
+    SELECT e.channel,
+           CAST(b.base AS BIGINT) AS base_micro,
+           CAST(e.val AS BIGINT) AS removed_micro,
+           CAST(b.base - e.val AS BIGINT) AS effect_micro,
+           {det_round_sql('CAST(b.base - e.val AS DOUBLE) / b.base', 6)}
+             AS removal_effect,
+           {det_round_sql(
+               'CAST(b.base - e.val AS DOUBLE) / NULLIF(t.tot_eff, 0)',
+               6)} AS attribution_share
+    FROM eff e, b, te t
+    """
+
+
+@register("markov_removal_attribution", oracle=_mk_oracle())
+def markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2014 —
+    the data-driven alternative to position rules like
+    ``attribution_linear_credit``): user journeys (touches up to the
+    first purchase; purchase absorbs to CONV, abandonment to NULL)
+    define a transition matrix; each channel's value is how much the
+    START->CONV absorption probability DROPS when that channel's edges
+    redirect to NULL (denominators unchanged). Absorption probabilities
+    come from 12 fixed-point iterations — the 8th iterative family
+    (absorbing-chain valuation), after propagation (PageRank/CC/
+    Bellman-Ford), assignment (k-means), peeling (k-core), power
+    iteration, and BPE merge loops.
+
+    Scale shape: journeys are ONE user-keyed window pass over events
+    (the sessionization shuffle); everything after lives on the
+    CHANNEL-sized transition frame (~30 rows) — all 5 scenarios
+    (base + 4 removals) iterate together in one (scenario, state)
+    keyed frame, so the loop is 12 tiny self-joins with per-round
+    localCheckpoint, not 5 separate loops. Determinism: probabilities
+    are micro-ints; each update is SUM(cnt*val) DIV tot (non-negative,
+    so Spark DIV == DuckDB //); the 12-step horizon is part of the
+    spec. Removal can only shrink numerators, so effects are >= 0 by
+    induction."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rk"),
+    )
+    w_u = Window.partitionBy("user_id")
+    w_rk = Window.partitionBy("user_id").orderBy("rk")
+    j = ev.select(
+        "user_id",
+        "event_type",
+        "rk",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rk"))
+        )
+        .over(w_u)
+        .alias("rp"),
+        F.lead("event_type").over(w_rk).alias("nxt"),
+    )
+    starts = j.filter(F.col("rk") == 1).select(
+        F.lit("START").alias("src"),
+        F.when(F.col("rp") == 1, F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    touches = j.filter(
+        F.col("rk")
+        < F.coalesce(F.col("rp"), F.lit(9223372036854775807))
+    ).select(
+        F.col("event_type").alias("src"),
+        F.when(
+            F.col("rp").isNotNull()
+            & (F.col("rk") + 1 == F.col("rp")),
+            F.lit("CONV"),
+        )
+        .when(F.col("nxt").isNull(), F.lit("NULL"))
+        .otherwise(F.col("nxt"))
+        .alias("dst"),
+    )
+    cnts = (
+        starts.unionByName(touches)
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tots = cnts.groupBy("src").agg(F.sum("cnt").alias("tot"))
+    scen = F.explode(
+        F.array(*[F.lit(s) for s in _MK_SCENARIOS])
+    ).alias("sc")
+    tr = (
+        cnts.join(F.broadcast(tots), "src")
+        .select("src", "dst", "cnt", "tot", scen)
+        .filter(
+            (F.col("sc") == "base")
+            | (
+                (F.col("src") != F.col("sc"))
+                & (F.col("dst") != F.col("sc"))
+            )
+        )
+        .localCheckpoint(eager=True)  # channel-sized; reused 12x
+    )
+    sinks = (
+        tr.select("sc")
+        .distinct()
+        .select(
+            "sc",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("CONV").alias("state"),
+                        F.lit(1000000).cast("long").alias("val"),
+                    ),
+                    F.struct(
+                        F.lit("NULL").alias("state"),
+                        F.lit(0).cast("long").alias("val"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("sc", "x.state", "x.val")
+        .localCheckpoint(eager=True)
+    )
+    p = sinks
+    for _ in range(_MK_ITERS):
+        nxt = (
+            tr.join(
+                # explicit hint: p is ~|scenarios x states| rows but has
+                # no stats (derived frame), so the static planner would
+                # pick a sort-merge join without it
+                F.broadcast(
+                    p.select(
+                        "sc", F.col("state").alias("dst"), "val"
+                    )
+                ),
+                ["sc", "dst"],
+                "left",
+            )
+            .groupBy("sc", "src")
+            .agg(
+                F.expr(
+                    "CAST(SUM(cnt * COALESCE(val, 0)) DIV MAX(tot)"
+                    " AS BIGINT)"
+                ).alias("val")
+            )
+            .select("sc", F.col("src").alias("state"), "val")
+        )
+        # NO per-round checkpoint: unlike pagerank (corpus-sized ranks,
+        # plan reused by a big join), p is ~12 rows and referenced ONCE
+        # per level, so lineage grows linearly and 12 levels plan fine;
+        # eager checkpoints here cost a Spark job per round (measured
+        # 37.8s -> ~8s for the whole query at sf0.01)
+        p = sinks.unionByName(nxt)
+    start_vals = p.filter(F.col("state") == "START").select(
+        "sc", "val"
+    )
+    b = start_vals.filter(F.col("sc") == "base").select(
+        F.col("val").alias("base")
+    )
+    eff = start_vals.filter(F.col("sc") != "base").select(
+        F.col("sc").alias("channel"), "val"
+    )
+    te = eff.crossJoin(F.broadcast(b)).agg(
+        F.sum(F.col("base") - F.col("val"))
+        .cast("long")
+        .alias("tot_eff")
+    )
+    return (
+        eff.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(te))
+        .select(
+            "channel",
+            F.col("base").cast("long").alias("base_micro"),
+            F.col("val").cast("long").alias("removed_micro"),
+            (F.col("base") - F.col("val"))
+            .cast("long")
+            .alias("effect_micro"),
+            det_round(
+                (F.col("base") - F.col("val")).cast("double")
+                / F.col("base"),
+                6,
+            ).alias("removal_effect"),
+            det_round(
+                (F.col("base") - F.col("val")).cast("double")
+                / F.nullif(F.col("tot_eff"), F.lit(0)),
+                6,
+            ).alias("attribution_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (privacy-governance family)
+# ---------------------------------------------------------------------------
+
+_KA_K = 5  # k-anonymity threshold
+_KA_L = 3  # l-diversity threshold
+_KA_BAND = 100000  # acctbal band width: $1000 in cents
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             c_mktsegment AS sensitive
+      FROM customer
+    ),
+    b AS (
+      SELECT nationkey,
+             CAST((cents - ((cents % {_KA_BAND}) + {_KA_BAND})
+                   % {_KA_BAND}) // {_KA_BAND} AS BIGINT) AS band,
+             sensitive
+      FROM q
+    )
+    SELECT nationkey, band,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l,
+           CAST(CASE WHEN COUNT(*) >= {_KA_K} THEN 1 ELSE 0 END AS INT)
+             AS is_k_anonymous,
+           CAST(CASE WHEN COUNT(DISTINCT sensitive) >= {_KA_L}
+                     THEN 1 ELSE 0 END AS INT) AS is_l_diverse
+    FROM b GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007): customers bucketed by quasi-identifier tuple
+    (nation, $1000 account-balance band); each equivalence class
+    reports its size k (re-identification resistance — a class of 1
+    is a fingerprint) and the diversity l of the sensitive attribute
+    (market segment) within it. The pre-release privacy gate every
+    data-sharing pipeline needs; composes with ``pii_redaction``
+    (direct identifiers) by covering the INDIRECT ones.
+
+    Scale shape: one map-side banding projection + ONE groupBy with
+    count + countDistinct (a single aggregate, two shuffles max under
+    partial aggregation). Determinism: the band uses the portable
+    floor-division spelling (balances can be negative — a truncating
+    DIV would merge the -1/0 bands); counts are exact ints; no doubles
+    anywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    b = cust.select(
+        F.col("c_nationkey").alias("nationkey"),
+        cents.alias("cents"),
+        F.col("c_mktsegment").alias("sensitive"),
+    ).select(
+        "nationkey",
+        F.expr(
+            f"CAST((cents - ((cents % {_KA_BAND}) + {_KA_BAND})"
+            f" % {_KA_BAND}) DIV {_KA_BAND} AS BIGINT)"
+        ).alias("band"),
+        "sensitive",
+    )
+    return b.groupBy("nationkey", "band").agg(
+        F.count("*").cast("long").alias("k"),
+        F.countDistinct("sensitive").cast("long").alias("l"),
+        F.when(F.count("*") >= _KA_K, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_k_anonymous"),
+        F.when(F.countDistinct("sensitive") >= _KA_L, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_l_diverse"),
     )

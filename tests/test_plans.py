@@ -708,3 +708,17 @@ def test_batch14_wave2_plan_properties(plans):
     assert "Join" not in p and "EvalPython" not in p
     assert p.count("Exchange") == 1  # one scan, generator fan-out, 1 agg
     assert "Generate" in p  # 3-source fan-out is an explode, not a union
+
+
+def test_batch14_wave4_plan_properties(plans):
+    """Markov attribution: all scenario iterations run off the ONE
+    checkpointed channel-sized transition frame (no fact re-scan inside
+    the loop, no sort-merge join anywhere); k-anonymity is a single
+    partial-aggregated groupBy over a map-side banding projection."""
+    p = plans("markov_removal_attribution", "simple")
+    assert "Scan ExistingRDD" in p  # checkpointed transition frame
+    assert "SortMergeJoin" not in p and "EvalPython" not in p
+    assert "parquet" not in p.lower()  # loop never re-scans the facts
+    p = plans("k_anonymity_audit", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p or "HashAggregate" in p
