@@ -195,6 +195,7 @@ BENCH_QUERIES_EXT = [
     "golden_record_survivorship",
     "markov_removal_attribution",
     "k_anonymity_audit",
+    "multimodal_zip_extract",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1298,3 +1298,129 @@ def image_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         run, IMAGE_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Container formats: ZIP archives over binary columns (stdlib zipfile)
+# ---------------------------------------------------------------------------
+
+ZIP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.IntegerType()),
+        T.StructField("txt_bytes", T.LongType()),
+        T.StructField("meta_bytes", T.LongType()),
+        T.StructField("total_uncompressed", T.LongType()),
+        T.StructField("txt_md5", T.StringType()),
+        T.StructField("meta_text", T.StringType()),
+    ]
+)
+
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)  # fixed member mtime: determinism
+
+
+def pack_zip(members: list) -> bytes:
+    """Deterministic ZIP (stdlib zipfile, DEFLATE, pinned mtime).
+
+    ``members`` is a list of (name, bytes). The pinned ZipInfo
+    date_time keeps the archive byte-stable across runs; the archive
+    BYTES still depend on the container's zlib, so only round-trip
+    content (never compressed size) may appear in oracled outputs.
+    """
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+def list_zip_members(data: bytes) -> list:
+    """Extract (name, bytes) pairs; [] for anything that is not a valid
+    archive (truncated, wrong magic) — corrupt rows must degrade to an
+    empty row, never throw inside an executor."""
+    import io
+    import zipfile
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return [(n, zf.read(n)) for n in zf.namelist()]
+    except Exception:
+        return []
+
+
+def zip_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Archive-ingestion plumbing, end to end: pack each document into
+    a 2-member ZIP (the payload + a metadata sidecar) in one Arrow
+    stage — standing in for how web-archive / scraped corpora actually
+    arrive at 100 TB — then EXTRACT members and report content stats
+    in a second Arrow stage that sees only the binary column. Stats
+    are derivable from the source text, so the whole round trip is
+    hash-oracle-able without DuckDB being able to unzip.
+
+    Cites reference parity: the reference downloads and reads packed
+    distribution files from disk (reference/download.py,
+    scrapers/base.py); this is that ingestion lane re-expressed as a
+    distributed binary-column pipeline."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = [
+                pack_zip(
+                    [
+                        ("doc.txt", t.encode("utf-8")),
+                        ("meta.txt", f"{i}|{lg}".encode("utf-8")),
+                    ]
+                )
+                for i, t, lg in zip(
+                    pdf["doc_id"], pdf["text"], pdf["lang"]
+                )
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": content}
+            )
+
+    packed_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    packed = docs.select("doc_id", "text", "lang").mapInPandas(
+        pack, packed_schema
+    )
+
+    def extract(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                members = dict(list_zip_members(bytes(blob)))
+                txt = members.get("doc.txt", b"")
+                meta = members.get("meta.txt", b"")
+                rows.append(
+                    (
+                        mid,
+                        len(members),
+                        len(txt),
+                        len(meta),
+                        sum(len(v) for v in members.values()),
+                        hashlib.md5(txt).hexdigest(),
+                        meta.decode("utf-8", errors="replace"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ZIP_STATS_SCHEMA.fields]
+            )
+
+    return packed.mapInPandas(extract, ZIP_STATS_SCHEMA)

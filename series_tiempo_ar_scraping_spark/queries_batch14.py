@@ -1597,12 +1597,11 @@ def markov_removal_attribution(
             )
             .select("sc", F.col("src").alias("state"), "val")
         )
-        # NO per-round checkpoint: unlike pagerank (corpus-sized ranks,
-        # plan reused by a big join), p is ~12 rows and referenced ONCE
-        # per level, so lineage grows linearly and 12 levels plan fine;
-        # eager checkpoints here cost a Spark job per round (measured
-        # 37.8s -> ~8s for the whole query at sf0.01)
-        p = sinks.unionByName(nxt)
+        # LAZY checkpoint per round: the broadcast above materializes
+        # p_k anyway, and without truncation every round would re-run
+        # all earlier rounds (O(k^2) tiny-join re-execution + plan
+        # analysis); eager would add a separate Spark job per round.
+        p = sinks.unionByName(nxt).localCheckpoint(eager=False)
     start_vals = p.filter(F.col("state") == "START").select(
         "sc", "val"
     )
@@ -1721,3 +1720,48 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP container ingestion (multimodal/container family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_zip_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 AS INT) AS n_members,
+           CAST(strlen(text) AS BIGINT) AS txt_bytes,
+           CAST(strlen(CAST(doc_id AS VARCHAR) || '|' || lang)
+             AS BIGINT) AS meta_bytes,
+           CAST(strlen(text)
+                + strlen(CAST(doc_id AS VARCHAR) || '|' || lang)
+             AS BIGINT) AS total_uncompressed,
+           md5(text) AS txt_md5,
+           CAST(doc_id AS VARCHAR) || '|' || lang AS meta_text
+    FROM documents
+    """,
+)
+def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive round trip over a binary column: pack every document
+    into a deterministic 2-member DEFLATE archive (payload + metadata
+    sidecar) in one Arrow stage, then extract members and report
+    content stats in a second Arrow stage that sees ONLY the binary
+    column — the container-ingestion lane (web archives, scraped-corpus
+    bundles) beside the raster/audio/video codecs. Both stages are
+    ``mapInPandas`` (columnar Arrow transfer, per-batch Python, no
+    per-row pickling); stdlib ``zipfile``/``zlib`` does the real
+    compress + decompress in-sandbox.
+
+    Determinism: member mtimes are pinned (no wall clock in the
+    bytes); the hashed output reports only round-tripped CONTENT
+    (byte lengths, md5, sidecar text) — never the compressed size,
+    which depends on the zlib build — so DuckDB can oracle the whole
+    pipeline from the source table without unzipping anything."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        zip_roundtrip_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zip_roundtrip_stats(docs)

@@ -317,3 +317,50 @@ def test_y4m_rejects_nonpositive_header_fields():
     good = b"YUV4MPEG2 W2 H2 F30:1 C420\n" + b"FRAME\n" + b"\x11" * 4 + b"\x80" * 2
     decoded = try_decode_y4m(good)
     assert decoded is not None and decoded[:4] == (2, 2, 30, 1)
+
+
+def test_zip_codec_roundtrip_and_corrupt_bytes():
+    """Stdlib ZIP container codec: pack/extract round-trips member
+    names + bytes exactly; anything that isn't a valid archive
+    (truncated tail, wrong magic, empty) degrades to [] instead of
+    throwing — executor-side corruption must never kill a stage."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        list_zip_members,
+        pack_zip,
+    )
+
+    members = [
+        ("doc.txt", "hola señor — düzgün".encode()),
+        ("meta.txt", b"42|es"),
+        ("empty.bin", b""),
+    ]
+    blob = pack_zip(members)
+    assert blob[:2] == b"PK"
+    assert list_zip_members(blob) == members
+    # deterministic bytes: pinned mtime means identical re-pack
+    assert pack_zip(members) == blob
+    # corruption lattice: every truncation/garbling is a [] not a raise
+    assert list_zip_members(b"") == []
+    assert list_zip_members(b"PK\x03\x04") == []
+    assert list_zip_members(blob[: len(blob) // 2]) == []
+    assert list_zip_members(b"\x00" * 64) == []
+
+
+def test_zip_roundtrip_stats_matches_source(spark, sf_dir):
+    """The two-Arrow-stage pack->extract pipeline reports exactly the
+    source-derivable stats (the oracle contract)."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        zip_roundtrip_stats,
+    )
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    got = {
+        r.media_id: r for r in zip_roundtrip_stats(docs).collect()
+    }
+    for d in docs.collect():
+        r = got[d.doc_id]
+        assert r.n_members == 2
+        assert r.txt_bytes == len(d.text.encode())
+        assert r.meta_text == f"{d.doc_id}|{d.lang}"
+        assert r.total_uncompressed == r.txt_bytes + r.meta_bytes
