@@ -196,6 +196,8 @@ BENCH_QUERIES_EXT = [
     "markov_removal_attribution",
     "k_anonymity_audit",
     "multimodal_zip_extract",
+    "zipf_token_powerlaw",
+    "mutual_information_priority_segment",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

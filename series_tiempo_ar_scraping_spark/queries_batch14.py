@@ -1765,3 +1765,265 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return zip_roundtrip_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Zipf power-law fit (corpus-diagnostics family)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPN = 256
+
+
+@register(
+    "zipf_token_powerlaw",
+    oracle=f"""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_toks_of_norm('text')}) AS token
+            FROM documents)
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT token, freq FROM tf
+      ORDER BY freq DESC, token LIMIT {_ZIPF_TOPN}
+    ),
+    xy AS (
+      SELECT CAST(FLOOR(ln(CAST(row_number() OVER
+                 (ORDER BY freq DESC, token) AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS y
+      FROM top
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy
+      FROM xy
+    )
+    SELECT n,
+           {det_round_sql(
+               '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))', 6)}
+             AS zipf_slope,
+           {det_round_sql(
+               '(CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)'
+               ' * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)'
+               ' * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)'
+               ' * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)'
+               ' * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))'
+               ' / CAST(n AS DOUBLE)', 6)} AS intercept,
+           {det_round_sql(
+               '(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)'
+               ' - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)}
+             AS r2
+    FROM g
+    """,
+)
+def zipf_token_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law diagnostics: fit ln(freq) ~ ln(rank) over the
+    top-256 tokens — natural corpora land near slope -1 (Zipf 1949),
+    and a corpus whose slope drifts is a red flag for template spam or
+    boilerplate floods (the aggregate companion to per-doc
+    ``repetition_score``/``boilerplate_ngram_detection``).
+
+    Scale shape: ONE token-count aggregate, a TakeOrdered top-256 (the
+    vocabulary never global-sorts), then the ols_normal_equations Gram
+    recipe on the 256-row frame. Determinism: ln(rank)/ln(freq) are
+    micro-floored per row BEFORE the decimal(38,0) sums (exact,
+    commutative); slope/intercept/r2 are fixed double op trees on
+    those exact sums, det-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                TX.tokens(TX.normalize_text("text"))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = tf.orderBy(F.col("freq").desc(), "token").limit(_ZIPF_TOPN)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    micro_ln = lambda c: F.floor(  # noqa: E731
+        F.log(c.cast("double")) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    xy = top.select(
+        micro_ln(F.row_number().over(w)).alias("x"),
+        micro_ln(F.col("freq")).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = xy.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return g.select(
+        "n",
+        det_round(slope, 6).alias("zipf_slope"),
+        det_round((sy - slope * sx) / n, 6).alias("intercept"),
+        det_round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between categoricals (information-theoretic family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mutual_information_priority_segment",
+    oracle=f"""
+    WITH j AS (
+      SELECT o_orderpriority AS a, c_mktsegment AS b
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    jc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nab
+           FROM j GROUP BY 1, 2),
+    ma AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na FROM jc GROUP BY 1),
+    mb AS (SELECT b, CAST(SUM(nab) AS BIGINT) AS nb FROM jc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(nab) AS BIGINT) AS nn FROM jc),
+    mi AS (
+      SELECT CAST(SUM(jc.nab * CAST(FLOOR(
+               ln(CAST(jc.nab * t.nn AS DOUBLE) / (ma.na * mb.nb))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_sum,
+             CAST(MAX(t.nn) AS BIGINT) AS nn
+      FROM jc JOIN ma USING (a) JOIN mb USING (b), tot t
+    ),
+    ha AS (
+      SELECT CAST(-SUM(na * CAST(FLOOR(
+               ln(CAST(na AS DOUBLE) / t.nn) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS h_sum
+      FROM ma, tot t
+    ),
+    hb AS (
+      SELECT CAST(-SUM(nb * CAST(FLOOR(
+               ln(CAST(nb AS DOUBLE) / t.nn) * 1000000 + 0.5)
+               AS BIGINT)) AS BIGINT) AS h_sum
+      FROM mb, tot t
+    )
+    SELECT mi.nn AS n_pairs,
+           mi.mi_sum, ha.h_sum AS ha_sum, hb.h_sum AS hb_sum,
+           {det_round_sql(
+               'CAST(mi.mi_sum AS DOUBLE) / mi.nn / 1000000', 8)}
+             AS mi_nats,
+           {det_round_sql(
+               'CAST(mi.mi_sum AS DOUBLE)'
+               ' / sqrt(CAST(ha.h_sum AS DOUBLE)'
+               ' * CAST(hb.h_sum AS DOUBLE))', 6)} AS nmi
+    FROM mi, ha, hb
+    """,
+)
+def mutual_information_priority_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(order priority; market segment) with
+    sqrt-normalized NMI — the information-theoretic dependence measure
+    (catches ANY association, where ``chi_square_independence`` tests
+    a specific null and ``ols``/correlation only see linear effects).
+    The feature-selection primitive for categorical pipelines.
+
+    Scale shape: one fact join collapses to the |A x B| joint-count
+    frame (~25 cells); marginals/entropies are re-aggregations of that
+    tiny frame (the facts are scanned ONCE). Determinism: every ln
+    term feeds on ONE division of exact integer products and is
+    micro-floored BEFORE the exact weighted sums; MI/NMI are one fixed
+    double op tree each on those exact sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    jc = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("a"),
+            F.col("c_mktsegment").alias("b"),
+        )
+        .agg(F.count("*").cast("long").alias("nab"))
+        .localCheckpoint(eager=False)  # tiny joint frame, reused 4x
+    )
+    ma = jc.groupBy("a").agg(F.sum("nab").cast("long").alias("na"))
+    mb = jc.groupBy("b").agg(F.sum("nab").cast("long").alias("nb"))
+    tot = jc.agg(F.sum("nab").cast("long").alias("nn"))
+    micro_ln_ratio = lambda num, den: F.floor(  # noqa: E731
+        F.log(num.cast("double") / den) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    mi = (
+        jc.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("nab")
+                * micro_ln_ratio(
+                    F.col("nab") * F.col("nn"),
+                    F.col("na") * F.col("nb"),
+                )
+            )
+            .cast("long")
+            .alias("mi_sum"),
+            F.max("nn").cast("long").alias("nn"),
+        )
+    )
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            F.col("na") * micro_ln_ratio(F.col("na"), F.col("nn"))
+        ))
+        .cast("long")
+        .alias("ha_sum")
+    )
+    hb = mb.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            F.col("nb") * micro_ln_ratio(F.col("nb"), F.col("nn"))
+        ))
+        .cast("long")
+        .alias("hb_sum")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("nn").alias("n_pairs"),
+            "mi_sum",
+            "ha_sum",
+            "hb_sum",
+            det_round(
+                F.col("mi_sum").cast("double") / F.col("nn") / 1000000,
+                8,
+            ).alias("mi_nats"),
+            det_round(
+                F.col("mi_sum").cast("double")
+                / F.sqrt(
+                    F.col("ha_sum").cast("double")
+                    * F.col("hb_sum").cast("double")
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )
