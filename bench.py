@@ -198,6 +198,7 @@ BENCH_QUERIES_EXT = [
     "multimodal_zip_extract",
     "zipf_token_powerlaw",
     "mutual_information_priority_segment",
+    "split_leakage_audit",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -2027,3 +2027,99 @@ def mutual_information_priority_segment(
             ).alias("nmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test split leakage audit (LLM-eval-hygiene composition)
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_oracle() -> str:
+    from series_tiempo_ar_scraping_spark.sqlfrags import (
+        _neardup_edges_ctes,
+    )
+
+    split_hash = _hex60_seeded("13", "CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH {_neardup_edges_ctes()},
+    assigned AS (
+      SELECT doc_id,
+             CASE WHEN ({split_hash}) % 100 < 80 THEN 'train'
+                  WHEN ({split_hash}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    )
+    SELECT LEAST(sa.split, sb.split) AS split_lo,
+           GREATEST(sa.split, sb.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN LEAST(sa.split, sb.split)
+                       <> GREATEST(sa.split, sb.split)
+                THEN 1 ELSE 0 END AS INT) AS is_cross
+    FROM verified v
+    JOIN assigned sa ON sa.doc_id = v.doc_a
+    JOIN assigned sb ON sb.doc_id = v.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@register("split_leakage_audit", oracle=_split_leakage_oracle())
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs (the exact LSH →
+    Jaccard >= 0.3 edge list of ``dedup_ngram_jaccard``) bucketed by
+    which dataset splits (the seeded hash split of
+    ``dataset_split_assignment``, seed 13) the two sides landed in — a
+    train<->test near-dup row IS evaluation contamination that survives
+    exact dedup and per-split shuffling. The composition every LLM eval
+    pipeline runs before trusting held-out numbers: split hygiene
+    cannot be checked by either op alone.
+
+    Scale shape: the near-dup edge derivation is the documented LSH
+    bucket-join (never all-pairs); split assignment is one map-side
+    hash expression broadcast-joined onto the (small) edge list twice;
+    the report aggregate runs on |edges| rows. Determinism: both
+    composed ops are already hash-oracled; this reuses their exact
+    fragments (one edge spelling, one split hash spelling) so the
+    composition cannot drift from its parts."""
+    from series_tiempo_ar_scraping_spark.queries_llm import (
+        _near_corpus,
+        dedup_ngram_jaccard,
+    )
+
+    corpus = _near_corpus(spark, sf_dir)
+    edges = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    h = hash64_seeded(F.col("doc_id").cast("string"), 13) % 100
+    assigned = corpus.select(
+        "doc_id",
+        F.when(h < 80, "train")
+        .when(h < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    j = edges.join(
+        F.broadcast(
+            assigned.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("split_a"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            assigned.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("split_b"),
+            )
+        ),
+        "doc_b",
+    )
+    lo = F.least(F.col("split_a"), F.col("split_b"))
+    hi = F.greatest(F.col("split_a"), F.col("split_b"))
+    return j.groupBy(
+        lo.alias("split_lo"), hi.alias("split_hi")
+    ).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.when(F.max(lo) != F.max(hi), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_cross"),
+    )
