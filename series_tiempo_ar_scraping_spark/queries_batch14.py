@@ -2123,3 +2123,209 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_cross"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-constrained window funnel (ClickHouse windowFunnel semantics)
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_SECS = 2 * 3600
+_WF_ANCHOR = "1995-01-01 00:00:00"
+
+
+@register(
+    "window_funnel_depth",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             date_diff('second', TIMESTAMP '{_WF_ANCHOR}',
+                       date_trunc('second', ts)) AS e
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (SELECT user_id, e AS tv FROM ev WHERE event_type = 'view'),
+    c AS (SELECT user_id, e AS tc FROM ev WHERE event_type = 'click'),
+    p AS (SELECT user_id, e AS tp FROM ev
+          WHERE event_type = 'purchase'),
+    s2 AS (
+      SELECT v.user_id, v.tv,
+             (SELECT MIN(c.tc) FROM c
+              WHERE c.user_id = v.user_id AND c.tc > v.tv
+                AND c.tc <= v.tv + {_WF_WINDOW_SECS}) AS tc
+      FROM v
+    ),
+    s3 AS (
+      SELECT user_id, tv, tc,
+             CASE WHEN tc IS NOT NULL THEN
+               (SELECT MIN(p.tp) FROM p
+                WHERE p.user_id = s2.user_id AND p.tp > s2.tc
+                  AND p.tp <= s2.tv + {_WF_WINDOW_SECS}) END AS tp
+      FROM s2
+    ),
+    du AS (
+      SELECT user_id,
+             MAX(1 + CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END
+                   + CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END)
+               AS depth
+      FROM s3 GROUP BY 1
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM du GROUP BY 1
+    """,
+)
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (ClickHouse ``windowFunnel`` semantics):
+    view -> click -> purchase must ALL land within 2 hours of the
+    anchoring view, each step strictly after the previous; a user's
+    depth is the best any of their views achieves. The time window is
+    what the unconstrained funnels (``funnel_conversion``,
+    ``event_funnel_conversion``) cannot express — a purchase three
+    weeks after a view is not attribution, it is coincidence.
+
+    Scale shape: per-step frames are user-keyed; candidate chaining is
+    two user-co-partitioned joins with the window predicate applied
+    in-join (per-user event counts bound the intermediate; at fleet
+    scale the same joins get a time-bucket band key, the
+    spatial-grid recipe in 1-D). The correlated-subquery oracle is
+    the spec. Determinism: second-truncated anchor diffs (the NTZ
+    recipe), exact integer windows, min/max aggregates only."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr(
+            f"timestampdiff(SECOND, timestamp'{_WF_ANCHOR}',"
+            " date_trunc('second', ts))"
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("e").alias("tv")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("e").alias("tc")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("e").alias("tp")
+    )
+    win = F.lit(_WF_WINDOW_SECS)
+    s2 = (
+        v.join(
+            c,
+            (v["user_id"] == c["user_id"])
+            & (c["tc"] > v["tv"])
+            & (c["tc"] <= v["tv"] + win),
+            "left",
+        )
+        .groupBy(v["user_id"].alias("user_id"), "tv")
+        .agg(F.min("tc").alias("tc"))
+    )
+    s3 = (
+        s2.join(
+            p,
+            (s2["user_id"] == p["user_id"])
+            & (p["tp"] > s2["tc"])
+            & (p["tp"] <= s2["tv"] + win),
+            "left",
+        )
+        .groupBy(s2["user_id"].alias("user_id"), "tv", "tc")
+        .agg(F.min("tp").alias("tp"))
+    )
+    du = s3.groupBy("user_id").agg(
+        F.max(
+            F.lit(1)
+            + F.when(F.col("tc").isNotNull(), 1).otherwise(0)
+            + F.when(F.col("tp").isNotNull(), 1).otherwise(0)
+        ).alias("depth")
+    )
+    return du.groupBy(F.col("depth").cast("int").alias("depth")).agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (data-governance family)
+# ---------------------------------------------------------------------------
+
+
+def _fd_audit_sql(fd: str, table: str, det: str, dep: str) -> str:
+    return f"""
+      SELECT '{fd}' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct
+      FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+            FROM {table} GROUP BY {det})
+    """
+
+
+@register(
+    "functional_dependency_audit",
+    oracle=f"""
+    {_fd_audit_sql(
+        'l_partkey->l_suppkey', 'lineitem', 'l_partkey', 'l_suppkey')}
+    UNION ALL
+    {_fd_audit_sql(
+        'l_orderkey->l_returnflag', 'lineitem', 'l_orderkey',
+        'l_returnflag')}
+    UNION ALL
+    {_fd_audit_sql(
+        'o_custkey->o_orderpriority', 'orders', 'o_custkey',
+        'o_orderpriority')}
+    """,
+)
+def functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X -> Y,
+    count determinant keys whose Y is NOT unique — the data-profiling
+    primitive behind normalization checks, key discovery, and
+    "this column should be derivable" contracts (the reference
+    validates per-field metadata; this validates CROSS-row invariants
+    its schema language cannot state). Expected here: part->supplier
+    violates heavily (TPC-H multi-sources parts), order->returnflag
+    and customer->priority violate naturally — the audit MEASURES
+    rather than assumes.
+
+    Scale shape: each FD is one (determinant, countDistinct) aggregate
+    + a key-frame rollup, map-side combinable; the three audits union
+    into one report. Determinism: pure exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(fd: str, df: DataFrame, det: str, dep: str) -> DataFrame:
+        keys = df.groupBy(det).agg(
+            F.countDistinct(dep).alias("nd")
+        )
+        return keys.agg(
+            F.lit(fd).alias("fd"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+            F.max("nd").cast("long").alias("max_distinct"),
+        )
+    return (
+        audit("l_partkey->l_suppkey", li, "l_partkey", "l_suppkey")
+        .unionByName(
+            audit(
+                "l_orderkey->l_returnflag",
+                li,
+                "l_orderkey",
+                "l_returnflag",
+            )
+        )
+        .unionByName(
+            audit(
+                "o_custkey->o_orderpriority",
+                orders,
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+    )
