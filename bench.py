@@ -199,6 +199,8 @@ BENCH_QUERIES_EXT = [
     "zipf_token_powerlaw",
     "mutual_information_priority_segment",
     "split_leakage_audit",
+    "window_funnel_depth",
+    "functional_dependency_audit",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
