@@ -28,6 +28,9 @@ MODULES = [
     "queries_batch9",
     "queries_batch10",
     "queries_batch11",
+    "queries_batch12",
+    "queries_batch13",
+    "queries_batch14",
 ]
 
 
