@@ -231,3 +231,70 @@ def test_repetition_score_ratios_are_probabilities(spark, sf_dir):
         assert 0 < r.rep_ratio <= 1.0 + 1e-9
         assert 0 < r.distinct_ratio <= 1.0 + 1e-9
         assert r.top_freq <= r.n_tokens
+
+
+# --- batch-14 math identities -------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=60))
+def test_reflected_walk_identity_equals_imperative_clamp(deltas):
+    """inventory_clamped_balance's engine-side identity
+    B_i = S_i - min(0, min_{j<=i} S_j) must equal the sequential spec
+    B_i = max(0, B_{i-1} + d_i) for EVERY prefix — plus the derived
+    aggregates (final stock, lost demand, peak)."""
+    bal, seq = 0, []
+    for d in deltas:
+        bal = max(0, bal + d)
+        seq.append(bal)
+    s = mn = 0
+    idf = []
+    for d in deltas:
+        s += d
+        mn = min(mn, s)
+        idf.append(s - min(0, mn))
+    assert idf == seq
+    assert idf[-1] == s - min(0, mn)  # final stock
+    # lost demand == what the clamp absorbed == B_n - S_n
+    assert -min(0, mn) == seq[-1] - s
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(-(10**15), 10**15),
+    st.integers(1, 10**6),
+)
+def test_portable_floordiv_spelling_matches_python(num, den):
+    """The cross-engine floor-division spelling used by
+    series_theilsen_trend / k_anonymity_audit:
+    (num - ((num % den) + den) % den) / den with C-style % must equal
+    Python's floor //, and the subtraction must make the quotient
+    exact (so Spark's truncating DIV and DuckDB's flooring // agree)."""
+    cmod = num - int(num / den) * den  # C-style % (truncated division)
+    pm = ((cmod % den) + den) % den
+    assert (num - pm) % den == 0  # exact quotient: DIV == // == /
+    assert (num - pm) // den == num // den
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 999), st.booleans(), st.integers(1, 3)),
+        min_size=1,
+        max_size=9,
+        unique_by=lambda t: t[2],
+    )
+)
+def test_packed_survivorship_key_is_lexicographic(recs):
+    """golden_record_survivorship packs (non-null, ts, prio) into ONE
+    bigint because DuckDB's arg_max lacks struct keys; packing must
+    preserve the lexicographic order of the tuple for every in-domain
+    value (ts < 1000, prio < 10)."""
+    def pack(ts, nn, prio):
+        return (1 if nn else 0) * 100000 + ts * 10 + prio
+
+    tuples = [((1 if nn else 0), ts, prio) for ts, nn, prio in recs]
+    keys = [pack(ts, nn, prio) for ts, nn, prio in recs]
+    best_by_tuple = max(range(len(recs)), key=lambda i: tuples[i])
+    best_by_key = max(range(len(recs)), key=lambda i: keys[i])
+    assert tuples[best_by_tuple] == tuples[best_by_key]
