@@ -201,6 +201,8 @@ BENCH_QUERIES_EXT = [
     "split_leakage_audit",
     "window_funnel_depth",
     "functional_dependency_audit",
+    "graph_degree_assortativity",
+    "embedding_index_pipeline",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

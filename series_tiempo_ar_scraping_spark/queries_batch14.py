@@ -2329,3 +2329,369 @@ def functional_dependency_audit(
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (graph-topology stats family)
+# ---------------------------------------------------------------------------
+
+_ASSORT_EDGES_SQL = """
+    op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+    pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges GROUP BY 1
+    )
+"""
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH {_ASSORT_EDGES_SQL},
+    dd AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e
+      JOIN deg da ON da.id = e.src
+      JOIN deg db ON db.id = e.dst
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(38,0)) * y) AS syy,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy
+      FROM dd
+    )
+    SELECT m AS n_directed_edges,
+           {det_round_sql(
+               '(CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))'
+               ' / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)'
+               ' - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))'
+               ' * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)'
+               ' - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))', 6)}
+             AS assortativity
+    FROM g
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-occurrence
+    graph: the Pearson correlation of endpoint degrees over the
+    directed edge list — positive means hubs attach to hubs (social
+    topology), negative means hub-and-spoke (technological/retail
+    topology). The graph-TOPOLOGY summary beside the node-level family
+    (pagerank / k-core / triangles): one number that says what KIND of
+    graph the pipeline is about to process — and therefore whether
+    skew mitigation (salting, two-level aggregation) will be needed.
+
+    Scale shape: the same basket-derived edge list as pagerank (one
+    generator expansion, never an O(n^2) self-join); degrees are one
+    aggregate; the (x, y) frame is two self-equi-joins of the edge
+    list against the degree frame; moments are ONE map-side-combined
+    aggregate (the ols/zipf Gram recipe). Determinism: degrees are
+    exact ints, moments exact decimal(38,0); r is one fixed double op
+    tree (sqrt is IEEE-correctly-rounded), det-rounded."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        upper_triangle_pairs as _utp,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                _utp(
+                    F.col("parts"),
+                    lambda x, y: F.struct(
+                        x.alias("pa"), y.alias("pb")
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("pb").alias("src"), F.col("pa").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)  # reused: degrees + both joins
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    dd = (
+        edges.join(
+            deg.select(F.col("id").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = dd.agg(
+        F.count("*").alias("m"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return g.select(
+        F.col("m").alias("n_directed_edges"),
+        det_round(
+            (m * sxy - sx * sy)
+            / (
+                F.sqrt(m * sxx - sx * sx)
+                * F.sqrt(m * syy - sy * sy)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline #4: embedding index build (dedup -> train -> assign
+# -> eval), the ML-retrieval lane
+# ---------------------------------------------------------------------------
+
+_EIP_K = 8
+_EIP_ITERS = 2
+_EIP_TOPK = 5
+_EIP_NPROBE = 2
+
+
+def _eip_oracle() -> str:
+    from series_tiempo_ar_scraping_spark.sqlfrags import (
+        _COS64_SQL,
+        _EMB_NEAR_SQL,
+        _kmeans_ctes,
+    )
+
+    cos = _COS64_SQL
+    # survivors: drop any vector with a SMALLER-id near-duplicate
+    # (det-rounded cosine >= 0.95 — the dedup_embedding_cosine
+    # verify rule; buckets only prune and true dups always collide,
+    # so the bucket-free spec selects the identical set)
+    return f"""
+    WITH corpus AS MATERIALIZED ({_EMB_NEAR_SQL}),
+    dups AS MATERIALIZED (
+      -- plain pair join, not NOT EXISTS: DuckDB cannot correlate an
+      -- outer column through list_transform lambdas
+      SELECT DISTINCT b.vec_id
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE FLOOR(({cos.format(a='a.embedding', b='b.embedding')})
+                  * 1000000 + 0.5) / 1000000 >= 0.95
+    ),
+    survivors AS MATERIALIZED (
+      SELECT c.vec_id, c.embedding FROM corpus c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM dups)
+    ),
+    {_kmeans_ctes(_EIP_K, _EIP_ITERS, src="survivors")},
+    cent AS MATERIALIZED (
+      SELECT cid AS centroid_id,
+             list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0)
+               AS cvec
+      FROM cent{_EIP_ITERS}
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {cos.format(a='v.embedding', b='c.cvec')}
+                   DESC, c.centroid_id) AS crank
+        FROM survivors v, cent c
+      ) WHERE crank = 1
+    ),
+    census AS (
+      SELECT CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS n_cells
+      FROM assigned
+    ),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos.format(a='q.embedding', b='c.cvec')}
+                   DESC, c.centroid_id) AS crank
+        FROM survivors q, cent c WHERE q.vec_id < 8
+      ) WHERE crank <= {_EIP_NPROBE}
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id ORDER BY
+                 {cos.format(a='q.embedding', b='v.embedding')} DESC,
+                 a.vec_id) AS rank
+        FROM probes p
+        JOIN assigned a ON a.centroid_id = p.centroid_id
+        JOIN survivors q ON q.vec_id = p.query_id
+        JOIN survivors v ON v.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= {_EIP_TOPK}
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {cos.format(a='q.embedding', b='v.embedding')} DESC,
+                 v.vec_id) AS rank
+        FROM survivors q JOIN survivors v ON v.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rank <= {_EIP_TOPK}
+    ),
+    nsurv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_survivors
+              FROM survivors),
+    ncorp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM corpus)
+    SELECT e.query_id,
+           ncorp.n_corpus, nsurv.n_survivors, census.n_cells,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id,
+         nsurv, ncorp, census
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("embedding_index_pipeline", oracle=_eip_oracle())
+def embedding_index_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composed pipeline #4 — the ML-retrieval lane, end to end as ONE
+    oracled entry: near-dup DEDUP of the embedding corpus (LSH-bucketed
+    cosine >= 0.95, planted scaled copies removed) -> Lloyd k-means
+    TRAINING on the survivors -> IVF inverted-list ASSIGNMENT (+ cell
+    census) -> retrieval EVAL (IVF top-5 vs brute-force exact top-5
+    overlap per query). Per-op oracles can't see inter-stage plan bugs
+    (a dedup that leaks dups poisons training; a training drift shifts
+    every list); the composition pins the whole index build the way
+    ``corpus_curation_pipeline`` pins the text lane.
+
+    Output is INTEGER-ONLY (counts + overlap), so floats affect only
+    rank ordering, where both engines share one cosine expression
+    tree. Scale shape: each stage keeps its documented plan — bucket
+    equi-join dedup (never all-pairs), broadcast K-row codebook per
+    Lloyd round, probe equi-join on centroid_id; the brute-force side
+    exists only for the bounded 8-query eval."""
+    from series_tiempo_ar_scraping_spark.operators import (
+        similarity as S,
+    )
+    from series_tiempo_ar_scraping_spark.queries_batch4 import (
+        _emb_near_corpus,
+    )
+
+    corpus = _emb_near_corpus(spark, sf_dir)
+    coeffs = S.plane_coeffs(S.N_PLANES, 64)
+    b = corpus.select(
+        "vec_id",
+        "embedding",
+        S.norm(F.col("embedding")).alias("nrm"),
+        S.hyperplane_bucket(F.col("embedding"), coeffs).alias(
+            "bucket"
+        ),
+    )
+    a = b.select(
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    sim = S.dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    dup_ids = (
+        a.join(c, "bucket")
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .filter(det_round(sim, 6) >= 0.95)
+        .select(F.col("dup_id").alias("vec_id"))
+        .distinct()
+    )
+    survivors = corpus.join(
+        dup_ids, "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)  # feeds train + assign + both evals
+
+    cent_micro, _ = S.kmeans_lloyd_micro(
+        survivors, k=_EIP_K, iters=_EIP_ITERS
+    )
+    centroids = cent_micro.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias("embedding"),
+    )
+    assigned = S.assign_clusters(
+        survivors, centroids, n_assign=1
+    )
+    census = assigned.agg(
+        F.countDistinct("centroid_id").cast("long").alias("n_cells")
+    )
+    queries = survivors.filter(F.col("vec_id") < 8)
+    ivf = S.ivf_topk(
+        survivors, queries, centroids, k=_EIP_TOPK, nprobe=_EIP_NPROBE
+    ).select("query_id", "neighbor_id")
+    exact = S.cosine_topk(
+        survivors, queries, k=_EIP_TOPK, exclude_self=True
+    ).select("query_id", "neighbor_id")
+    nsurv = survivors.agg(
+        F.count("*").cast("long").alias("n_survivors")
+    )
+    ncorp = corpus.agg(F.count("*").cast("long").alias("n_corpus"))
+    return (
+        exact.join(
+            ivf.withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .crossJoin(F.broadcast(ncorp))
+        .crossJoin(F.broadcast(nsurv))
+        .crossJoin(F.broadcast(census))
+        .groupBy("query_id", "n_corpus", "n_survivors", "n_cells")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_overlap"),
+        )
+    )

@@ -722,3 +722,22 @@ def test_batch14_wave4_plan_properties(plans):
     p = plans("k_anonymity_audit", "simple")
     assert "Join" not in p and "EvalPython" not in p
     assert "partial_count" in p or "partial_sum" in p or "HashAggregate" in p
+
+
+def test_batch14_wave5_plan_properties(plans):
+    """Window funnel: user-co-partitioned chaining joins, no cartesian;
+    FD audit: three aggregates unioned, join-free; assortativity: the
+    checkpointed edge list feeds degrees + both endpoint joins (no
+    fact re-scan); composed index pipeline: checkpointed survivors
+    drive every stage, no Python anywhere."""
+    p = plans("window_funnel_depth", "simple")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    p = plans("functional_dependency_audit", "simple")
+    assert "Join" not in p and "EvalPython" not in p
+    assert "Union" in p
+    p = plans("graph_degree_assortativity", "simple")
+    assert "Scan ExistingRDD" in p  # checkpointed edge list
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    p = plans("embedding_index_pipeline", "simple")
+    assert "Scan ExistingRDD" in p  # survivors + codebook checkpoints
+    assert "EvalPython" not in p
