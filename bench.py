@@ -203,6 +203,8 @@ BENCH_QUERIES_EXT = [
     "functional_dependency_audit",
     "graph_degree_assortativity",
     "embedding_index_pipeline",
+    "fifo_cogs_matching",
+    "bitemporal_asof_state",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -37,6 +37,18 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
   in one (scenario, state) keyed channel-sized frame.
 - Privacy governance: k-anonymity / l-diversity audit over
   quasi-identifier equivalence classes.
+- Container ingestion: ZIP pack -> extract over binary columns as two
+  Arrow stages (stdlib zipfile; content-only oracled outputs).
+- Corpus diagnostics: Zipf power-law fit of token frequencies;
+  mutual information / NMI between categoricals; train/test split
+  LEAKAGE audit (near-dup edges x split assignment composition).
+- Time-constrained window funnel (ClickHouse windowFunnel semantics)
+  and a functional-dependency audit (cross-row governance contracts).
+- Graph topology: degree assortativity (Newman r) over the
+  co-occurrence edge list.
+- Composed pipeline #4: embedding index build — near-dup dedup ->
+  Lloyd k-means training -> IVF assignment -> recall-vs-exact eval as
+  ONE hash-oracled entry (the ML-retrieval lane's nightly run).
 
 Determinism recipe (repo standard, queries_batch8/12/13): exact
 bigint/decimal arithmetic end-to-end; portable floor division is
@@ -2694,4 +2706,316 @@ def embedding_index_pipeline(
             .cast("long")
             .alias("n_overlap"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO cost matching (inventory-accounting family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fifo_cogs_matching",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey AS part,
+             l_shipdate AS sd, l_orderkey AS ok, l_linenumber AS ln,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+               AS BIGINT) AS price_cents,
+             l_returnflag = 'R' AS is_receipt
+      FROM lineitem
+    ),
+    r AS (
+      SELECT part, qty,
+             (price_cents * 1000000) // qty AS unit_cost_micro,
+             SUM(qty) OVER (PARTITION BY part ORDER BY sd, ok, ln
+                            ROWS UNBOUNDED PRECEDING) AS hi
+      FROM m WHERE is_receipt
+    ),
+    rr AS (SELECT part, qty, unit_cost_micro, hi - qty AS lo, hi FROM r),
+    i AS (
+      SELECT part, qty,
+             SUM(qty) OVER (PARTITION BY part ORDER BY sd, ok, ln
+                            ROWS UNBOUNDED PRECEDING) AS hi
+      FROM m WHERE NOT is_receipt
+    ),
+    ii AS (SELECT part, qty, hi - qty AS lo, hi FROM i),
+    matched AS (
+      SELECT rr.part,
+             LEAST(rr.hi, ii.hi) - GREATEST(rr.lo, ii.lo) AS mq,
+             rr.unit_cost_micro
+      FROM rr JOIN ii ON rr.part = ii.part
+        AND rr.lo < ii.hi AND ii.lo < rr.hi
+    ),
+    agg AS (
+      SELECT part,
+             CAST(SUM(mq) AS BIGINT) AS matched_qty,
+             CAST(SUM(mq * unit_cost_micro) AS BIGINT) AS cogs_micro
+      FROM matched GROUP BY 1
+    ),
+    tot AS (
+      SELECT part,
+             CAST(SUM(CASE WHEN is_receipt THEN qty ELSE 0 END)
+               AS BIGINT) AS total_received,
+             CAST(SUM(CASE WHEN is_receipt THEN 0 ELSE qty END)
+               AS BIGINT) AS total_issued,
+             CAST(SUM(CASE WHEN is_receipt THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_lots,
+             CAST(SUM(CASE WHEN is_receipt THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_issues
+      FROM m GROUP BY 1
+    )
+    SELECT t.part, t.n_lots, t.n_issues,
+           t.total_received, t.total_issued,
+           COALESCE(a.matched_qty, 0) AS matched_qty,
+           COALESCE(a.cogs_micro, 0) AS cogs_micro,
+           t.total_issued - COALESCE(a.matched_qty, 0)
+             AS unmatched_issue_qty,
+           t.total_received - COALESCE(a.matched_qty, 0)
+             AS ending_inventory_qty
+    FROM tot t LEFT JOIN agg a ON a.part = t.part
+    """,
+)
+def fifo_cogs_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory costing WITHOUT iteration: treat returns as
+    receipt lots and shipments as issues per part; on the per-part
+    cumulative-quantity axis each lot occupies [cum-qty, cum) and each
+    issue likewise, and FIFO matching IS interval intersection on that
+    axis — matched units of (lot, issue) = overlap length, so COGS =
+    sum(overlap x lot unit cost). The classic "impossible in SQL"
+    ledger computation reduced to two prefix-sum windows and one
+    interval join; the accounting sibling of
+    ``inventory_clamped_balance``'s reflected walk. Semantics note:
+    this is SEQUENCE FIFO (issues draw lots in arrival order along the
+    cumulative axis, the standard costing reduction) — time-gated
+    availability (an issue may only draw already-received stock) is
+    the clamped-balance machinery composed on top.
+
+    Scale shape: prefix sums are per-part windows (one shuffle); the
+    lot-x-issue interval join is part-keyed with the range predicate
+    in-join (per-part lot/issue counts bound the pair space; at fleet
+    scale the same join gets a cum DIV B band key — the 1-D grid
+    recipe). Determinism: quantities are exact units, unit cost is
+    micro-cents via positive integer floor division, every output is
+    an exact bigint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").alias("sd"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("bigint")
+        .alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        (F.col("l_returnflag") == "R").alias("is_receipt"),
+    )
+    w = (
+        Window.partitionBy("part")
+        .orderBy("sd", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rr = (
+        m.filter("is_receipt")
+        .select(
+            "part",
+            "qty",
+            F.expr("(price_cents * 1000000) DIV qty").alias(
+                "unit_cost_micro"
+            ),
+            F.sum("qty").over(w).alias("hi"),
+        )
+        .withColumn("lo", F.col("hi") - F.col("qty"))
+    )
+    ii = (
+        m.filter(~F.col("is_receipt"))
+        .select("part", "qty", F.sum("qty").over(w).alias("hi"))
+        .withColumn("lo", F.col("hi") - F.col("qty"))
+    )
+    matched = rr.alias("r").join(
+        ii.alias("i"),
+        (F.col("r.part") == F.col("i.part"))
+        & (F.col("r.lo") < F.col("i.hi"))
+        & (F.col("i.lo") < F.col("r.hi")),
+    ).select(
+        F.col("r.part").alias("part"),
+        (
+            F.least(F.col("r.hi"), F.col("i.hi"))
+            - F.greatest(F.col("r.lo"), F.col("i.lo"))
+        ).alias("mq"),
+        F.col("r.unit_cost_micro").alias("unit_cost_micro"),
+    )
+    agg = matched.groupBy("part").agg(
+        F.sum("mq").cast("long").alias("matched_qty"),
+        F.sum(F.col("mq") * F.col("unit_cost_micro"))
+        .cast("long")
+        .alias("cogs_micro"),
+    )
+    tot = m.groupBy("part").agg(
+        F.sum(F.when(F.col("is_receipt"), F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("total_received"),
+        F.sum(F.when(F.col("is_receipt"), 0).otherwise(F.col("qty")))
+        .cast("long")
+        .alias("total_issued"),
+        F.sum(F.when(F.col("is_receipt"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lots"),
+        F.sum(F.when(F.col("is_receipt"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_issues"),
+    )
+    return tot.join(agg, "part", "left").select(
+        "part",
+        "n_lots",
+        "n_issues",
+        "total_received",
+        "total_issued",
+        F.coalesce(F.col("matched_qty"), F.lit(0))
+        .cast("long")
+        .alias("matched_qty"),
+        F.coalesce(F.col("cogs_micro"), F.lit(0))
+        .cast("long")
+        .alias("cogs_micro"),
+        (
+            F.col("total_issued")
+            - F.coalesce(F.col("matched_qty"), F.lit(0))
+        )
+        .cast("long")
+        .alias("unmatched_issue_qty"),
+        (
+            F.col("total_received")
+            - F.coalesce(F.col("matched_qty"), F.lit(0))
+        )
+        .cast("long")
+        .alias("ending_inventory_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal as-of query (temporal data-modeling family, SQL:2011)
+# ---------------------------------------------------------------------------
+
+_BT_TX_ASOF = "1995-06-01"
+_BT_VALID_ASOF = "1995-03-01"
+
+
+@register(
+    "bitemporal_asof_state",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey AS okey, o_orderstatus, o_orderdate,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents,
+             ('0x' || substr(md5('71' || '|'
+                || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM orders
+    ),
+    versions AS (
+      -- v1: booked as first known (tx = valid start); v2: a correction
+      -- recorded hh%20+1 days later that fixes status and price
+      SELECT okey, 1 AS version,
+             CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE) AS tx_from,
+             'BOOKED' AS status, cents
+      FROM h
+      UNION ALL
+      SELECT okey, 2,
+             CAST(o_orderdate AS DATE),
+             CAST(o_orderdate AS DATE)
+               + CAST(hh % 20 + 1 AS INT),
+             o_orderstatus, cents + hh % 1000
+      FROM h
+    ),
+    visible AS (
+      SELECT * FROM versions
+      WHERE tx_from <= DATE '{_BT_TX_ASOF}'
+        AND valid_from <= DATE '{_BT_VALID_ASOF}'
+    ),
+    picked AS (
+      -- packed bigint key (the golden-record recipe): DuckDB arg_max
+      -- has no struct overload
+      SELECT okey,
+             arg_max(version, date_diff('day', DATE '1990-01-01',
+               tx_from) * 10 + version) AS version,
+             arg_max(status, date_diff('day', DATE '1990-01-01',
+               tx_from) * 10 + version) AS status,
+             arg_max(cents, date_diff('day', DATE '1990-01-01',
+               tx_from) * 10 + version) AS cents
+      FROM visible GROUP BY okey
+    )
+    SELECT status,
+           CAST(version AS INT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM picked GROUP BY 1, 2
+    """,
+)
+def bitemporal_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query (SQL:2011 system+application time;
+    Snodgrass): order history carries TWO time axes — when a fact was
+    TRUE (valid time) and when the database LEARNED it (transaction
+    time). The query answers "as the system knew it on {_BT_TX_ASOF},
+    what was the state valid on {_BT_VALID_ASOF}" — corrections
+    recorded after the transaction cutoff are invisible even though
+    they are 'true', the audit/compliance semantics plain SCD2
+    (``scd2_point_in_time_join`` — ONE axis) cannot express.
+
+    Scale shape: the 2-version history is a generator fan-out of one
+    scan (golden-record idiom); both as-of cuts are map-side filters;
+    the per-key latest-transaction pick is ONE max_by aggregate (no
+    window over history), then a bounded status rollup. Determinism:
+    dates/cents/hash offsets are exact ints; arg_max keys are unique
+    per key by (tx_from, version) construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    hh = hash64_seeded(F.col("o_orderkey").cast("string"), 71)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+        "bigint"
+    )
+    od = F.col("o_orderdate").cast("date")
+    versions = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("version"),
+                    od.alias("valid_from"),
+                    od.alias("tx_from"),
+                    F.lit("BOOKED").alias("status"),
+                    cents.alias("cents"),
+                ),
+                F.struct(
+                    F.lit(2).alias("version"),
+                    od.alias("valid_from"),
+                    F.date_add(od, (hh % 20 + 1).cast("int")).alias(
+                        "tx_from"
+                    ),
+                    F.col("o_orderstatus").alias("status"),
+                    (cents + hh % 1000).alias("cents"),
+                ),
+            )
+        ).alias("r"),
+    ).select("okey", "r.*")
+    visible = versions.filter(
+        (F.col("tx_from") <= F.lit(_BT_TX_ASOF).cast("date"))
+        & (F.col("valid_from") <= F.lit(_BT_VALID_ASOF).cast("date"))
+    )
+    key = (
+        F.datediff(F.col("tx_from"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        * 10
+        + F.col("version")
+    )
+    picked = visible.groupBy("okey").agg(
+        F.max_by(F.col("version"), key).alias("version"),
+        F.max_by(F.col("status"), key).alias("status"),
+        F.max_by(F.col("cents"), key).alias("cents"),
+    )
+    return picked.groupBy(
+        "status", F.col("version").cast("int").alias("version")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
     )
