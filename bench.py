@@ -205,6 +205,8 @@ BENCH_QUERIES_EXT = [
     "embedding_index_pipeline",
     "fifo_cogs_matching",
     "bitemporal_asof_state",
+    "classification_f1_report",
+    "series_rolling_ols_slope",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

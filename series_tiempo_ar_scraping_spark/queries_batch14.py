@@ -3019,3 +3019,295 @@ def bitemporal_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classification eval report (composed on naive Bayes by registry)
+# ---------------------------------------------------------------------------
+
+
+def _f1_oracle() -> str:
+    """Composes the REGISTERED naive-Bayes oracle (batch 13 — loaded
+    before this module by queries.py's import order, so the registry
+    read is safe under batchN-first imports; test_import_order pins
+    it)."""
+    from series_tiempo_ar_scraping_spark.queries import ORACLES
+
+    return f"""
+    WITH preds AS (
+      SELECT actual, predicted
+      FROM ({ORACLES["naive_bayes_classify"]})
+    ),
+    cls AS (
+      SELECT actual AS cl FROM preds
+      UNION
+      SELECT predicted FROM preds
+    ),
+    per AS (
+      SELECT c.cl,
+             CAST(SUM(CASE WHEN p.actual = c.cl
+                            AND p.predicted = c.cl
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p.actual <> c.cl
+                            AND p.predicted = c.cl
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN p.actual = c.cl
+                            AND p.predicted <> c.cl
+                      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM cls c, preds p GROUP BY 1
+    ),
+    scored AS (
+      SELECT cl, tp, fp, fn,
+             -- exact integer round-half-up: (a*2e6 + d) // (2d)
+             (tp * 2000000 + NULLIF(tp + fp, 0))
+               // (2 * NULLIF(tp + fp, 0)) AS p_micro,
+             (tp * 2000000 + NULLIF(tp + fn, 0))
+               // (2 * NULLIF(tp + fn, 0)) AS r_micro,
+             (2 * tp * 2000000 + NULLIF(2 * tp + fp + fn, 0))
+               // (2 * NULLIF(2 * tp + fp + fn, 0)) AS f1_micro
+      FROM per
+    )
+    SELECT cl AS label, tp, fp, fn,
+           CAST(COALESCE(p_micro, 0) AS BIGINT) AS precision_micro,
+           CAST(COALESCE(r_micro, 0) AS BIGINT) AS recall_micro,
+           CAST(COALESCE(f1_micro, 0) AS BIGINT) AS f1_micro
+    FROM scored
+    UNION ALL
+    SELECT '__macro__',
+           CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(fn) AS BIGINT),
+           CAST(SUM(COALESCE(p_micro, 0)) // COUNT(*) AS BIGINT),
+           CAST(SUM(COALESCE(r_micro, 0)) // COUNT(*) AS BIGINT),
+           CAST(SUM(COALESCE(f1_micro, 0)) // COUNT(*) AS BIGINT)
+    FROM scored
+    """
+
+
+@register("classification_f1_report", oracle=_f1_oracle())
+def classification_f1_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-class precision / recall / F1 plus the macro average for the
+    naive-Bayes language classifier — the confusion-matrix eval lane
+    beside retrieval's NDCG/recall. Composed BY REGISTRY on both sides
+    (the Spark body calls the registered ``naive_bayes_classify``; the
+    oracle embeds its registered SQL verbatim), so the report can
+    never drift from the model it scores.
+
+    Determinism: tp/fp/fn are exact counts; precision/recall/F1 are
+    EXACT integer round-half-up rationals ((a*2e6 + d) DIV 2d — no
+    double anywhere, so even the macro average stays integer-exact).
+    Scale shape: predictions aggregate once; the class frame is
+    |labels|-sized and the per-class counts come from one bounded
+    cross of labels x predictions (labels ~ a handful; at larger
+    label spaces this becomes a groupBy on (actual, predicted) —
+    the confusion matrix — and the per-class rollup reads that)."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    preds = (
+        QUERIES["naive_bayes_classify"](spark, sf_dir)
+        .select("actual", "predicted")
+        .localCheckpoint(eager=False)  # reused: class frame + counts
+    )
+    cls = (
+        preds.select(F.col("actual").alias("cl"))
+        .union(preds.select("predicted"))
+        .distinct()
+    )
+    per = (
+        F.broadcast(cls)
+        .crossJoin(preds)
+        .groupBy("cl")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cl"))
+                    & (F.col("predicted") == F.col("cl")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") != F.col("cl"))
+                    & (F.col("predicted") == F.col("cl")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("actual") == F.col("cl"))
+                    & (F.col("predicted") != F.col("cl")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    scored = per.select(
+        "cl",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "(tp * 2000000 + NULLIF(tp + fp, 0))"
+            " DIV (2 * NULLIF(tp + fp, 0))"
+        ).alias("p_micro"),
+        F.expr(
+            "(tp * 2000000 + NULLIF(tp + fn, 0))"
+            " DIV (2 * NULLIF(tp + fn, 0))"
+        ).alias("r_micro"),
+        F.expr(
+            "(2 * tp * 2000000 + NULLIF(2 * tp + fp + fn, 0))"
+            " DIV (2 * NULLIF(2 * tp + fp + fn, 0))"
+        ).alias("f1_micro"),
+    ).localCheckpoint(eager=False)  # reused: per-class rows + macro
+    rows = scored.select(
+        F.col("cl").alias("label"),
+        "tp",
+        "fp",
+        "fn",
+        F.coalesce(F.col("p_micro"), F.lit(0))
+        .cast("long")
+        .alias("precision_micro"),
+        F.coalesce(F.col("r_micro"), F.lit(0))
+        .cast("long")
+        .alias("recall_micro"),
+        F.coalesce(F.col("f1_micro"), F.lit(0))
+        .cast("long")
+        .alias("f1_micro"),
+    )
+    macro = scored.agg(
+        F.lit("__macro__").alias("label"),
+        F.sum("tp").cast("long").alias("tp"),
+        F.sum("fp").cast("long").alias("fp"),
+        F.sum("fn").cast("long").alias("fn"),
+        F.expr(
+            "CAST(SUM(COALESCE(p_micro, 0)) DIV COUNT(*) AS BIGINT)"
+        ).alias("precision_micro"),
+        F.expr(
+            "CAST(SUM(COALESCE(r_micro, 0)) DIV COUNT(*) AS BIGINT)"
+        ).alias("recall_micro"),
+        F.expr(
+            "CAST(SUM(COALESCE(f1_micro, 0)) DIV COUNT(*) AS BIGINT)"
+        ).alias("f1_micro"),
+    )
+    return rows.unionByName(macro)
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS slope from windowed Gram sums (series x regression)
+# ---------------------------------------------------------------------------
+
+_ROLS_WIN = 30  # trailing observations
+
+
+@register(
+    "series_rolling_ols_slope",
+    oracle=f"""
+    WITH d AS (
+      SELECT n.n_name AS nation,
+             CAST(date_diff('day', DATE '1992-01-01',
+                  CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT nation, x, y,
+             COUNT(*) OVER win AS n,
+             SUM(x) OVER win AS sx,
+             SUM(y) OVER win AS sy,
+             SUM(x * x) OVER win AS sxx,
+             SUM(x * y) OVER win AS sxy
+      FROM d
+      WINDOW win AS (PARTITION BY nation ORDER BY x
+                     ROWS BETWEEN {_ROLS_WIN - 1} PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT nation, x AS day_idx,
+           CAST(n AS BIGINT) AS n_obs,
+           {det_round_sql(
+               '(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)'
+               ' / (CAST(n AS DOUBLE) * sxx'
+               ' - CAST(sx AS DOUBLE) * sx)', 4)} AS slope_cents_per_day
+    FROM w WHERE n = {_ROLS_WIN}
+    """,
+)
+def series_rolling_ols_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling least-squares trend: the 30-observation trailing OLS
+    slope of each nation's daily revenue, computed from WINDOWED Gram
+    sums (n, sum x, sum y, sum xx, sum xy over a rows frame) — the
+    sliding-window extension of ``ols_normal_equations``: no per-window
+    refit, no self-join; the five sufficient statistics slide in one
+    window pass and the slope is closed-form per row. The
+    trend-monitoring shape behind every "is this series accelerating"
+    dashboard at fleet scale.
+
+    Scale shape: facts collapse to (nation, day) first; the five
+    windowed sums share ONE (nation, day-ordered) sort; output is
+    row-per-day on the bounded daily grid. Determinism: day index and
+    cents are exact ints, windowed sums exact bigint (x*y stays far
+    below 2^63 for any realistic horizon), the slope is one fixed
+    double op tree, det-rounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    d = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    win = (
+        Window.partitionBy("nation")
+        .orderBy("x")
+        .rowsBetween(-(_ROLS_WIN - 1), 0)
+    )
+    w = d.select(
+        "nation",
+        "x",
+        F.count("*").over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    return w.filter(F.col("n") == _ROLS_WIN).select(
+        "nation",
+        F.col("x").alias("day_idx"),
+        F.col("n").cast("long").alias("n_obs"),
+        det_round(
+            (n * F.col("sxy") - sx * F.col("sy"))
+            / (n * F.col("sxx") - sx * F.col("sx")),
+            4,
+        ).alias("slope_cents_per_day"),
+    )

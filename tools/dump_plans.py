@@ -91,6 +91,27 @@ SHOWCASE = {
         ("WindowGroupLimit", "top-5 pushes down before the final window"),
         ("Window", "three rankings share one query_id shuffle"),
     ],
+    # round 7 (batch 14)
+    "inventory_clamped_balance": [
+        ("Window", "reflected-walk clamp = two windows over ONE sort"),
+        ("HashAggregate", "per-supplier rollup with map-side partials"),
+    ],
+    "asof_nearest_click_to_purchase": [
+        ("Window", "backward+forward carries — JOIN-FREE nearest as-of"),
+    ],
+    "markov_removal_attribution": [
+        ("Scan ExistingRDD",
+         "checkpointed channel-sized transition frame drives every round"),
+        ("BroadcastHashJoin", "the ~12-row p frame broadcast per round"),
+    ],
+    "golden_record_survivorship": [
+        ("Generate", "3-source fan-out is an explode of ONE scan"),
+        ("HashAggregate", "field survivorship as max_by in one aggregate"),
+    ],
+    "fifo_cogs_matching": [
+        ("Window", "per-part cumulative-quantity axes from prefix sums"),
+        ("HashAggregate", "COGS rollup with map-side partials"),
+    ],
 }
 
 
