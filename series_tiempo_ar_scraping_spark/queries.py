@@ -44,6 +44,30 @@ ORACLES: dict[str, str] = {}
 # justification. tools/check_queries.py fails if an oracle-less query is
 # registered without one — new queries must declare an oracle or a reason.
 NO_ORACLE_REASONS: dict[str, str] = {}
+# Cross-MODULE composed oracles (an oracle built from another batch's
+# registered SQL) cannot render at decoration time: under batchN-first
+# imports the component module may still be mid-import (its registrations
+# pending), so the read KeyErrors — found when classification_f1_report
+# (batch 14) embedded naive_bayes_classify (batch 13) and broke
+# test_import_order[queries_batch13]. Register with ``oracle_fn=`` instead;
+# the thunk resolves lazily at first registry USE (gate ordering /
+# compare), when every module is guaranteed complete.
+DEFERRED_ORACLES: dict[str, Callable[[], str]] = {}
+
+
+def resolve_deferred_oracles(strict: bool = False) -> None:
+    """Render pending ``oracle_fn`` thunks into ``ORACLES``. Tolerant by
+    default (a thunk whose component is not yet registered stays
+    deferred — we may be mid-circular-import); ``strict=True`` (used at
+    the entry points, where registration is known complete) re-raises."""
+    for name, fn in list(DEFERRED_ORACLES.items()):
+        try:
+            ORACLES[name] = fn()
+        except KeyError:
+            if strict:
+                raise
+            continue
+        del DEFERRED_ORACLES[name]
 
 DEC = "decimal(22,4)"  # exact-sum working type for money/measure columns
 
@@ -97,7 +121,8 @@ def det_round_sql(expr: str, n: int) -> str:
 
 
 def register(name: str, oracle: str | None = None,
-             no_oracle_reason: str | None = None):
+             no_oracle_reason: str | None = None,
+             oracle_fn: Callable[[], str] | None = None):
     """Decorator: add a query (and optionally its oracle) to the catalog.
 
     A query registered with ``oracle=None`` must either have its oracle
@@ -121,6 +146,8 @@ def register(name: str, oracle: str | None = None,
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if oracle_fn is not None:
+            DEFERRED_ORACLES[name] = oracle_fn  # see resolve_deferred_oracles
         if no_oracle_reason is not None:
             NO_ORACLE_REASONS[name] = no_oracle_reason
         return fn
@@ -913,6 +940,7 @@ def apply_driver_gate_order(strict: bool = False) -> None:
     known complete) fails fast if any priority name is missing — a rename
     or deletion must never silently evict a query from the first-50 hard
     gate."""
+    resolve_deferred_oracles(strict=strict)
     if strict:
         missing = [n for n in _DRIVER_GATE_PRIORITY if n not in QUERIES]
         if missing:  # explicit raise: assert would vanish under python -O

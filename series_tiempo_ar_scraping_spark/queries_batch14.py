@@ -3083,7 +3083,7 @@ def _f1_oracle() -> str:
     """
 
 
-@register("classification_f1_report", oracle=_f1_oracle())
+@register("classification_f1_report", oracle_fn=_f1_oracle)
 def classification_f1_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
