@@ -17,8 +17,12 @@ stdout, which decapitated round 6's single 3400-char JSON line):
   tools/bench_regression.py reads for per-query cold-band checks.
 
 Two lanes (see SCALE.md "Bench methodology"):
-- value/queries — steady-state: hot-table cache, warm codegen,
-  min(first, second) per query. The declared headline.
+- value/queries — steady-state: hot-table cache, warm codegen;
+  min(first, second) per query for the FROZEN r2 set (the r2-r5
+  methodology), single warm run for EXT entries (they already
+  executed in the cold lane, so the warm run is the JVM's 2nd+
+  execution; the redundant min-of-2 pushed the 144-query bench past
+  10-minute timeout budgets). The declared headline.
 - value_cold/queries_cold — cold: no table cache, first run in the
   session, pays parquet scan + codegen compile. Single-sample by
   construction (a query is only cold once per JVM), so it carries a
@@ -281,10 +285,22 @@ def main() -> None:
         load_table(spark, sf_dir, t)
 
     timings: dict[str, float] = {}
+    r2 = set(BENCH_QUERIES_R2)
     for name in BENCH_QUERIES:
         first = _run_once(QUERIES[name], spark, sf_dir)
-        second = _run_once(QUERIES[name], spark, sf_dir)
-        timings[name] = min(first, second)
+        if name in r2:
+            # frozen lineage set keeps the r2-r5 min-of-2 methodology
+            # (guards against cache-eviction pathologies)
+            second = _run_once(QUERIES[name], spark, sf_dir)
+            timings[name] = min(first, second)
+        else:
+            # EXT queries already executed once in the cold lane, so
+            # this "first warm" run is the JVM's 2nd+ execution
+            # (codegen compiled) — a min-of-2 here bought ~nothing and
+            # its 2nd runs alone cost ~2 min of wall at 115 EXT
+            # queries, pushing the whole bench past 10-minute timeout
+            # budgets (observed: the 144-query run was killed at 590s)
+            timings[name] = first
     print(json.dumps(build_output(timings, cold, sf)))
 
 
