@@ -211,6 +211,7 @@ BENCH_QUERIES_EXT = [
     "bitemporal_asof_state",
     "classification_f1_report",
     "series_rolling_ols_slope",
+    "expectation_suite_report",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -3311,3 +3311,141 @@ def series_rolling_ols_slope(
             4,
         ).alias("slope_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite (data-contract family)
+# ---------------------------------------------------------------------------
+
+_SEGS = "'AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'"
+_EVTS = "'click','error','purchase','signup','view'"
+
+
+@register(
+    "expectation_suite_report",
+    oracle=f"""
+    WITH o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS v0,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+               AS v1,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v2
+      FROM orders
+    ),
+    l AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN l_discount < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN l_discount > 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS v2
+      FROM lineitem
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN c_mktsegment IS NOT NULL
+                            AND c_mktsegment NOT IN ({_SEGS})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v1
+      FROM customer
+    ),
+    e AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN ({_EVTS})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS v1
+      FROM events
+    )
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, 'o_orderkey' AS column_name,
+             'not_null' AS check, n_rows, v0 AS n_violations,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) AS passed
+      FROM o
+      UNION ALL
+      SELECT 'orders', 'o_orderkey', 'unique', n_rows, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM o
+      UNION ALL
+      SELECT 'orders', 'o_totalprice', 'min_ge', n_rows, v2,
+             CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INT) FROM o
+      UNION ALL
+      SELECT 'lineitem', 'l_discount', 'min_ge', n_rows, v0,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) FROM l
+      UNION ALL
+      SELECT 'lineitem', 'l_discount', 'max_le', n_rows, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM l
+      UNION ALL
+      SELECT 'lineitem', 'l_quantity', 'min_ge', n_rows, v2,
+             CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INT) FROM l
+      UNION ALL
+      SELECT 'customer', 'c_mktsegment', 'accepted_values', n_rows, v0,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) FROM c
+      UNION ALL
+      SELECT 'customer', 'c_custkey', 'unique', n_rows, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM c
+      UNION ALL
+      SELECT 'events', 'event_type', 'accepted_values', n_rows, v0,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INT) FROM e
+      UNION ALL
+      SELECT 'events', 'user_id', 'not_null', n_rows, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INT) FROM e
+    )
+    """,
+)
+def expectation_suite_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-contract suite (the great-expectations/dbt-test
+    shape): ten contracts across four tables — uniqueness, null-ness,
+    bounds, accepted enums — compiled by ``operators/expectations.py``
+    into ONE aggregate scan per table, fanned out to long report rows
+    by a generator. The DATA-level counterpart of the reference's
+    metadata schema validation (SURVEY V1-V3): its schemas say what
+    fields must look like; these contracts say what the ROWS must
+    satisfy, continuously.
+
+    Scale shape: N contracts on a table cost one conditional-sum
+    aggregate (map-side combinable) — never N scans; the report is
+    |contracts| rows. Determinism: pure exact counts."""
+    from series_tiempo_ar_scraping_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    specs = [
+        Expectation("orders", "o_orderkey", "not_null"),
+        Expectation("orders", "o_orderkey", "unique"),
+        Expectation("orders", "o_totalprice", "min_ge", 0),
+        Expectation("lineitem", "l_discount", "min_ge", 0),
+        Expectation("lineitem", "l_discount", "max_le", 1),
+        Expectation("lineitem", "l_quantity", "min_ge", 1),
+        Expectation(
+            "customer",
+            "c_mktsegment",
+            "accepted_values",
+            (
+                "AUTOMOBILE",
+                "BUILDING",
+                "FURNITURE",
+                "HOUSEHOLD",
+                "MACHINERY",
+            ),
+        ),
+        Expectation("customer", "c_custkey", "unique"),
+        Expectation(
+            "events",
+            "event_type",
+            "accepted_values",
+            ("click", "error", "purchase", "signup", "view"),
+        ),
+        Expectation("events", "user_id", "not_null"),
+    ]
+    tables = {
+        t: load_table(spark, sf_dir, t)
+        for t in ("orders", "lineitem", "customer", "events")
+    }
+    return run_expectations(tables, specs)

@@ -242,3 +242,61 @@ def test_field_positive_fixture(spark):
     )
     df = spark.createDataFrame(*good)
     assert {r.rule for r in apply_rules(df, field_rules(), ["rid"]).collect()} == set()
+
+
+def test_expectation_engine_detects_violations(spark):
+    """The expectations operator must COUNT violations, not just bless
+    clean data: a deliberately dirty frame trips every check kind with
+    the exact violation counts."""
+    from series_tiempo_ar_scraping_spark.operators.expectations import (
+        Expectation,
+        run_expectations,
+    )
+
+    dirty = spark.createDataFrame(
+        [
+            (1, 0.5, "A"),
+            (1, -0.1, "B"),   # dup id, below-min rate
+            (None, 1.5, "C"),  # null id, above-max rate, bad enum
+            (2, None, "A"),
+        ],
+        "id long, rate double, seg string",
+    )
+    specs = [
+        Expectation("t", "id", "not_null"),
+        Expectation("t", "id", "unique"),
+        Expectation("t", "rate", "min_ge", 0),
+        Expectation("t", "rate", "max_le", 1),
+        Expectation("t", "seg", "accepted_values", ("A", "B")),
+    ]
+    rows = {
+        (r.column_name, r.check): r
+        for r in run_expectations({"t": dirty}, specs).collect()
+    }
+    assert rows[("id", "not_null")].n_violations == 1
+    # 4 rows, 3 distinct id values (1, 2, NULL->excluded by distinct):
+    # count(*)-countDistinct = 4-2 = 2 (null + the duplicate)
+    assert rows[("id", "unique")].n_violations == 2
+    assert rows[("rate", "min_ge")].n_violations == 1
+    assert rows[("rate", "max_le")].n_violations == 1
+    assert rows[("seg", "accepted_values")].n_violations == 1
+    assert all(r.passed == 0 for r in rows.values())
+    assert all(r.n_rows == 4 for r in rows.values())
+
+
+def test_expectation_engine_one_scan_per_table(spark, sf_dir):
+    """N contracts on one table must compile to ONE scan (the plan
+    contract that makes contracts affordable at 100 TB)."""
+    import contextlib
+    import io
+
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    df = QUERIES["expectation_suite_report"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    # 4 tables -> exactly 4 parquet scans, no joins, no Python
+    assert p.count("Scan parquet") == 4
+    assert "Join" not in p and "EvalPython" not in p
