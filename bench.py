@@ -11,7 +11,7 @@ stdout, which decapitated round 6's single 3400-char JSON line):
   "sf", "value_r2set", "value_ext", "value_cold", "value_cold_r2set",
   "value_cold_ext", "n_queries"}. Per ADVICE r6, "value" means the
   FROZEN r2-era 29-query warm subtotal (directly comparable with the
-  r2-r5 lineage); the extended 45-query totals live under *_ext keys.
+  r2-r5 lineage); the extended-set totals live under *_ext keys.
 - Full per-query detail (warm + cold dicts) is also appended as one
   line to BENCH_HISTORY.jsonl at the repo root, which
   tools/bench_regression.py reads for per-query cold-band checks.
