@@ -49,6 +49,15 @@ Families (each entry hash-oracled; plan contracts in tests/test_plans.py):
 - Composed pipeline #4: embedding index build — near-dup dedup ->
   Lloyd k-means training -> IVF assignment -> recall-vs-exact eval as
   ONE hash-oracled entry (the ML-retrieval lane's nightly run).
+- Ledger & temporal modeling: FIFO cost matching (interval
+  intersection on the cumulative-quantity axis) and a bitemporal
+  as-of query (SQL:2011 valid + transaction time).
+- Eval & trend: per-class P/R/F1 report (registry-composed on naive
+  Bayes, integer-exact rationals) and rolling OLS slopes from
+  windowed Gram sums.
+- Data contracts: declarative expectation suite
+  (operators/expectations.py) — N contracts per table compiled into
+  ONE scan.
 
 Determinism recipe (repo standard, queries_batch8/12/13): exact
 bigint/decimal arithmetic end-to-end; portable floor division is
