@@ -3458,3 +3458,94 @@ def expectation_suite_report(
         for t in ("orders", "lineitem", "customer", "events")
     }
     return run_expectations(tables, specs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming data contracts (streaming x governance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_contract_violations",
+    oracle=f"""
+    SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value > 450 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_value_over_450,
+           CAST(SUM(CASE WHEN event_type IS NULL OR event_type
+                      NOT IN ({_EVTS}) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bad_event_type,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null_user
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_contract_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data contracts ON THE STREAM: per 6-hour tumbling window, count
+    violations of three contracts (value threshold breach, event-type
+    enum, user-id presence) as the events flow through readStream →
+    windowed conditional sums → memory sink (availableNow) — and the
+    result must hash-match the batch oracle, proving the continuous
+    monitor computes the same semantics the nightly
+    ``expectation_suite_report`` audit would. This is how contracts
+    actually run at 100 TB: violations surface per-window within
+    minutes, not after the nightly batch.
+
+    Scale shape: one watermark-bounded windowed aggregate (map-side
+    combinable conditional sums — the tumbling-counts plan with three
+    extra SUM(CASE) columns, zero extra shuffles). Determinism: pure
+    exact counts on exact window boundaries."""
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream_native,
+    )
+
+    ev = read_events_stream_native(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("value") > 450, 1).otherwise(0))
+            .cast("long")
+            .alias("n_value_over_450"),
+            F.sum(
+                F.when(
+                    F.col("event_type").isNull()
+                    | ~F.col("event_type").isin(
+                        "click", "error", "purchase", "signup", "view"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bad_event_type"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_user"),
+        )
+    )
+    name = "stream_contract_violations"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = (
+        spark.table(name)
+        .select(
+            F.col("window.start").alias("bucket"),
+            "n_events",
+            "n_value_over_450",
+            "n_bad_event_type",
+            "n_null_user",
+        )
+        .localCheckpoint()
+    )
+    q.stop()
+    return result
