@@ -212,6 +212,9 @@ BENCH_QUERIES_EXT = [
     "classification_f1_report",
     "series_rolling_ols_slope",
     "expectation_suite_report",
+    "price_index_laspeyres_fisher",
+    "did_order_value_estimator",
+    "weiszfeld_geometric_median",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

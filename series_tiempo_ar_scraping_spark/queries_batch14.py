@@ -3549,3 +3549,379 @@ def streaming_contract_violations(
     )
     q.stop()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Price indices (economics family)
+# ---------------------------------------------------------------------------
+
+_PI_Y0, _PI_Y1 = 1994, 1995
+
+
+@register(
+    "price_index_laspeyres_fisher",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey AS part,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * 100)
+               AS BIGINT) AS ext_c,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+               AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) IN ({_PI_Y0}, {_PI_Y1})
+      GROUP BY 1, 2
+    ),
+    pq AS (
+      SELECT a.part,
+             a.ext_c AS e0, a.qty AS q0,
+             b.ext_c AS e1, b.qty AS q1
+      FROM py a JOIN py b ON a.part = b.part
+      WHERE a.yr = {_PI_Y0} AND b.yr = {_PI_Y1}
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+             -- p1*q0 = (e1/q1)*q0: ONE truncating integer division per
+             -- term (exact products first), then exact sums
+             CAST(SUM((e1 * q0) // q1) AS BIGINT) AS l_num,
+             CAST(SUM(e0) AS BIGINT) AS l_den,
+             CAST(SUM(e1) AS BIGINT) AS p_num,
+             CAST(SUM((e0 * q1) // q0) AS BIGINT) AS p_den
+      FROM pq
+    )
+    SELECT n_parts, l_num, l_den, p_num, p_den,
+           {det_round_sql(
+               'CAST(l_num AS DOUBLE) / l_den', 6)} AS laspeyres,
+           {det_round_sql(
+               'CAST(p_num AS DOUBLE) / p_den', 6)} AS paasche,
+           {det_round_sql(
+               'sqrt((CAST(l_num AS DOUBLE) / l_den)'
+               ' * (CAST(p_num AS DOUBLE) / p_den))', 6)} AS fisher
+    FROM t
+    """,
+)
+def price_index_laspeyres_fisher(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price indices {_PI_Y0} -> {_PI_Y1} over the parts traded in both
+    years: Laspeyres (base-quantity weighted), Paasche
+    (current-quantity weighted), and Fisher (their geometric mean —
+    the "ideal" index). The economics-lane aggregate behind CPI-style
+    dashboards; complements ``mix_shift_decomposition`` (volume vs
+    rate) with the pure-price movement.
+
+    Scale shape: facts collapse to (part, year) sums first; the
+    base/current alignment is ONE part-keyed self-join of that
+    dimension-sized frame; the indices are a single scalar aggregate.
+    Determinism: per-part cross terms take ONE truncating integer
+    division of exact products (Spark DIV == DuckDB // on positives);
+    sums are exact; each index is one double division (+ an
+    IEEE-exact sqrt for Fisher), det-rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = F.year("l_shipdate")
+    py = (
+        li.filter(yr.isin(_PI_Y0, _PI_Y1))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            yr.cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("ext_c"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    a = py.filter(F.col("yr") == _PI_Y0).select(
+        "part",
+        F.col("ext_c").alias("e0"),
+        F.col("qty").alias("q0"),
+    )
+    b = py.filter(F.col("yr") == _PI_Y1).select(
+        "part",
+        F.col("ext_c").alias("e1"),
+        F.col("qty").alias("q1"),
+    )
+    t = (
+        a.join(b, "part")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum(F.expr("(e1 * q0) DIV q1"))
+            .cast("long")
+            .alias("l_num"),
+            F.sum("e0").cast("long").alias("l_den"),
+            F.sum("e1").cast("long").alias("p_num"),
+            F.sum(F.expr("(e0 * q1) DIV q0"))
+            .cast("long")
+            .alias("p_den"),
+        )
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return t.select(
+        "n_parts",
+        "l_num",
+        "l_den",
+        "p_num",
+        "p_den",
+        det_round(lasp, 6).alias("laspeyres"),
+        det_round(paas, 6).alias("paasche"),
+        det_round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (causal-inference family)
+# ---------------------------------------------------------------------------
+
+_DID_SEG = "BUILDING"
+_DID_PRE, _DID_POST = 1994, 1995
+
+
+@register(
+    "did_order_value_estimator",
+    oracle=f"""
+    WITH m AS (
+      SELECT CASE WHEN c_mktsegment = '{_DID_SEG}' THEN 1 ELSE 0 END
+               AS treated,
+             CASE WHEN year(o_orderdate) = {_DID_POST} THEN 1
+                  ELSE 0 END AS post,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) IN ({_DID_PRE}, {_DID_POST})
+    ),
+    g AS (
+      SELECT treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM m GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN s END) AS s_t0,
+        MAX(CASE WHEN treated = 1 AND post = 0 THEN n END) AS n_t0,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN s END) AS s_t1,
+        MAX(CASE WHEN treated = 1 AND post = 1 THEN n END) AS n_t1,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN s END) AS s_c0,
+        MAX(CASE WHEN treated = 0 AND post = 0 THEN n END) AS n_c0,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN s END) AS s_c1,
+        MAX(CASE WHEN treated = 0 AND post = 1 THEN n END) AS n_c1
+      FROM g
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+           {det_round_sql('CAST(s_t0 AS DOUBLE) / n_t0', 4)}
+             AS mean_treat_pre,
+           {det_round_sql('CAST(s_t1 AS DOUBLE) / n_t1', 4)}
+             AS mean_treat_post,
+           {det_round_sql('CAST(s_c0 AS DOUBLE) / n_c0', 4)}
+             AS mean_ctrl_pre,
+           {det_round_sql('CAST(s_c1 AS DOUBLE) / n_c1', 4)}
+             AS mean_ctrl_post,
+           {det_round_sql(
+               '(CAST(s_t1 AS DOUBLE) / n_t1'
+               ' - CAST(s_t0 AS DOUBLE) / n_t0)'
+               ' - (CAST(s_c1 AS DOUBLE) / n_c1'
+               ' - CAST(s_c0 AS DOUBLE) / n_c0)', 4)} AS did_cents
+    FROM w
+    """,
+)
+def did_order_value_estimator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Difference-in-differences: the {_DID_SEG} segment (treated)
+    versus everyone else (control), order value pre ({_DID_PRE}) vs
+    post ({_DID_POST}) — DiD = (T_post - T_pre) - (C_post - C_pre),
+    the workhorse causal estimator when randomization is impossible
+    and both groups share a trend. Complements ``ab_test_mean_diff``
+    (randomized) with the observational design.
+
+    Scale shape: one join + ONE (treated, post) aggregate — four cells
+    of mergeable (n, sum) moments; all arithmetic happens on the 4-row
+    frame. Determinism: exact cent sums; each mean is one double
+    division; the DiD is a fixed op tree, det-rounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    yr = F.year("o_orderdate")
+    m = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .filter(yr.isin(_DID_PRE, _DID_POST))
+        .select(
+            F.when(F.col("c_mktsegment") == _DID_SEG, 1)
+            .otherwise(0)
+            .alias("treated"),
+            F.when(yr == _DID_POST, 1).otherwise(0).alias("post"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    g = m.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+
+    def cell(col, t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col(col),
+            )
+        )
+
+    w = g.agg(
+        cell("s", 1, 0).alias("s_t0"),
+        cell("n", 1, 0).alias("n_t0"),
+        cell("s", 1, 1).alias("s_t1"),
+        cell("n", 1, 1).alias("n_t1"),
+        cell("s", 0, 0).alias("s_c0"),
+        cell("n", 0, 0).alias("n_c0"),
+        cell("s", 0, 1).alias("s_c1"),
+        cell("n", 0, 1).alias("n_c1"),
+    )
+    mt0 = F.col("s_t0").cast("double") / F.col("n_t0")
+    mt1 = F.col("s_t1").cast("double") / F.col("n_t1")
+    mc0 = F.col("s_c0").cast("double") / F.col("n_c0")
+    mc1 = F.col("s_c1").cast("double") / F.col("n_c1")
+    return w.select(
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        det_round(mt0, 4).alias("mean_treat_pre"),
+        det_round(mt1, 4).alias("mean_treat_post"),
+        det_round(mc0, 4).alias("mean_ctrl_pre"),
+        det_round(mc1, 4).alias("mean_ctrl_post"),
+        det_round((mt1 - mt0) - (mc1 - mc0), 4).alias("did_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weiszfeld geometric median (9th iterative family: fixed-point descent)
+# ---------------------------------------------------------------------------
+
+_GM_ITERS = 4
+_GM_INV = 1000000000  # inverse-distance scale
+
+
+def _gm_pts_sql() -> str:
+    hx = _hex60_seeded("11", "CAST(c_custkey AS VARCHAR)")
+    hy = _hex60_seeded("12", "CAST(c_custkey AS VARCHAR)")
+    return f"""
+    pts AS MATERIALIZED (
+      SELECT c_nationkey AS nk,
+             CAST({hx} % 10000 AS BIGINT) AS x,
+             CAST({hy} % 10000 AS BIGINT) AS y
+      FROM customer
+    )"""
+
+
+def _gm_iter_sql(prev: str, cur: str) -> str:
+    dist = (
+        f"CAST(FLOOR(sqrt(CAST((p.x - m.mx) * (p.x - m.mx)"
+        f" + (p.y - m.my) * (p.y - m.my) AS DOUBLE))) AS BIGINT)"
+    )
+    inv = f"({_GM_INV} // GREATEST({dist}, 1))"
+    return f"""
+    {cur} AS MATERIALIZED (
+      SELECT p.nk,
+             SUM(p.x * {inv}) // SUM({inv}) AS mx,
+             SUM(p.y * {inv}) // SUM({inv}) AS my
+      FROM pts p JOIN {prev} m ON m.nk = p.nk
+      GROUP BY p.nk
+    )"""
+
+
+def _gm_oracle() -> str:
+    iters = ",".join(
+        _gm_iter_sql(f"m{k}", f"m{k + 1}") for k in range(_GM_ITERS)
+    )
+    last = f"m{_GM_ITERS}"
+    return f"""
+    WITH {_gm_pts_sql()},
+    m0 AS MATERIALIZED (
+      SELECT nk, SUM(x) // COUNT(*) AS mx, SUM(y) // COUNT(*) AS my
+      FROM pts GROUP BY nk
+    ),
+    {iters}
+    SELECT p.nk AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MAX(m.mx) AS BIGINT) AS median_x,
+           CAST(MAX(m.my) AS BIGINT) AS median_y,
+           CAST(SUM(CAST(FLOOR(sqrt(CAST(
+             (p.x - m.mx) * (p.x - m.mx)
+             + (p.y - m.my) * (p.y - m.my) AS DOUBLE))) AS BIGINT))
+             AS BIGINT) AS total_distance
+    FROM pts p JOIN {last} m ON m.nk = p.nk
+    GROUP BY p.nk
+    """
+
+
+@register("weiszfeld_geometric_median", oracle=_gm_oracle())
+def weiszfeld_geometric_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Geometric median (the L1 facility-location point: minimizes the
+    SUM of Euclidean distances, far more outlier-robust than the
+    centroid) per nation over the deterministic customer point cloud,
+    by 4 Weiszfeld fixed-point rounds — the NINTH iterative family:
+    inverse-distance-weighted re-averaging (fixed-point descent),
+    distinct from propagation, assignment, peeling, power iteration,
+    merge loops, and absorbing chains. Reported with the final total
+    distance (the objective it descends).
+
+    Scale shape: the point frame is checkpointed ONCE; each round is
+    one broadcast of the 25-row median frame + one map-side-combined
+    aggregate keyed by nation — the k-means plan with weights instead
+    of assignments. Determinism: distances are floor(sqrt(exact int))
+    — IEEE sqrt is correctly rounded, so the floor is bit-stable;
+    inverse weights are capped integer divisions ({_GM_INV} DIV
+    max(d,1), zero-distance safe); every weighted mean is an exact
+    integer division of exact sums. Cites: Weiszfeld 1937; Cohen et
+    al. STOC'16 for the modern treatment."""
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % 10000)
+        .cast("bigint")
+        .alias("x"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % 10000)
+        .cast("bigint")
+        .alias("y"),
+    ).localCheckpoint(eager=True)
+    m = pts.groupBy("nk").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("mx"),
+        F.expr("SUM(y) DIV COUNT(*)").alias("my"),
+    )
+    dist = F.floor(
+        F.sqrt(
+            (
+                (F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))
+                + (F.col("y") - F.col("my"))
+                * (F.col("y") - F.col("my"))
+            ).cast("double")
+        )
+    ).cast("bigint")
+    inv = F.expr(f"{_GM_INV} DIV GREATEST(d, 1)")
+    for _ in range(_GM_ITERS):
+        j = pts.join(F.broadcast(m), "nk").withColumn("d", dist)
+        m = (
+            j.withColumn("inv", inv)
+            .groupBy("nk")
+            .agg(
+                F.expr("SUM(x * inv) DIV SUM(inv)").alias("mx"),
+                F.expr("SUM(y * inv) DIV SUM(inv)").alias("my"),
+            )
+            .localCheckpoint(eager=False)  # broadcast materializes it
+        )
+    final = pts.join(F.broadcast(m), "nk").withColumn("d", dist)
+    return final.groupBy(F.col("nk").alias("nationkey")).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.max("mx").cast("long").alias("median_x"),
+        F.max("my").cast("long").alias("median_y"),
+        F.sum("d").cast("long").alias("total_distance"),
+    )
