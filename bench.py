@@ -215,6 +215,7 @@ BENCH_QUERIES_EXT = [
     "price_index_laspeyres_fisher",
     "did_order_value_estimator",
     "weiszfeld_geometric_median",
+    "morans_i_spatial_autocorrelation",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -3925,3 +3925,195 @@ def weiszfeld_geometric_median(
         F.max("my").cast("long").alias("median_y"),
         F.sum("d").cast("long").alias("total_distance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation (spatial-statistics family)
+# ---------------------------------------------------------------------------
+
+_MI_W = 1000000  # inverse-distance weight scale
+
+
+@register(
+    "morans_i_spatial_autocorrelation",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+      SELECT c_nationkey AS nk,
+             CAST({_hex60_seeded('11', 'CAST(c_custkey AS VARCHAR)')}
+               % 10000 AS BIGINT) AS x,
+             CAST({_hex60_seeded('12', 'CAST(c_custkey AS VARCHAR)')}
+               % 10000 AS BIGINT) AS y
+      FROM customer
+    ),
+    cent AS (
+      SELECT nk, SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+      FROM pts GROUP BY nk
+    ),
+    rev AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    a AS (
+      SELECT r.nk, r.cents, c.cx, c.cy FROM rev r
+      JOIN cent c ON c.nk = r.nk
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(cents) AS BIGINT) AS s FROM a),
+    z AS (
+      -- u_i = n*(x_i - mean) exactly; the scaling cancels in I
+      SELECT a.nk, a.cx, a.cy,
+             CAST(t.n * a.cents - t.s AS DECIMAL(38,0)) AS u
+      FROM a, t
+    ),
+    pairs AS (
+      SELECT i.u AS ui, j.u AS uj,
+             CAST({_MI_W} // GREATEST(CAST(FLOOR(sqrt(CAST(
+               (i.cx - j.cx) * (i.cx - j.cx)
+               + (i.cy - j.cy) * (i.cy - j.cy) AS DOUBLE)))
+               AS BIGINT), 1) AS DECIMAL(38,0)) AS w
+      FROM z i JOIN z j ON i.nk <> j.nk
+    ),
+    agg AS (
+      SELECT CAST(SUM(w) AS DECIMAL(38,0)) AS w_sum,
+             CAST(SUM(w * ui * uj) AS DECIMAL(38,6)) AS cross_sum
+      FROM pairs
+    ),
+    den AS (
+      SELECT CAST(SUM(u * u) AS DECIMAL(38,0)) AS u2 FROM z
+    )
+    SELECT t.n AS n_regions,
+           CAST(agg.w_sum AS BIGINT) AS w_sum_micro,
+           {det_round_sql(
+               '(CAST(t.n AS DOUBLE) / CAST(agg.w_sum AS DOUBLE))'
+               ' * (CAST(agg.cross_sum AS DOUBLE)'
+               ' / CAST(den.u2 AS DOUBLE))', 6)} AS morans_i
+    FROM t, agg, den
+    """,
+)
+def morans_i_spatial_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moran's I (1950) — THE spatial-autocorrelation statistic: do
+    nearby regions have similar revenue? Regions are nations located
+    at their customers' integer centroid in the deterministic point
+    cloud; weights are capped inverse distances; I ~ 0 means spatial
+    randomness, > 0 clustering, < 0 checkerboard. The spatial-
+    statistics family head, composing the spatial lane (shared point
+    cloud) with the revenue aggregates.
+
+    Scale shape: facts collapse to one |regions|-sized frame before
+    ANY pairwise work; the weight matrix is a 25x24 self-join of that
+    bounded frame (at fleet scale regions stay bounded — it is the
+    FACTS that grow). Determinism: centroids and deviations are exact
+    ints (u_i = n*x_i - S keeps the mean exact); cross moments are
+    exact DECIMAL(38) sums (u_i*u_j reaches ~1e24 — bigint would
+    silently wrap, the r7 cdc lesson); I is one fixed double op tree,
+    det-rounded."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pts = cust.select(
+        F.col("c_nationkey").alias("nk"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % 10000)
+        .cast("bigint")
+        .alias("x"),
+        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % 10000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    cent = pts.groupBy("nk").agg(
+        F.expr("SUM(x) DIV COUNT(*)").alias("cx"),
+        F.expr("SUM(y) DIV COUNT(*)").alias("cy"),
+    )
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = rev.join(cent, "nk")
+    t = a.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    z = (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "nk",
+            "cx",
+            "cy",
+            "n",
+            (F.col("n") * F.col("cents") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("u"),
+        )
+        .localCheckpoint(eager=False)  # 25 rows, used on both join sides
+    )
+    i_side = z.select(
+        F.col("nk").alias("inik"),
+        F.col("cx").alias("ix"),
+        F.col("cy").alias("iy"),
+        F.col("u").alias("ui"),
+    )
+    j_side = z.select(
+        F.col("nk").alias("jnk"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+        F.col("u").alias("uj"),
+    )
+    d = F.floor(
+        F.sqrt(
+            (
+                (F.col("ix") - F.col("jx")) * (F.col("ix") - F.col("jx"))
+                + (F.col("iy") - F.col("jy"))
+                * (F.col("iy") - F.col("jy"))
+            ).cast("double")
+        )
+    ).cast("bigint")
+    pairs = (
+        i_side.join(
+            F.broadcast(j_side), F.col("inik") != F.col("jnk")
+        )
+        .withColumn("dd", d)
+        .select(
+            "ui",
+            "uj",
+            F.expr(f"CAST({_MI_W} DIV GREATEST(dd, 1) AS DECIMAL(38,0))")
+            .alias("w"),
+        )
+    )
+    agg = pairs.agg(
+        F.sum("w").cast("decimal(38,0)").alias("w_sum"),
+        F.sum(F.col("w") * F.col("ui") * F.col("uj"))
+        .cast("decimal(38,6)")
+        .alias("cross_sum"),
+    )
+    den = z.agg(
+        F.sum(F.col("u") * F.col("u"))
+        .cast("decimal(38,0)")
+        .alias("u2")
+    )
+    return (
+        t.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("n").alias("n_regions"),
+            F.col("w_sum").cast("bigint").alias("w_sum_micro"),
+            det_round(
+                (
+                    F.col("n").cast("double")
+                    / F.col("w_sum").cast("double")
+                )
+                * (
+                    F.col("cross_sum").cast("double")
+                    / F.col("u2").cast("double")
+                ),
+                6,
+            ).alias("morans_i"),
+        )
+    )
