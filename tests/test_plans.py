@@ -741,3 +741,24 @@ def test_batch14_wave5_plan_properties(plans):
     p = plans("embedding_index_pipeline", "simple")
     assert "Scan ExistingRDD" in p  # survivors + codebook checkpoints
     assert "EvalPython" not in p
+
+
+def test_batch14_wave8_plan_properties(plans):
+    """Price index: the base/current alignment joins the (part, year)
+    DIMENSION frame, never raw facts twice through a sort-merge of
+    scans; DiD is one aggregate + a 4-row pivot (join-free); Weiszfeld
+    rounds run off the checkpointed point frame with broadcast median
+    joins; Moran's I pairs only the bounded region frame (broadcast
+    nested loop on 25 rows, no fact-sized cartesian)."""
+    p = plans("price_index_laspeyres_fisher", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    p = plans("did_order_value_estimator", "simple")
+    assert "EvalPython" not in p
+    assert "partial_sum" in p  # mergeable-moments aggregate
+    p = plans("weiszfeld_geometric_median", "simple")
+    assert "Scan ExistingRDD" in p  # checkpointed points
+    assert "BroadcastHashJoin" in p  # 25-row median frame per round
+    assert "EvalPython" not in p and "SortMergeJoin" not in p
+    p = plans("morans_i_spatial_autocorrelation", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # bounded region pair join
