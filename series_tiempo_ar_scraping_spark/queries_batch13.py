@@ -858,7 +858,7 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     equations: ONE aggregate computes the Gram-matrix sums (n, Σx, Σxxᵀ,
     Σxy, Σyy), then Cramer's rule on the tiny per-group frame yields
     coefficients and R². The canonical "distributed ML as aggregation"
-    shape: at 100 TB the fit costs exactly one map-side-combined
+    shape (the scale story): at 100 TB the fit costs exactly one map-side-combined
     shuffle of 10 numbers per group — no gradient iterations, no
     driver-side matrix library.
 
@@ -1703,7 +1703,7 @@ def graph_kcore_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(1) plan size). Because the alive set only SHRINKS, convergence
     detection is just the count — one scalar action per round, no
     hash fingerprint needed. The oracle unrolls 12 rounds (gate scale
-    converges in ≤10; extra rounds are idempotent). All-integer.
+    converges in ≤10; extra rounds are idempotent). Determinism: all-integer end to end.
     Cites: Kiveris et al. SoCC'14 for the iterative discipline;
     Matula & Beck 1983 for k-core peeling."""
     from series_tiempo_ar_scraping_spark.operators.dedup import (

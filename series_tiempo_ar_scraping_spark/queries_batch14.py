@@ -1115,7 +1115,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edge derivation is ONE corpus scan (generator over
     consecutive filtered-token pairs) + one count aggregate with the
     >= 2 prune; the graph is VOCABULARY-sized, so the iterations run on
-    frames orders of magnitude smaller than the corpus. Iteration
+    frames orders of magnitude smaller than the corpus. Determinism + iteration
     discipline is the repo's pagerank recipe verbatim: integer
     micro-unit ranks (contribution = r DIV outdeg; next = 150000 +
     850*sum DIV 1000 — partial sums commute, bit-identical across
@@ -1770,7 +1770,8 @@ def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidecar) in one Arrow stage, then extract members and report
     content stats in a second Arrow stage that sees ONLY the binary
     column — the container-ingestion lane (web archives, scraped-corpus
-    bundles) beside the raster/audio/video codecs. Both stages are
+    bundles) beside the raster/audio/video codecs. Scale shape: both
+    stages are
     ``mapInPandas`` (columnar Arrow transfer, per-batch Python, no
     per-row pickling); stdlib ``zipfile``/``zlib`` does the real
     compress + decompress in-sandbox.
@@ -2624,7 +2625,7 @@ def embedding_index_pipeline(
     every list); the composition pins the whole index build the way
     ``corpus_curation_pipeline`` pins the text lane.
 
-    Output is INTEGER-ONLY (counts + overlap), so floats affect only
+    Determinism: output is INTEGER-ONLY (counts + overlap), so floats affect only
     rank ordering, where both engines share one cosine expression
     tree. Scale shape: each stage keeps its documented plan — bucket
     equi-join dedup (never all-pairs), broadcast K-row codebook per

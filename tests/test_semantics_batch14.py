@@ -160,3 +160,22 @@ def test_embedding_index_pipeline_removes_planted_dups(run):
     total_overlap = sum(r.n_overlap for r in rows)
     total_exact = sum(r.n_exact for r in rows)
     assert total_overlap >= total_exact // 2  # recall@5 >= 0.5
+
+
+def test_new_batches_keep_the_docstring_discipline():
+    """Every batch-13/14 query documents its scale shape AND its
+    determinism story — the two sections the reviews actually read.
+    New entries that skip them fail here, so the discipline can't
+    erode batch over batch."""
+    import series_tiempo_ar_scraping_spark.queries_batch13 as b13
+    import series_tiempo_ar_scraping_spark.queries_batch14 as b14
+
+    missing = []
+    for mod in (b13, b14):
+        for name, fn in QUERIES.items():
+            if fn.__module__ != mod.__name__:
+                continue
+            doc = (fn.__doc__ or "").lower()
+            if "scale" not in doc or "determin" not in doc:
+                missing.append(name)
+    assert not missing, missing
