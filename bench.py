@@ -216,6 +216,7 @@ BENCH_QUERIES_EXT = [
     "did_order_value_estimator",
     "weiszfeld_geometric_median",
     "morans_i_spatial_autocorrelation",
+    "ks_two_sample_doclen",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

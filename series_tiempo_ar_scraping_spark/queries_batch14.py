@@ -4118,3 +4118,138 @@ def morans_i_spatial_autocorrelation(
             ).alias("morans_i"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (distribution-comparison family)
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "wiki", "web"
+
+
+@register(
+    "ks_two_sample_doclen",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+      WHERE source IN ('{_KS_A}', '{_KS_B}')
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+               AS cum_b
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(MAX(cum_a) AS BIGINT) AS na,
+             CAST(MAX(cum_b) AS BIGINT) AS nb
+      FROM c
+    ),
+    s AS (
+      -- D numerator is EXACT: |cum_a*nb - cum_b*na| over the merged
+      -- value grid; ties break toward the larger gap automatically
+      SELECT CAST(MAX(ABS(c.cum_a * t.nb - c.cum_b * t.na)) AS BIGINT)
+               AS d_num,
+             CAST(MAX(t.na) AS BIGINT) AS na,
+             CAST(MAX(t.nb) AS BIGINT) AS nb
+      FROM c, t
+    )
+    SELECT na, nb, d_num,
+           {det_round_sql(
+               'CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)', 6)}
+             AS ks_d,
+           {det_round_sql(
+               'CAST(d_num AS DOUBLE) / (CAST(na AS DOUBLE) * nb)'
+               ' * sqrt(CAST(na AS DOUBLE) * nb / (na + nb))', 6)}
+             AS ks_stat
+    FROM s
+    """,
+)
+def ks_two_sample_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test on the document-length
+    distributions of two sources: D = max |F_a(v) - F_b(v)| over the
+    merged value grid, computed ENTIRELY in integers — the numerator
+    |cum_a*nb - cum_b*na| is exact, the division happens once at the
+    edge. KS is THE canonical nonparametric "same distribution?" test:
+    it complements ``value_drift_psi`` (binned, parametric-ish) and
+    ``chi_square_independence`` (categorical) with the
+    distribution-free continuous comparison, plus the sqrt(n)-scaled
+    statistic for significance lookups.
+
+    Scale shape: facts collapse to the per-DISTINCT-value count grid
+    first (one aggregate); both ECDFs run through the two-phase prefix
+    sum (never a single-partition global window — the
+    decision_stump_split discipline; at 100 TB the grid is the
+    distinct-value domain, and if that explodes you quantize first, as
+    value_drift_psi does); the max is a scalar aggregate. Determinism: counts and the
+    D numerator are exact bigints; ks_d / ks_stat are fixed double op
+    trees (IEEE-exact sqrt), det-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("source").isin(_KS_A, _KS_B)).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    g = d.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    # both ECDFs through the two-phase prefix sum (never a single-
+    # partition global window over the value grid — the
+    # decision_stump_split discipline)
+    c = two_phase_prefix_sum(
+        two_phase_prefix_sum(g, ["v"], "ca", out_col="cum_a"),
+        ["v"],
+        "cb",
+        out_col="cum_b",
+    ).select("v", "cum_a", "cum_b")
+    t = c.agg(
+        F.max("cum_a").cast("long").alias("na"),
+        F.max("cum_b").cast("long").alias("nb"),
+    )
+    s = c.crossJoin(F.broadcast(t)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("nb")
+                - F.col("cum_b") * F.col("na")
+            )
+        )
+        .cast("long")
+        .alias("d_num"),
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+    )
+    ksd = F.col("d_num").cast("double") / (
+        F.col("na").cast("double") * F.col("nb")
+    )
+    return s.select(
+        "na",
+        "nb",
+        "d_num",
+        det_round(ksd, 6).alias("ks_d"),
+        det_round(
+            ksd
+            * F.sqrt(
+                F.col("na").cast("double")
+                * F.col("nb")
+                / (F.col("na") + F.col("nb"))
+            ),
+            6,
+        ).alias("ks_stat"),
+    )
