@@ -217,6 +217,9 @@ BENCH_QUERIES_EXT = [
     "weiszfeld_geometric_median",
     "morans_i_spatial_autocorrelation",
     "ks_two_sample_doclen",
+    "mannwhitney_u_doclen",
+    "spearman_rank_correlation",
+    "cusum_drift_detection",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

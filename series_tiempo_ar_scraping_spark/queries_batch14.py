@@ -4253,3 +4253,323 @@ def ks_two_sample_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (distribution-comparison family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mannwhitney_u_doclen",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+      WHERE source IN ('{_KS_A}', '{_KS_B}')
+    ),
+    g AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM d GROUP BY 1
+    ),
+    c AS (
+      SELECT v, ca, cb,
+             SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cb
+               AS cb_below
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb,
+             -- U doubled so ties stay integer: each a-value beats
+             -- 2*(b below) and splits ties 1-for-1
+             CAST(SUM(ca * (2 * cb_below + cb)) AS BIGINT) AS u2
+      FROM c
+    )
+    SELECT na, nb, u2,
+           {det_round_sql(
+               'CAST(u2 AS DOUBLE) / (2.0 * na * nb)', 6)}
+             AS auc_estimate,
+           {det_round_sql(
+               '(CAST(u2 AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)'
+               ' / sqrt(CAST(na AS DOUBLE) * nb * (na + nb + 1) / 12)',
+               6)} AS z_stat
+    FROM t
+    """,
+)
+def mannwhitney_u_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two sources'
+    document-length distributions — the rank-based location test
+    beside KS's shape test; U/(na*nb) is also the AUC ("probability a
+    random wiki doc is longer than a random web doc"), which is why
+    the same statistic grades binary classifiers. DOUBLED-U trick
+    keeps ties exact: 2U = sum over the value grid of
+    ca*(2*cb_below + cb_ties) — pure integers, no midrank fractions.
+
+    Scale shape: the same per-DISTINCT-value count grid as
+    ``ks_two_sample_doclen`` (one aggregate), one cumulative pass,
+    one scalar rollup. Determinism: 2U is an exact bigint; AUC and
+    the normal-approximation z are fixed double op trees,
+    det-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.col("source").isin(_KS_A, _KS_B)).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    g = d.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == _KS_A, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("source") == _KS_B, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    from series_tiempo_ar_scraping_spark.operators.distributed import (
+        two_phase_prefix_sum,
+    )
+
+    c = two_phase_prefix_sum(g, ["v"], "cb", out_col="cum_cb").select(
+        "v",
+        "ca",
+        "cb",
+        (F.col("cum_cb") - F.col("cb")).alias("cb_below"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cb_below") + F.col("cb")))
+        .cast("long")
+        .alias("u2"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    u2 = F.col("u2").cast("double")
+    return t.select(
+        "na",
+        "nb",
+        "u2",
+        det_round(u2 / (2.0 * na * nb), 6).alias("auc_estimate"),
+        det_round(
+            (u2 / 2 - na * nb / 2)
+            / F.sqrt(na * nb * (na + nb + 1) / 12),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (rank-statistics family)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey AS ck,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100
+               AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      -- ties broken by custkey: a deterministic TOTAL order is the
+      -- spec (midranks would reintroduce fractions)
+      SELECT ck,
+             row_number() OVER (ORDER BY n_orders, ck) AS ra,
+             row_number() OVER (ORDER BY cents, ck) AS rb
+      FROM m
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+      FROM r
+    )
+    SELECT n, d2,
+           {det_round_sql(
+               '1 - 6.0 * d2 / (CAST(n AS DOUBLE)'
+               ' * (CAST(n AS DOUBLE) * n - 1))', 6)} AS spearman_rho
+    FROM t
+    """,
+)
+def spearman_rank_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between per-customer order COUNT and
+    total SPEND: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over rank differences
+    — the monotone-association measure that ignores outliers and
+    nonlinearity (Pearson's blind spots; the pairwise sibling is
+    Kendall's tau in ``series_theilsen_trend``). Ranks use a
+    deterministic custkey tiebreak (a total order as spec — midranks
+    would reintroduce fractions).
+
+    Scale shape: one per-customer aggregate, then two rank windows.
+    NOTE the honest caveat: row_number over a global ORDER is a
+    single-partition window — fine on the bounded customer frame here;
+    at true fleet scale ranks come from the two-phase prefix sum over
+    the distinct-value grid (the rfm_customer_segments recipe).
+    Determinism: ranks and d^2 are exact ints; rho is one fixed
+    double op tree, det-rounded."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wa = Window.orderBy("n_orders", "ck")
+    wb = Window.orderBy("cents", "ck")
+    r = m.select(
+        "ck",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    t = r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+        )
+        .cast("long")
+        .alias("d2"),
+    )
+    n = F.col("n").cast("double")
+    return t.select(
+        "n",
+        "d2",
+        det_round(
+            1 - 6.0 * F.col("d2").cast("double") / (n * (n * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (reflected-walk composition)
+# ---------------------------------------------------------------------------
+
+_CUSUM_SLACK = 500  # cents of slack per day (k)
+_CUSUM_H = 100000  # alarm threshold in cents (h)
+
+
+@register(
+    "cusum_drift_detection",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(22,4)) * 100) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(cents) AS BIGINT) AS tot_c,
+             CAST(SUM(n) AS BIGINT) AS tot_n
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      -- deviation of the day's mean from the series mean, in cents:
+      -- the numerator can be NEGATIVE, so use the portable FLOOR
+      -- division spelling (mod-subtraction) rather than relying on
+      -- DuckDB // == Spark DIV truncation for negatives (verified
+      -- equal on this container, but the repo discipline doesn't
+      -- lean on it)
+      SELECT d.event_type, d.d,
+             ((d.cents * b.tot_n - d.n * b.tot_c)
+              - (((d.cents * b.tot_n - d.n * b.tot_c)
+                  % (d.n * b.tot_n)) + (d.n * b.tot_n))
+                % (d.n * b.tot_n))
+               // (d.n * b.tot_n) - {_CUSUM_SLACK} AS x
+      FROM daily d JOIN base b ON b.event_type = d.event_type
+    ),
+    s AS (
+      SELECT event_type, d, x,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS run
+      FROM dev
+    ),
+    c AS (
+      SELECT event_type, d, x, run,
+             run - LEAST(0, MIN(run) OVER (PARTITION BY event_type
+                                           ORDER BY d
+                                           ROWS UNBOUNDED PRECEDING))
+               AS cusum
+      FROM s
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_alarm_days,
+           MIN(CASE WHEN cusum > {_CUSUM_H} THEN d END)
+             AS first_alarm_day
+    FROM c GROUP BY 1
+    """,
+)
+def cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift monitor (Page 1954) per event type over
+    daily mean value: C_i = max(0, C_{i-1} + dev_i - slack) — computed
+    WITHOUT iteration because the CUSUM recursion IS the reflected
+    walk, so the ``inventory_clamped_balance`` identity
+    C_i = S_i - min(0, min prefix S) applies verbatim (the identity
+    pays for itself twice). Reports max excursion, alarm days
+    (C > h), and first alarm date — the change-detection complement
+    of ``series_changepoint_meanshift`` (retrospective) as a
+    MONITORING statistic (sequential).
+
+    Scale shape: one daily aggregate, one broadcast of per-type
+    baselines, two cumulative windows over one per-type sort.
+    Determinism: the daily deviation is the portable floor division
+    of exact products (mod-subtraction spelling — the numerator can be
+    negative); everything downstream stays bigint."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(22,4)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    base = daily.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("tot_c"),
+        F.sum("n").cast("long").alias("tot_n"),
+    )
+    dev = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "d",
+        # portable floor division (numerator may be negative): the
+        # mod-subtraction makes the quotient exact, so DIV is safe
+        (
+            F.expr(
+                "((cents * tot_n - n * tot_c)"
+                " - (((cents * tot_n - n * tot_c) % (n * tot_n))"
+                " + (n * tot_n)) % (n * tot_n))"
+                " DIV (n * tot_n)"
+            )
+            - _CUSUM_SLACK
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = dev.withColumn("run", F.sum("x").over(w))
+    c = s.withColumn(
+        "cusum",
+        F.col("run") - F.least(F.lit(0), F.min("run").over(w)),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max("cusum").cast("long").alias("max_cusum"),
+        F.sum(F.when(F.col("cusum") > _CUSUM_H, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alarm_days"),
+        F.min(
+            F.when(F.col("cusum") > _CUSUM_H, F.col("d"))
+        ).alias("first_alarm_day"),
+    )
