@@ -872,52 +872,33 @@ from series_tiempo_ar_scraping_spark import queries_batch14  # noqa: E402,F401
 # strict local mirror (tools/check_queries.py) as their signal.
 # ---------------------------------------------------------------------------
 _DRIVER_GATE_PRIORITY = [
-    # Core §2: scans, filters, joins, aggregations, windows, validation
+    # Core §2 exemplars (one per family): scans, filters, joins,
+    # aggregations, windows, validation, scalars
     "q01_pricing_summary",
-    "q03_revenue_topk",
     "q05_region_revenue",
     "semi_orders_with_big_lineitem",
     "anti_customers_without_orders",
     "filter_purchase_events",
     "route_distribution_method",
     "scalar_suite",
-    "distinct_doc_sources",
     "count_by_status",
-    "ok_percentage_by_priority",
     "indicator_assembly",
-    "status_sort",
     "union_segments",
     "align_daily_activity",
     "series_gap_check",
-    "rolling_value_avg",
     "tumbling_hourly_counts",
     "resample_gapfill_daily",
-    "asof_last_click_before_purchase",
     "meta_field_validation",
-    "freq_code_mapping",
     "window_rank_suite",
-    # LLM-pipeline: dedup / similarity / text / multimodal / packing
+    # LLM-pipeline exemplars: dedup / similarity / text / multimodal
     "text_stats",
-    "text_lang_quality",
-    "text_fingerprint",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_simhash",
-    "simhash_hamming_pairs",
     "dedup_embedding_cosine",
-    "embedding_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_topk_lsh",
     "ivf_ann_topk",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     "tfidf_top_terms",
     "stratified_sample_documents",
-    "document_chunking",
-    "sequence_packing_bins",
     # Showcase relational extensions
     "pivot_monthly_region_revenue",
     "unpivot_lineitem_measures",
@@ -925,6 +906,30 @@ _DRIVER_GATE_PRIORITY = [
     "rollup_order_indicators",
     "sessionize_events",
     "range_join_purchase_context",
+    # Round-8 rotation (VERDICT r7 #1): the hard half of the catalog —
+    # composed pipelines, iterative families, exact similarity joins,
+    # sketches, CDC/bitemporal, survival/attribution — moved under the
+    # driver's independent hash gate after six rounds on self-check.
+    "corpus_curation_pipeline",
+    "series_nightly_rollup",
+    "nightly_quality_report",
+    "embedding_index_pipeline",
+    "kmeans_lloyd_clusters",
+    "bpe_train_merges",
+    "graph_bounded_shortest_paths",
+    "graph_kcore_extraction",
+    "markov_removal_attribution",
+    "embedding_power_iteration",
+    "spatial_dbscan_clusters",
+    "prefix_filter_jaccard_join",
+    "substring_span_dedup",
+    "hll_set_union_intersect",
+    "cdc_apply_roundtrip",
+    "survival_kaplan_meier",
+    "asof_nearest_click_to_purchase",
+    "inventory_clamped_balance",
+    "golden_record_survivorship",
+    "split_leakage_audit",
 ]
 
 
