@@ -61,6 +61,7 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (
     _COS64_SQL,
     _QUALITY_SQL,
     _hex60_seeded,
+    _kmeans_ctes,
 )
 
 # ---------------------------------------------------------------------------
@@ -2101,54 +2102,44 @@ def basket_recommender_hitrate(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "label_noise_knn_disagreement",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-    scored AS (
-      SELECT a.vec_id AS va, a.label AS la,
-             b.vec_id AS vb, b.label AS lb,
-             {_COS64_SQL.format(a='a.embedding', b='b.embedding')} AS sim
-      FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    ),
-    nn AS (
-      SELECT va, la, lb,
-             row_number() OVER (PARTITION BY va
-                                ORDER BY sim DESC, vb) AS rk
-      FROM scored
-    ),
-    per AS (
-      SELECT va, la,
-             CAST(SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_diff
-      FROM nn WHERE rk <= 5 GROUP BY 1, 2
+def _label_noise_from_scored(scored: DataFrame) -> DataFrame:
+    """Shared tail of the label-noise pass: rank each vector's
+    candidate neighbors (cosine DESC, id ASC), keep the top 5, count
+    label disagreement, aggregate per class. Used by the registered
+    cell-blocked entry AND the brute-force ground truth the recall
+    test compares against — one spelling, so they can only differ in
+    how candidates were generated."""
+    nn = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("va").orderBy(
+                F.desc("sim"), F.asc("vb")
+            )
+        ),
+    ).filter(F.col("rk") <= 5)
+    per = nn.groupBy("va", "la").agg(
+        F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_diff")
     )
-    SELECT la AS label,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CASE WHEN n_diff >= 4 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_suspects,
-           CAST(SUM(n_diff) AS BIGINT) AS total_disagreement,
-           CAST(SUM(n_diff) AS DOUBLE) / (5 * COUNT(*))
-             AS disagreement_rate
-    FROM per GROUP BY 1
-    """,
-)
-def label_noise_knn_disagreement(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Label-noise detection by neighborhood voting: for every labeled
-    embedding, how many of its 5 nearest neighbors (cosine) carry a
-    DIFFERENT label — vectors whose neighborhoods outvote them (>=4/5)
-    are mislabeling suspects. The label-QA pass a training-data
-    pipeline runs before trusting its supervision (confident-learning
-    family), reported per label class.
+    return per.groupBy(F.col("la").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("n_diff") >= 4, 1).otherwise(0))
+        .cast("long")
+        .alias("n_suspects"),
+        F.sum("n_diff").cast("long").alias("total_disagreement"),
+        (
+            F.sum("n_diff").cast("double") / (F.lit(5) * F.count("*"))
+        ).alias("disagreement_rate"),
+    )
 
-    Scale shape: brute-force self-kNN here (the corpus side broadcasts
-    once, norms materialize once per vector); at fleet scale the pair
-    generation swaps for the IVF/k-means blocking already in the
-    catalog (``semantic_cluster_dedup``) — neighborhoods only form
-    within cells, capping candidates per vector. Disagreement counts
-    are exact ints; the per-class rate is one division."""
+
+def label_noise_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs ground truth for the label-noise pass —
+    deliberately NOT registered (O(n²) compute; the r7 verdict's one
+    scale-killer). It exists only as the recall baseline the blocked
+    entry is tested against (tests/test_llm_ops.py), exactly as
+    ``embedding_cosine_topk`` anchors ``ann_recall_eval``."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(
         F.col("vec_id").alias("va"),
@@ -2176,29 +2167,141 @@ def label_noise_knn_disagreement(
             ).alias("sim"),
         )
     )
-    nn = scored.withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("va").orderBy(
-                F.desc("sim"), F.asc("vb")
-            )
-        ),
-    ).filter(F.col("rk") <= 5)
-    per = nn.groupBy("va", "la").agg(
-        F.sum(F.when(F.col("lb") != F.col("la"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_diff")
+    return _label_noise_from_scored(scored)
+
+
+_LN_KM_ITERS = 2  # same 2-round trained codebook as ivf_trained_ann_topk
+
+
+def _label_noise_oracle() -> str:
+    cos_vc = _COS64_SQL.format(a="v.embedding", b="c.cvec")
+    cos_ab = _COS64_SQL.format(a="qa.embedding", b="qb.embedding")
+    return f"""
+    WITH {_kmeans_ctes(8, _LN_KM_ITERS)},
+    cent AS (
+      SELECT cid AS centroid_id,
+             list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0)
+               AS cvec
+      FROM cent{_LN_KM_ITERS}
+    ),
+    ranked_cells AS (
+      SELECT v.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {cos_vc} DESC, c.centroid_id
+             ) AS crank
+      FROM embeddings v, cent c
+    ),
+    own AS (
+      SELECT vec_id, centroid_id FROM ranked_cells WHERE crank = 1
+    ),
+    probes AS (
+      SELECT vec_id, centroid_id FROM ranked_cells WHERE crank <= 2
+    ),
+    scored AS (
+      SELECT p.vec_id AS va, qa.label AS la,
+             o.vec_id AS vb, qb.label AS lb,
+             {cos_ab} AS sim
+      FROM probes p
+      JOIN own o ON o.centroid_id = p.centroid_id
+                AND o.vec_id <> p.vec_id
+      JOIN embeddings qa ON qa.vec_id = p.vec_id
+      JOIN embeddings qb ON qb.vec_id = o.vec_id
+    ),
+    nn AS (
+      SELECT va, la, lb,
+             row_number() OVER (PARTITION BY va
+                                ORDER BY sim DESC, vb) AS rk
+      FROM scored
+    ),
+    per AS (
+      SELECT va, la,
+             CAST(SUM(CASE WHEN lb <> la THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_diff
+      FROM nn WHERE rk <= 5 GROUP BY 1, 2
     )
-    return per.groupBy(F.col("la").alias("label")).agg(
-        F.count("*").alias("n_vectors"),
-        F.sum(F.when(F.col("n_diff") >= 4, 1).otherwise(0))
-        .cast("long")
-        .alias("n_suspects"),
-        F.sum("n_diff").cast("long").alias("total_disagreement"),
-        (
-            F.sum("n_diff").cast("double") / (F.lit(5) * F.count("*"))
-        ).alias("disagreement_rate"),
+    SELECT la AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n_diff >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suspects,
+           CAST(SUM(n_diff) AS BIGINT) AS total_disagreement,
+           CAST(SUM(n_diff) AS DOUBLE) / (5 * COUNT(*))
+             AS disagreement_rate
+    FROM per GROUP BY 1
+    """
+
+
+@register("label_noise_knn_disagreement", oracle=_label_noise_oracle())
+def label_noise_knn_disagreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-noise detection by neighborhood voting: for every labeled
+    embedding, how many of its 5 nearest CANDIDATE neighbors (cosine)
+    carry a DIFFERENT label — vectors whose neighborhoods outvote them
+    (>=4/5) are mislabeling suspects (confident-learning family),
+    reported per label class. Candidates are CELL-BLOCKED: a trained
+    k-means codebook (2 Lloyd rounds, K=8, the hash-oracled micro-unit
+    loop) partitions the corpus; each vector's neighborhood forms only
+    inside its 2 nearest cells (own + probe — the IVF contract), never
+    all-pairs. r7's verdict flagged the previous brute-force spelling
+    as the catalog's one O(n²) scale-killer; the exact version survives
+    as ``label_noise_knn_brute``, the unregistered ground truth the
+    recall test compares against (the ``ann_recall_eval`` pattern).
+
+    Scale shape: training is the bounded Lloyd loop (K-row broadcast
+    codebook per round); candidate generation is ONE equi-join on
+    ``centroid_id`` between the probe frame (n·2 rows) and the own-cell
+    frame (n rows) — shuffle-partitionable by cell, |corpus|·nprobe/K
+    comparisons per vector instead of |corpus|. A vector pairs with a
+    candidate at most once (its probe cells are distinct; the
+    candidate's own cell is unique), so no dedup stage. K grows ~√n at
+    fleet scale to keep cells bounded. Disagreement counts are exact
+    ints; the per-class rate is one division of identical ints."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, _ = S.kmeans_lloyd_micro(emb, k=8, iters=_LN_KM_ITERS)
+    centroids = cent.select(
+        F.col("cid").alias("vec_id"),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias("embedding"),
     )
+    # One ranking pass yields both frames: own cell = crank 1, probe
+    # cells = crank <= 2 (checkpointed so the window runs once).
+    cells = (
+        S.assign_clusters(emb, centroids, n_assign=2)
+        .localCheckpoint(eager=True)
+    )
+    own = cells.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("vb"), "centroid_id"
+    )
+    probes = cells.select(F.col("vec_id").alias("va"), "centroid_id")
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("a_vec"),
+        S.norm(F.col("embedding")).alias("a_norm"),
+    ).join(probes, "va")
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("b_vec"),
+        S.norm(F.col("embedding")).alias("b_norm"),
+    ).join(own, "vb")
+    scored = (
+        a.join(b, "centroid_id")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "la",
+            "vb",
+            "lb",
+            (
+                S.dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("sim"),
+        )
+    )
+    return _label_noise_from_scored(scored)
 
 
 # ---------------------------------------------------------------------------

@@ -562,3 +562,95 @@ def test_bloom_prune_has_no_false_negatives(spark, sf_dir):
     row = QUERIES["bloom_filter_join_prune"](spark, sf_dir).collect()[0]
     assert row.n_candidates == len(cand) and row.n_true == len(truth)
     assert row.n_false_pos == len(cand - truth) >= 0
+
+
+def test_label_noise_blocked_recall_vs_brute(spark, sf_dir):
+    """The registered label-noise entry is CELL-BLOCKED (own + probe
+    k-means cells, the IVF contract) — never all-pairs. This pins its
+    quality against the unregistered brute-force ground truth at
+    sf0.001: (a) edge-level 5-NN recall must clearly beat the
+    2-random-cells-of-8 baseline (0.25; trained cells measure ~0.49
+    here), (b) the per-class aggregate disagreement mass must land
+    within 15% of exact — the property label-QA actually consumes,
+    and (c) both spellings share one aggregation tail, so schemas
+    match by construction."""
+    from pyspark.sql import Window
+
+    from series_tiempo_ar_scraping_spark.queries_batch12 import (
+        _LN_KM_ITERS,
+        label_noise_knn_brute,
+        label_noise_knn_disagreement,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def top5(scored):
+        w = Window.partitionBy("va").orderBy(F.desc("sim"), F.asc("vb"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("va", "vb")
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("av"),
+        S.norm(F.col("embedding")).alias("an"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("bv"),
+        S.norm(F.col("embedding")).alias("bn"),
+    )
+    sim = (S.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))).alias(
+        "sim"
+    )
+    brute_edges = {
+        (r.va, r.vb)
+        for r in top5(
+            a.crossJoin(F.broadcast(b))
+            .filter(F.col("va") != F.col("vb"))
+            .select("va", "vb", sim)
+        ).collect()
+    }
+
+    cent, _ = S.kmeans_lloyd_micro(emb, k=8, iters=_LN_KM_ITERS)
+    centroids = cent.select(
+        F.col("cid").alias("vec_id"),
+        F.transform("ci", lambda x: x.cast("double") / 1000000.0).alias(
+            "embedding"
+        ),
+    )
+    cells = S.assign_clusters(emb, centroids, n_assign=2).localCheckpoint(
+        eager=True
+    )
+    own = cells.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("vb"), "centroid_id"
+    )
+    probes = cells.select(F.col("vec_id").alias("va"), "centroid_id")
+    blocked_edges = {
+        (r.va, r.vb)
+        for r in top5(
+            a.join(probes, "va")
+            .join(b.join(own, "vb"), "centroid_id")
+            .filter(F.col("va") != F.col("vb"))
+            .select("va", "vb", sim)
+        ).collect()
+    }
+    # structural: every blocked neighbor really shares a probed cell
+    own_cell = {r.vb: r.centroid_id for r in own.collect()}
+    probe_cells = {}
+    for r in probes.collect():
+        probe_cells.setdefault(r.va, set()).add(r.centroid_id)
+    assert all(
+        own_cell[vb] in probe_cells[va] for va, vb in blocked_edges
+    )
+    recall = len(brute_edges & blocked_edges) / len(brute_edges)
+    assert recall >= 0.35, f"blocked 5-NN recall {recall:.3f} < 0.35"
+
+    agg_blocked = label_noise_knn_disagreement(spark, sf_dir).collect()
+    agg_brute = label_noise_knn_brute(spark, sf_dir).collect()
+    assert agg_blocked[0].asDict().keys() == agg_brute[0].asDict().keys()
+    tot_b = sum(r.total_disagreement for r in agg_blocked)
+    tot_t = sum(r.total_disagreement for r in agg_brute)
+    assert abs(tot_b - tot_t) <= 0.15 * tot_t, (tot_b, tot_t)

@@ -558,9 +558,15 @@ def test_batch12_part4_no_python_and_broadcast_margins(plans):
         "chi_square_independence",  # contingency margins
         "benford_digit_test",  # 9-row expectation frame
         "vocab_size_oov_curve",  # ranked-vocab join
-        "label_noise_knn_disagreement",  # pair side broadcast
     ):
         assert "SortMergeJoin" not in plans(q), q
+    # r8: label-noise is CELL-BLOCKED — candidates come from ONE
+    # equi-join on centroid_id (shuffle-partitionable; may legitimately
+    # sort-merge). The r7 scale-killer shape — an all-pairs cross join
+    # of the corpus against itself — must never come back.
+    p = plans("label_noise_knn_disagreement", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_nightly_quality_report_composed_plan(plans):
