@@ -581,3 +581,106 @@ def test_bitmap_words_stream_merges_to_batch_and_counts_exactly(
     }
     for r in counted:
         assert r.n == truth[r.window_start]
+
+
+def test_sessionize_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Failure-recovery contract (VERDICT r7 #3): a stateful streaming
+    query CRASHES mid-stream — after its sink wrote a microbatch but
+    BEFORE the checkpoint committed the offset (the worst replay case) —
+    and a restart from the same checkpoint dir must (a) replay the
+    uncommitted batch idempotently, (b) restore the open-session state
+    spanning the crash, and (c) end with the sink equal to the batch
+    semantics of the full input, every session exactly once."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "events_src")
+    out = str(tmp_path / "sessions_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # f1: user 1 opens a session (2 events), user 2 opens a session.
+    _write_batch(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "view", 1.0, "{}"),
+            (3, "2024-01-01 10:05:00", 2, "click", 1.0, "{}"),
+        ],
+    )
+    # f2: user 1's session CONTINUES (gap < 30 min) — this is the batch
+    # whose commit the crash will lose, so recovery must stitch these
+    # events onto the restored open session, not start a new one.
+    _write_batch(
+        spark,
+        src,
+        [
+            (4, "2024-01-01 10:20:00", 1, "click", 1.0, "{}"),
+            (5, "2024-01-01 10:25:00", 1, "purchase", 5.0, "{}"),
+        ],
+    )
+
+    def make_writer(crash_on: int | None):
+        def write_batch(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+            if crash_on is not None and batch_id == crash_on:
+                raise RuntimeError("injected crash after sink write")
+
+        return write_batch
+
+    def run(crash_on: int | None) -> None:
+        stream = SE.read_events_stream(spark, src, max_files_per_trigger=1)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.foreachBatch(make_writer(crash_on))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: batch 0 (f1) commits; batch 1 (f2) writes its sink dir,
+    # then the "process" dies before the checkpoint commit.
+    try:
+        run(crash_on=1)
+        raise AssertionError("injected crash did not surface")
+    except StreamingQueryException:
+        pass
+
+    # f3: far-future event pushes the watermark past every open session
+    # so event-time timeout flushes them after the restart.
+    _write_batch(
+        spark,
+        src,
+        [(9, "2024-01-02 00:00:00", 99, "click", 1.0, "{}")],
+    )
+
+    # Run 2: same checkpoint. Batch 1 is REPLAYED (it never committed),
+    # overwriting its own batch_id=1 dir — idempotent; then f3 advances
+    # the watermark and the timeout closes users 1 and 2.
+    run(crash_on=None)
+
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    ]
+    # exactly once: no (user, session_start) appears twice across the
+    # whole sink, even though batch 1 executed twice
+    keys = [(u, s) for u, s, _, _ in got]
+    assert len(keys) == len(set(keys)), got
+    # batch semantics of the full input (30-min gap sessionization):
+    # user 1 = ONE session 10:00-10:25 x4 events (stitched across the
+    # crash boundary), user 2 = singleton. user 99's session is still
+    # open in state — correctly absent.
+    assert set(got) == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:25:00", 4),
+        (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1),
+    }, got
