@@ -297,9 +297,12 @@ def main() -> None:
     r2 = set(BENCH_QUERIES_R2)
     for name in BENCH_QUERIES:
         first = _run_once(QUERIES[name], spark, sf_dir)
-        if name in r2:
+        if name in r2 or not cold:
             # frozen lineage set keeps the r2-r5 min-of-2 methodology
-            # (guards against cache-eviction pathologies)
+            # (guards against cache-eviction pathologies). EXT queries
+            # also get min-of-2 when the cold lane was SKIPPED — their
+            # single-run shortcut below is only valid because the cold
+            # lane already paid their codegen compile (ADVICE r7)
             second = _run_once(QUERIES[name], spark, sf_dir)
             timings[name] = min(first, second)
         else:
@@ -329,10 +332,17 @@ def build_output(
         "metric": "headline_queries_total",
         # FROZEN r2-era 29-query warm subtotal — the r2-r5 lineage number
         # (ADVICE r6: consumers compare "value" across rounds; the
-        # extended 45-query total is value_ext)
+        # extended total is value_ext)
         "value": r2set,
         "unit": "sec",
         "sf": sf_val,
+        # schema_version marks metric-definition boundaries so
+        # round-over-round tooling can refuse cross-version compares
+        # (ADVICE r7): v1 = r1-r5 ("value" covered the whole then-set),
+        # absent in the r6 artifact where "value" briefly meant the
+        # 45-query extended total, v2 = r7+ ("value" is the frozen
+        # 29-query r2 subtotal; extended lives in value_ext).
+        "schema_version": 2,
         "value_r2set": r2set,
         "value_ext": ext_total,
         "n_queries": len(timings),

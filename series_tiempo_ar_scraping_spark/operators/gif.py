@@ -190,10 +190,15 @@ def encode_gif_frames(
     as GIF89a. With more than one frame (or a non-zero ``delay_cs``),
     each image is preceded by a Graphic Control Extension carrying the
     frame delay in centiseconds — the animated-GIF wire layout."""
-    assert frames
+    # explicit raises (not assert): these guard the encoded wire format
+    # and must survive python -O — an oversized index would otherwise
+    # silently produce a corrupt LZW stream (ADVICE r7)
+    if not frames:
+        raise ValueError("encode_gif_frames requires at least one frame")
     h, w = frames[0].shape
     n = len(palette)
-    assert 2 <= n <= 256
+    if not 2 <= n <= 256:
+        raise ValueError(f"palette size {n} outside GIF's 2..256")
     # color table size is a power of two >= n (and >= 2 bits of code)
     bits = max(2, (n - 1).bit_length())
     table = np.zeros((1 << bits, 3), np.uint8)
@@ -203,7 +208,15 @@ def encode_gif_frames(
     out += table.tobytes()
     animated = len(frames) > 1 or delay_cs
     for fr in frames:
-        assert fr.shape == (h, w) and int(fr.max(initial=0)) < n
+        if fr.shape != (h, w):
+            raise ValueError(
+                f"frame shape {fr.shape} != first frame's {(h, w)}"
+            )
+        if int(fr.max(initial=0)) >= n:
+            raise ValueError(
+                f"frame index {int(fr.max(initial=0))} exceeds palette "
+                f"size {n}"
+            )
         if animated:
             # GCE: disposal=none, no transparency, delay in cs
             out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0)

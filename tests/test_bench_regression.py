@@ -53,7 +53,12 @@ def test_new_queries_and_missing_lanes_are_skipped():
     assert BR.compare(old, new) == []
 
 
-def test_load_records_orders_rounds_then_history(tmp_path):
+def test_load_records_orders_by_real_chronology(tmp_path):
+    """Round artifacts and history appends interleave by REAL time
+    (file mtime vs the record's own ts — ADVICE r7): a history entry
+    appended after the round artifact sorts newer..."""
+    import time
+
     (tmp_path / "BENCH_r05.json").write_text(
         json.dumps({"parsed": _rec({"q": 1.0}, {"q": 1.0})})
     )
@@ -61,7 +66,7 @@ def test_load_records_orders_rounds_then_history(tmp_path):
         json.dumps({"parsed": None})  # the r6 decapitation: skipped
     )
     hist = _rec({"q": 1.4}, {"q": 2.9})
-    hist["ts"] = 123.0
+    hist["ts"] = time.time() + 3600  # appended after the round artifact
     (tmp_path / "BENCH_HISTORY.jsonl").write_text(
         "not json\n" + json.dumps(hist) + "\n"
     )
@@ -71,6 +76,24 @@ def test_load_records_orders_rounds_then_history(tmp_path):
     assert records[1]["queries"] == {"q": 1.4}
     flags = BR.compare(records[0], records[1])
     assert len(flags) == 1
+
+
+def test_round_artifact_newer_than_history_sorts_last(tmp_path):
+    """...and a round artifact written AFTER the last history append is
+    the newest record — the mis-ordering the old 10_000+ts key caused."""
+    import os
+    import time
+
+    hist = _rec({"q": 1.4}, {"q": 2.9})
+    hist["ts"] = time.time() - 3600  # appended an hour ago
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps(hist) + "\n")
+    art = tmp_path / "BENCH_r07.json"
+    art.write_text(json.dumps({"parsed": _rec({"q": 1.0}, {"q": 1.0})}))
+    os.utime(art)  # driver wrote it just now
+    records = BR.load_records(repo=str(tmp_path))
+    assert len(records) == 2
+    assert records[0]["queries"] == {"q": 1.4}  # history is OLDER
+    assert records[1]["queries"] == {"q": 1.0}  # round artifact newest
 
 
 def test_wrong_sf_records_excluded(tmp_path):

@@ -11,6 +11,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SCRIPT = """
@@ -121,6 +123,7 @@ def test_driver_gate_first_50_pinned():
     )
 
 
+@pytest.mark.timing
 def test_registry_import_time_bounded():
     """Importing the driver entry point and materializing the registry
     (queries() + oracle_sql()) must stay cheap — it runs once per driver
@@ -153,6 +156,7 @@ def test_registry_import_time_bounded():
     assert elapsed < 5.0, f"registry import took {elapsed:.2f}s (bound 5s)"
 
 
+@pytest.mark.timing
 def test_gate_planning_time_bounded(spark):
     """Plan-analysis wall-time over the driver gate's 50 queries: the
     driver builds every DataFrame before collecting, so analysis cost is

@@ -50,7 +50,14 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
             and parsed.get("queries")
             and parsed.get("queries_cold")
         ):
-            records.append((int(m.group(1)), parsed))
+            # real chronology (ADVICE r7): order round artifacts by file
+            # mtime so a driver round recorded AFTER a history append
+            # compares as the newer record, not vice versa
+            try:
+                ts = os.path.getmtime(path)
+            except OSError:
+                ts = float(m.group(1))  # degraded: round number only
+            records.append((ts, parsed))
     hist = os.path.join(repo, "BENCH_HISTORY.jsonl")
     if os.path.exists(hist):
         for line in open(hist):
@@ -63,9 +70,9 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
                 and rec.get("queries")
                 and rec.get("queries_cold")
             ):
-                # history is appended after the driver-round files; keep
-                # file order via ts offset past any round number
-                records.append((10_000 + rec.get("ts", 0), rec))
+                # history records carry their own append timestamp —
+                # directly comparable with the artifacts' file mtimes
+                records.append((rec.get("ts", 0), rec))
     records.sort(key=lambda t: t[0])
     return [r for _, r in records]
 
