@@ -223,6 +223,13 @@ BENCH_QUERIES_EXT = [
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
+# SPARK_GRAFT_BENCH_SET=r2set restricts the run to the frozen lineage
+# set alone — an ISOLATION tool (fresh JVM, no extended-set load), used
+# to separate catalog-size JVM pressure from real plan regressions in
+# the cold lane. History records from such runs are tagged bench_set
+# and excluded from tools/bench_regression.py's full-run lineage.
+if os.environ.get("SPARK_GRAFT_BENCH_SET") == "r2set":
+    BENCH_QUERIES = list(BENCH_QUERIES_R2)
 
 
 TABLES = (
@@ -325,9 +332,14 @@ def build_output(
     final-line length without booting Spark.
     """
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    r2set = round(sum(timings[n] for n in BENCH_QUERIES_R2), 3)
+    r2set = round(
+        sum(timings[n] for n in BENCH_QUERIES_R2 if n in timings), 3
+    )
     ext_total = round(sum(timings.values()), 3)
     detail = {"sf": sf_val, "queries": timings}
+    bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET")
+    if bench_set:
+        detail["bench_set"] = bench_set
     out = {
         "metric": "headline_queries_total",
         # FROZEN r2-era 29-query warm subtotal — the r2-r5 lineage number

@@ -69,6 +69,9 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
                 rec.get("sf") == sf
                 and rec.get("queries")
                 and rec.get("queries_cold")
+                # isolation runs (bench_set=r2set) time a deliberate
+                # subset under different JVM load — not lineage records
+                and not rec.get("bench_set")
             ):
                 # history records carry their own append timestamp —
                 # directly comparable with the artifacts' file mtimes
