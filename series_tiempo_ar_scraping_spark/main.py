@@ -139,11 +139,41 @@ def run_etl(
                     res.distribution_report, report_dir, "reporte-distributions"
                 )
             )
+        # EP1 — declarative data contracts over the run's OWN produced
+        # frames (operators/expectations.py): scraped observations must
+        # carry routing ids + a time index, the dataset-status enum
+        # stays closed. Violations export through the same K4 channel
+        # as the other report workbooks and ride the stage emails;
+        # collected once (<= |contracts| rows) for both the export and
+        # the summary count.
+        from series_tiempo_ar_scraping_spark.operators.expectations import (
+            pipeline_contract_report,
+        )
+
+        contracts = pipeline_contract_report(
+            res.observations, res.dataset_report
+        )
+        contract_violations = 0
+        if contracts is not None:
+            c_cols = contracts.columns
+            c_rows = [tuple(r) for r in contracts.collect()]
+            contract_violations = sum(
+                r[c_cols.index("n_violations")] for r in c_rows
+            )
+            report_files.append(
+                write_xlsx(
+                    os.path.join(
+                        report_dir, "reporte-expectations.xlsx"
+                    ),
+                    {"reporte-expectations": (c_cols, c_rows)},
+                )
+            )
         return {
             "indicators": ind,
             "written": len(res.written_files),
             "reports": report_files,
             "metadata_error_count": len(meta_err_rows),
+            "contract_violations": contract_violations,
         }
 
     entries = [

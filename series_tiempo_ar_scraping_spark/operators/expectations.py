@@ -106,3 +106,40 @@ def run_expectations(
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+def pipeline_contract_report(
+    observations: DataFrame | None, dataset_report: DataFrame | None
+) -> DataFrame | None:
+    """EP1 — the default data contracts the nightly ETL applies to its
+    OWN produced frames, inside ``main.run_etl`` (not just as a catalog
+    entry): every scraped observation must carry its routing ids and a
+    time index, and the dataset report's status enum must stay closed.
+    Returns the long (table, column, check, n_rows, n_violations,
+    passed) report, or None when the run produced nothing to check
+    (metadata-only catalogs). One aggregate scan per frame, as always —
+    at fleet scale these contracts ride the scan the reports already
+    paid for."""
+    tables: dict[str, DataFrame] = {}
+    specs: list[Expectation] = []
+    if observations is not None:
+        tables["observations"] = observations
+        specs += [
+            Expectation("observations", "distribution_id", "not_null"),
+            Expectation("observations", "series_id", "not_null"),
+            Expectation("observations", "ts", "not_null"),
+        ]
+    if dataset_report is not None:
+        tables["dataset_report"] = dataset_report
+        specs += [
+            Expectation("dataset_report", "dataset_identifier", "not_null"),
+            Expectation(
+                "dataset_report",
+                "dataset_status",
+                "accepted_values",
+                ("OK", "ERROR"),
+            ),
+        ]
+    if not specs:
+        return None
+    return run_expectations(tables, specs)

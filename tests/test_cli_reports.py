@@ -45,11 +45,21 @@ def test_run_etl_from_index(spark, tmp_path):
     # K4/K5 report workbooks exist and read back via the stdlib parser
     from series_tiempo_ar_scraping_spark.sources.xlsx import read_sheets
 
-    assert len(results["acme"]["reports"]) == 3
+    assert len(results["acme"]["reports"]) == 4
     for path in results["acme"]["reports"]:
         assert os.path.exists(path)
     dist_rep = read_sheets(results["acme"]["reports"][2])
     assert len(dist_rep["reporte-distributions"]) == 4
+    # EP1 — the data-contract suite ran inside the pipeline and
+    # exported through the K4 channel; a clean fixture passes every
+    # contract on both produced frames
+    exp_rep = read_sheets(results["acme"]["reports"][3])
+    rows = exp_rep["reporte-expectations"]
+    assert results["acme"]["contract_violations"] == 0
+    checked = {(r["table_name"], r["check"]) for r in rows}
+    assert ("observations", "not_null") in checked
+    assert ("dataset_report", "accepted_values") in checked
+    assert all(str(r["n_violations"]) == "0" for r in rows)
     assert os.path.exists(os.path.join(out, "catalog", "acme", "data.json"))
     assert os.path.exists(os.path.join(out, "catalog", "acme", "catalog.xlsx"))
 
