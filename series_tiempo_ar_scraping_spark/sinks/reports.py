@@ -60,7 +60,14 @@ def build_message(indicators: dict) -> str:
 # report basenames (main.py writes them per catalog under reports/<id>/).
 STAGE_ATTACHMENTS = {
     "extraccion": ("reporte-errores-metadata", "reporte-datasets"),
-    "scraping": ("reporte-datasets", "reporte-distributions"),
+    # reporte-expectations extends the reference manifest (EP1): the
+    # data-contract violations belong with the scraping results whose
+    # frames they audit, not the metadata-validation mail.
+    "scraping": (
+        "reporte-datasets",
+        "reporte-distributions",
+        "reporte-expectations",
+    ),
 }
 # config_email.yaml stage key → human subject label (base.py:859-862:
 # get_validation_mail_subject / get_scraping_mail_subject).

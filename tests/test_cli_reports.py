@@ -146,6 +146,7 @@ def test_etl_stage_group_emails(spark, tmp_path):
     assert "distributions: 4" in scr["message"]
     assert sorted(os.path.basename(p) for p in scr["attachments"]) == [
         "reporte-datasets.xlsx", "reporte-distributions.xlsx",
+        "reporte-expectations.xlsx",
     ]
     # acme2: no extraccion entry + empty scraping recipients → no mail,
     # but the catalog itself processed fine

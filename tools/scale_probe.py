@@ -6,8 +6,10 @@ super-linear term (driver round-trip, unbounded state, quadratic join)
 that 100 TB will find; constant-ish rows/sec across sizes is the
 signature of a plan that scales out.
 
-Usage: python tools/scale_probe.py [sizes...]   (default 2 8 32, in
-millions of rows; synthetic data is written under /tmp/scale_probe)
+Usage: python tools/scale_probe.py [sizes...] [--shapes a,b,c]
+(default sizes 2 8 32, in millions of rows; synthetic data is written
+under /tmp/scale_probe; --shapes restricts to named kernels so the
+100M+ runs don't re-time everything)
 
 Prints one JSON line: {"rows_per_sec_by_size": {shape: {size: rows_per_sec}}}.
 """
@@ -78,8 +80,36 @@ def timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _zipf_key():
+    """Zipf(1)-distributed key over 1..100_000, derived from event_id
+    by inverse-CDF (log-uniform: P(k) ~ 1/k — the hottest key draws
+    ~1/ln(K) ~ 8.7% of ALL rows). The shape real user/url/token keys
+    take; the uniform+100-hot mix in synth_events is milder. Built
+    lazily: Column construction needs an active SparkContext."""
+    import math
+
+    return F.floor(
+        F.exp(
+            (
+                F.pmod(
+                    F.hash(F.col("event_id").cast("string")),
+                    F.lit(1000000),
+                )
+                / 1000000.0
+            )
+            * float(math.log(100000))
+        )
+    ).cast("long").alias("zkey")
+
+
 def main() -> None:
-    sizes_m = [int(a) for a in sys.argv[1:]] or [2, 8, 32]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--shapes" in args:
+        i = args.index("--shapes")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sizes_m = [int(a) for a in args] or [2, 8, 32]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()  # JVM warm-up
@@ -154,6 +184,52 @@ def main() -> None:
         .groupBy("a", "b")
         .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")))
         .write.mode("overwrite").format("noop").save(),
+        # round 8: zipf(1) keys (hottest key ~8.7% of all rows) through
+        # the two paths SCALE.md prescribes for skew. salted_zipf_agg is
+        # the salted_user_event_stats pattern: (key, salt16) partials
+        # spread the hot key over 16 reducers, then a tiny merge —
+        # versus plain_zipf_agg, the naive single-shuffle GROUP BY whose
+        # hottest reducer owns the hot key outright (partial_agg blunts
+        # it for algebraic aggregates; the salt is for the holdouts like
+        # collect_set). Near-equal rows/sec here = partial aggregation
+        # is doing its job; the salt's win shows on non-combinable aggs.
+        "plain_zipf_agg": lambda e: e.select(
+            _zipf_key(), "value"
+        ).groupBy("zkey")
+        .agg(F.count("*"), F.sum(F.col("value").cast("decimal(22,4)")))
+        .write.mode("overwrite").format("noop").save(),
+        "salted_zipf_agg": lambda e: e.select(
+            _zipf_key(), "value", (F.col("event_id") % 16).alias("_salt")
+        )
+        .groupBy("zkey", "_salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(22,4)")).alias("psum"),
+        )
+        .groupBy("zkey")
+        .agg(F.sum("pn"), F.sum("psum"))
+        .write.mode("overwrite").format("noop").save(),
+        # The LSH-bucket-join path under skew: a fact-fact equi-join on
+        # the zipf key (bucket id), dim side = the distinct key space
+        # with a derived attribute — the shuffle lands ~8.7% of the fact
+        # on one key, which AQE's skew-join splitting must absorb. The
+        # merge hint keeps the probe honest: the ~100k-row dim would
+        # auto-broadcast and skip the skewed shuffle entirely, but at
+        # LSH scale the candidate side is NOT broadcastable — the
+        # sort-merge path with its skewed exchange is the real plan.
+        # Rows out = rows in (no quadratic blowup: the real LSH path
+        # joins bucket->candidates, never self-joins the raw skew side).
+        "zipf_skew_join": lambda e: (
+            lambda f: f.join(
+                f.select("zkey").distinct().withColumn(
+                    "attr", F.md5(F.col("zkey").cast("string"))
+                ).hint("merge"),
+                "zkey",
+            )
+            .groupBy(F.substring("attr", 1, 2))
+            .count()
+            .write.mode("overwrite").format("noop").save()
+        )(e.select(_zipf_key(), "value")),
         "broadcast_join": lambda e: e.join(
             F.broadcast(
                 e.sparkSession.createDataFrame(
@@ -166,6 +242,12 @@ def main() -> None:
         ).groupBy("type_code").agg(F.count("*"))
         .write.mode("overwrite").format("noop").save(),
     }
+
+    if only is not None:
+        unknown = only - set(shapes)
+        if unknown:
+            raise SystemExit(f"unknown probe shapes: {sorted(unknown)}")
+        shapes = {k: v for k, v in shapes.items() if k in only}
 
     report: dict[str, dict[str, float]] = {k: {} for k in shapes}
     for m in sizes_m:
