@@ -300,3 +300,34 @@ def test_expectation_engine_one_scan_per_table(spark, sf_dir):
     # 4 tables -> exactly 4 parquet scans, no joins, no Python
     assert p.count("Scan parquet") == 4
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_pipeline_contract_report_frame_availability(spark):
+    """EP1 wiring contract: the pipeline suite adapts to which frames
+    the run produced — observations-only, report-only, both, neither
+    (metadata-only catalogs return None, not an empty frame) — and a
+    planted violation in either frame surfaces in the long report."""
+    from series_tiempo_ar_scraping_spark.operators.expectations import (
+        pipeline_contract_report,
+    )
+
+    obs = spark.createDataFrame(
+        [("d1", "s1", "2024-01-01"), ("d2", None, "2024-01-02")],
+        "distribution_id string, series_id string, ts string",
+    )
+    rep = spark.createDataFrame(
+        [("a", "OK"), ("b", "BOGUS")],
+        "dataset_identifier string, dataset_status string",
+    )
+    assert pipeline_contract_report(None, None) is None
+
+    only_obs = pipeline_contract_report(obs, None).collect()
+    assert {r.table_name for r in only_obs} == {"observations"}
+
+    both = {
+        (r.table_name, r.column_name, r.check): r.n_violations
+        for r in pipeline_contract_report(obs, rep).collect()
+    }
+    assert both[("observations", "series_id", "not_null")] == 1
+    assert both[("observations", "distribution_id", "not_null")] == 0
+    assert both[("dataset_report", "dataset_status", "accepted_values")] == 1
