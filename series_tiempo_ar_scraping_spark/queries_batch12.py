@@ -2287,19 +2287,26 @@ def label_noise_knn_disagreement(
         F.col("embedding").alias("b_vec"),
         S.norm(F.col("embedding")).alias("b_norm"),
     ).join(own, "vb")
-    scored = (
+    # The cell join EXPLODES tiny inputs (n + 2n rows) into ~n²·2/K
+    # candidate rows; without an explicit spread the interpreted
+    # higher-order cosine evaluates in the join's few input partitions
+    # (the batch-9 textrank idiom: repartition BEFORE the expensive
+    # projection). Keying by va pre-positions rows for the 5-NN window,
+    # so the ranking reuses this exchange instead of adding one.
+    cand = (
         a.join(b, "centroid_id")
         .filter(F.col("va") != F.col("vb"))
-        .select(
-            "va",
-            "la",
-            "vb",
-            "lb",
-            (
-                S.dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_norm") * F.col("b_norm"))
-            ).alias("sim"),
-        )
+        .repartition(F.col("va"))
+    )
+    scored = cand.select(
+        "va",
+        "la",
+        "vb",
+        "lb",
+        (
+            S.dot(F.col("a_vec"), F.col("b_vec"))
+            / (F.col("a_norm") * F.col("b_norm"))
+        ).alias("sim"),
     )
     return _label_noise_from_scored(scored)
 

@@ -112,6 +112,14 @@ SHOWCASE = {
         ("Window", "per-part cumulative-quantity axes from prefix sums"),
         ("HashAggregate", "COGS rollup with map-side partials"),
     ],
+    # round 8: the de-cartesianed label-noise pass — k-means-cell
+    # blocking replaced the r7 all-pairs cross join (the training +
+    # cell-assignment stages run inside eager localCheckpoints, so the
+    # displayed plan starts at the checkpointed cells frame)
+    "label_noise_knn_disagreement": [
+        ("Window", "per-vector 5-NN ranking within blocked candidates"),
+        ("HashAggregate", "per-class suspect rollup with partials"),
+    ],
 }
 
 
