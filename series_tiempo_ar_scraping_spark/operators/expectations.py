@@ -41,20 +41,26 @@ class Expectation:
 
 
 def _violation_expr(e: Expectation) -> F.Column:
+    # Every conditional sum coalesces to 0: over an EMPTY table SUM is
+    # NULL, which would surface as a NULL violation count — an empty
+    # frame (e.g. a catalog whose distributions all failed) violates
+    # nothing, it doesn't void the contract report.
     c = F.col(e.column)
     if e.check == "not_null":
-        return F.sum(F.when(c.isNull(), 1).otherwise(0))
-    if e.check == "unique":
-        return F.count("*") - F.countDistinct(c)
-    if e.check == "min_ge":
-        return F.sum(F.when(c < F.lit(e.param), 1).otherwise(0))
-    if e.check == "max_le":
-        return F.sum(F.when(c > F.lit(e.param), 1).otherwise(0))
-    if e.check == "accepted_values":
-        return F.sum(
+        expr = F.sum(F.when(c.isNull(), 1).otherwise(0))
+    elif e.check == "unique":
+        expr = F.count("*") - F.countDistinct(c)
+    elif e.check == "min_ge":
+        expr = F.sum(F.when(c < F.lit(e.param), 1).otherwise(0))
+    elif e.check == "max_le":
+        expr = F.sum(F.when(c > F.lit(e.param), 1).otherwise(0))
+    elif e.check == "accepted_values":
+        expr = F.sum(
             F.when(c.isNotNull() & ~c.isin(*e.param), 1).otherwise(0)
         )
-    raise ValueError(f"unknown expectation check: {e.check}")
+    else:
+        raise ValueError(f"unknown expectation check: {e.check}")
+    return F.coalesce(expr, F.lit(0))
 
 
 def run_expectations(

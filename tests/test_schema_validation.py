@@ -315,6 +315,14 @@ def test_pipeline_contract_report_frame_availability(spark):
         [("d1", "s1", "2024-01-01"), ("d2", None, "2024-01-02")],
         "distribution_id string, series_id string, ts string",
     )
+    # an EMPTY produced frame violates nothing — the conditional sums
+    # must coalesce to 0, not surface SUM-over-nothing NULLs (which
+    # would crash the run_etl summary sum)
+    empty_rows = pipeline_contract_report(obs.limit(0), None).collect()
+    assert len(empty_rows) == 3
+    assert {r.n_violations for r in empty_rows} == {0}
+    assert {r.n_rows for r in empty_rows} == {0}
+    assert {r.passed for r in empty_rows} == {1}
     rep = spark.createDataFrame(
         [("a", "OK"), ("b", "BOGUS")],
         "dataset_identifier string, dataset_status string",
