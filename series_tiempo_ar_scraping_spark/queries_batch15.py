@@ -1,0 +1,482 @@
+"""Batch-15 queries: data-governance passes of a training-data platform.
+
+Families (each entry hash-oracled; determinism per the batch-8/12
+recipe — exact integers end to end, one det-rounded division max):
+
+- PII detection: regex census of planted email/phone/SSN-shaped
+  spans per corpus source — the pre-training privacy scrub every
+  published dataset pipeline runs (C4, RefinedWeb, FineWeb all
+  document one). The corpus PLANTS deterministic PII into the
+  fixture text (both engines construct the identical string), so
+  the detector has known ground truth at every scale.
+- PII redaction: the matching rewrite pass — replace matched spans
+  with typed placeholder tags, prove the redacted corpus via an
+  order-free commutative-sum fingerprint and exact length deltas
+  (the ``cdc_apply_roundtrip`` fingerprint discipline).
+- Repetition quality filters (Gopher / Rae et al. 2021 family):
+  per-document duplicate-trigram mass and token-diversity ratios
+  with integer cross-multiplied thresholds — the
+  repetition-pathology screen that catches boilerplate/spam docs
+  plain length/stopword filters miss.
+- Table profiling (ANALYZE-style): per-column null count / exact
+  NDV / min / max in ONE aggregate scan per table, fanned out to
+  long rows by a generator — the stats-collection pass that feeds
+  CBO estimates and data-quality dashboards.
+
+Regex portability: patterns use explicit character classes only (no
+\\d, \\b, lookarounds) — the subset where Java regex (Spark) and RE2
+(DuckDB) agree exactly, including for regexp_replace.
+
+Reference parity: extends the reference's validation family
+(reference/scrapers/base.py validate + reports) with the data-level
+governance passes its published output catalogs would need next.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.operators import textops as TX
+from series_tiempo_ar_scraping_spark.queries import (
+    load_table,
+    register,
+)
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    _hex60_seeded,
+    _toks_of_norm,
+)
+
+# ---------------------------------------------------------------------------
+# Planted-PII corpus (shared by detection + redaction)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex/RE2 common subset (explicit
+# classes, bounded quantifiers) so count AND replace agree bit-for-bit.
+_PII_PATTERNS = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"),
+    ("phone", "[+]1-555-[0-9]{4}"),
+    ("ssn", "900-[0-9]{2}-[0-9]{4}"),
+)
+
+# Deterministic planting: both engines append the IDENTICAL spans to
+# the same docs (pure arithmetic on doc_id), so detection counts have
+# arithmetic ground truth at every scale.
+_PII_CORPUS_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' tel +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' id 900-'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def lpad_num(mod: int, width: int) -> F.Column:
+        return F.lpad((did % mod).cast("string"), width, "0")
+
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" tel +1-555-"), lpad_num(10000, 4)),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" id 900-"),
+                lpad_num(100, 2),
+                F.lit("-"),
+                lpad_num(10000, 4),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", planted.alias("text"))
+
+
+@register(
+    "pii_detection_report",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL}),
+    per_doc AS (
+      SELECT source,
+             {", ".join(
+                 f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+                 for name, pat in _PII_PATTERNS
+             )}
+      FROM corpus
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {", ".join(
+               f"CAST(SUM(n_{name}) AS BIGINT) AS {name}_matches, "
+               f"CAST(SUM(CASE WHEN n_{name} > 0 THEN 1 ELSE 0 END) "
+               f"AS BIGINT) AS {name}_docs"
+               for name, _ in _PII_PATTERNS
+           )}
+    FROM per_doc GROUP BY source
+    """,
+)
+def pii_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII census per corpus source: match counts and affected-doc
+    counts for email / phone / SSN-shaped spans over the planted
+    corpus — the detection half of the privacy scrub (the rewrite is
+    ``pii_redaction_audit``). Ground truth is arithmetic: doc_id
+    multiples of 5/7/11 carry exactly one planted span each.
+
+    Scale shape: pure map-side regex extraction (one pass over the
+    text, no Python) into a per-source conditional-sum aggregate —
+    the same one-scan contract as the expectation suite. Patterns
+    stay in the Java/RE2 common subset so both engines count the
+    same spans."""
+    corpus = _pii_corpus(spark, sf_dir)
+    per_doc = corpus.select(
+        "source",
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pat in _PII_PATTERNS
+        ],
+    )
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for name, _ in _PII_PATTERNS:
+        aggs.append(
+            F.sum(f"n_{name}").cast("long").alias(f"{name}_matches")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(f"n_{name}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{name}_docs")
+        )
+    return per_doc.groupBy("source").agg(*aggs)
+
+
+@register(
+    "pii_redaction_audit",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS_SQL}),
+    red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_PATTERNS[0][1]}',
+                                '<EMAIL>', 'g'),
+                 '{_PII_PATTERNS[1][1]}', '<PHONE>', 'g'),
+               '{_PII_PATTERNS[2][1]}', '<SSN>', 'g') AS rtext,
+             text
+      FROM corpus
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(text)) AS BIGINT) AS chars_before,
+           CAST(SUM(len(rtext)) AS BIGINT) AS chars_after,
+           CAST(SUM(CASE WHEN rtext <> text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_redacted,
+           CAST(CAST(SUM(CAST({_hex60_seeded(31, "rtext")}
+                         AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS VARCHAR) AS redacted_fingerprint
+    FROM red
+    """,
+)
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of the privacy scrub: replace every matched
+    span with a typed placeholder tag and PROVE the redacted corpus —
+    exact char-length deltas plus an order-free commutative sum of
+    seeded 60-bit hashes over the redacted text (the
+    ``cdc_apply_roundtrip`` fingerprint discipline: any engine
+    divergence in even one replacement flips the sum).
+
+    Scale shape: three chained map-side regexp_replace passes (no
+    shuffle until the single 1-row aggregate); the fingerprint sum is
+    map-side combinable. Replacement stays deterministic because the
+    patterns sit in the Java/RE2 common subset (leftmost-longest
+    agreement, no backrefs)."""
+    from series_tiempo_ar_scraping_spark.operators.dedup import (
+        hash64_seeded,
+    )
+
+    corpus = _pii_corpus(spark, sf_dir)
+    rtext = F.col("text")
+    for name, pat in _PII_PATTERNS:
+        rtext = F.regexp_replace(
+            rtext, pat, f"<{name.upper()}>"
+        )
+    red = corpus.select(
+        "doc_id", "text", rtext.alias("rtext")
+    )
+    return red.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("chars_before"),
+        F.sum(F.length("rtext")).cast("long").alias("chars_after"),
+        F.sum(F.when(F.col("rtext") != F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_redacted"),
+        # VARCHAR, not DECIMAL(38): a decimal crosses the pandas
+        # boundary as float64 and poisons whole-row dtype upcasting in
+        # the comparator; the digit string is exact in both engines
+        F.sum(hash64_seeded(F.col("rtext"), 31).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("redacted_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+# Non-distinct trigram list (the dedup fragments deliberately
+# list_distinct; repetition metrics need the multiset).
+_TRIGRAMS_SQL = """
+  list_transform(
+    generate_series(0, greatest(len({t}) - 3, 0)),
+    i -> concat_ws(' ', {t}[i+1], {t}[i+2], {t}[i+3]))
+"""
+
+
+@register(
+    "gopher_repetition_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_toks_of_norm('text')} AS t
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, source, len(t) AS n_tokens,
+             unnest({_TRIGRAMS_SQL.format(t='t')}) AS g
+      FROM toks
+    ),
+    cnt AS (
+      SELECT doc_id, source, n_tokens, g,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri GROUP BY 1, 2, 3, 4
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(c) AS BIGINT) AS total_tri,
+             CAST(MAX(c) AS BIGINT) AS top_tri,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_tri_mass,
+             CAST(COUNT(*) AS BIGINT) AS distinct_tri
+      FROM cnt GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN top_tri * 100 > 18 * total_tri
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_top_trigram,
+           CAST(SUM(CASE WHEN dup_tri_mass * 100 > 30 * total_tri
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_dup_mass,
+           CAST(SUM(CASE WHEN distinct_tri * 100 < 60 * total_tri
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged_low_diversity,
+           CAST(SUM(dup_tri_mass) AS BIGINT) AS total_dup_mass,
+           CAST(SUM(total_tri) AS BIGINT) AS total_trigrams
+    FROM per_doc GROUP BY source
+    """,
+)
+def gopher_repetition_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Repetition-pathology screen (the Gopher / Rae et al. 2021 rule
+    family): per document, the mass of duplicated trigrams, the share
+    of the single most repeated trigram, and trigram diversity —
+    flagged against fixed thresholds (top trigram > 18% of all
+    trigrams; duplicate mass > 30%; distinct/total < 60%) and rolled
+    up per corpus source. Catches boilerplate/spam documents that
+    pass length and stopword filters. All comparisons are integer
+    cross-multiplications — no ratio ever materializes.
+
+    Scale shape: tokenize once, explode the trigram MULTISET (the
+    dedup family's distinct-shingle fragment deliberately doesn't
+    apply here), count per (doc, gram) — the only shuffle — then two
+    cheap grouped rollups. At corpus scale this rides the same
+    shingle-kernel budget the probe measures (~2.4 MB/s/core)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", TX.tokens(TX.normalize_text(F.col("text"))).alias("t")
+    )
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))
+    )
+    tri = toks.select(
+        "doc_id",
+        "source",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at(F.col("t"), i + 1),
+                    F.try_element_at(F.col("t"), i + 2),
+                    F.try_element_at(F.col("t"), i + 3),
+                ),
+            )
+        ).alias("g"),
+    )
+    cnt = tri.groupBy("doc_id", "source", "n_tokens", "g").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "source", "n_tokens").agg(
+        F.sum("c").cast("long").alias("total_tri"),
+        F.max("c").cast("long").alias("top_tri"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_tri_mass"),
+        F.count("*").cast("long").alias("distinct_tri"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("top_tri") * 100 > 18 * F.col("total_tri"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged_top_trigram"),
+        F.sum(
+            F.when(
+                F.col("dup_tri_mass") * 100 > 30 * F.col("total_tri"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged_dup_mass"),
+        F.sum(
+            F.when(
+                F.col("distinct_tri") * 100 < 60 * F.col("total_tri"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged_low_diversity"),
+        F.sum("dup_tri_mass").cast("long").alias("total_dup_mass"),
+        F.sum("total_tri").cast("long").alias("total_trigrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profiling
+# ---------------------------------------------------------------------------
+
+# (column, min/max spelling). o_totalprice is a DOUBLE — min/max go
+# through the exact cents recipe (floor(x*100 + 0.5) as BIGINT -> text)
+# because double->string formatting is the one place Spark (shortest
+# decimal repr) and DuckDB (binary value) legitimately disagree.
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST({c} AS VARCHAR)"),
+    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderstatus", "{c}"),
+    ("o_orderpriority", "{c}"),
+    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
+    (
+        "o_totalprice",
+        "CAST(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+    ),
+)
+
+
+@register(
+    "table_profile_report",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             {", ".join(
+                 f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls_{i}, "
+                 f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{i}, "
+                 f"MIN({fmt.format(c=c)}) AS min_{i}, "
+                 f"MAX({fmt.format(c=c)}) AS max_{i}"
+                 for i, (c, fmt) in enumerate(_PROFILE_COLS)
+             )}
+      FROM orders
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nulls_{i} AS n_nulls, "
+        f"ndv_{i} AS ndv, min_{i} AS min_value, max_{i} AS max_value "
+        f"FROM agg"
+        for i, (c, _) in enumerate(_PROFILE_COLS)
+    )}
+    """,
+)
+def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table: null count,
+    exact NDV, and min/max (as text) for every column, computed in ONE
+    aggregate scan and fanned out to long rows by a generator — the
+    expectation-suite pattern applied to stats collection (feeds CBO
+    estimates and quality dashboards; the HLL entries are its sketch
+    twin for when exact NDV is too expensive).
+
+    Scale shape: one scan, map-side combinable aggregates (NDV is the
+    one shuffle-heavy term — COUNT(DISTINCT) expands per column; at
+    fleet scale the HLL register path replaces it per SCALE.md).
+    min/max normalize to text; the DOUBLE column goes through the
+    exact cents recipe because double->string formatting is the one
+    spot the engines legitimately diverge."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def minmax(c: str, fmt: str) -> F.Column:
+        if "FLOOR" in fmt:
+            return (
+                F.floor(F.col(c) * 100 + 0.5).cast("long").cast("string")
+            )
+        if "DATE" in fmt:
+            return F.col(c).cast("date").cast("string")
+        return F.col(c).cast("string")
+
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for i, (c, fmt) in enumerate(_PROFILE_COLS):
+        aggs += [
+            (F.count("*") - F.count(c)).cast("long").alias(f"nulls_{i}"),
+            F.countDistinct(c).cast("long").alias(f"ndv_{i}"),
+            F.min(minmax(c, fmt)).alias(f"min_{i}"),
+            F.max(minmax(c, fmt)).alias(f"max_{i}"),
+        ]
+    agg = orders.agg(*aggs)
+    rows = agg.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"nulls_{i}").alias("n_nulls"),
+                        F.col(f"ndv_{i}").alias("ndv"),
+                        F.col(f"min_{i}").alias("min_value"),
+                        F.col(f"max_{i}").alias("max_value"),
+                    )
+                    for i, (c, _) in enumerate(_PROFILE_COLS)
+                ]
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        F.col("r.column_name").alias("column_name"),
+        "n_rows",
+        F.col("r.n_nulls").alias("n_nulls"),
+        F.col("r.ndv").alias("ndv"),
+        F.col("r.min_value").alias("min_value"),
+        F.col("r.max_value").alias("max_value"),
+    )

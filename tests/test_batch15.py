@@ -1,0 +1,94 @@
+"""Batch-15 semantics: invariants ABOVE the hash oracles (the
+same-bug-both-engines guard, per tests/test_semantics_batch14.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from series_tiempo_ar_scraping_spark.queries import QUERIES, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pii_detection_matches_arithmetic_ground_truth(spark):
+    """The planting is pure arithmetic on doc_id (multiples of 5/7/11
+    carry exactly one span each) and the base fixture text contains no
+    PII-shaped strings — so the regex census must equal the multiple
+    counts EXACTLY, independent of the SQL oracle."""
+    docs = load_table(spark, SF, "documents")
+    base = docs.select(
+        F.sum(F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)).alias("e"),
+        F.sum(F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)).alias("p"),
+        F.sum(F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0)).alias("s"),
+        F.sum(
+            F.when(F.col("text").contains("@"), 1).otherwise(0)
+        ).alias("at_in_fixture"),
+    ).collect()[0]
+    assert base.at_in_fixture == 0, "fixture text now contains '@'"
+
+    rows = QUERIES["pii_detection_report"](spark, SF).collect()
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in (
+            "email_matches", "email_docs",
+            "phone_matches", "phone_docs",
+            "ssn_matches", "ssn_docs",
+        )
+    }
+    assert tot["email_matches"] == tot["email_docs"] == base.e
+    assert tot["phone_matches"] == tot["phone_docs"] == base.p
+    assert tot["ssn_matches"] == tot["ssn_docs"] == base.s
+
+
+def test_pii_redaction_reduces_exactly_the_planted_docs(spark):
+    """Redaction must touch exactly the docs that carry a planted span
+    (multiples of 5, 7, or 11) and never grow the corpus when tags are
+    shorter than what they replace is false in general — so assert the
+    doc count identity, not a length direction."""
+    docs = load_table(spark, SF, "documents")
+    n_planted = docs.filter(
+        (F.col("doc_id") % 5 == 0)
+        | (F.col("doc_id") % 7 == 0)
+        | (F.col("doc_id") % 11 == 0)
+    ).count()
+    row = QUERIES["pii_redaction_audit"](spark, SF).collect()[0]
+    assert row.n_docs_redacted == n_planted
+    assert row.chars_before != row.chars_after
+    assert int(row.redacted_fingerprint) > 0
+
+
+def test_gopher_report_internal_consistency(spark):
+    """Flag counts are bounded by doc counts; duplicate mass is bounded
+    by total trigram mass; every source bucket appears."""
+    docs = load_table(spark, SF, "documents")
+    n_sources = docs.select("source").distinct().count()
+    rows = QUERIES["gopher_repetition_report"](spark, SF).collect()
+    assert len(rows) == n_sources
+    for r in rows:
+        for flag in (
+            "n_flagged_top_trigram",
+            "n_flagged_dup_mass",
+            "n_flagged_low_diversity",
+        ):
+            assert 0 <= r[flag] <= r.n_docs, (flag, r)
+        assert 0 <= r.total_dup_mass <= r.total_trigrams
+
+
+def test_table_profile_matches_direct_queries(spark):
+    """Profile rows equal independently computed per-column facts."""
+    orders = load_table(spark, SF, "orders")
+    prof = {
+        r.column_name: r
+        for r in QUERIES["table_profile_report"](spark, SF).collect()
+    }
+    n = orders.count()
+    assert all(r.n_rows == n for r in prof.values())
+    direct_ndv = orders.select(
+        F.countDistinct("o_orderstatus").alias("s"),
+        F.countDistinct("o_custkey").alias("c"),
+    ).collect()[0]
+    assert prof["o_orderstatus"].ndv == direct_ndv.s
+    assert prof["o_custkey"].ndv == direct_ndv.c
+    assert prof["o_orderkey"].n_nulls == 0
+    # min/max text for the date column is a real date string
+    assert len(prof["o_orderdate"].min_value) == 10

@@ -31,6 +31,7 @@ MODULES = [
     "queries_batch12",
     "queries_batch13",
     "queries_batch14",
+    "queries_batch15",
 ]
 
 
