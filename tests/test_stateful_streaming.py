@@ -684,3 +684,99 @@ def test_sessionize_checkpoint_recovery_exactly_once(spark, tmp_path):
         (1, "2024-01-01 10:00:00", "2024-01-01 10:25:00", 4),
         (2, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1),
     }, got
+
+
+def test_cms_cells_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Recovery contract for the WINDOWED-AGGREGATE state kind (the
+    sessionizer test covers applyInPandasWithState): the crash lands in
+    the exact batch that closes a window and emits its sketch cells —
+    sink written, offset uncommitted. The restart must replay that
+    batch from the committed window state, overwrite the same sink dir
+    (idempotent), and the final sink must equal the batch sketch of the
+    closed window's rows, every cell exactly once."""
+    import os
+    import time
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.sketch import cms_cells
+
+    d = str(tmp_path / "cms_rec_src")
+    out = str(tmp_path / "cms_rec_out")
+    ckpt = str(tmp_path / "cms_rec_ckpt")
+    os.makedirs(d)
+    t0 = time.time() - 1000
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sub = str(tmp_path / ("s_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    in_window = [
+        (i, "2024-01-01 10:15:00", i, f"term{i % 5}", 1.0, "{}")
+        for i in range(20)
+    ]
+    # batch 0: sketch state for [10:00, 11:00) + the watermark pusher
+    write_file("b1", in_window + [
+        (99, "2024-01-01 13:30:00", 1, "later", 1.0, "{}")
+    ], t0)
+    # batch 1: makes the 11:30 watermark effective -> CLOSES the 10:00
+    # window and emits its cells — the batch the crash hits
+    write_file("b2", [
+        (100, "2024-01-01 13:40:00", 1, "later", 1.0, "{}")
+    ], t0 + 100)
+
+    def run(crash_on):
+        def write_batch(batch_df, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+            if crash_on is not None and batch_id == crash_on:
+                raise RuntimeError("injected crash after sink write")
+
+        q = (
+            cms_cells(SE.read_events_stream(spark, d, max_files_per_trigger=1))
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run(crash_on=1)
+        raise AssertionError("injected crash did not surface")
+    except StreamingQueryException:
+        pass
+
+    # more input after the crash; the replayed batch must still see
+    # only its original file set (the offset WAL pins it)
+    write_file("b3", [
+        (101, "2024-01-01 13:50:00", 1, "later", 1.0, "{}")
+    ], t0 + 200)
+    run(crash_on=None)
+
+    got = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in spark.read.parquet(out).collect()
+    )
+    static = spark.createDataFrame(
+        in_window,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = sorted(
+        (r.window_start, r.i, r.bucket, r.c)
+        for r in cms_cells(static).collect()
+    )
+    assert got == want  # exactly once: no cell duplicated by the replay
