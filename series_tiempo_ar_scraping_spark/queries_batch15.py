@@ -34,7 +34,7 @@ governance passes its published output catalogs would need next.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from series_tiempo_ar_scraping_spark.operators import textops as TX
@@ -479,4 +479,207 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.ndv").alias("ndv"),
         F.col("r.min_value").alias("min_value"),
         F.col("r.max_value").alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (retrieval lane)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CAP = 10
+
+
+@register(
+    "inverted_index_build",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_toks_of_norm('text')}) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(
+             list_transform(
+               list_sort(list(doc_id))[1:{_POSTINGS_CAP}],
+               x -> CAST(x AS VARCHAR)),
+             ',') AS postings_head
+    FROM tf
+    GROUP BY tok
+    HAVING COUNT(*) >= 2
+    """,
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the retrieval twin of the TF-IDF/BM25
+    scorers: per token, document frequency, total term frequency, and
+    the head of its sorted posting list (first {cap} doc ids, joined as
+    text so the hash comparator sees a scalar). Tokens with df < 2
+    drop (singleton postings dominate the vocabulary but serve no
+    lookup). This is the Spark-side index-construction pass a search/
+    RAG platform runs before handing postings to a serving store.
+
+    Scale shape: tokenize once, ONE (tok, doc) grouped count (the same
+    shuffle BM25 pays), one grouped list aggregate. The posting HEAD
+    is capped — the full list per hot token is the classic reducer
+    hot-spot, and a serving store ingests postings shard-by-shard
+    anyway; df/total_tf stay exact over ALL postings. Postings sort
+    before capping, so the head is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
+            "tok"
+        ),
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(F.collect_list("doc_id")),
+                        1,
+                        _POSTINGS_CAP,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic histogram-quantile sketch
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 64
+_HQ_QS = (50, 90, 99)
+
+
+@register(
+    "histogram_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM v
+    ),
+    binned AS (
+      SELECT CAST(((cents - lo) * {_HQ_BINS}) // (hi - lo + 1) AS BIGINT)
+               AS bin,
+             lo, hi, n
+      FROM v, bounds
+    ),
+    hist AS (
+      SELECT bin, lo, hi, n, CAST(COUNT(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+      SELECT bin, lo, hi, n, c,
+             SUM(c) OVER (ORDER BY bin) AS cum_c
+      FROM hist
+    )
+    SELECT q AS quantile_pct,
+           (SELECT MIN(lo + (bin * (hi - lo + 1)) // {_HQ_BINS})
+            FROM cum
+            WHERE cum_c * 100 >= q * n) AS est_cents,
+           (SELECT MAX(n) FROM bounds) AS n_rows,
+           (SELECT MAX((hi - lo + 1) // {_HQ_BINS} + 1) FROM bounds)
+             AS bin_width_cents
+    FROM (VALUES {", ".join(f"({q})" for q in _HQ_QS)}) t(q)
+    """,
+)
+def histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable quantile sketch with DETERMINISTIC semantics: a fixed
+    {bins}-bin equi-width histogram over exact cents, quantile estimate
+    = lower edge of the first bin whose cumulative count crosses q% —
+    the answer is off by at most one bin width (pinned by an
+    error-bound test against the exact two-phase quantile). The
+    deterministic counterpart of t-digest/approx_percentile: histogram
+    counts merge across shards by plain addition, so 1000 executors
+    sketch independently and sum — and unlike approx_percentile the
+    result is bit-identical everywhere (hash-oracled, not rows-only).
+
+    Scale shape: one pass for bounds (min/max/count — map-side
+    combinable), one pass to bin + count ({bins} cells total crossing
+    the exchange), a {bins}-row cumulative window. Integer arithmetic
+    end to end: bins and edges come from exact bigint cents via
+    truncating division (same semantics both engines on non-negative
+    operands)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("long")
+        .alias("cents")
+    )
+    bounds = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count("*").cast("long").alias("n"),
+    )
+    span = F.col("hi") - F.col("lo") + 1
+    binned = v.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"CAST(((cents - lo) * {_HQ_BINS}) DIV (hi - lo + 1) "
+               "AS BIGINT)").alias("bin"),
+        "lo",
+        "hi",
+        "n",
+    )
+    hist = binned.groupBy("bin", "lo", "hi", "n").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cum = hist.select(
+        "bin",
+        "lo",
+        "hi",
+        "n",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_c"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _HQ_QS], "quantile_pct int"
+    )
+    est = (
+        qs.join(
+            F.broadcast(cum),
+            F.col("cum_c") * 100 >= F.col("quantile_pct") * F.col("n"),
+        )
+        .groupBy("quantile_pct")
+        .agg(
+            F.min(
+                F.col("lo")
+                + F.expr(f"(bin * (hi - lo + 1)) DIV {_HQ_BINS}")
+            ).alias("est_cents")
+        )
+    )
+    scalar = bounds.select(
+        "n",
+        F.expr(f"(hi - lo + 1) DIV {_HQ_BINS} + 1").alias(
+            "bin_width_cents"
+        ),
+    )
+    return est.crossJoin(F.broadcast(scalar)).select(
+        "quantile_pct",
+        "est_cents",
+        F.col("n").alias("n_rows"),
+        "bin_width_cents",
     )

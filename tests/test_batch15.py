@@ -92,3 +92,59 @@ def test_table_profile_matches_direct_queries(spark):
     assert prof["o_orderkey"].n_nulls == 0
     # min/max text for the date column is a real date string
     assert len(prof["o_orderdate"].min_value) == 10
+
+
+def test_histogram_quantile_within_one_bin_of_exact(spark):
+    """The sketch's contract: each quantile estimate lands within one
+    bin width of the EXACT rank-based quantile (computed independently
+    here via sort), at every requested percentile."""
+    orders = load_table(spark, SF, "orders")
+    cents = sorted(
+        r.c
+        for r in orders.select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    rows = {
+        r.quantile_pct: r
+        for r in QUERIES["histogram_quantile_sketch"](spark, SF).collect()
+    }
+    for q, r in rows.items():
+        # exact value at the same "first rank covering q%" definition
+        exact = cents[max(0, -(-q * n // 100) - 1)]
+        assert abs(r.est_cents - exact) <= r.bin_width_cents, (
+            q, r.est_cents, exact, r.bin_width_cents,
+        )
+        assert r.n_rows == n
+
+
+def test_inverted_index_postings_sorted_and_consistent(spark):
+    """Postings heads are sorted ascending, df bounds the head length,
+    and df/total_tf agree with an independent tokenization."""
+    from series_tiempo_ar_scraping_spark.operators import textops as TX
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("tok"),
+    )
+    direct = {
+        r.tok: (r.df, r.tf)
+        for r in toks.groupBy("tok")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf"),
+        )
+        .filter(F.col("df") >= 2)
+        .collect()
+    }
+    rows = QUERIES["inverted_index_build"](spark, SF).collect()
+    assert len(rows) == len(direct)
+    for r in rows:
+        assert (r.df, r.total_tf) == direct[r.tok]
+        head = [int(x) for x in r.postings_head.split(",")]
+        assert head == sorted(head)
+        assert len(head) == min(r.df, 10)
