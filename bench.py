@@ -220,6 +220,13 @@ BENCH_QUERIES_EXT = [
     "mannwhitney_u_doclen",
     "spearman_rank_correlation",
     "cusum_drift_detection",
+    # round 8 (batch 15: governance/retrieval)
+    "pii_detection_report",
+    "pii_redaction_audit",
+    "gopher_repetition_report",
+    "table_profile_report",
+    "inverted_index_build",
+    "histogram_quantile_sketch",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
