@@ -382,20 +382,19 @@ def gopher_repetition_report(
 # ANALYZE-style table profiling
 # ---------------------------------------------------------------------------
 
-# (column, min/max spelling). o_totalprice is a DOUBLE — min/max go
-# through the exact cents recipe (floor(x*100 + 0.5) as BIGINT -> text)
-# because double->string formatting is the one place Spark (shortest
-# decimal repr) and DuckDB (binary value) legitimately disagree.
+# (column, typed min/max spelling). MIN/MAX run on the NATIVE type and
+# only the aggregated result casts to text — stringifying first would
+# turn them lexicographic ("99996" > "600000"). o_totalprice goes
+# through the exact cents recipe (floor(x*100 + 0.5) as BIGINT) because
+# double->string formatting is the one place Spark (shortest decimal
+# repr) and DuckDB (binary value) legitimately disagree.
 _PROFILE_COLS = (
-    ("o_orderkey", "CAST({c} AS VARCHAR)"),
-    ("o_custkey", "CAST({c} AS VARCHAR)"),
+    ("o_orderkey", "{c}"),
+    ("o_custkey", "{c}"),
     ("o_orderstatus", "{c}"),
     ("o_orderpriority", "{c}"),
-    ("o_orderdate", "CAST(CAST({c} AS DATE) AS VARCHAR)"),
-    (
-        "o_totalprice",
-        "CAST(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT) AS VARCHAR)",
-    ),
+    ("o_orderdate", "CAST({c} AS DATE)"),
+    ("o_totalprice", "CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)"),
 )
 
 
@@ -407,8 +406,8 @@ _PROFILE_COLS = (
              {", ".join(
                  f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls_{i}, "
                  f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{i}, "
-                 f"MIN({fmt.format(c=c)}) AS min_{i}, "
-                 f"MAX({fmt.format(c=c)}) AS max_{i}"
+                 f"CAST(MIN({fmt.format(c=c)}) AS VARCHAR) AS min_{i}, "
+                 f"CAST(MAX({fmt.format(c=c)}) AS VARCHAR) AS max_{i}"
                  for i, (c, fmt) in enumerate(_PROFILE_COLS)
              )}
       FROM orders
@@ -432,27 +431,26 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, map-side combinable aggregates (NDV is the
     one shuffle-heavy term — COUNT(DISTINCT) expands per column; at
     fleet scale the HLL register path replaces it per SCALE.md).
-    min/max normalize to text; the DOUBLE column goes through the
-    exact cents recipe because double->string formatting is the one
-    spot the engines legitimately diverge."""
+    min/max aggregate on the NATIVE type and cast to text only after
+    (string-first would be lexicographic); the DOUBLE column goes
+    through the exact cents recipe because double->string formatting
+    is the one spot the engines legitimately diverge."""
     orders = load_table(spark, sf_dir, "orders")
 
-    def minmax(c: str, fmt: str) -> F.Column:
+    def typed(c: str, fmt: str) -> F.Column:
         if "FLOOR" in fmt:
-            return (
-                F.floor(F.col(c) * 100 + 0.5).cast("long").cast("string")
-            )
+            return F.floor(F.col(c) * 100 + 0.5).cast("long")
         if "DATE" in fmt:
-            return F.col(c).cast("date").cast("string")
-        return F.col(c).cast("string")
+            return F.col(c).cast("date")
+        return F.col(c)
 
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for i, (c, fmt) in enumerate(_PROFILE_COLS):
         aggs += [
             (F.count("*") - F.count(c)).cast("long").alias(f"nulls_{i}"),
             F.countDistinct(c).cast("long").alias(f"ndv_{i}"),
-            F.min(minmax(c, fmt)).alias(f"min_{i}"),
-            F.max(minmax(c, fmt)).alias(f"max_{i}"),
+            F.min(typed(c, fmt)).cast("string").alias(f"min_{i}"),
+            F.max(typed(c, fmt)).cast("string").alias(f"max_{i}"),
         ]
     agg = orders.agg(*aggs)
     rows = agg.select(
@@ -523,11 +521,14 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     RAG platform runs before handing postings to a serving store.
 
     Scale shape: tokenize once, ONE (tok, doc) grouped count (the same
-    shuffle BM25 pays), one grouped list aggregate. The posting HEAD
-    is capped — the full list per hot token is the classic reducer
-    hot-spot, and a serving store ingests postings shard-by-shard
-    anyway; df/total_tf stay exact over ALL postings. Postings sort
-    before capping, so the head is deterministic."""
+    shuffle BM25 pays), then a per-token row_number window CAPS which
+    doc ids ever enter the list aggregate — the full posting list of a
+    stop-word token never materializes in one reducer row (the classic
+    hot-spot; a serving store ingests postings shard-by-shard anyway).
+    df/total_tf stay exact over ALL postings. The window sorts on the
+    same (tok) shuffle the aggregate already pays, so the cap costs no
+    extra exchange. Postings are collected pre-sorted by the window
+    order, so the head is deterministic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -538,17 +539,24 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("tok", "doc_id").agg(
         F.count("*").cast("long").alias("tf")
     )
+    rn = F.row_number().over(
+        Window.partitionBy("tok").orderBy("doc_id")
+    )
+    capped = tf.withColumn("rn", rn)
     return (
-        tf.groupBy("tok")
+        capped.groupBy("tok")
         .agg(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
             F.array_join(
                 F.transform(
-                    F.slice(
-                        F.sort_array(F.collect_list("doc_id")),
-                        1,
-                        _POSTINGS_CAP,
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") <= _POSTINGS_CAP,
+                                F.col("doc_id"),
+                            )
+                        )
                     ),
                     lambda x: x.cast("string"),
                 ),
@@ -634,7 +642,6 @@ def histogram_quantile_sketch(
         F.max("cents").alias("hi"),
         F.count("*").cast("long").alias("n"),
     )
-    span = F.col("hi") - F.col("lo") + 1
     binned = v.crossJoin(F.broadcast(bounds)).select(
         F.expr(f"CAST(((cents - lo) * {_HQ_BINS}) DIV (hi - lo + 1) "
                "AS BIGINT)").alias("bin"),

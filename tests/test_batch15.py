@@ -92,6 +92,17 @@ def test_table_profile_matches_direct_queries(spark):
     assert prof["o_orderkey"].n_nulls == 0
     # min/max text for the date column is a real date string
     assert len(prof["o_orderdate"].min_value) == 10
+    # min/max are NUMERIC extremes cast to text, not lexicographic
+    # string extremes ("99996" would beat "600000" lexically)
+    key_minmax = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    assert prof["o_orderkey"].min_value == str(key_minmax.lo)
+    assert prof["o_orderkey"].max_value == str(key_minmax.hi)
+    cents_max = orders.agg(
+        F.max(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+    ).collect()[0][0]
+    assert prof["o_totalprice"].max_value == str(cents_max)
 
 
 def test_histogram_quantile_within_one_bin_of_exact(spark):
@@ -141,10 +152,17 @@ def test_inverted_index_postings_sorted_and_consistent(spark):
         .filter(F.col("df") >= 2)
         .collect()
     }
+    postings = {
+        r.tok: sorted(r.ids)
+        for r in toks.groupBy("tok")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    }
     rows = QUERIES["inverted_index_build"](spark, SF).collect()
     assert len(rows) == len(direct)
     for r in rows:
         assert (r.df, r.total_tf) == direct[r.tok]
         head = [int(x) for x in r.postings_head.split(",")]
-        assert head == sorted(head)
-        assert len(head) == min(r.df, 10)
+        # the head is exactly the SMALLEST doc ids — the capped window
+        # must not admit arbitrary survivors
+        assert head == postings[r.tok][: min(r.df, 10)]
