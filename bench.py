@@ -227,6 +227,14 @@ BENCH_QUERIES_EXT = [
     "table_profile_report",
     "inverted_index_build",
     "histogram_quantile_sketch",
+    # round 8 (batch 16: curation/engine-internals/governance pipeline)
+    "url_canonicalize_dedup",
+    "join_cardinality_estimate",
+    "sequential_pattern_support",
+    "incremental_agg_maintenance",
+    "woe_information_value",
+    "max_concurrent_user_spans",
+    "governance_nightly_report",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

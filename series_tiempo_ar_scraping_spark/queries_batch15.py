@@ -149,9 +149,10 @@ def pii_detection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure map-side regex extraction (one pass over the
     text, no Python) into a per-source conditional-sum aggregate —
-    the same one-scan contract as the expectation suite. Patterns
-    stay in the Java/RE2 common subset so both engines count the
-    same spans."""
+    the same one-scan contract as the expectation suite.
+    Determinism: patterns stay in the Java/RE2 common subset
+    (explicit classes, bounded quantifiers, no lookarounds) so both
+    engines count the same spans; all outputs are exact counts."""
     corpus = _pii_corpus(spark, sf_dir)
     per_doc = corpus.select(
         "source",
@@ -315,7 +316,9 @@ def gopher_repetition_report(
     dedup family's distinct-shingle fragment deliberately doesn't
     apply here), count per (doc, gram) — the only shuffle — then two
     cheap grouped rollups. At corpus scale this rides the same
-    shingle-kernel budget the probe measures (~2.4 MB/s/core)."""
+    shingle-kernel budget the probe measures (~2.4 MB/s/core).
+    Determinism: every flag is an integer cross-multiplication of
+    exact counts — no ratio ever materializes, nothing to round."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", TX.tokens(TX.normalize_text(F.col("text"))).alias("t")
@@ -431,10 +434,11 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan, map-side combinable aggregates (NDV is the
     one shuffle-heavy term — COUNT(DISTINCT) expands per column; at
     fleet scale the HLL register path replaces it per SCALE.md).
-    min/max aggregate on the NATIVE type and cast to text only after
-    (string-first would be lexicographic); the DOUBLE column goes
-    through the exact cents recipe because double->string formatting
-    is the one spot the engines legitimately diverge."""
+    Determinism: min/max aggregate on the NATIVE type and cast to
+    text only after (string-first would be lexicographic); the DOUBLE
+    column goes through the exact cents recipe because
+    double->string formatting is the one spot the engines
+    legitimately diverge."""
     orders = load_table(spark, sf_dir, "orders")
 
     def typed(c: str, fmt: str) -> F.Column:

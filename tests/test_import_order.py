@@ -32,6 +32,7 @@ MODULES = [
     "queries_batch13",
     "queries_batch14",
     "queries_batch15",
+    "queries_batch16",
 ]
 
 
