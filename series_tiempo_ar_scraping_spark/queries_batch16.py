@@ -344,11 +344,12 @@ def sequential_pattern_support(
     never from raw event-pair joins.
 
     Scale shape: one (user, type) aggregate collapses the event log to
-    n_users x n_types rows; the self-join meets on the user key
-    (co-partitioned, <= types^2 pairs per user — bounded fan-out), then
-    a tiny grouped count. Determinism: timestamp comparisons and
-    integer counts only; support_micro is one truncating division of
-    non-negative ints."""
+    n_users x n_types rows; qualifying pairs are then generated
+    MAP-SIDE from a per-user type array (<= types^2 per user, a small
+    constant) — no self-join, no broadcast of a user-sized frame —
+    into a types^2-bounded grouped count. Determinism: timestamp
+    comparisons and integer counts only; support_micro is one
+    truncating division of non-negative ints."""
     events = load_table(spark, sf_dir, "events")
     ut = events.groupBy("user_id", "event_type").agg(
         F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
@@ -356,23 +357,33 @@ def sequential_pattern_support(
     n = events.agg(
         F.countDistinct("user_id").cast("long").alias("n_users")
     )
-    a = ut.select(
-        "user_id",
-        F.col("event_type").alias("type_a"),
-        F.col("first_ts").alias("a_first"),
+    per_user = ut.groupBy("user_id").agg(
+        F.collect_list(
+            F.struct("event_type", "first_ts", "last_ts")
+        ).alias("types")
     )
-    b = ut.select(
-        "user_id",
-        F.col("event_type").alias("type_b"),
-        F.col("last_ts").alias("b_last"),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda a: F.transform(
+                F.filter(
+                    F.col("types"),
+                    lambda b: (a["event_type"] != b["event_type"])
+                    & (a["first_ts"] < b["last_ts"]),
+                ),
+                lambda b: F.struct(
+                    a["event_type"].alias("type_a"),
+                    b["event_type"].alias("type_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "user_id")
-        .filter(
-            (F.col("type_a") != F.col("type_b"))
-            & (F.col("a_first") < F.col("b_last"))
+        per_user.select(F.explode(pair_arr).alias("p"))
+        .groupBy(
+            F.col("p.type_a").alias("type_a"),
+            F.col("p.type_b").alias("type_b"),
         )
-        .groupBy("type_a", "type_b")
         .agg(F.count("*").cast("long").alias("n_users_support"))
     )
     return pairs.crossJoin(F.broadcast(n)).select(
@@ -670,24 +681,37 @@ def max_concurrent_user_spans(
     ``interval_overlap_coactivity`` (which lists the pairs).
 
     Scale shape: the event log collapses to one interval per
-    (user, day); the sweep is a window PARTITIONED BY day (bounded
-    partitions — never a global sort), over points pre-grouped by
-    timestamp. Determinism: closed-interval tie rule (starts count
-    before ends at the same instant) is encoded arithmetically
-    (cum_starts - cum_ends_before), not by sort order, so ties need
-    no tiebreaker."""
+    (user, day) in ONE scan; a generator (not a union, which would
+    rescan) emits the +1/-1 endpoint rows; the sweep is a window
+    PARTITIONED BY day (bounded partitions — never a global sort)
+    over points pre-grouped by timestamp, and the final rollup groups
+    by the NATIVE day so it reuses the window's partitioning (the
+    string cast happens after). Determinism: closed-interval tie rule
+    (starts count before ends at the same instant) is encoded
+    arithmetically (cum_starts - cum_ends_before), not by sort order,
+    so ties need no tiebreaker."""
     events = load_table(spark, sf_dir, "events")
     sp = events.groupBy(
         "user_id",
         F.col("ts").cast("date").alias("day"),
     ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     pts = sp.select(
-        "day", F.col("s").alias("ts"), F.lit(1).alias("ds"), F.lit(0).alias("de")
-    ).unionByName(
-        sp.select(
-            "day", F.col("e").alias("ts"), F.lit(0).alias("ds"), F.lit(1).alias("de")
-        )
-    )
+        "day",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s").alias("ts"),
+                    F.lit(1).alias("ds"),
+                    F.lit(0).alias("de"),
+                ),
+                F.struct(
+                    F.col("e").alias("ts"),
+                    F.lit(0).alias("ds"),
+                    F.lit(1).alias("de"),
+                ),
+            )
+        ).alias("p"),
+    ).select("day", "p.ts", "p.ds", "p.de")
     g = pts.groupBy("day", "ts").agg(
         F.sum("ds").cast("long").alias("st"),
         F.sum("de").cast("long").alias("en"),
@@ -704,9 +728,17 @@ def max_concurrent_user_spans(
             F.sum("st").over(w) - (F.sum("en").over(w) - F.col("en"))
         ).alias("conc"),
     )
-    return run.groupBy(F.col("day").cast("string").alias("day")).agg(
-        F.max("conc").cast("long").alias("max_concurrent"),
-        F.sum("st").cast("long").alias("n_spans"),
+    return (
+        run.groupBy("day")
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.sum("st").cast("long").alias("n_spans"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "max_concurrent",
+            "n_spans",
+        )
     )
 
 
