@@ -768,3 +768,62 @@ def test_batch14_wave8_plan_properties(plans):
     p = plans("morans_i_spatial_autocorrelation", "simple")
     assert "EvalPython" not in p
     assert "BroadcastNestedLoopJoin" in p  # bounded region pair join
+
+
+def test_batch15_plan_properties(plans):
+    """Governance batch plans: PII census/redaction and the repetition
+    filters stay JVM-side (regex expressions, no Python); the profiler
+    is ONE scan (a single parquet read feeding the generator fan-out);
+    the inverted index caps posting state with a window on the same
+    token shuffle (no second exchange between window and aggregate);
+    the quantile sketch's only joins are broadcast of 1-row/64-row
+    frames."""
+    for name in (
+        "pii_detection_report",
+        "pii_redaction_audit",
+        "gopher_repetition_report",
+    ):
+        p = plans(name, "simple")
+        assert "EvalPython" not in p, name
+        assert "partial" in p, name  # map-side combine survives
+    p = plans("table_profile_report", "simple")
+    assert "EvalPython" not in p
+    assert p.count("FileScan parquet") == 1  # ONE scan, N stats
+    p = plans("inverted_index_build", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    # the rn cap rides the (tok) shuffle: the aggregate consumes the
+    # window's partitioning directly — everything ABOVE the Window
+    # node (the plan prints top-down) must be exchange-free
+    assert "Exchange" not in p[: p.index("Window")]
+    p = plans("histogram_quantile_sketch", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bounds / 64-row cum
+
+
+def test_batch16_plan_properties(plans):
+    """Batch-16 plans: the URL census is scan+expand+aggregate with no
+    join and no Python; sequence pairs come from a GENERATOR, never a
+    user-keyed self-join (the only join is the broadcast of the 1-row
+    user count); the sweep-line is ONE event scan (generator endpoints,
+    not a union of rescans) and exactly three exchanges; the MV
+    identity is one scan; WOE joins only broadcast scalar frames; the
+    composed governance report contains no cartesian and no Python."""
+    p = plans("url_canonicalize_dedup", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    p = plans("sequential_pattern_support", "simple")
+    assert "EvalPython" not in p
+    assert "Generate explode" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    p = plans("max_concurrent_user_spans", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1  # generator, not union
+    assert p.count("Exchange") == 3
+    p = plans("incremental_agg_maintenance", "simple")
+    assert p.count("FileScan parquet") == 1  # all lanes in one scan
+    assert "Join" not in p
+    p = plans("woe_information_value", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # scalar frames broadcast
+    p = plans("governance_nightly_report", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
