@@ -235,6 +235,10 @@ BENCH_QUERIES_EXT = [
     "woe_information_value",
     "max_concurrent_user_spans",
     "governance_nightly_report",
+    # round 8 (batch 17: containers/layout/source census)
+    "multimodal_tar_shards",
+    "zone_map_pruning_report",
+    "cross_source_duplication_matrix",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -1424,3 +1424,167 @@ def zip_roundtrip_stats(docs: DataFrame) -> DataFrame:
             )
 
     return packed.mapInPandas(extract, ZIP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Container formats: WebDataset-style TAR shards (stdlib tarfile)
+# ---------------------------------------------------------------------------
+
+TAR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("meta_bytes", T.LongType()),
+        T.StructField("tar_bytes", T.LongType()),
+        T.StructField("members_fingerprint", T.StringType()),
+    ]
+)
+
+
+def pack_tar(members: list) -> bytes:
+    """Deterministic uncompressed USTAR archive (stdlib tarfile).
+
+    ``members`` is a list of (name, bytes). Every header field that
+    could vary (mtime, uid/gid, uname/gname) is pinned, and the format
+    is forced to USTAR (the PAX default adds extended headers), so the
+    archive BYTES are a pure function of the members — unlike ZIP,
+    whose DEFLATE stream depends on the zlib build. That makes even
+    the total byte count oracle-able arithmetically:
+    sum(512 + ceil(size/512)*512) + 1024, rounded up to the 10240-byte
+    record size."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 0
+            ti.uid = 0
+            ti.gid = 0
+            ti.uname = ""
+            ti.gname = ""
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def list_tar_members(data: bytes) -> list:
+    """Extract (name, bytes) pairs; [] for anything that is not a valid
+    archive — corrupt rows degrade to an empty row, never throw inside
+    an executor."""
+    import io
+    import tarfile
+
+    try:
+        with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
+            return [
+                (m.name, tf.extractfile(m).read())
+                for m in tf.getmembers()
+                if m.isfile()
+            ]
+    except Exception:
+        return []
+
+
+def tar_shard_stats(docs: DataFrame, shard_size: int = 8) -> DataFrame:
+    """WebDataset-style sharded TAR round trip: group ``shard_size``
+    documents per shard (the grouping a streaming data loader expects),
+    pack each shard as ONE tar whose members are `{doc_id}.txt` +
+    `{doc_id}.json` per sample, then EXTRACT members from the binary
+    column alone and report per-shard stats — sample count, member
+    count, payload/meta byte totals, the exact archive size, and an
+    md5 fingerprint of the sorted member directory (name:size pairs).
+
+    Scale shape: pack is ``applyInPandas`` over the shard key (the
+    shuffle a real shard-writer pays anyway — co-locating a sample's
+    members is the POINT of WebDataset); extract is ``mapInPandas``
+    over the binary column only. Both stages are Arrow-batched; stdlib
+    tarfile does the real container I/O in-sandbox."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    packed_schema = T.StructType(
+        [
+            T.StructField("shard_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for i, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+            members.append((f"{i:08d}.txt", t.encode("utf-8")))
+            members.append(
+                (
+                    f"{i:08d}.json",
+                    f'{{"id":{i},"lang":"{lg}"}}'.encode("utf-8"),
+                )
+            )
+        return pd.DataFrame(
+            {
+                "shard_id": [int(pdf["shard_id"].iloc[0])],
+                "content": [pack_tar(members)],
+            }
+        )
+
+    packed = (
+        docs.select(
+            (F.col("doc_id") / F.lit(shard_size))
+            .cast("long")
+            .alias("shard_id"),
+            "doc_id",
+            "text",
+            "lang",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(pack_shard, packed_schema)
+    )
+
+    def extract(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf["shard_id"], pdf["content"]):
+                members = list_tar_members(bytes(blob))
+                names = sorted(n for n, _ in members)
+                sizes = {n: len(d) for n, d in members}
+                samples = {n.rsplit(".", 1)[0] for n in names}
+                directory = "|".join(
+                    f"{n}:{sizes[n]}" for n in names
+                )
+                rows.append(
+                    (
+                        sid,
+                        len(samples),
+                        len(members),
+                        sum(
+                            sizes[n]
+                            for n in names
+                            if n.endswith(".txt")
+                        ),
+                        sum(
+                            sizes[n]
+                            for n in names
+                            if n.endswith(".json")
+                        ),
+                        len(bytes(blob)),
+                        hashlib.md5(
+                            directory.encode("utf-8")
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TAR_STATS_SCHEMA.fields]
+            )
+
+    return packed.mapInPandas(extract, TAR_STATS_SCHEMA)

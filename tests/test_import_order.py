@@ -33,6 +33,7 @@ MODULES = [
     "queries_batch14",
     "queries_batch15",
     "queries_batch16",
+    "queries_batch17",
 ]
 
 
