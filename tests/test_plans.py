@@ -827,3 +827,20 @@ def test_batch16_plan_properties(plans):
     assert "SortMergeJoin" not in p  # scalar frames broadcast
     p = plans("governance_nightly_report", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch17_plan_properties(plans):
+    """Batch-17 plans: the TAR shard pipeline is exactly one scan, one
+    shard-key exchange, and two Arrow stages (grouped pack + map
+    extract); the zone-map report's joins are broadcasts of the 3-row
+    probe/matched frames (never a fact-sized join); the source matrix
+    has no cartesian and no Python."""
+    p = plans("multimodal_tar_shards", "simple")
+    assert p.count("FileScan parquet") == 1
+    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    p = plans("zone_map_pruning_report", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # probe frames broadcast
+    p = plans("cross_source_duplication_matrix", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
