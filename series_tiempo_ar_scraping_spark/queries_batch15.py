@@ -83,14 +83,16 @@ _PII_CORPUS_SQL = """
 """
 
 
-def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _pii_planted_text():
+    """The planted-text Column (pure doc_id/text/source arithmetic) —
+    shared by the batch corpus and the streaming monitor so both lanes
+    plant the IDENTICAL spans."""
     did = F.col("doc_id")
 
-    def lpad_num(mod: int, width: int) -> F.Column:
+    def lpad_num(mod: int, width: int):
         return F.lpad((did % mod).cast("string"), width, "0")
 
-    planted = F.concat(
+    return F.concat(
         F.col("text"),
         F.when(
             did % 5 == 0,
@@ -114,7 +116,13 @@ def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    return docs.select("doc_id", "source", planted.alias("text"))
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "source", _pii_planted_text().alias("text")
+    )
 
 
 @register(

@@ -362,3 +362,120 @@ def cross_source_duplication_matrix(
         .cast("int")
         .alias("is_cross"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PII monitor (governance on the stream)
+# ---------------------------------------------------------------------------
+
+_PII_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — synthetic arrival clock
+
+
+def _spii_oracle() -> str:
+    """Composes batch 15's registered planted-PII corpus SQL (deferred
+    via oracle_fn — the classification_f1_report pattern — so
+    batch17-first imports stay safe)."""
+    from series_tiempo_ar_scraping_spark.queries_batch15 import (
+        _PII_CORPUS_SQL,
+        _PII_PATTERNS,
+    )
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in _PII_PATTERNS
+    )
+    sums = ", ".join(
+        f"CAST(SUM(n_{name}) AS BIGINT) AS {name}_matches"
+        for name, _ in _PII_PATTERNS
+    )
+    return f"""
+    WITH corpus AS ({_PII_CORPUS_SQL}),
+    b AS (
+      SELECT {_PII_EPOCH} + (doc_id // 60) * 60 AS bucket_epoch,
+             {counts}
+      FROM corpus
+    )
+    SELECT CAST(bucket_epoch AS BIGINT) AS bucket_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs, {sums}
+    FROM b GROUP BY 1
+    """
+
+
+@register("streaming_pii_window_counts", oracle_fn=_spii_oracle)
+def streaming_pii_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PII governance ON THE STREAM: documents arrive as a file-source
+    stream (one synthetic arrival second per doc_id), and per 1-minute
+    tumbling window the monitor counts email/phone/SSN-shaped spans in
+    the planted corpus — readStream → watermark → windowed conditional
+    sums → memory sink (availableNow), hash-matched against the batch
+    oracle. The continuous twin of ``pii_detection_report``: at fleet
+    scale a privacy breach surfaces per-window within minutes, not
+    after the nightly batch.
+
+    Scale shape: the regex census is map-side (same expressions as the
+    batch entry — the point of Structured Streaming); the only state
+    is one watermark-bounded windowed aggregate with map-side combine.
+    Determinism: exact counts on exact window boundaries; the bucket
+    is exported as epoch seconds (bigint), so no timestamp-formatting
+    variance crosses the comparator."""
+    from series_tiempo_ar_scraping_spark.queries_batch15 import (
+        _PII_PATTERNS,
+        _pii_planted_text,
+    )
+
+    # File-source stream over the same parquet the batch lane reads;
+    # the planting expressions apply identically to the stream. The
+    # trailing glob makes Spark treat sf_dir as the directory basePath
+    # while matching only the documents file (the events-stream trick).
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        .parquet(sf_dir.rstrip("/") + "/documents.parquet*")
+    )
+    planted = stream.select(
+        "doc_id",
+        F.timestamp_seconds(
+            F.lit(_PII_EPOCH) + F.col("doc_id")
+        ).alias("ts"),
+        _pii_planted_text().alias("text"),
+    )
+    counts = planted.select(
+        "ts",
+        *[
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pat in _PII_PATTERNS
+        ],
+    )
+    agg = (
+        counts.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[
+                F.sum(f"n_{name}").cast("long").alias(f"{name}_matches")
+                for name, _ in _PII_PATTERNS
+            ],
+        )
+    )
+    name = "stream_pii_window_counts"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp(F.col("window.start"))
+        .cast("long")
+        .alias("bucket_epoch"),
+        "n_docs",
+        *[f"{pname}_matches" for pname, _ in _PII_PATTERNS],
+    )

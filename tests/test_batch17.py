@@ -88,3 +88,21 @@ def test_cross_source_matrix_accounts_every_edge(spark):
     # diagonal dominates
     diag = sum(r.n_dup_pairs for r in rows if not r.is_cross)
     assert diag >= len(rows)
+
+
+def test_streaming_pii_totals_match_batch_census(spark):
+    """Summing the streaming monitor's windows reproduces the batch
+    census totals exactly — stream and batch lanes plant and count the
+    same spans."""
+    batch = QUERIES["pii_detection_report"](spark, SF).collect()
+    want = {
+        k: sum(getattr(r, f"{k}_matches") for r in batch)
+        for k in ("email", "phone", "ssn")
+    }
+    n_docs = sum(r.n_docs for r in batch)
+    wins = QUERIES["streaming_pii_window_counts"](spark, SF).collect()
+    assert sum(r.n_docs for r in wins) == n_docs
+    for k, total in want.items():
+        assert sum(getattr(r, f"{k}_matches") for r in wins) == total
+    # synthetic clock: one doc per second -> at most 60 docs per window
+    assert all(r.n_docs <= 60 for r in wins)
