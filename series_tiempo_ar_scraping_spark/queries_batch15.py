@@ -43,44 +43,25 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 from series_tiempo_ar_scraping_spark.sqlfrags import (
+    PII_CORPUS_SQL,
+    PII_PATTERNS,
     _hex60_seeded,
     _toks_of_norm,
 )
 
 # ---------------------------------------------------------------------------
-# Planted-PII corpus (shared by detection + redaction)
+# Planted-PII corpus (shared by detection + redaction; the pattern and
+# corpus-SQL fragments live in sqlfrags — the LEAF — so the batch-17
+# streaming monitor's deferred oracle can compose them under any import
+# order)
 # ---------------------------------------------------------------------------
 
-# Patterns restricted to the Java-regex/RE2 common subset (explicit
-# classes, bounded quantifiers) so count AND replace agree bit-for-bit.
-_PII_PATTERNS = (
-    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"),
-    ("phone", "[+]1-555-[0-9]{4}"),
-    ("ssn", "900-[0-9]{2}-[0-9]{4}"),
-)
+_PII_PATTERNS = PII_PATTERNS
 
 # Deterministic planting: both engines append the IDENTICAL spans to
 # the same docs (pure arithmetic on doc_id), so detection counts have
 # arithmetic ground truth at every scale.
-_PII_CORPUS_SQL = """
-      SELECT doc_id, source,
-             text
-             || CASE WHEN doc_id % 5 = 0
-                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                          || '@example.com'
-                     ELSE '' END
-             || CASE WHEN doc_id % 7 = 0
-                     THEN ' tel +1-555-'
-                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                     ELSE '' END
-             || CASE WHEN doc_id % 11 = 0
-                     THEN ' id 900-'
-                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
-                          || '-'
-                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                     ELSE '' END AS text
-      FROM documents
-"""
+_PII_CORPUS_SQL = PII_CORPUS_SQL
 
 
 def _pii_planted_text():

@@ -372,24 +372,24 @@ _PII_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — synthetic arrival clock
 
 
 def _spii_oracle() -> str:
-    """Composes batch 15's registered planted-PII corpus SQL (deferred
-    via oracle_fn — the classification_f1_report pattern — so
-    batch17-first imports stay safe)."""
-    from series_tiempo_ar_scraping_spark.queries_batch15 import (
-        _PII_CORPUS_SQL,
-        _PII_PATTERNS,
+    """Composes the planted-PII fragments from sqlfrags (the LEAF — a
+    batch-15 read here would see a partially initialized sibling under
+    batch15-first imports; the leaf rule, see test_import_order)."""
+    from series_tiempo_ar_scraping_spark.sqlfrags import (
+        PII_CORPUS_SQL,
+        PII_PATTERNS,
     )
 
     counts = ", ".join(
         f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
-        for name, pat in _PII_PATTERNS
+        for name, pat in PII_PATTERNS
     )
     sums = ", ".join(
         f"CAST(SUM(n_{name}) AS BIGINT) AS {name}_matches"
-        for name, _ in _PII_PATTERNS
+        for name, _ in PII_PATTERNS
     )
     return f"""
-    WITH corpus AS ({_PII_CORPUS_SQL}),
+    WITH corpus AS ({PII_CORPUS_SQL}),
     b AS (
       SELECT {_PII_EPOCH} + (doc_id // 60) * 60 AS bucket_epoch,
              {counts}

@@ -383,3 +383,41 @@ def _sp_points_sql() -> str:
               % {_SP_GRID}) AS y
       FROM customer
     """
+
+
+# ---------------------------------------------------------------------------
+# Planted-PII corpus (batch 15 census/redaction + batch 17 stream monitor)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex/RE2 common subset (explicit
+# classes, bounded quantifiers) so count AND replace agree bit-for-bit.
+PII_PATTERNS = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"),
+    ("phone", "[+]1-555-[0-9]{4}"),
+    ("ssn", "900-[0-9]{2}-[0-9]{4}"),
+)
+
+# Deterministic planting: both engines append the IDENTICAL spans to
+# the same docs (pure arithmetic on doc_id), so detection counts have
+# arithmetic ground truth at every scale. Lives in this LEAF module so
+# cross-batch consumers (the streaming monitor's deferred oracle) never
+# read a partially initialized sibling batch.
+PII_CORPUS_SQL = """
+      SELECT doc_id, source,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' tel +1-555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' id 900-'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                          || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END AS text
+      FROM documents
+"""
