@@ -239,6 +239,10 @@ BENCH_QUERIES_EXT = [
     "multimodal_tar_shards",
     "zone_map_pruning_report",
     "cross_source_duplication_matrix",
+    # round 8 (batch 18: retention/erasure/lateness)
+    "retention_purge_audit",
+    "gdpr_erasure_audit",
+    "out_of_order_lateness_profile",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

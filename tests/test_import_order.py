@@ -34,6 +34,7 @@ MODULES = [
     "queries_batch15",
     "queries_batch16",
     "queries_batch17",
+    "queries_batch18",
 ]
 
 
