@@ -844,3 +844,21 @@ def test_batch17_plan_properties(plans):
     assert "SortMergeJoin" not in p  # probe frames broadcast
     p = plans("cross_source_duplication_matrix", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch18_plan_properties(plans):
+    """Batch-18 plans: the purge audit's only join is the broadcast of
+    the 1-row anchor (never a fact-sized join); the erasure audit is
+    three independent single-scan subtrees with zero joins; the
+    lateness profile is one scan, one user-keyed window shuffle, one
+    aggregate shuffle — all with map-side combine and no Python."""
+    p = plans("retention_purge_audit", "simple")
+    assert "EvalPython" not in p and "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row anchor
+    p = plans("gdpr_erasure_audit", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 3  # one scan per table
+    p = plans("out_of_order_lateness_profile", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Exchange") == 2  # user window + type aggregate
