@@ -243,6 +243,9 @@ BENCH_QUERIES_EXT = [
     "retention_purge_audit",
     "gdpr_erasure_audit",
     "out_of_order_lateness_profile",
+    # round 8 (batch 19: classifier/storage advice)
+    "perceptron_training",
+    "encoding_advisor",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

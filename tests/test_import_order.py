@@ -35,6 +35,7 @@ MODULES = [
     "queries_batch16",
     "queries_batch17",
     "queries_batch18",
+    "queries_batch19",
 ]
 
 
