@@ -233,65 +233,88 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC writer's stats collector runs before choosing encodings; the
     storage sibling of ``table_profile_report``.
 
-    Scale shape: one window per block (bounded partitions keyed by
-    orderkey range), block run-counts roll up in one aggregate; NDV is
-    the one COUNT(DISTINCT) (the HLL path replaces it at fleet scale
-    per SCALE.md). Determinism: values compare as strings in both
-    engines (the lag is over a cast column, not a double), counts and
-    the micro average are exact integer arithmetic."""
+    Scale shape: ALL columns share ONE window pass (identical
+    partition/order — one scan, one block-keyed sort) and one stats
+    scan (every NDV in one aggregate); per-column rows fan out by a
+    generator, the table_profile_report pattern. NDV is the one
+    COUNT(DISTINCT) (the HLL path replaces it at fleet scale per
+    SCALE.md). Determinism: values compare as strings in both engines
+    (the lag is over a cast column, not a double), counts and the
+    micro average are exact integer arithmetic."""
     orders = load_table(spark, sf_dir, "orders")
-    frames = []
-    for c in _ENC_COLS:
-        blk = F.expr(f"o_orderkey DIV {_ENC_BLOCK}")
-        w = Window.partitionBy(blk).orderBy("o_orderkey")
-        runs_per_blk = (
-            orders.select(
-                blk.alias("blk"),
-                F.col(c).cast("string").alias("v"),
-                F.lag(F.col(c).cast("string")).over(w).alias("prev"),
+    blk = F.expr(f"o_orderkey DIV {_ENC_BLOCK}")
+    w = Window.partitionBy(blk).orderBy("o_orderkey")
+    lagged = orders.select(
+        blk.alias("blk"),
+        *[
+            col
+            for c in _ENC_COLS
+            for col in (
+                F.col(c).cast("string").alias(f"v_{c}"),
+                F.lag(F.col(c).cast("string")).over(w).alias(f"p_{c}"),
             )
-            .groupBy("blk")
-            .agg(
-                (
-                    F.lit(1)
-                    + F.sum(
-                        F.when(F.col("v") != F.col("prev"), 1).otherwise(
-                            0
-                        )
+        ],
+    )
+    runs_per_blk = lagged.groupBy("blk").agg(
+        *[
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col(f"v_{c}") != F.col(f"p_{c}"), 1
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias(f"runs_{c}")
+            for c in _ENC_COLS
+        ]
+    )
+    totals = runs_per_blk.agg(
+        *[
+            F.sum(f"runs_{c}").cast("long").alias(f"n_runs_{c}")
+            for c in _ENC_COLS
+        ]
+    )
+    stats = orders.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"ndv_{c}")
+            for c in _ENC_COLS
+        ],
+    )
+    wide = totals.crossJoin(F.broadcast(stats))
+    rows = wide.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"ndv_{c}").alias("ndv"),
+                        F.col(f"n_runs_{c}").alias("n_runs"),
                     )
-                )
-                .cast("long")
-                .alias("runs")
+                    for c in _ENC_COLS
+                ]
             )
-        )
-        stats = orders.agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.countDistinct(c).cast("long").alias("ndv"),
-        )
-        total = runs_per_blk.agg(
-            F.sum("runs").cast("long").alias("n_runs")
-        )
-        joined = total.crossJoin(F.broadcast(stats)).select(
-            F.lit(c).alias("column_name"),
-            "n_rows",
-            "ndv",
-            "n_runs",
-            F.expr("CAST(n_rows * 1000000 DIV n_runs AS BIGINT)").alias(
-                "avg_run_len_micro"
-            ),
-        )
-        frames.append(
-            joined.select(
-                "*",
-                F.when(
-                    F.col("avg_run_len_micro") >= 4000000, "rle"
-                )
-                .when(F.col("ndv") * 100 <= F.col("n_rows"), "dict")
-                .otherwise("plain")
-                .alias("recommended"),
-            )
-        )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
-    return out
+        ).alias("r"),
+    ).select(
+        F.col("r.column_name").alias("column_name"),
+        "n_rows",
+        F.col("r.ndv").alias("ndv"),
+        F.col("r.n_runs").alias("n_runs"),
+        F.expr(
+            "CAST(n_rows * 1000000 DIV r.n_runs AS BIGINT)"
+        ).alias("avg_run_len_micro"),
+    )
+    return rows.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        "avg_run_len_micro",
+        F.when(F.col("avg_run_len_micro") >= 4000000, "rle")
+        .when(F.col("ndv") * 100 <= F.col("n_rows"), "dict")
+        .otherwise("plain")
+        .alias("recommended"),
+    )

@@ -862,3 +862,19 @@ def test_batch18_plan_properties(plans):
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
     assert p.count("Exchange") == 2  # user window + type aggregate
+
+
+def test_batch19_plan_properties(plans):
+    """Batch-19 plans: perceptron rounds run off the lazily
+    checkpointed feature frame (ExistingRDD per round, zero file
+    rescans, no joins beyond the 1-row weight broadcast); the encoding
+    advisor shares ONE window pass across all columns — exactly two
+    scans (runs + stats) regardless of column count."""
+    p = plans("perceptron_training", "simple")
+    assert "EvalPython" not in p and "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 0  # checkpointed features
+    assert "Scan ExistingRDD" in p
+    p = plans("encoding_advisor", "simple")
+    assert "EvalPython" not in p and "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 2  # one window + one stats
+    assert p.count("Window") == 1
