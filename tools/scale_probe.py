@@ -184,6 +184,26 @@ def main() -> None:
         .groupBy("a", "b")
         .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")))
         .write.mode("overwrite").format("noop").save(),
+        # round 8 batch 15/17: the governance regex kernel — one
+        # extract_all census + one chained replace over the same text,
+        # the PII detect/redact hot path. Map-only; rides whole-stage
+        # codegen (Java regex, no Python).
+        "pii_regex_scan": lambda e: e.select(
+            F.size(
+                F.regexp_extract_all(
+                    F.concat_ws(" ", "props", "event_type"),
+                    F.lit("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"),
+                    F.lit(0),
+                )
+            ).alias("n"),
+            F.length(
+                F.regexp_replace(
+                    F.concat_ws(" ", "props", "event_type"),
+                    "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+                    "<ID>",
+                )
+            ).alias("m"),
+        ).write.mode("overwrite").format("noop").save(),
         # round 8: zipf(1) keys (hottest key ~8.7% of all rows) through
         # the two paths SCALE.md prescribes for skew. salted_zipf_agg is
         # the salted_user_event_stats pattern: (key, salt16) partials
