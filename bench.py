@@ -246,6 +246,10 @@ BENCH_QUERIES_EXT = [
     # round 8 (batch 19: classifier/storage advice)
     "perceptron_training",
     "encoding_advisor",
+    # round 8 (batch 20: media probes, flow)
+    "multimodal_mp3_framewalk",
+    "multimodal_h264_nalwalk",
+    "session_entry_paths",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

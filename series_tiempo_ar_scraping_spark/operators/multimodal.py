@@ -1588,3 +1588,256 @@ def tar_shard_stats(docs: DataFrame, shard_size: int = 8) -> DataFrame:
             )
 
     return packed.mapInPandas(extract, TAR_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header walking (stdlib byte parsing — no audio libs)
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbps) indexed 1..14; 0/15 invalid.
+MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320
+)
+MP3_SAMPLERATES = (44100, 48000, 32000)  # index 0..2; 3 reserved
+MP3_SAMPLES_PER_FRAME = 1152
+
+MP3_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("samplerate", T.LongType()),
+        T.StructField("duration_micros", T.LongType()),
+        T.StructField("sum_bitrate_kbps", T.LongType()),
+    ]
+)
+
+
+def mp3_frame_bytes(bitrate_idx: int, sr_idx: int, padding: int) -> bytes:
+    """ONE well-formed MPEG-1 Layer III frame: 4-byte header (sync
+    0xFFE, version 1, layer III, no CRC) + zero filler to the exact
+    frame length 144000*kbps // samplerate + padding."""
+    kbps = MP3_BITRATES[bitrate_idx]
+    sr = MP3_SAMPLERATES[sr_idx]
+    size = (144000 * kbps) // sr + padding
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # sync + MPEG1 + Layer III + no-CRC
+            (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1),
+            0x00,
+        ]
+    )
+    return hdr + b"\x00" * (size - 4)
+
+
+def walk_mp3_frames(data: bytes) -> list:
+    """Frame-header walk: returns [(bitrate_kbps, samplerate, size)]
+    per frame, advancing by each header's computed frame length —
+    exactly how duration estimators (ffprobe, mp3 players) size a
+    stream without decoding audio. Stops cleanly on garbage."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break
+        version = (data[pos + 1] >> 3) & 0x3
+        layer = (data[pos + 1] >> 1) & 0x3
+        if version != 3 or layer != 1:  # only MPEG-1 Layer III here
+            break
+        bidx = (data[pos + 2] >> 4) & 0xF
+        sidx = (data[pos + 2] >> 2) & 0x3
+        pad = (data[pos + 2] >> 1) & 0x1
+        if bidx in (0, 15) or sidx == 3:
+            break
+        kbps = MP3_BITRATES[bidx]
+        sr = MP3_SAMPLERATES[sidx]
+        size = (144000 * kbps) // sr + pad
+        if pos + size > n:
+            break
+        out.append((kbps, sr, size))
+        pos += size
+    return out
+
+
+def mp3_framewalk_stats(docs: DataFrame) -> DataFrame:
+    """Plant a deterministic MP3 frame sequence per document (frame
+    count/bitrate/padding all doc_id arithmetic, one fixed samplerate
+    per doc), then WALK the headers from the binary column alone and
+    report stream stats — the duration/bitrate probe a media pipeline
+    runs before any decode. Both stages Arrow-batched; the planted
+    stream means DuckDB oracles every output arithmetically."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    packed_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_frames = 3 + did % 5
+                sr_idx = did % 3
+                blob = b"".join(
+                    mp3_frame_bytes(
+                        1 + (did + i) % 14, sr_idx, (did + i) % 2
+                    )
+                    for i in range(n_frames)
+                )
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": blobs}
+            )
+
+    packed = docs.select("doc_id").mapInPandas(pack, packed_schema)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames = walk_mp3_frames(bytes(blob))
+                sr = frames[0][1] if frames else 0
+                n = len(frames)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        sum(f[2] for f in frames),
+                        sr,
+                        (n * MP3_SAMPLES_PER_FRAME * 1_000_000) // sr
+                        if sr
+                        else 0,
+                        sum(f[0] for f in frames),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP3_STATS_SCHEMA.fields]
+            )
+
+    return packed.mapInPandas(walk, MP3_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B NAL walking (stdlib byte parsing — no video libs)
+# ---------------------------------------------------------------------------
+
+H264_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_nals", T.LongType()),
+        T.StructField("n_idr", T.LongType()),
+        T.StructField("n_slices", T.LongType()),
+        T.StructField("has_parameter_sets", T.IntegerType()),
+        T.StructField("total_payload_bytes", T.LongType()),
+    ]
+)
+
+
+def h264_nal_bytes(nal_type: int, payload_len: int) -> bytes:
+    """One Annex-B NAL unit: 4-byte start code, 1-byte header
+    (forbidden_zero=0, nal_ref_idc=3, type), deterministic filler that
+    never contains a start code (0xAA bytes)."""
+    hdr = bytes([0x60 | (nal_type & 0x1F)])
+    return b"\x00\x00\x00\x01" + hdr + b"\xaa" * payload_len
+
+
+def walk_h264_nals(data: bytes) -> list:
+    """Annex-B walk: split on 0x000001 start codes (3- or 4-byte),
+    return [(nal_type, payload_len)] — the stream-structure probe
+    (keyframe cadence, parameter-set presence) a video pipeline runs
+    before handing segments to a real decoder."""
+    out = []
+    i = 0
+    n = len(data)
+    starts = []
+    while i + 3 <= n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            starts.append(i + 3)
+            i += 3
+        else:
+            i += 1
+    for idx, s in enumerate(starts):
+        e = n
+        if idx + 1 < len(starts):
+            e = starts[idx + 1] - 3
+            # a 4-byte start code owns one leading zero byte
+            if e > 0 and data[e - 1] == 0:
+                e -= 1
+        if s >= e:
+            continue
+        out.append((data[s] & 0x1F, e - s - 1))
+    return out
+
+
+def h264_nal_stats(docs: DataFrame) -> DataFrame:
+    """Plant a deterministic Annex-B NAL sequence per document
+    (SPS, PPS, one IDR, then doc_id%4+1 non-IDR slices, payload sizes
+    doc_id arithmetic), then WALK start codes from the binary column
+    alone and report stream structure. Arrow-batched both ways; the
+    planted stream means DuckDB oracles every output arithmetically."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    packed_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nals = [
+                    h264_nal_bytes(7, 10 + did % 20),  # SPS
+                    h264_nal_bytes(8, 4 + did % 8),  # PPS
+                    h264_nal_bytes(5, 100 + did % 50),  # IDR
+                ]
+                for j in range(1 + did % 4):
+                    nals.append(
+                        h264_nal_bytes(1, 40 + (did + j) % 30)
+                    )
+                blobs.append(b"".join(nals))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": blobs}
+            )
+
+    packed = docs.select("doc_id").mapInPandas(pack, packed_schema)
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                nals = walk_h264_nals(bytes(blob))
+                types = [t for t, _ in nals]
+                rows.append(
+                    (
+                        mid,
+                        len(nals),
+                        sum(1 for t in types if t == 5),
+                        sum(1 for t in types if t == 1),
+                        int(7 in types and 8 in types),
+                        sum(sz for _, sz in nals),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in H264_STATS_SCHEMA.fields],
+            )
+
+    return packed.mapInPandas(walk, H264_STATS_SCHEMA)

@@ -36,6 +36,7 @@ MODULES = [
     "queries_batch17",
     "queries_batch18",
     "queries_batch19",
+    "queries_batch20",
 ]
 
 
