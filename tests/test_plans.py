@@ -878,3 +878,17 @@ def test_batch19_plan_properties(plans):
     assert "EvalPython" not in p and "SortMergeJoin" not in p
     assert p.count("FileScan parquet") == 2  # one window + one stats
     assert p.count("Window") == 1
+
+
+def test_batch20_plan_properties(plans):
+    """Batch-20 plans: the media walkers are two Arrow stages with no
+    shuffle at all (per-row transforms — MapInPandas over the doc_id
+    projection); entry paths pay exactly the user window shuffle plus
+    the bounded path aggregate."""
+    for name in ("multimodal_mp3_framewalk", "multimodal_h264_nalwalk"):
+        p = plans(name, "simple")
+        assert p.count("MapInPandas") == 2, name
+        assert "Exchange" not in p, name  # no shuffle: per-row lanes
+    p = plans("session_entry_paths", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
