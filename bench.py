@@ -250,6 +250,10 @@ BENCH_QUERIES_EXT = [
     "multimodal_mp3_framewalk",
     "multimodal_h264_nalwalk",
     "session_entry_paths",
+    # round 8 (batch 21: latency/reputation/sharding)
+    "conversion_latency_histogram",
+    "source_reputation_score",
+    "stratified_minibatch_assignment",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

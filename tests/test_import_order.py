@@ -37,6 +37,7 @@ MODULES = [
     "queries_batch18",
     "queries_batch19",
     "queries_batch20",
+    "queries_batch21",
 ]
 
 
