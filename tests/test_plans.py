@@ -892,3 +892,20 @@ def test_batch20_plan_properties(plans):
     p = plans("session_entry_paths", "simple")
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_batch21_plan_properties(plans):
+    """Batch-21 plans: the latency histogram is one scan + one
+    user-keyed aggregate (no window, no join); minibatch assignment
+    pays exactly the label-window shuffle; the reputation score's
+    global rank window runs on the bounded per-source frame (its
+    single partition is |sources| rows by construction)."""
+    p = plans("conversion_latency_histogram", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert "Window" not in p  # conditional-min aggregate, not a window
+    assert p.count("FileScan parquet") == 1
+    p = plans("stratified_minibatch_assignment", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("Exchange") == 1  # the lang window's shuffle only
+    p = plans("source_reputation_score", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
