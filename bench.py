@@ -254,6 +254,9 @@ BENCH_QUERIES_EXT = [
     "conversion_latency_histogram",
     "source_reputation_score",
     "stratified_minibatch_assignment",
+    # round 8 (batch 22: watermark sizing, DP mechanism)
+    "watermark_delay_sweep",
+    "dp_noisy_histogram",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -38,6 +38,7 @@ MODULES = [
     "queries_batch19",
     "queries_batch20",
     "queries_batch21",
+    "queries_batch22",
 ]
 
 
