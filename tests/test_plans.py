@@ -909,3 +909,17 @@ def test_batch21_plan_properties(plans):
     assert p.count("Exchange") == 1  # the lang window's shuffle only
     p = plans("source_reputation_score", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch22_plan_properties(plans):
+    """Batch-22 plans: the sweep pays the same single lateness window
+    plus ONE wide aggregate (no per-delay rescan); the DP histogram is
+    one grouped count with noise applied on the bounded group frame."""
+    p = plans("watermark_delay_sweep", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Window") == 1
+    p = plans("dp_noisy_histogram", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert "partial_count" in p  # map-side combine on the count
