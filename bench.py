@@ -257,6 +257,8 @@ BENCH_QUERIES_EXT = [
     # round 8 (batch 22: watermark sizing, DP mechanism)
     "watermark_delay_sweep",
     "dp_noisy_histogram",
+    # round 8 (batch 23: 11th iterative family)
+    "hits_hub_authority",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -39,6 +39,7 @@ MODULES = [
     "queries_batch20",
     "queries_batch21",
     "queries_batch22",
+    "queries_batch23",
 ]
 
 
