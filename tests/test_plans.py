@@ -923,3 +923,13 @@ def test_batch22_plan_properties(plans):
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
     assert "partial_count" in p  # map-side combine on the count
+
+
+def test_batch23_plan_properties(plans):
+    """HITS rounds run off the checkpointed edge list (ExistingRDD —
+    the edges never re-derive from parquet across rounds) with the
+    1-row max frames broadcast back; no Python, no cartesian."""
+    p = plans("hits_hub_authority", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # checkpointed edges/scores
+    assert "BroadcastNestedLoopJoin" in p  # 1-row max normalization
