@@ -926,10 +926,12 @@ def test_batch22_plan_properties(plans):
 
 
 def test_batch23_plan_properties(plans):
-    """HITS rounds run off the checkpointed edge list (ExistingRDD —
-    the edges never re-derive from parquet across rounds) with the
-    1-row max frames broadcast back; no Python, no cartesian."""
+    """HITS's per-round work executes during eager checkpointing, so
+    the FINAL plan must be nothing but the join of the two
+    checkpointed score vectors — zero parquet rescans (a FileScan
+    here means a round's lineage leaked past its checkpoint), no
+    Python, no cartesian."""
     p = plans("hits_hub_authority", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
-    assert "Scan ExistingRDD" in p  # checkpointed edges/scores
-    assert "BroadcastNestedLoopJoin" in p  # 1-row max normalization
+    assert p.count("Scan ExistingRDD") == 2  # final h and a vectors
+    assert "FileScan" not in p  # no lineage leak past checkpoints
