@@ -73,6 +73,35 @@ FEATURES_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 
 
+_PD_DTYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "double": "float64",
+    "string": "object",
+    "binary": "object",
+}
+
+
+def typed_pdf(rows: list, schema: "T.StructType") -> pd.DataFrame:
+    """Schema-dtyped pandas frame for mapInPandas outputs. An EMPTY
+    `pd.DataFrame(rows, columns=...)` infers all-NA object columns,
+    which pyspark's serializer concatenates with a pandas
+    FutureWarning (and a dtype change under pandas 3 that would break
+    the Arrow conversion). Building empty batches with the schema's
+    dtypes keeps every batch's dtype identical, full or empty."""
+    names = [f.name for f in schema.fields]
+    if rows:
+        return pd.DataFrame(rows, columns=names)
+    return pd.DataFrame(
+        {
+            f.name: pd.Series(
+                dtype=_PD_DTYPES.get(f.dataType.simpleString(), "object")
+            )
+            for f in schema.fields
+        }
+    )
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """Encode an (H, W, 3) uint8 array as binary PPM (P6, maxval 255)."""
     h, w, c = pixels.shape
@@ -1419,9 +1448,7 @@ def zip_roundtrip_stats(docs: DataFrame) -> DataFrame:
                         meta.decode("utf-8", errors="replace"),
                     )
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in ZIP_STATS_SCHEMA.fields]
-            )
+            yield typed_pdf(rows, ZIP_STATS_SCHEMA)
 
     return packed.mapInPandas(extract, ZIP_STATS_SCHEMA)
 
@@ -1583,9 +1610,7 @@ def tar_shard_stats(docs: DataFrame, shard_size: int = 8) -> DataFrame:
                         ).hexdigest(),
                     )
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in TAR_STATS_SCHEMA.fields]
-            )
+            yield typed_pdf(rows, TAR_STATS_SCHEMA)
 
     return packed.mapInPandas(extract, TAR_STATS_SCHEMA)
 
@@ -1720,9 +1745,7 @@ def mp3_framewalk_stats(docs: DataFrame) -> DataFrame:
                         sum(f[0] for f in frames),
                     )
                 )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MP3_STATS_SCHEMA.fields]
-            )
+            yield typed_pdf(rows, MP3_STATS_SCHEMA)
 
     return packed.mapInPandas(walk, MP3_STATS_SCHEMA)
 
@@ -1835,9 +1858,6 @@ def h264_nal_stats(docs: DataFrame) -> DataFrame:
                         sum(sz for _, sz in nals),
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[f.name for f in H264_STATS_SCHEMA.fields],
-            )
+            yield typed_pdf(rows, H264_STATS_SCHEMA)
 
     return packed.mapInPandas(walk, H264_STATS_SCHEMA)
