@@ -77,27 +77,39 @@ _PD_DTYPES = {
     "bigint": "int64",
     "int": "int32",
     "double": "float64",
+    "float": "float32",
+    "boolean": "bool",
     "string": "object",
     "binary": "object",
 }
 
 
-def typed_pdf(rows: list, schema: "T.StructType") -> pd.DataFrame:
+def typed_pdf(rows: list, schema) -> pd.DataFrame:
     """Schema-dtyped pandas frame for mapInPandas outputs. An EMPTY
     `pd.DataFrame(rows, columns=...)` infers all-NA object columns,
     which pyspark's serializer concatenates with a pandas
     FutureWarning (and a dtype change under pandas 3 that would break
     the Arrow conversion). Building empty batches with the schema's
     dtypes keeps every batch's dtype identical, full or empty."""
-    names = [f.name for f in schema.fields]
+    if isinstance(schema, str):
+        # flat "name type, name type" DDL only — parsed by hand because
+        # StructType.fromDDL needs a live SparkContext, which executor
+        # Python workers (where this runs) do not have
+        fields = [
+            tuple(part.strip().split(None, 1))
+            for part in schema.split(",")
+        ]
+    else:
+        fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+    names = [n for n, _ in fields]
     if rows:
         return pd.DataFrame(rows, columns=names)
     return pd.DataFrame(
         {
-            f.name: pd.Series(
-                dtype=_PD_DTYPES.get(f.dataType.simpleString(), "object")
-            )
-            for f in schema.fields
+            n: pd.Series(dtype=_PD_DTYPES.get(t, "object"))
+            for n, t in fields
         }
     )
 

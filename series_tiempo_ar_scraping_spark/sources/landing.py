@@ -186,11 +186,10 @@ def download_many(
                     )
                 except OSError as exc:
                     rows.append((url, path, False, None, attempts, repr(exc)))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "file_path", "ok", "n_bytes", "attempts", "error",
-                ],
+            from series_tiempo_ar_scraping_spark.operators.multimodal import (
+                typed_pdf,
             )
+
+            yield typed_pdf(rows, DOWNLOAD_RESULT_SCHEMA)
 
     return t.mapInPandas(run, DOWNLOAD_RESULT_SCHEMA)
