@@ -57,9 +57,11 @@ def _extract_one(path: str) -> pd.DataFrame:
             (fname, sheet, row, col, value)
             for sheet, row, col, value in iter_cells(path)
         ]
-        return pd.DataFrame(
-            rows, columns=["file", "sheet", "row", "col", "value"]
+        from series_tiempo_ar_scraping_spark.operators.multimodal import (
+            typed_pdf,
         )
+
+        return typed_pdf(rows, CELLS_SCHEMA)
     if path.endswith(".xls"):
         # Stdlib BIFF8/CFB parse (sources/xls.py) — no xlrd needed; the
         # reference routes .xls and .xlsx alike (base.py:134,144).
@@ -70,9 +72,11 @@ def _extract_one(path: str) -> pd.DataFrame:
             (fname, sheet, row, col, value)
             for sheet, row, col, value in iter_cells_xls(path)
         ]
-        return pd.DataFrame(
-            rows, columns=["file", "sheet", "row", "col", "value"]
+        from series_tiempo_ar_scraping_spark.operators.multimodal import (
+            typed_pdf,
         )
+
+        return typed_pdf(rows, CELLS_SCHEMA)
     raise NotImplementedError(f"unsupported workbook format: {path}")
 
 
