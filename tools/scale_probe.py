@@ -102,6 +102,47 @@ def _zipf_key():
     ).cast("long").alias("zkey")
 
 
+def _tar_kernel(e):
+    """mapInPandas pack->walk round trip over the props column."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        list_tar_members,
+        pack_tar,
+        typed_pdf,
+    )
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(e.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for eid, props in zip(pdf["event_id"], pdf["props"]):
+                blob = pack_tar(
+                    [
+                        (f"{int(eid) % 10**8:08d}.txt",
+                         str(props).encode()),
+                        (f"{int(eid) % 10**8:08d}.json", b"{}"),
+                    ]
+                )
+                members = list_tar_members(blob)
+                rows.append(
+                    (int(eid), len(blob), sum(len(d) for _, d in members))
+                )
+            yield typed_pdf(
+                rows, "event_id bigint, tar_bytes bigint, payload bigint"
+            )
+
+    (
+        e.select("event_id", "props")
+        .mapInPandas(run, "event_id bigint, tar_bytes bigint, payload bigint")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
@@ -184,6 +225,13 @@ def main() -> None:
         .groupBy("a", "b")
         .agg(F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb")))
         .write.mode("overwrite").format("noop").save(),
+        # round 8 batch 17/20: the Arrow container kernel — the ONE
+        # sanctioned Python lane in the hot path. Per row: pack a
+        # 2-member tar from the props bytes, then walk it back. This
+        # prices mapInPandas round trips (Arrow transfer + per-row
+        # Python) so the multimodal family gets a 100 TB budget like
+        # the string kernels.
+        "tar_container_kernel": lambda e: _tar_kernel(e),
         # round 8 batch 15/17: the governance regex kernel — one
         # extract_all census + one chained replace over the same text,
         # the PII detect/redact hot path. Map-only; rides whole-stage
