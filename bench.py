@@ -394,6 +394,10 @@ def build_output(
         # 45-query extended total, v2 = r7+ ("value" is the frozen
         # 29-query r2 subtotal; extended lives in value_ext).
         "schema_version": 2,
+        # written-at timestamp INSIDE the artifact: git checkouts reset
+        # file mtimes, so tools/bench_regression.py sorts on this field
+        # (mtime is only the legacy fallback for pre-r9 artifacts)
+        "ts": round(time.time(), 3),
         "value_r2set": r2set,
         "value_ext": ext_total,
         "n_queries": len(timings),

@@ -126,18 +126,21 @@ def run_etl(
 
         meta_err_cols = res.metadata_errors.columns
         meta_err_rows = [tuple(r) for r in res.metadata_errors.collect()]
-        report_files = [
-            write_report_xlsx(res.dataset_report, report_dir, "reporte-datasets"),
-            write_xlsx(
+        # keyed by workbook name (the STAGE_ATTACHMENTS manifest
+        # vocabulary), not list position — consumers must never depend
+        # on append order (ADVICE r8)
+        report_files = {
+            "reporte-datasets": write_report_xlsx(
+                res.dataset_report, report_dir, "reporte-datasets"
+            ),
+            "reporte-errores-metadata": write_xlsx(
                 os.path.join(report_dir, "reporte-errores-metadata.xlsx"),
                 {"reporte-errores-metadata": (meta_err_cols, meta_err_rows)},
             ),
-        ]
+        }
         if res.distribution_report is not None:
-            report_files.append(
-                write_report_xlsx(
-                    res.distribution_report, report_dir, "reporte-distributions"
-                )
+            report_files["reporte-distributions"] = write_report_xlsx(
+                res.distribution_report, report_dir, "reporte-distributions"
             )
         # EP1 — declarative data contracts over the run's OWN produced
         # frames (operators/expectations.py): scraped observations must
@@ -160,13 +163,9 @@ def run_etl(
             contract_violations = sum(
                 r[c_cols.index("n_violations")] for r in c_rows
             )
-            report_files.append(
-                write_xlsx(
-                    os.path.join(
-                        report_dir, "reporte-expectations.xlsx"
-                    ),
-                    {"reporte-expectations": (c_cols, c_rows)},
-                )
+            report_files["reporte-expectations"] = write_xlsx(
+                os.path.join(report_dir, "reporte-expectations.xlsx"),
+                {"reporte-expectations": (c_cols, c_rows)},
             )
         return {
             "indicators": ind,
@@ -246,7 +245,7 @@ def run_etl(
                         stage,
                         email_config,
                         body(cid, r),
-                        r["reports"],
+                        list(r["reports"].values()),
                         environment=environment,
                         dry_run=email_dry_run,
                     )

@@ -94,11 +94,23 @@ def typed_pdf(rows: list, schema) -> pd.DataFrame:
     if isinstance(schema, str):
         # flat "name type, name type" DDL only — parsed by hand because
         # StructType.fromDDL needs a live SparkContext, which executor
-        # Python workers (where this runs) do not have
-        fields = [
-            tuple(part.strip().split(None, 1))
-            for part in schema.split(",")
-        ]
+        # Python workers (where this runs) do not have.  Comma-bearing
+        # types (decimal(10,2), array<...>, map<k,v>, struct<...>) would
+        # split wrong and die with an opaque unpack ValueError inside an
+        # executor — reject them up front with the contract instead.
+        if "(" in schema or "<" in schema:
+            raise ValueError(
+                "typed_pdf supports flat name-type DDL only (no "
+                "decimal(p,s)/array/map/struct) — pass a StructType for "
+                f"nested or parameterized types; got: {schema!r}"
+            )
+        parts = [p.strip() for p in schema.split(",")]
+        bad = [p for p in parts if len(p.split(None, 1)) != 2]
+        if bad:
+            raise ValueError(
+                f"typed_pdf: malformed DDL entries {bad!r} in {schema!r}"
+            )
+        fields = [tuple(part.split(None, 1)) for part in parts]
     else:
         fields = [
             (f.name, f.dataType.simpleString()) for f in schema.fields

@@ -903,42 +903,45 @@ _DRIVER_GATE_PRIORITY = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "ivf_ann_topk",
     "multimodal_features",
     "tfidf_top_terms",
     "stratified_sample_documents",
     # Showcase relational extensions
-    "pivot_monthly_region_revenue",
-    "unpivot_lineitem_measures",
     "topk_orders_per_priority",
-    "rollup_order_indicators",
     "sessionize_events",
     "range_join_purchase_context",
-    # Round-8 rotation (VERDICT r7 #1): the hard half of the catalog —
-    # composed pipelines, iterative families, exact similarity joins,
-    # sketches, CDC/bitemporal, survival/attribution — moved under the
-    # driver's independent hash gate after six rounds on self-check.
-    "corpus_curation_pipeline",
-    "series_nightly_rollup",
+    # Round-8 rotation survivors (VERDICT r7 #1): one exemplar per hard
+    # family stays under the driver gate; siblings verified in r8 rotate
+    # back to the local mirror.
     "nightly_quality_report",
-    "embedding_index_pipeline",
     "kmeans_lloyd_clusters",
     "bpe_train_merges",
-    "graph_bounded_shortest_paths",
-    "graph_kcore_extraction",
-    "markov_removal_attribution",
-    "embedding_power_iteration",
     "spatial_dbscan_clusters",
-    "prefix_filter_jaccard_join",
-    "substring_span_dedup",
-    "hll_set_union_intersect",
     "cdc_apply_roundtrip",
     "survival_kaplan_meier",
     "asof_nearest_click_to_purchase",
-    "inventory_clamped_balance",
     "golden_record_survivorship",
     "split_leakage_audit",
+    # Round-9 rotation (VERDICT r8 #4): none of the nine r8 batches was
+    # driver-verified — the governance lane, the two new iterative
+    # families, the container/sketch/profile additions, and the closed
+    # label-noise scale-killer all move under the independent hash gate.
+    "governance_nightly_report",
+    "pii_detection_report",
+    "pii_redaction_audit",
+    "gopher_repetition_report",
+    "table_profile_report",
+    "inverted_index_build",
+    "histogram_quantile_sketch",
+    "url_canonicalize_dedup",
+    "hits_hub_authority",
+    "perceptron_training",
+    "multimodal_tar_shards",
+    "watermark_delay_sweep",
+    "woe_information_value",
+    "max_concurrent_user_spans",
+    "label_noise_knn_disagreement",
 ]
 
 

@@ -2419,10 +2419,10 @@ def vocab_size_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     risk AS (
       SELECT duration, d, c,
-             (SELECT CAST(COUNT(*) AS BIGINT) FROM u)
+             CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM u)
                - (SUM(leaving) OVER (ORDER BY duration
                                      ROWS UNBOUNDED PRECEDING)
-                  - leaving) AS n_risk
+                  - leaving) AS BIGINT) AS n_risk
       FROM grid
     ),
     terms AS (
@@ -2437,7 +2437,7 @@ def vocab_size_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cum AS (
       SELECT duration, d, c, n_risk,
-             SUM(micro) OVER w AS log_surv_micro,
+             CAST(SUM(micro) OVER w AS BIGINT) AS log_surv_micro,
              MAX(dead) OVER w AS any_dead
       FROM terms
       WINDOW w AS (ORDER BY duration ROWS UNBOUNDED PRECEDING)

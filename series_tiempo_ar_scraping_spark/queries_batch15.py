@@ -507,7 +507,7 @@ _POSTINGS_CAP = 10
 def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build — the retrieval twin of the TF-IDF/BM25
     scorers: per token, document frequency, total term frequency, and
-    the head of its sorted posting list (first {cap} doc ids, joined as
+    the head of its sorted posting list (first 10 doc ids, joined as
     text so the hash comparator sees a scalar). Tokens with df < 2
     drop (singleton postings dominate the vocabulary but serve no
     lookup). This is the Spark-side index-construction pass a search/
@@ -609,7 +609,7 @@ def histogram_quantile_sketch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Mergeable quantile sketch with DETERMINISTIC semantics: a fixed
-    {bins}-bin equi-width histogram over exact cents, quantile estimate
+    64-bin equi-width histogram over exact cents, quantile estimate
     = lower edge of the first bin whose cumulative count crosses q% —
     the answer is off by at most one bin width (pinned by an
     error-bound test against the exact two-phase quantile). The
@@ -619,8 +619,8 @@ def histogram_quantile_sketch(
     result is bit-identical everywhere (hash-oracled, not rows-only).
 
     Scale shape: one pass for bounds (min/max/count — map-side
-    combinable), one pass to bin + count ({bins} cells total crossing
-    the exchange), a {bins}-row cumulative window. Integer arithmetic
+    combinable), one pass to bin + count (64 cells total crossing
+    the exchange), a 64-row cumulative window. Integer arithmetic
     end to end: bins and edges come from exact bigint cents via
     truncating division (same semantics both engines on non-negative
     operands)."""

@@ -556,14 +556,14 @@ def woe_information_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Weight-of-evidence / information-value report over order value
-    (the credit-scoring binning classic): {bins} equi-width bins of
+    (the credit-scoring binning classic): 5 equi-width bins of
     exact cents, per-bin Laplace-smoothed WOE = ln((g_i+1)/(G+k) /
     ((b_i+1)/(B+k))) and its IV contribution (g% - b%) * WOE —
     IV sums the evidence a binned feature carries about the target
     (here: order status F vs not).
 
     Scale shape: one bounds pass, one binned conditional-sum aggregate
-    ({bins} cells cross the exchange), scalar totals broadcast back —
+    (5 cells cross the exchange), scalar totals broadcast back —
     the histogram-sketch shape with an evidence formula on top.
     Determinism: the entropy/PMI recipe — ln of ONE division whose
     operands are exact bigint products (< 2^53 through sf10),

@@ -80,7 +80,7 @@ _TAR_SHARD = 8
 def multimodal_tar_shards(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """WebDataset-style sharded TAR round trip: {n} documents per
+    """WebDataset-style sharded TAR round trip: 8 documents per
     shard, each sample contributing a `.txt` payload and a `.json`
     sidecar member; shards pack in one grouped Arrow stage, then a
     second Arrow stage extracts members from the binary column ALONE

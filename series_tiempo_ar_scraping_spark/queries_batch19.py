@@ -93,7 +93,7 @@ def _pct_oracle() -> str:
 @register("perceptron_training", oracle=_pct_oracle())
 def perceptron_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch perceptron over integer text features (is-English vs
-    rest): {r} rounds of w += sum(y*x over misclassified), one row per
+    rest): 3 rounds of w += sum(y*x over misclassified), one row per
     round with the post-update weights and the misclassification count
     under the INCOMING weights — the convergence trace a training
     harness monitors. The 10th iterative family, and the only

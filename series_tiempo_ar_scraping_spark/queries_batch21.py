@@ -171,7 +171,7 @@ def source_reputation_score(
     so this entry can never drift from them) into one integer penalty,
     a clamped reputation score, and a rank — the per-source verdict a
     curation team acts on when deciding what to re-crawl, de-weight,
-    or drop. Weights are fixed integers ({wp} PII : {wr} repetition
+    or drop. Weights are fixed integers (300 PII : 700 repetition
     per-mille rates).
 
     Scale shape: both component reports are source-keyed aggregates
@@ -254,7 +254,7 @@ def stratified_minibatch_assignment(
 ) -> DataFrame:
     """Balanced training shards: within each label (lang), documents
     rank by a SEEDED hash (a deterministic shuffle) and deal
-    round-robin into {k} minibatches — so every batch holds each
+    round-robin into 8 minibatches — so every batch holds each
     label's count to within ONE of every other batch (the exact
     round-robin property, pinned by test). This is the
     label-stratified shard assignment a training pipeline runs before

@@ -82,7 +82,7 @@ def _hits_oracle() -> str:
 
 @register("hits_hub_authority", oracle=_hits_oracle())
 def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS over the directed part co-purchase graph: {r} rounds of
+    """HITS over the directed part co-purchase graph: 2 rounds of
     authority(v) = Σ hub(u) over in-edges then hub(u) = Σ auth(v) over
     out-edges, each vector max-normalized to micro units — the 11th
     iterative family, and the first with TWO mutually recursive

@@ -13,6 +13,7 @@ import datetime as _dt
 import math
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from series_tiempo_ar_scraping_spark.session import table_path
@@ -70,11 +71,23 @@ def _canon_value(v) -> str:
 
 
 def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    # itertuples (NOT iterrows): iterrows() materializes each row as a
+    # Series with ONE common dtype, upcasting int64 columns to float64
+    # whenever any sibling column is float — which renders Spark `150`
+    # and DuckDB `150.0` identically and defeats the type-faithfulness
+    # _canon_value exists to provide (masked survival_kaplan_meier's
+    # driver-red dtype divergence for two rounds). itertuples preserves
+    # each column's own dtype.
     cols = sorted(df.columns)
     out = []
-    for _, row in df[cols].iterrows():
+    for row in df[cols].itertuples(index=False, name=None):
         vals = []
         for v in row:
+            # numpy scalars (np.int64 / np.float32 / np.bool_) are not
+            # subclasses of their Python counterparts (except np.float64);
+            # unwrap so _canon_value's isinstance checks stay exact.
+            if isinstance(v, np.generic):
+                v = v.item()
             if v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
                 vals.append("NULL")
             elif isinstance(v, pd.Timestamp):

@@ -39,6 +39,33 @@ def test_tar_pack_extract_roundtrip_and_size_formula():
     assert list_tar_members(blob[:100]) == []
 
 
+def test_typed_pdf_rejects_nested_ddl_with_clear_error():
+    """typed_pdf's hand-rolled DDL parser is flat-only; comma-bearing
+    types (decimal(10,2), array<...>) must raise a contract error
+    naming the schema, not an opaque unpack ValueError inside an
+    executor worker (ADVICE r8)."""
+    import pytest
+
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        typed_pdf,
+    )
+
+    for ddl in (
+        "a bigint, b decimal(10,2)",
+        "a array<struct<x: int, y: int>>",
+        "a map<string,int>",
+        "a bigint, malformed",
+    ):
+        with pytest.raises(ValueError, match="typed_pdf"):
+            typed_pdf([], ddl)
+    # the flat path still works, empty and full
+    empty = typed_pdf([], "a bigint, b string")
+    assert list(empty.columns) == ["a", "b"]
+    assert str(empty["a"].dtype) == "int64"
+    full = typed_pdf([(1, "x")], "a bigint, b string")
+    assert full.shape == (1, 2)
+
+
 def test_tar_shards_cover_every_document(spark):
     docs = load_table(spark, SF, "documents")
     n = docs.count()

@@ -96,6 +96,28 @@ def test_round_artifact_newer_than_history_sorts_last(tmp_path):
     assert records[1]["queries"] == {"q": 1.0}  # round artifact newest
 
 
+def test_embedded_ts_beats_checkout_mtime(tmp_path):
+    """A fresh clone re-dates every BENCH_r*.json to checkout time; the
+    artifact's EMBEDDED written-at ts (bench.py emits it since r9) must
+    win over mtime so an old round artifact never sorts newer than
+    history appends made after it (ADVICE r8)."""
+    import os
+    import time
+
+    old_round = _rec({"q": 1.0}, {"q": 1.0})
+    old_round["ts"] = time.time() - 7200  # really written two hours ago
+    art = tmp_path / "BENCH_r08.json"
+    art.write_text(json.dumps({"parsed": old_round}))
+    os.utime(art)  # "checkout": mtime says NOW
+    hist = _rec({"q": 1.4}, {"q": 2.9})
+    hist["ts"] = time.time() - 3600  # appended an hour ago
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps(hist) + "\n")
+    records = BR.load_records(repo=str(tmp_path))
+    assert len(records) == 2
+    assert records[0]["queries"] == {"q": 1.0}  # artifact is OLDER
+    assert records[1]["queries"] == {"q": 1.4}  # history append newest
+
+
 def test_wrong_sf_records_excluded(tmp_path):
     rec = _rec({"q": 1.0}, {"q": 1.0})
     rec["sf"] = 0.01

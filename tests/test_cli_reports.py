@@ -45,15 +45,23 @@ def test_run_etl_from_index(spark, tmp_path):
     # K4/K5 report workbooks exist and read back via the stdlib parser
     from series_tiempo_ar_scraping_spark.sources.xlsx import read_sheets
 
-    assert len(results["acme"]["reports"]) == 4
-    for path in results["acme"]["reports"]:
+    # reports are keyed by workbook name (never positional — ADVICE r8)
+    assert sorted(results["acme"]["reports"]) == [
+        "reporte-datasets",
+        "reporte-distributions",
+        "reporte-errores-metadata",
+        "reporte-expectations",
+    ]
+    for path in results["acme"]["reports"].values():
         assert os.path.exists(path)
-    dist_rep = read_sheets(results["acme"]["reports"][2])
+    dist_rep = read_sheets(
+        results["acme"]["reports"]["reporte-distributions"]
+    )
     assert len(dist_rep["reporte-distributions"]) == 4
     # EP1 — the data-contract suite ran inside the pipeline and
     # exported through the K4 channel; a clean fixture passes every
     # contract on both produced frames
-    exp_rep = read_sheets(results["acme"]["reports"][3])
+    exp_rep = read_sheets(results["acme"]["reports"]["reporte-expectations"])
     rows = exp_rep["reporte-expectations"]
     assert results["acme"]["contract_violations"] == 0
     checked = {(r["table_name"], r["check"]) for r in rows}

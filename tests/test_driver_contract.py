@@ -75,37 +75,37 @@ _GATE_FIRST_50 = [
     "text_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "ivf_ann_topk",
     "multimodal_features",
     "tfidf_top_terms",
     "stratified_sample_documents",
-    "pivot_monthly_region_revenue",
-    "unpivot_lineitem_measures",
     "topk_orders_per_priority",
-    "rollup_order_indicators",
     "sessionize_events",
     "range_join_purchase_context",
-    "corpus_curation_pipeline",
-    "series_nightly_rollup",
     "nightly_quality_report",
-    "embedding_index_pipeline",
     "kmeans_lloyd_clusters",
     "bpe_train_merges",
-    "graph_bounded_shortest_paths",
-    "graph_kcore_extraction",
-    "markov_removal_attribution",
-    "embedding_power_iteration",
     "spatial_dbscan_clusters",
-    "prefix_filter_jaccard_join",
-    "substring_span_dedup",
-    "hll_set_union_intersect",
     "cdc_apply_roundtrip",
     "survival_kaplan_meier",
     "asof_nearest_click_to_purchase",
-    "inventory_clamped_balance",
     "golden_record_survivorship",
     "split_leakage_audit",
+    "governance_nightly_report",
+    "pii_detection_report",
+    "pii_redaction_audit",
+    "gopher_repetition_report",
+    "table_profile_report",
+    "inverted_index_build",
+    "histogram_quantile_sketch",
+    "url_canonicalize_dedup",
+    "hits_hub_authority",
+    "perceptron_training",
+    "multimodal_tar_shards",
+    "watermark_delay_sweep",
+    "woe_information_value",
+    "max_concurrent_user_spans",
+    "label_noise_knn_disagreement",
 ]
 
 

@@ -39,6 +39,29 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_canonicalize_is_column_dtype_faithful():
+    """Two frames with identical VALUES but one column typed int64 vs
+    float64 must canonicalize differently — this is exactly what the
+    driver's type-faithful hasher sees (DuckDB HUGEINT window sums reach
+    pandas as float64 `150.0` while Spark bigint gives `150`).  The old
+    iterrows()-based canonicalize upcast whole rows to float64 whenever
+    ANY column was float, silently collapsing the divergence and
+    false-greening survival_kaplan_meier for two rounds."""
+    import pandas as pd
+
+    from series_tiempo_ar_scraping_spark.testing import canonicalize
+
+    ints = pd.DataFrame({"k": ["a", "b"], "n": [150, 7], "x": [0.5, 1.5]})
+    floats = ints.assign(n=ints["n"].astype("float64"))
+    assert ints["n"].dtype.kind == "i" and floats["n"].dtype.kind == "f"
+    assert canonicalize(ints) != canonicalize(floats), (
+        "canonicalize collapsed an int64/float64 column divergence — "
+        "the mirror is blind to the driver's dtype hashing again"
+    )
+    # and identical frames still canonicalize identically
+    assert canonicalize(ints) == canonicalize(ints.copy())
+
+
 def test_entry_runs(spark):
     import __spark_entry__ as e
 

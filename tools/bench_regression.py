@@ -50,13 +50,18 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
             and parsed.get("queries")
             and parsed.get("queries_cold")
         ):
-            # real chronology (ADVICE r7): order round artifacts by file
-            # mtime so a driver round recorded AFTER a history append
-            # compares as the newer record, not vice versa
-            try:
-                ts = os.path.getmtime(path)
-            except OSError:
-                ts = float(m.group(1))  # degraded: round number only
+            # real chronology (ADVICE r7/r8): prefer the written-at
+            # timestamp EMBEDDED in the artifact (bench.py emits "ts"
+            # since r9) — file mtime is reset by every fresh clone/CI
+            # checkout, which would sort ALL round artifacts newer than
+            # every history append.  mtime is only the legacy fallback
+            # for pre-r9 artifacts that lack the field.
+            ts = parsed.get("ts")
+            if not isinstance(ts, (int, float)):
+                try:
+                    ts = os.path.getmtime(path)
+                except OSError:
+                    ts = float(m.group(1))  # degraded: round number only
             records.append((ts, parsed))
     hist = os.path.join(repo, "BENCH_HISTORY.jsonl")
     if os.path.exists(hist):
