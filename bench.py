@@ -259,6 +259,14 @@ BENCH_QUERIES_EXT = [
     "dp_noisy_histogram",
     # round 8 (batch 23: 11th iterative family)
     "hits_hub_authority",
+    # round 9 (batch 24: graph census, split governance, writer
+    # planning, OLAP cube, agreement stats, dedup economics)
+    "triangle_count_clustering",
+    "leakage_safe_split_assignment",
+    "output_shard_planner",
+    "cube_revenue_stats",
+    "cohens_kappa_agreement",
+    "dedup_savings_report",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -299,7 +299,12 @@ def gopher_repetition_report(
     trigrams; duplicate mass > 30%; distinct/total < 60%) and rolled
     up per corpus source. Catches boilerplate/spam documents that
     pass length and stopword filters. All comparisons are integer
-    cross-multiplications — no ratio ever materializes.
+    cross-multiplications — no ratio ever materializes. Edge case
+    (r9 review): a document under 3 tokens contributes ONE partial
+    n-gram (both engines skip the out-of-range positions
+    identically), so degenerate docs always trip the top-trigram
+    flag — conservative for a quality screen; the production Gopher
+    rules gate on minimum length upstream.
 
     Scale shape: tokenize once, explode the trigram MULTISET (the
     dedup family's distinct-shingle fragment deliberately doesn't

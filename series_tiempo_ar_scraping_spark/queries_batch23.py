@@ -28,18 +28,15 @@ from series_tiempo_ar_scraping_spark.queries import (
     register,
 )
 
+from series_tiempo_ar_scraping_spark.sqlfrags import (
+    COPURCHASE_EDGES_SQL,
+)
+
 _HITS_ROUNDS = 2
 
-_HITS_EDGES_SQL = """
-    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
-      SELECT a.l_partkey AS src, b.l_partkey AS dst
-      FROM op a JOIN op b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ),
-    nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem)
-"""
+# single-sourced in sqlfrags (the leaf) — batch 24's triangle oracle
+# composes the same fragment, so both derive the identical edge set
+_HITS_EDGES_SQL = COPURCHASE_EDGES_SQL
 
 
 def _hits_round_sql(h_prev: str, a_cur: str, h_cur: str) -> str:
@@ -96,32 +93,12 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled). Determinism: integer sums and ``x * 1e6 DIV max``
     normalization — no floats anywhere; the oracle unrolls identical
     rounds."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
-    from series_tiempo_ar_scraping_spark.operators.dedup import (
-        upper_triangle_pairs,
+    from series_tiempo_ar_scraping_spark.operators.graphs import (
+        copurchase_edges,
     )
 
-    edges = (
-        baskets.select(
-            F.explode(
-                upper_triangle_pairs(
-                    F.col("parts"),
-                    lambda x, y: F.struct(
-                        x.alias("src"), y.alias("dst")
-                    ),
-                )
-            ).alias("p")
-        )
-        .groupBy("p.src", "p.dst")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     h = nodes.select("id", F.lit(1000000).cast("bigint").alias("v"))
 

@@ -421,3 +421,19 @@ PII_CORPUS_SQL = """
                      ELSE '' END AS text
       FROM documents
 """
+
+
+# Directed part co-purchase graph (lower key -> higher key, pairs that
+# co-occur in >= 2 orders) — the LEAF copy composed by the HITS oracle
+# (queries_batch23) and the triangle-count oracle (queries_batch24) so
+# both derive the IDENTICAL edge set. Yields CTEs op, e, nodes.
+COPURCHASE_EDGES_SQL = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS id FROM lineitem)
+"""

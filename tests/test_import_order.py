@@ -40,6 +40,7 @@ MODULES = [
     "queries_batch21",
     "queries_batch22",
     "queries_batch23",
+    "queries_batch24",
 ]
 
 

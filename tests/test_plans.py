@@ -935,3 +935,37 @@ def test_batch23_plan_properties(plans):
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert p.count("Scan ExistingRDD") == 2  # final h and a vectors
     assert "FileScan" not in p  # no lineage leak past checkpoints
+
+
+def test_batch24_plan_properties(plans):
+    """Batch-24 plans: the triangle census reuses the eager edge
+    checkpoint for all of degree/triangle/edge-count (FileScan only
+    for the node count); the shard planner is one source-partitioned
+    window plus the grouped rollup (no join); the cube is ONE Expand
+    into one aggregate (no per-grouping-set rescan); kappa stays
+    join-light (bounded marginal frames, broadcast scalars)."""
+    p = plans("triangle_count_clustering", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    # the checkpointed edge frame feeds e1/e2/e3 + degree + edge count
+    assert p.count("Scan ExistingRDD") >= 5
+    assert p.count("FileScan parquet") == 1  # node count only
+
+    p = plans("output_shard_planner", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Window") == 1
+
+    p = plans("cube_revenue_stats", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Expand") == 1  # all 4 grouping sets in one pass
+
+    p = plans("cohens_kappa_agreement", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 3  # n/agree, marginals x2
+
+    p = plans("dedup_savings_report", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+    p = plans("leakage_safe_split_assignment", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p

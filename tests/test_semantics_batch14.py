@@ -178,9 +178,12 @@ def test_new_batches_keep_the_docstring_discipline():
     import series_tiempo_ar_scraping_spark.queries_batch21 as b21
     import series_tiempo_ar_scraping_spark.queries_batch22 as b22
     import series_tiempo_ar_scraping_spark.queries_batch23 as b23
+    import series_tiempo_ar_scraping_spark.queries_batch24 as b24
 
     missing = []
-    for mod in (b13, b14, b15, b16, b17, b18, b19, b20, b21, b22, b23):
+    for mod in (
+        b13, b14, b15, b16, b17, b18, b19, b20, b21, b22, b23, b24,
+    ):
         for name, fn in QUERIES.items():
             if fn.__module__ != mod.__name__:
                 continue

@@ -143,6 +143,56 @@ def _tar_kernel(e):
     )
 
 
+def _tar_payload64k_kernel(e):
+    """Payload-heavy container round trip: a 64 KiB blob PER ROW built
+    JVM-side (repeat of the 32-char props — no 64 KB ever touches
+    disk), shipped through Arrow into a 1-member tar pack + walk. The
+    small-payload tar kernel times per-container Python overhead
+    (~6.2k containers/s/core); THIS one times the byte lane, so
+    SCALE.md's 'payload-dominated, Arrow at memory bandwidth' claim is
+    a measurement: bytes/s = rows/s * 65536."""
+    from series_tiempo_ar_scraping_spark.operators.multimodal import (
+        list_tar_members,
+        pack_tar,
+        typed_pdf,
+    )
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(e.sparkSession)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for eid, blob in zip(pdf["event_id"], pdf["payload"]):
+                tar = pack_tar(
+                    [(f"{int(eid) % 10**8:08d}.bin", bytes(blob))]
+                )
+                members = list_tar_members(tar)
+                rows.append(
+                    (int(eid), len(tar),
+                     sum(len(d) for _, d in members))
+                )
+            yield typed_pdf(
+                rows, "event_id bigint, tar_bytes bigint, payload bigint"
+            )
+
+    (
+        e.select(
+            "event_id",
+            F.encode(F.repeat(F.col("props"), 2048), "utf-8")
+            .alias("payload"),
+        )
+        .mapInPandas(
+            run, "event_id bigint, tar_bytes bigint, payload bigint"
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
@@ -232,6 +282,9 @@ def main() -> None:
         # Python) so the multimodal family gets a 100 TB budget like
         # the string kernels.
         "tar_container_kernel": lambda e: _tar_kernel(e),
+        # round 9: the payload-dominated twin — 64 KiB/row through the
+        # Arrow lane (run at SMALL sizes: 1m rows = 64 GiB in flight)
+        "tar_payload64k_kernel": lambda e: _tar_payload64k_kernel(e),
         # round 8 batch 15/17: the governance regex kernel — one
         # extract_all census + one chained replace over the same text,
         # the PII detect/redact hot path. Map-only; rides whole-stage
