@@ -267,6 +267,12 @@ BENCH_QUERIES_EXT = [
     "cube_revenue_stats",
     "cohens_kappa_agreement",
     "dedup_savings_report",
+    # round 9 (batch 25: ranking eval, seasonality, robust stats,
+    # streaming upsert view)
+    "average_precision_report",
+    "seasonal_dow_decomposition",
+    "mad_outlier_detector",
+    "streaming_lww_upsert_view",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

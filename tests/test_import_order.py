@@ -41,6 +41,7 @@ MODULES = [
     "queries_batch22",
     "queries_batch23",
     "queries_batch24",
+    "queries_batch25",
 ]
 
 

@@ -969,3 +969,26 @@ def test_batch24_plan_properties(plans):
 
     p = plans("leakage_safe_split_assignment", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch25_plan_properties(plans):
+    """Batch-25 plans: AP ranks via the two-phase prefix sum (range
+    partitioning, never a single-partition global window); the
+    seasonal decomposition is one scan into a 7-key window whose
+    partitioning the final rollup reuses; the MAD detector stays
+    JVM-side."""
+    p = plans("average_precision_report", "formatted")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    # two-phase shape: the range-repartitioned frame is checkpointed
+    # (ExistingRDD — the rangepartitioning exchange lives inside it)
+    # and the DATA window is per-part_id, never a global sort; the one
+    # global carry window runs over per-partition totals (O(#parts)).
+    assert "ExistingRDD" in p
+    assert "windowspecdefinition(part_id" in p
+
+    p = plans("seasonal_dow_decomposition", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("mad_outlier_detector", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
