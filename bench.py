@@ -273,6 +273,12 @@ BENCH_QUERIES_EXT = [
     "seasonal_dow_decomposition",
     "mad_outlier_detector",
     "streaming_lww_upsert_view",
+    # round 9 (batch 26: 12th iterative family, optimizer decisions,
+    # reproducibility manifests)
+    "label_propagation_communities",
+    "join_order_advisor",
+    "pipeline_lineage_manifest",
+    "order_invariance_audit",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -42,6 +42,7 @@ MODULES = [
     "queries_batch23",
     "queries_batch24",
     "queries_batch25",
+    "queries_batch26",
 ]
 
 

@@ -992,3 +992,21 @@ def test_batch25_plan_properties(plans):
 
     p = plans("mad_outlier_detector", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch26_plan_properties(plans):
+    """Batch-26 plans: LPA's per-round work executes during eager
+    checkpointing (the HITS lesson — assert no lineage leak, not round
+    internals); the order-invariance audit is three aggregate lanes
+    over the fact scan joined broadcast-only."""
+    p = plans("label_propagation_communities", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "FileScan" not in p  # final rollup reads the checkpoint only
+    assert p.count("Scan ExistingRDD") == 1
+
+    p = plans("order_invariance_audit", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert p.count("FileScan parquet") == 3  # one per audited lane
+
+    p = plans("join_order_advisor", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
