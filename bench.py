@@ -279,6 +279,11 @@ BENCH_QUERIES_EXT = [
     "join_order_advisor",
     "pipeline_lineage_manifest",
     "order_invariance_audit",
+    # round 9 (batch 27: sort-free order statistics, skew proof,
+    # interval-union coverage)
+    "iterative_quantile_refinement",
+    "salted_aggregation_equivalence",
+    "interval_union_coverage",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

@@ -43,6 +43,7 @@ MODULES = [
     "queries_batch24",
     "queries_batch25",
     "queries_batch26",
+    "queries_batch27",
 ]
 
 

@@ -1010,3 +1010,25 @@ def test_batch26_plan_properties(plans):
 
     p = plans("join_order_advisor", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch27_plan_properties(plans):
+    """Batch-27 plans: the quantile refinement's histogram rounds are
+    64-cell aggregates (every per-round window runs over <= 64 rows —
+    the single-partition exchange there is the point, not a smell);
+    the salted-equivalence entry carries both topologies with no
+    Python; the coverage entry reuses one user/day partitioning for
+    both windows."""
+    p = plans("iterative_quantile_refinement", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+
+    p = plans("salted_aggregation_equivalence", "simple")
+    assert "EvalPython" not in p
+    assert "partial_count" in p  # both lanes map-side combine
+
+    p = plans("interval_union_coverage", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    # both windows share the (user_id, day) sort: exactly one sort
+    # per window spec pair, never a re-shuffle between them
+    assert p.count("Exchange") <= 3
