@@ -284,6 +284,10 @@ BENCH_QUERIES_EXT = [
     "iterative_quantile_refinement",
     "salted_aggregation_equivalence",
     "interval_union_coverage",
+    # round 9 (batch 28: capacity/scheduling/warehouse maintenance)
+    "overflow_risk_audit",
+    "backfill_partition_planner",
+    "scd1_upsert_merge",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

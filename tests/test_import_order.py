@@ -44,6 +44,7 @@ MODULES = [
     "queries_batch25",
     "queries_batch26",
     "queries_batch27",
+    "queries_batch28",
 ]
 
 

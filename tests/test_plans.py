@@ -1032,3 +1032,21 @@ def test_batch27_plan_properties(plans):
     # both windows share the (user_id, day) sort: exactly one sort
     # per window spec pair, never a re-shuffle between them
     assert p.count("Exchange") <= 3
+
+
+def test_batch28_plan_properties(plans):
+    """Batch-28 plans: the overflow audit is one max/count aggregate
+    per table (no joins); the backfill planner pays the single
+    lateness window; the SCD1 merge is ONE full-outer join into one
+    aggregate."""
+    p = plans("overflow_risk_audit", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+
+    p = plans("backfill_partition_planner", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert p.count("Window") == 1
+
+    p = plans("scd1_upsert_merge", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "FullOuter" in p
