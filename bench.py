@@ -288,6 +288,10 @@ BENCH_QUERIES_EXT = [
     "overflow_risk_audit",
     "backfill_partition_planner",
     "scd1_upsert_merge",
+    # round 9 (batch 29: dedup eval, rate intervals, Heaps growth)
+    "dedup_eval_precision_recall",
+    "wilson_rate_intervals",
+    "heaps_law_vocab_growth",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

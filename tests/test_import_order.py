@@ -45,6 +45,7 @@ MODULES = [
     "queries_batch26",
     "queries_batch27",
     "queries_batch28",
+    "queries_batch29",
 ]
 
 

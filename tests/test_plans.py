@@ -1050,3 +1050,20 @@ def test_batch28_plan_properties(plans):
     p = plans("scd1_upsert_merge", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "FullOuter" in p
+
+
+def test_batch29_plan_properties(plans):
+    """Batch-29 plans: the Heaps curve never joins a data-sized frame
+    (checkpoints are conditional sums in ONE aggregate per side,
+    fanned out by a generator); Wilson is one grouped aggregate."""
+    p = plans("heaps_law_vocab_growth", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    # only broadcast (1-row) joins — no SortMergeJoin anywhere
+    assert "SortMergeJoin" not in p
+
+    p = plans("wilson_rate_intervals", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("dedup_eval_precision_recall", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p

@@ -183,11 +183,12 @@ def test_new_batches_keep_the_docstring_discipline():
     import series_tiempo_ar_scraping_spark.queries_batch26 as b26
     import series_tiempo_ar_scraping_spark.queries_batch27 as b27
     import series_tiempo_ar_scraping_spark.queries_batch28 as b28
+    import series_tiempo_ar_scraping_spark.queries_batch29 as b29
 
     missing = []
     for mod in (
         b13, b14, b15, b16, b17, b18, b19, b20, b21, b22, b23, b24, b25,
-        b26, b27, b28,
+        b26, b27, b28, b29,
     ):
         for name, fn in QUERIES.items():
             if fn.__module__ != mod.__name__:
