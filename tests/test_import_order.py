@@ -46,6 +46,7 @@ MODULES = [
     "queries_batch27",
     "queries_batch28",
     "queries_batch29",
+    "queries_batch30",
 ]
 
 

@@ -1067,3 +1067,24 @@ def test_batch29_plan_properties(plans):
 
     p = plans("dedup_eval_precision_recall", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch30_plan_properties(plans):
+    """Batch-30 plans: heavy hitters pass 2 semi-joins against a
+    BROADCAST candidate frame (the MG pass is the only Python stage);
+    winnowing is pure JVM (window + bucket expansion, no cartesian);
+    the LOO report is one aggregate plus a 1-row broadcast."""
+    p = plans("heavy_hitters_two_pass", "simple")
+    # exactly one Python stage: the Misra-Gries candidate pass
+    assert p.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+    p = plans("winnowing_fingerprint_pairs", "simple")
+    assert "EvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
+
+    p = plans("loo_source_contribution", "simple")
+    assert "EvalPython" not in p and "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 1
