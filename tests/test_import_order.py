@@ -47,6 +47,7 @@ MODULES = [
     "queries_batch28",
     "queries_batch29",
     "queries_batch30",
+    "queries_batch31",
 ]
 
 

@@ -1088,3 +1088,23 @@ def test_batch30_plan_properties(plans):
     p = plans("loo_source_contribution", "simple")
     assert "EvalPython" not in p and "SortMergeJoin" not in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_batch31_plan_properties(plans):
+    """Batch-31 plans: fertility is pure-JVM expressions into one
+    grouped aggregate (no explode, no join); calibration broadcasts
+    the bounded model frame; reconciliation is one equi-join with
+    partial aggregation below the shuffle."""
+    p = plans("tokenizer_fertility_by_lang", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert "Generate explode" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("score_calibration_bins", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("order_amount_reconciliation", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "partial_sum" in p or "partial_count" in p
