@@ -48,6 +48,7 @@ MODULES = [
     "queries_batch29",
     "queries_batch30",
     "queries_batch31",
+    "queries_batch32",
 ]
 
 

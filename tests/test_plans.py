@@ -1108,3 +1108,21 @@ def test_batch31_plan_properties(plans):
     p = plans("order_amount_reconciliation", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "partial_sum" in p or "partial_count" in p
+
+
+def test_batch32_plan_properties(plans):
+    """Batch-32 plans: HRW is map-only expressions into one 8-key
+    aggregate; the bootstrap is ONE wide aggregate over one scan (no
+    joins, no Python); B-cubed joins bounded cluster-size frames."""
+    p = plans("rendezvous_shard_assignment", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+    p = plans("bootstrap_mean_ci", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+    assert "partial_sum" in p  # the 130 running sums combine map-side
+
+    p = plans("bcubed_cluster_eval", "simple")
+    assert "EvalPython" not in p and "CartesianProduct" not in p
