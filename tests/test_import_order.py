@@ -49,6 +49,7 @@ MODULES = [
     "queries_batch30",
     "queries_batch31",
     "queries_batch32",
+    "queries_batch33",
 ]
 
 

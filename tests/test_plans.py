@@ -1126,3 +1126,22 @@ def test_batch32_plan_properties(plans):
 
     p = plans("bcubed_cluster_eval", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
+
+
+def test_batch33_plan_properties(plans):
+    """Batch-33 plans: the Markov eval broadcasts the bounded fitted
+    matrix; the ATE is two aggregates plus bounded-frame windows; the
+    k-fold CV is ONE grouped pass (25 cells) with no rescan per
+    fold."""
+    p = plans("markov_next_event_accuracy", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("stratified_treatment_effect", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("kfold_cv_rate_model", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
