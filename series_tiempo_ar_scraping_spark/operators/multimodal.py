@@ -1885,3 +1885,93 @@ def h264_nal_stats(docs: DataFrame) -> DataFrame:
             yield typed_pdf(rows, H264_STATS_SCHEMA)
 
     return packed.mapInPandas(walk, H264_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (dHash) — near-duplicate image detection
+# ---------------------------------------------------------------------------
+
+_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("decodable", T.BooleanType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def synthesize_gradient_media(docs: DataFrame, n_patterns: int = 16) -> DataFrame:
+    """Test/bench adapter: derive a deterministic 8x8 GRADIENT raster per
+    document — BMP for even ids, PPM for odd — whose grayscale value at
+    (y, x) is the closed form (pat*17 + x*x*3 + y*29) % 256 with
+    pat = doc_id % n_patterns, so documents sharing a pattern are exact
+    perceptual duplicates and the dHash below is oracle-checkable in
+    closed form. Map-only Arrow batches; no shuffle."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(docs.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat = did % n_patterns
+                y, x = np.mgrid[0:8, 0:8]
+                g = ((pat * 17 + x * x * 3 + y * 29) % 256).astype(np.uint8)
+                px = np.stack([g, g, g], axis=2)
+                payloads.append(
+                    encode_bmp24(px) if did % 2 == 0 else encode_ppm(px)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(run, RASTER_SCHEMA)
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """56-bit difference hash (dHash; Krawetz 2013 shape): decode, gray =
+    channel mean, bit(y, x) = gray[y, x] > gray[y, x+1] over the 8x8
+    grid (7 comparisons x 8 rows = 56 bits — deliberately under 63 so
+    the BIGINT never touches the sign bit; the classic 9x8/64-bit
+    variant would). Inputs wider than 8x8 are first block-averaged to
+    8x8 (integer-exact when dimensions divide). Non-decodable payloads
+    yield decodable = false. Map-only Arrow batches — the per-image
+    fingerprint pass of an image-dedup pipeline; the groupBy that
+    clusters equal hashes is the caller's (one shuffle on a 56-bit
+    key)."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = try_decode_image(bytes(content))
+                if img is None:
+                    rows.append((mid, False, None))
+                    continue
+                gray = img.astype(np.int64).sum(axis=2) // 3
+                h, w = gray.shape
+                if (h, w) != (8, 8) and h % 8 == 0 and w % 8 == 0:
+                    gray = gray.reshape(8, h // 8, 8, w // 8).mean(
+                        axis=(1, 3)
+                    )
+                elif (h, w) != (8, 8):
+                    rows.append((mid, False, None))
+                    continue
+                phash = 0
+                for y in range(8):
+                    for x in range(7):
+                        if gray[y, x] > gray[y, x + 1]:
+                            phash |= 1 << (y * 7 + x)
+                rows.append((mid, True, phash))
+            yield typed_pdf(rows, _DHASH_SCHEMA)
+
+    return media.mapInPandas(run, _DHASH_SCHEMA)
