@@ -217,9 +217,16 @@ def isotonic_calibration_pava(
         ).alias("bin"),
         "label",
     )
-    bins = binned.groupBy("bin").agg(
-        F.count("*").cast("long").alias("w"),
-        F.sum("label").cast("long").alias("s"),
+    # the 20-row bin summary feeds FOUR downstream references (cum a,
+    # cum b, the j frame, the final join) — checkpoint it so the fact
+    # scan happens once, not once per reference
+    bins = (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("w"),
+            F.sum("label").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
     w_cum = (
         Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -353,17 +360,23 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
         F.col("c_mktsegment").alias("sensitive"),
     )
-    n_total = q.agg(F.count("*").cast("long").alias("n"))
+    # ONE scan: the finest aggregate (class × segment) is bounded —
+    # checkpoint it and derive the class sizes, the global
+    # distribution, and the population total from it instead of
+    # re-scanning the customer table once per frame
+    cell = (
+        q.groupBy("nationkey", "band", "sensitive")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n_total = cell.agg(F.sum("c").cast("long").alias("n"))
     glob = (
-        q.groupBy("sensitive")
-        .agg(F.count("*").cast("long").alias("gc"))
+        cell.groupBy("sensitive")
+        .agg(F.sum("c").cast("long").alias("gc"))
         .crossJoin(F.broadcast(n_total))
     )
-    grp = q.groupBy("nationkey", "band").agg(
-        F.count("*").cast("long").alias("k")
-    )
-    cell = q.groupBy("nationkey", "band", "sensitive").agg(
-        F.count("*").cast("long").alias("c")
+    grp = cell.groupBy("nationkey", "band").agg(
+        F.sum("c").cast("long").alias("k")
     )
     # fan every class out to every segment (broadcast, 5 rows), then
     # left-join the observed cell counts so ABSENT segments contribute

@@ -92,8 +92,13 @@ def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle) and aggregates by item. Determinism: counts exact, factor
     updates truncating-DIV milli ints, MAE exact integer."""
     events = load_table(spark, sf_dir, "events")
-    r = events.groupBy("user_id", "event_type").agg(
-        F.count("*").cast("long").alias("cnt")
+    # the ratings frame feeds four references (item init, u-step,
+    # v-step, error rollup) — checkpoint it so the fact scan and the
+    # (user, item) aggregate run once
+    r = (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     v0 = (
         r.select("event_type")
@@ -329,6 +334,8 @@ def topp_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cum·10 ≥ total·9) so it stays in exact integers. Determinism:
     exact counts, total rank order, truncating DIV."""
     docs = load_table(spark, sf_dir, "documents")
+    # the term-frequency frame feeds both the window pass and the
+    # totals — checkpoint so tokenization happens once
     tf = (
         docs.select(
             "source",
@@ -338,6 +345,7 @@ def topp_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count("*").cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
     )
     order = [F.col("freq").desc(), F.col("token")]
     wr = Window.partitionBy("source").orderBy(*order)

@@ -113,16 +113,26 @@ def skipgram_training_pairs(
         "m",
         F.col("pos").alias("i"),
     ).filter(F.col("i") <= F.col("m") - 2)
-    d1 = pos.select(
-        F.expr("t[i]").alias("center"), F.expr("t[i + 1]").alias("context")
+    # both distances come out of ONE pass: try_element_at is NULL past
+    # the end (bracket indexing would THROW under ANSI mode), so
+    # filtering nulls from the two-element context array is exactly
+    # the d<=2 window — a union of two scans would read the corpus
+    # twice for no reason. try_element_at is 1-based: 0-based i+1/i+2
+    # become i+2/i+3.
+    pairs = pos.select(
+        F.expr("t[i]").alias("center"),
+        F.explode(
+            F.filter(
+                F.array(
+                    F.expr("try_element_at(t, i + 2)"),
+                    F.expr("try_element_at(t, i + 3)"),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("context"),
     )
-    d2 = pos.filter(F.col("i") + 2 <= F.col("m") - 1).select(
-        F.expr("t[i]").alias("center"), F.expr("t[i + 2]").alias("context")
-    )
-    pc = (
-        d1.unionAll(d2)
-        .groupBy("center", "context")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    pc = pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("cnt")
     )
     top = pc.orderBy(
         F.col("cnt").desc(), "center", "context"
@@ -136,6 +146,8 @@ def skipgram_training_pairs(
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("f"))
     )
+    # the weight table feeds the normalizer AND the head join —
+    # checkpoint so the unigram pass over the corpus runs once
     w = uni.select(
         "token",
         F.floor(
@@ -145,7 +157,7 @@ def skipgram_training_pairs(
         )
         .cast("bigint")
         .alias("w75"),
-    )
+    ).localCheckpoint(eager=True)
     z = w.agg(F.sum("w75").cast("long").alias("z"))
     return (
         top.join(w.withColumnRenamed("token", "center"), "center")
@@ -238,6 +250,8 @@ def simpson_paradox_detector(
         F.when(cents >= F.col("mean_cents"), 1).otherwise(0).alias("hi"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
     )
+    # the 5-row segment frame feeds both the pooled gap and the output
+    # — checkpoint so the fact scan runs once
     seg = o.groupBy("priority").agg(
         F.sum("hi").cast("long").alias("n_hi"),
         (F.count("*") - F.sum("hi")).cast("long").alias("n_lo"),
@@ -245,7 +259,7 @@ def simpson_paradox_detector(
         F.sum((1 - F.col("hi")) * F.col("y"))
         .cast("long")
         .alias("y_lo"),
-    )
+    ).localCheckpoint(eager=True)
     pool = seg.agg(
         F.expr(
             "CAST(SUM(y_hi) * 1000000 DIV SUM(n_hi)"
@@ -328,8 +342,12 @@ def mixture_temperature_sweep(
     else touches the data. Determinism: exact counts, IEEE sqrt,
     micro flooring, truncating DIV."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs")
+    # the source-count frame feeds the weights, the normalizer, and
+    # the output — checkpoint so the corpus scan runs once
+    s = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .localCheckpoint(eager=True)
     )
     w = s.select(
         "source",

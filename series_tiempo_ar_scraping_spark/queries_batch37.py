@@ -193,10 +193,12 @@ def merkle_range_fingerprints(
             )
         ).alias("h"),
     )
+    # the leaf frame feeds level 1 AND the output union — checkpoint
+    # so the fact scan + leaf aggregate run once, not once per level
     l0 = rows_h.groupBy(F.col("leaf").alias("node_id")).agg(
         F.sum(F.col("h") % _MK_P).cast("long").alias("sig"),
         F.count("*").cast("long").alias("n_rows"),
-    )
+    ).localCheckpoint(eager=True)
 
     def parent(level_df: DataFrame) -> DataFrame:
         return level_df.groupBy(

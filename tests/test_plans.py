@@ -1145,3 +1145,95 @@ def test_batch33_plan_properties(plans):
     p = plans("kfold_cv_rate_model", "simple")
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_batch34_plan_properties(plans):
+    """Batch-34 plans: the AUC is windows + one aggregate with no join
+    and a single scan; the PAVA data pass is one scan with the bin
+    algebra on broadcast frames; t-closeness broadcasts the 5-row
+    global distribution."""
+    p = plans("roc_auc_report", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("isotonic_calibration_pava", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p  # every join is broadcast
+    # bounds + binned pass; the checkpointed 20-row bin summary stops
+    # the four downstream references from re-scanning the fact table
+    assert p.count("FileScan parquet") <= 2
+
+    p = plans("t_closeness_audit", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # everything derives from the checkpointed cell aggregate
+    assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
+
+
+def test_batch35_plan_properties(plans):
+    """Batch-35 plans: ALS broadcasts the 5-row item frame and
+    equi-joins user factors; Qini is aggregates + one bounded window;
+    top-p coverage broadcasts the per-source totals."""
+    p = plans("als_rank1_factors", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the checkpointed ratings frame is the only data source
+    assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
+
+    p = plans("qini_uplift_curve", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("topp_vocab_coverage", "simple")
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # window pass and totals both read the checkpointed tf frame
+    assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
+
+
+def test_batch36_plan_properties(plans):
+    """Batch-36 plans: skip-gram pair generation is map-side
+    (posexplode, no join on the data path) with the 50-row head joined
+    broadcast; Simpson and the temperature sweep are single-scan
+    aggregates with 1-row broadcasts."""
+    p = plans("skipgram_training_pairs", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # head is a top-k, not a sort
+    # pair pass scans once; the weight table is checkpointed so the
+    # normalizer and the head join share it
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("simpson_paradox_detector", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    # mean pass + segment pass; the checkpointed 5-row segment frame
+    # serves both the pooled gap and the output
+    assert p.count("FileScan parquet") <= 2
+
+    p = plans("mixture_temperature_sweep", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
+
+
+def test_batch37_plan_properties(plans):
+    """Batch-37 plans: the dHash pipeline is exactly two Python
+    islands (synthesize, hash) with the only shuffle on the 8-byte
+    hash key; the Merkle tree is one scan with map-side partial
+    aggregation at the leaves and no joins anywhere."""
+    p = plans("multimodal_dhash_dedup", "simple")
+    assert p.count("MapInPandas") == 2
+    assert "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("merkle_range_fingerprints", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    # the checkpointed leaf frame serves all three levels; the fact
+    # scan happened once at checkpoint time, so the reported plan
+    # reads only the materialized leaves
+    assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
+    assert "partial" in p  # internal-level sums combine map-side
