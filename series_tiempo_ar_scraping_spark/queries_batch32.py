@@ -178,9 +178,21 @@ def _pois_k_sql(w: str) -> str:
 
 
 def _bootstrap_oracle() -> str:
-    draws = ", ".join(
-        f"{_pois_k_sql(_hex60_seeded(str(_BOOT_SEED_BASE + b), 'CAST(o_orderkey AS VARCHAR)'))} AS k{b}"
+    # one md5 feeds TWO draws (hex chars 1-15 and 16-30 are independent
+    # 60-bit words of the 128-bit digest) — halves the per-row digest
+    # count, the dominant cost of the pass
+    hashes = ", ".join(
+        f"md5(CAST({_BOOT_SEED_BASE + g} AS VARCHAR) || '|'"
+        f" || CAST(o_orderkey AS VARCHAR)) AS h{g}"
+        for g in range(_BOOT_B // 2)
+    )
+    words = ", ".join(
+        f"('0x' || substr(h{b // 2}, {1 if b % 2 == 0 else 16}, 15))"
+        f"::BIGINT AS w{b}"
         for b in range(_BOOT_B)
+    )
+    draws = ", ".join(
+        f"{_pois_k_sql(f'w{b}')} AS k{b}" for b in range(_BOOT_B)
     )
     aggs = ", ".join(
         f"CAST(SUM(k{b} * cents) AS BIGINT) AS s{b},"
@@ -191,12 +203,14 @@ def _bootstrap_oracle() -> str:
         f"CAST(s{b} * 10000 // c{b} AS BIGINT)" for b in range(_BOOT_B)
     )
     return f"""
-    WITH rows_ AS (
+    WITH base AS (
       SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
                AS cents,
-             {draws}
+             {hashes}
       FROM orders
     ),
+    ws AS (SELECT cents, {words} FROM base),
+    rows_ AS (SELECT cents, {draws} FROM ws),
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
              CAST(SUM(cents) AS BIGINT) AS sum_cents,
@@ -249,25 +263,50 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     order). Determinism: md5 draws, integer thresholds, exact sums,
     truncating divisions; sqrt is the one correctly-rounded
     transcendental, det-rounded to 2 places."""
-    from series_tiempo_ar_scraping_spark.operators.dedup import (
-        hash64_seeded,
-    )
-
     orders = load_table(spark, sf_dir, "orders")
     key = F.col("o_orderkey").cast("string")
 
+    # one md5 per PAIR of draws (chars 1-15 / 16-30 of the digest are
+    # independent 60-bit words), materialized as explicit columns so
+    # neither codegen nor projection collapse can recompute a digest —
+    # the digests are the dominant cost of the pass
+    base = orders.select(
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        *[
+            F.md5(
+                F.concat(F.lit(str(_BOOT_SEED_BASE + g)), F.lit("|"), key)
+            ).alias(f"h{g}")
+            for g in range(_BOOT_B // 2)
+        ],
+    )
+    ws = base.select(
+        "cents",
+        *[
+            F.conv(
+                F.substring(
+                    F.col(f"h{b // 2}"), 1 if b % 2 == 0 else 16, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias(f"w{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+
     def pois_k(b: int) -> F.Column:
-        w = hash64_seeded(key, _BOOT_SEED_BASE + b)
+        w = F.col(f"w{b}")
         out = None
         for t in _POIS_THRESH:
             ind = F.when(w >= t, 1).otherwise(0)
             out = ind if out is None else out + ind
         return out
 
-    rows_ = orders.select(
-        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
-        .cast("long")
-        .alias("cents"),
+    rows_ = ws.select(
+        "cents",
         *[pois_k(b).alias(f"k{b}") for b in range(_BOOT_B)],
     )
     agg = rows_.agg(
