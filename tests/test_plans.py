@@ -1237,3 +1237,23 @@ def test_batch37_plan_properties(plans):
     # reads only the materialized leaves
     assert p.count("FileScan parquet") == 0 and "Scan ExistingRDD" in p
     assert "partial" in p  # internal-level sums combine map-side
+
+
+def test_batch38_plan_properties(plans):
+    """Batch-38 plans: the FS match side is map-only with one bounded
+    equi-join for non-matches; randomized response is two aggregates
+    with no join; the S-curve planner touches no table at all."""
+    p = plans("fellegi_sunter_weights", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the checkpointed 1-row (m, u) frame is the only source: the
+    # match scan + non-match join ran once at checkpoint time
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+
+    p = plans("randomized_response_estimate", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("lsh_scurve_planner", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p  # generated grid only
