@@ -147,3 +147,116 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel tracker (ordered-stage state machine)
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+    ]
+)
+
+# state: stage reached so far + the stage timestamps (epoch micros);
+# done=1 marks a completed funnel so later events are ignored (emit once)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.LongType()),
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("done", T.LongType()),
+    ]
+)
+
+
+def _funnel_fn(stages: tuple):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - purge-only path
+            state.remove()
+            return
+        evs: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            evs.extend(
+                (_us(t), int(eid), str(et))
+                for t, eid, et in zip(
+                    pdf["ts"], pdf["event_id"], pdf["event_type"]
+                )
+            )
+        # (ts, event_id) is a total order over a user's events — the
+        # same tiebreak the batch oracle ranks by
+        evs.sort()
+        if state.exists:
+            stage, view_us, click_us, done = state.get
+        else:
+            stage, view_us, click_us, done = 0, -1, -1, 0
+        out = None
+        for ts_us, _eid, et in evs:
+            if done:
+                break
+            if stage == 0 and et == stages[0]:
+                stage, view_us = 1, ts_us
+            elif stage == 1 and et == stages[1]:
+                stage, click_us = 2, ts_us
+            elif stage == 2 and et == stages[2]:
+                done = 1
+                out = pd.DataFrame(
+                    [
+                        (
+                            user_id,
+                            pd.Timestamp(view_us, unit="us"),
+                            pd.Timestamp(click_us, unit="us"),
+                            pd.Timestamp(ts_us, unit="us"),
+                        )
+                    ],
+                    columns=[
+                        "user_id", "view_ts", "click_ts", "purchase_ts",
+                    ],
+                )
+        state.update((stage, view_us, click_us, done))
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame, stages: tuple = FUNNEL_STAGES
+) -> DataFrame:
+    """Streaming funnel tracker: a per-user ordered-stage state machine
+    (view -> click -> purchase) that emits ONE row per user at the
+    moment the final stage completes, carrying every stage's event
+    time — the real-time conversion monitor whose batch twin is the
+    greedy earliest-completion funnel (``window_funnel_depth``'s
+    family). Events advance the machine in (ts, event_id) order — a
+    total order, so replays and multi-batch arrivals are
+    deterministic; completed users keep a tombstone (done=1) so the
+    emission is exactly-once per user. State per key is four ints —
+    bounded; a production deployment adds the event-time TTL purge
+    exactly as ``sessionize_stream`` does (the hasTimedOut branch is
+    already wired).
+
+    Grouping is the normal hash shuffle on user_id: a billion users
+    partition cleanly, and each microbatch touches only keys with
+    traffic."""
+    from series_tiempo_ar_scraping_spark.session import (
+        ensure_package_on_executors,
+    )
+
+    ensure_package_on_executors(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(stages),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

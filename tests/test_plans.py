@@ -1257,3 +1257,13 @@ def test_batch38_plan_properties(plans):
     p = plans("lsh_scurve_planner", "simple")
     assert "EvalPython" not in p
     assert "FileScan parquet" not in p  # generated grid only
+
+
+def test_batch39_plan_properties(plans):
+    """Batch-39 plans: Sinkhorn's four window passes run on the
+    checkpointed 125-row cell frame — the fact join+aggregate executed
+    once at checkpoint time."""
+    p = plans("sinkhorn_matrix_scaling", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
