@@ -326,6 +326,15 @@ BENCH_QUERIES_EXT = [
     # round 9 (batch 37: image dedup, anti-entropy)
     "multimodal_dhash_dedup",
     "merkle_range_fingerprints",
+    # round 9 (batch 38: linkage tuning, local-DP, LSH planning)
+    "fellegi_sunter_weights",
+    "randomized_response_estimate",
+    "lsh_scurve_planner",
+    # round 9 (batch 39: 14th iterative family; the streaming funnel
+    # tracker is excluded — its two-file staging writes ~11 s of
+    # non-engine I/O per run, and the streaming lane is already
+    # represented by streaming_lww_upsert_view)
+    "sinkhorn_matrix_scaling",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
