@@ -1267,3 +1267,22 @@ def test_batch39_plan_properties(plans):
     assert "EvalPython" not in p
     assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
     assert "SortMergeJoin" not in p
+
+
+def test_batch40_plan_properties(plans):
+    """Batch-40 plans: the value-RANGE density is one window + rollup
+    with no join; NOT IN compiles to a null-aware broadcast anti join;
+    the bag set-ops stay join-free (counted-aggregate strategy)."""
+    p = plans("range_value_frame_stats", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("set_ops_bag_semantics", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("null_semantics_audit", "simple")
+    assert "EvalPython" not in p
+    # the planted-NULL frames are checkpointed: no parquet rescans
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p  # null-aware anti join broadcasts
