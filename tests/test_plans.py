@@ -1286,3 +1286,25 @@ def test_batch40_plan_properties(plans):
     # the planted-NULL frames are checkpointed: no parquet rescans
     assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
     assert "BroadcastHashJoin" in p  # null-aware anti join broadcasts
+
+
+def test_batch41_plan_properties(plans):
+    """Batch-41 plans: the confusion matrix derives totals from its
+    checkpointed cell frame (one corpus scan at checkpoint time); the
+    separation report broadcasts the bounded centroid frame; the
+    band-load report never materializes pairs (no self-join)."""
+    p = plans("langid_confusion_matrix", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("class_separation_report", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # flat x centroids on (label,dim)
+
+    p = plans("minhash_band_load_report", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    # the planted near-dup corpus is a 2-branch union of the documents
+    # scan (base + mutants) — same as every dedup-family plan
+    assert p.count("FileScan parquet") == 2
