@@ -1308,3 +1308,25 @@ def test_batch41_plan_properties(plans):
     # the planted near-dup corpus is a 2-branch union of the documents
     # scan (base + mutants) — same as every dedup-family plan
     assert p.count("FileScan parquet") == 2
+
+
+def test_batch42_plan_properties(plans):
+    """Batch-42 plans: the forward CV runs entirely on the checkpointed
+    daily frame (one fact scan at checkpoint time); the advisor is six
+    independent single-table aggregates; the DSAR predicate pushes to
+    the scan and the per-user sort stays inside the aggregate."""
+    p = plans("timeseries_forward_cv", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p  # fold spec + train frame broadcast
+
+    p = plans("broadcast_threshold_advisor", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 6  # one per advised table
+
+    p = plans("dsar_export_bundle", "formatted")
+    assert "EvalPython" not in p and "Join" not in p
+    assert "PushedFilters" in p
+    # the per-user ordering lives inside array_sort in the aggregate:
+    # no global Sort operator anywhere in the plan
+    assert "Sort " not in p and "SortExec" not in p
