@@ -1330,3 +1330,21 @@ def test_batch42_plan_properties(plans):
     # the per-user ordering lives inside array_sort in the aggregate:
     # no global Sort operator anywhere in the plan
     assert "Sort " not in p and "SortExec" not in p
+
+
+def test_batch43_plan_properties(plans):
+    """Batch-43 plans: the hashed-vector eval works on the checkpointed
+    (doc, dim) frame with broadcast norms; Hill is one rank window plus
+    arithmetic on the checkpointed top-k; SPRT is one scan, no joins."""
+    p = plans("hashing_trick_doc_vectors", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    p = plans("hill_tail_index", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("sprt_sequential_test", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
