@@ -335,6 +335,22 @@ BENCH_QUERIES_EXT = [
     # non-engine I/O per run, and the streaming lane is already
     # represented by streaming_lww_upsert_view)
     "sinkhorn_matrix_scaling",
+    # round 9 (batch 40: SQL-surface contracts)
+    "range_value_frame_stats",
+    "set_ops_bag_semantics",
+    "null_semantics_audit",
+    # round 9 (batch 41: eval/ops lanes)
+    "langid_confusion_matrix",
+    "class_separation_report",
+    "minhash_band_load_report",
+    # round 9 (batch 42: temporal CV, sizing, access requests)
+    "timeseries_forward_cv",
+    "broadcast_threshold_advisor",
+    "dsar_export_bundle",
+    # round 9 (batch 43: hashed vectors, tails, sequential tests)
+    "hashing_trick_doc_vectors",
+    "hill_tail_index",
+    "sprt_sequential_test",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
