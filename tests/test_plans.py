@@ -1348,3 +1348,17 @@ def test_batch43_plan_properties(plans):
     p = plans("sprt_sequential_test", "simple")
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_batch44_plan_properties(plans):
+    """Batch-44 plans: the replay walk is one window over the
+    checkpointed choices frame (no joins); secure-agg is a
+    co-partitioned semi-join plus one rollup."""
+    p = plans("bandit_replay_eval", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert "Scan ExistingRDD" in p  # the checkpointed choices frame
+
+    p = plans("secure_agg_masking_proof", "simple")
+    assert "EvalPython" not in p
+    assert "LeftSemi" in p
+    assert p.count("FileScan parquet") <= 2
