@@ -69,14 +69,19 @@ _FCV_FOLDS = 3  # cuts at 1/4, 2/4, 3/4 of the day range
     te AS (
       SELECT f.fold, d.series_id, d.v_micro
       FROM d JOIN folds f ON d.dday >= f.lo AND d.dday < f.hi
+    ),
+    trf AS (
+      SELECT fold, CAST(SUM(n_train) AS BIGINT) AS n_train_points
+      FROM tr GROUP BY 1
     )
     SELECT t.fold,
-           CAST(SUM(tr.n_train) AS BIGINT) AS n_train_points,
+           CAST(MAX(trf.n_train_points) AS BIGINT) AS n_train_points,
            CAST(COUNT(*) AS BIGINT) AS n_test_points,
            CAST(SUM(ABS(t.v_micro - tr.mean_micro)) // COUNT(*)
                 AS BIGINT) AS mae_micro
     FROM te t
     JOIN tr ON tr.fold = t.fold AND tr.series_id = t.series_id
+    JOIN trf ON trf.fold = t.fold
     GROUP BY 1
     """,
 )
@@ -142,11 +147,17 @@ def timeseries_forward_cv(
         F.broadcast(folds),
         (daily["dday"] >= folds["lo"]) & (daily["dday"] < folds["hi"]),
     ).select("fold", "series_id", "v_micro")
+    trf = tr.groupBy("fold").agg(
+        F.sum("n_train").cast("long").alias("n_train_points")
+    )
     return (
         te.join(F.broadcast(tr), ["fold", "series_id"])
+        .join(F.broadcast(trf), "fold")
         .groupBy("fold")
         .agg(
-            F.sum("n_train").cast("long").alias("n_train_points"),
+            F.max("n_train_points").cast("long").alias(
+                "n_train_points"
+            ),
             F.count("*").cast("long").alias("n_test_points"),
             F.expr(
                 "CAST(SUM(ABS(v_micro - mean_micro)) DIV COUNT(*)"

@@ -58,6 +58,13 @@ def test_forward_cv_is_temporally_valid(spark):
             if lo <= d < hi
         )
         assert r.n_test_points == n_test
+        # n_train_points is the ACTUAL count of (series, day) points
+        # before the cut — the r9 self-review caught the first cut of
+        # this entry inflating it once per test row
+        n_train = sum(
+            1 for pts in by_series.values() for d, _ in pts if d < lo
+        )
+        assert r.n_train_points == n_train
         # MAE recompute with truncating semantics (all values here are
         # non-negative sums, so // == DIV on the divisor side; the
         # deltas inside ABS make sign moot)
