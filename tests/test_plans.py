@@ -1362,3 +1362,23 @@ def test_batch44_plan_properties(plans):
     assert "EvalPython" not in p
     assert "LeftSemi" in p
     assert p.count("FileScan parquet") <= 2
+
+
+def test_batch45_plan_properties(plans):
+    """Batch-45 plans: water-filling runs on the checkpointed demand
+    frame; the burn-rate report is one scan + one bounded window; the
+    gap sweep is one lag pass with a 3-row broadcast (no rescan per
+    gap)."""
+    p = plans("maxmin_fair_allocation", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+    assert "SortMergeJoin" not in p
+
+    p = plans("slo_burn_rate_alerts", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("session_gap_sweep", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 2  # diffs pass + totals pass
