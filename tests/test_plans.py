@@ -1382,3 +1382,18 @@ def test_batch45_plan_properties(plans):
     assert "EvalPython" not in p
     assert "SortMergeJoin" not in p
     assert p.count("FileScan parquet") == 2  # diffs pass + totals pass
+
+
+def test_batch46_plan_properties(plans):
+    """Batch-46 plans: the fit report scans the corpus once with a
+    3-row broadcast sweep; the diff stats join only the planted
+    offset (no all-pairs, set arithmetic stays inside the rows)."""
+    p = plans("context_window_fit_report", "simple")
+    assert "EvalPython" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("FileScan parquet") == 1
+
+    p = plans("dup_pair_diff_stats", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" not in p  # no explode: array ops per row
