@@ -351,6 +351,16 @@ BENCH_QUERIES_EXT = [
     "hashing_trick_doc_vectors",
     "hill_tail_index",
     "sprt_sequential_test",
+    # round 9 (batch 44: offline policy eval, private collection)
+    "bandit_replay_eval",
+    "secure_agg_masking_proof",
+    # round 9 (batch 45: quotas, SLO alerting, parameter sweeps)
+    "maxmin_fair_allocation",
+    "slo_burn_rate_alerts",
+    "session_gap_sweep",
+    # round 9 (batch 46: packing budgets, dedup explainability)
+    "context_window_fit_report",
+    "dup_pair_diff_stats",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
