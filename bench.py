@@ -399,6 +399,10 @@ def _run_once(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # one JVM compiles and times 250+ query plans: give the driver GC
+    # headroom so late-lane timings don't pay for early-lane garbage
+    # (the box has 128 GiB; the 8g default is sized for tests)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # One trivial action so neither lane charges session startup (~10 s of
