@@ -1397,3 +1397,22 @@ def test_batch46_plan_properties(plans):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert "Generate" not in p  # no explode: array ops per row
+
+
+def test_batch47_plan_properties(plans):
+    """Batch-47 plans: the A/A splits run over one checkpointed
+    per-user frame; the median CI joins the checkpointed ranked frame
+    three times (no re-rank); QTE is rank windows + a bounded self
+    join."""
+    p = plans("aa_test_calibration", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+
+    p = plans("median_ci_order_stats", "simple")
+    assert "EvalPython" not in p
+    assert "FileScan parquet" not in p and "Scan ExistingRDD" in p
+
+    p = plans("quantile_treatment_effect", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 2
