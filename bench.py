@@ -361,6 +361,10 @@ BENCH_QUERIES_EXT = [
     # round 9 (batch 46: packing budgets, dedup explainability)
     "context_window_fit_report",
     "dup_pair_diff_stats",
+    # round 9 (batch 47: calibration, robust intervals, robust effects)
+    "aa_test_calibration",
+    "median_ci_order_stats",
+    "quantile_treatment_effect",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
