@@ -1416,3 +1416,20 @@ def test_batch47_plan_properties(plans):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert p.count("FileScan parquet") <= 2
+
+
+def test_batch48_plan_properties(plans):
+    """Batch-48 plans: the SymSpell candidate join is an equi-join on
+    generated keys over the checkpointed vocabulary (never a cartesian
+    edit-distance scan); the LTV curve joins purchases to the
+    checkpointed cohort frame."""
+    p = plans("symspell_typo_candidates", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    # the vocabulary is checkpointed: no corpus rescans per side
+    assert "Scan ExistingRDD" in p
+
+    p = plans("cohort_ltv_curve", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("FileScan parquet") <= 2  # first-seen + purchases
