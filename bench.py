@@ -365,6 +365,9 @@ BENCH_QUERIES_EXT = [
     "aa_test_calibration",
     "median_ci_order_stats",
     "quantile_treatment_effect",
+    # round 9 (batch 48: vocab normalization, unit economics)
+    "symspell_typo_candidates",
+    "cohort_ltv_curve",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
