@@ -26,7 +26,12 @@ import glob as _glob
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
 CELLS_SCHEMA = StructType(
@@ -60,47 +65,106 @@ class WorkbookCellsReader(DataSourceReader):
         return [_FilePartition(p) for p in self._paths]
 
     def read(self, partition: _FilePartition):
-        path = partition.path
-        fname = os.path.basename(path)
-        if path.endswith(".jsonl"):
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    # mirror the workbook readers' cell semantics: null/
-                    # empty values are ABSENT cells (dropped, never the
-                    # string 'None'), and a structurally malformed line
-                    # is skipped rather than killing the task (V7)
-                    try:
-                        rec = json.loads(line)
-                        value = rec["value"]
-                        if value is None or value == "":
-                            continue
-                        yield (
-                            fname,
-                            rec["sheet"],
-                            int(rec["row"]),
-                            rec["col"],
-                            str(value),
-                        )
-                    except (KeyError, ValueError, TypeError):
-                        continue
-        elif path.endswith(".xlsx"):
-            from series_tiempo_ar_scraping_spark.sources.xlsx import iter_cells
+        yield from _iter_file_cells(partition.path)
 
-            for sheet, row, col, value in iter_cells(path):
-                yield (fname, sheet, row, col, value)
-        elif path.endswith(".xls"):
-            from series_tiempo_ar_scraping_spark.sources.xls import (
-                iter_cells_xls,
+
+def _iter_file_cells(path: str):
+    """One workbook/jsonl file -> cell tuples (shared by the batch
+    partitions and the streaming micro-batches, so both mounts see
+    identical cell semantics)."""
+    fname = os.path.basename(path)
+    if path.endswith(".jsonl"):
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                # mirror the workbook readers' cell semantics: null/
+                # empty values are ABSENT cells (dropped, never the
+                # string 'None'), and a structurally malformed line
+                # is skipped rather than killing the task (V7)
+                try:
+                    rec = json.loads(line)
+                    value = rec["value"]
+                    if value is None or value == "":
+                        continue
+                    yield (
+                        fname,
+                        rec["sheet"],
+                        int(rec["row"]),
+                        rec["col"],
+                        str(value),
+                    )
+                except (KeyError, ValueError, TypeError):
+                    continue
+    elif path.endswith(".xlsx"):
+        from series_tiempo_ar_scraping_spark.sources.xlsx import iter_cells
+
+        for sheet, row, col, value in iter_cells(path):
+            yield (fname, sheet, row, col, value)
+    elif path.endswith(".xls"):
+        from series_tiempo_ar_scraping_spark.sources.xls import (
+            iter_cells_xls,
+        )
+
+        for sheet, row, col, value in iter_cells_xls(path):
+            yield (fname, sheet, row, col, value)
+    else:
+        raise NotImplementedError(
+            f"workbook_cells: unsupported format {path}"
+        )
+
+
+class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming mount of an arriving-workbooks directory (SURVEY
+    S1/S8 evolved to §2.11): each micro-batch reads the files whose
+    names sort AFTER the last committed one — the reference scrapes
+    catalogs on a schedule; this is the same ingestion as a
+    continuous stream, with the scheduler replaced by Structured
+    Streaming's offset log. Offsets are {"last": <filename>}, so the
+    contract is that arriving files sort after consumed ones
+    (timestamped names — the standard landing-zone convention);
+    readBetweenOffsets replays any committed range exactly, which is
+    what makes recovery from the checkpoint exactly-once."""
+
+    def __init__(self, options: dict):
+        self._dir = options.get("path") or options.get("paths")
+        if not self._dir:
+            raise ValueError(
+                "workbook_cells stream: .load(directory) is required"
             )
 
-            for sheet, row, col, value in iter_cells_xls(path):
-                yield (fname, sheet, row, col, value)
-        else:
-            raise NotImplementedError(
-                f"workbook_cells: unsupported format {path}"
-            )
+    def _names(self):
+        return sorted(
+            f
+            for f in os.listdir(self._dir)
+            if f.endswith((".jsonl", ".xlsx", ".xls"))
+        )
+
+    def initialOffset(self):
+        return {"last": ""}
+
+    def read(self, start: dict):
+        new = [n for n in self._names() if n > start.get("last", "")]
+        if not new:
+            return [], start
+        end = {"last": new[-1]}
+        return self._rows(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return self._rows(
+            [n for n in self._names() if lo < n <= hi]
+        )
+
+    def _rows(self, names):
+        # the simple-reader wrapper prefetches and PICKLES the batch
+        # (driver-side read, executor replay) — a generator would not
+        # survive the trip; per-microbatch file granularity keeps the
+        # materialized list bounded by one arrival batch
+        out = []
+        for n in names:
+            out.extend(_iter_file_cells(os.path.join(self._dir, n)))
+        return out
 
 
 class WorkbookCellsDataSource(DataSource):
@@ -114,17 +178,41 @@ class WorkbookCellsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return WorkbookCellsReader(self.options)
 
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> SimpleDataSourceStreamReader:
+        return WorkbookCellsStreamReader(self.options)
+
 
 def register_workbook_cells(spark) -> None:
     """Register the DataSource on a session (idempotent per session).
 
     Executors must be able to import this package for .xlsx partitions
     (``ensure_package_on_executors``) — same requirement as every
-    pandas-UDF island.
+    pandas-UDF island. The STREAMING plan runner is stricter: it is a
+    python worker spawned by the driver JVM that does NOT see
+    addPyFile includes, so the datasource modules are additionally
+    registered for BY-VALUE cloudpickle serialization — the class
+    travels inside the pickle and needs no import on the other side
+    (caught by the foreign-cwd driver drive; the batch reader masked
+    this because its planning stays in the driver process).
     """
     from series_tiempo_ar_scraping_spark.session import (
         ensure_package_on_executors,
     )
 
     ensure_package_on_executors(spark)
+    try:
+        from pyspark import cloudpickle
+
+        import series_tiempo_ar_scraping_spark.sources.datasource as _ds
+        import series_tiempo_ar_scraping_spark.sources.xls as _xls
+        import series_tiempo_ar_scraping_spark.sources.xlsx as _xlsx
+
+        for mod in (_ds, _xlsx, _xls):
+            cloudpickle.register_pickle_by_value(mod)
+    except (ImportError, AttributeError):
+        # older cloudpickle: fall back to import-by-reference (works
+        # whenever the driver cwd is the repo root)
+        pass
     spark.dataSource.register(WorkbookCellsDataSource)
