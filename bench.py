@@ -368,6 +368,10 @@ BENCH_QUERIES_EXT = [
     # round 9 (batch 48: vocab normalization, unit economics)
     "symspell_typo_candidates",
     "cohort_ltv_curve",
+    # round 9 (batch 49): workbook_cells_stream is excluded like the
+    # funnel tracker — its per-run landing-zone staging writes ~10 s
+    # of non-engine I/O; the source's engine cost is covered by the
+    # batch workbook_cells tests and the offset-contract unit tests
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
