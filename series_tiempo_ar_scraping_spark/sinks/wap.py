@@ -1,0 +1,134 @@
+"""Write-Audit-Publish (WAP): the data-lake release pattern for the
+engine's sinks (SURVEY §2.2 K1-K5 evolved to the 100 TB publishing
+contract).
+
+The reference writes CSVs in place and reports problems afterwards
+(generators/base.py writes, then the validation report); at fleet
+scale an in-place write that fails its checks has already corrupted
+the consumers' view. WAP inverts the order:
+
+1. WRITE the full output to a staging directory nobody reads.
+2. AUDIT the staged files themselves (read-back, not the input frame:
+   the audit must see exactly the bytes consumers would).
+3. PUBLISH by atomic directory rename — consumers see the old version
+   or the new version, never a half-written one — or ABORT, deleting
+   staging and leaving the published version untouched.
+
+A manifest (`_WAP_MANIFEST.json`) travels inside the published
+directory: row count, audit names, and the publishing generation —
+the provenance record a downstream job can assert against.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+MANIFEST = "_WAP_MANIFEST.json"
+
+# an audit takes the STAGED read-back frame and returns None (pass) or
+# a failure message
+Audit = Callable[[DataFrame], Optional[str]]
+
+
+def non_empty_audit(df: DataFrame) -> Optional[str]:
+    """The minimum useful audit: refuse to publish an empty output."""
+    return None if df.limit(1).count() == 1 else "output is empty"
+
+
+def no_null_audit(*cols: str) -> Audit:
+    """Audit factory: refuse to publish if any named column has NULLs."""
+
+    def audit(df: DataFrame) -> Optional[str]:
+        from pyspark.sql import functions as F
+
+        bad = [
+            c
+            for c in cols
+            if df.filter(F.col(c).isNull()).limit(1).count() > 0
+        ]
+        return f"null values in {bad}" if bad else None
+
+    return audit
+
+
+def write_audit_publish(
+    df: DataFrame,
+    publish_dir: str,
+    audits: list,
+    fmt: str = "parquet",
+) -> dict:
+    """Run the WAP cycle for one output. Returns a result dict:
+    ``{"published": bool, "rows": int, "failures": [...],
+    "generation": int}``.
+
+    Atomicity: the publish step is two POSIX renames (current →
+    retired, staging → current) — each atomic, and a reader holding
+    the old path keeps its open file handles. A failed audit deletes
+    staging and leaves the CURRENT PUBLICATION EXACTLY AS IT WAS —
+    the property the reference's write-then-validate order cannot
+    give. Generations increment across publishes so consumers can
+    pin or diff releases."""
+    spark = df.sparkSession
+    staging = publish_dir.rstrip("/") + ".staging"
+    retired = publish_dir.rstrip("/") + ".retired"
+    for leftover in (staging, retired):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df.write.mode("overwrite").format(fmt).save(staging)
+
+    back = spark.read.format(fmt).load(staging)
+    failures = []
+    for audit in audits:
+        msg = audit(back)
+        if msg is not None:
+            failures.append(msg)
+    if failures:
+        shutil.rmtree(staging)
+        return {
+            "published": False,
+            "rows": 0,
+            "failures": failures,
+            "generation": _generation(publish_dir),
+        }
+
+    rows = back.count()
+    gen = _generation(publish_dir) + 1
+    with open(os.path.join(staging, MANIFEST), "w") as fh:
+        json.dump(
+            {
+                "rows": rows,
+                "audits": [
+                    getattr(a, "__name__", "audit") for a in audits
+                ],
+                "generation": gen,
+                "format": fmt,
+            },
+            fh,
+        )
+    if os.path.exists(publish_dir):
+        os.rename(publish_dir, retired)
+    os.rename(staging, publish_dir)
+    if os.path.exists(retired):
+        shutil.rmtree(retired)
+    return {
+        "published": True,
+        "rows": rows,
+        "failures": [],
+        "generation": gen,
+    }
+
+
+def _generation(publish_dir: str) -> int:
+    path = os.path.join(publish_dir, MANIFEST)
+    if not os.path.exists(path):
+        return 0
+    try:
+        with open(path) as fh:
+            return int(json.load(fh).get("generation", 0))
+    except (ValueError, OSError):
+        return 0
