@@ -1433,3 +1433,22 @@ def test_batch48_plan_properties(plans):
     assert "EvalPython" not in p
     assert "CartesianProduct" not in p
     assert p.count("FileScan parquet") <= 2  # first-seen + purchases
+
+
+def test_batch50_plan_properties(plans):
+    """Batch-50 plans: the JSON battery is five conditional aggregates
+    over one construct+extract pass; the lift pairs come from the
+    checkpointed per-order item frame with broadcast margins; the
+    dispersion report is two shrinking aggregates."""
+    p = plans("json_path_semantics_audit", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+
+    p = plans("cooccurrence_null_lift", "simple")
+    assert "EvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # checkpointed item-order frame
+    assert "TakeOrderedAndProject" in p
+
+    p = plans("overdispersion_index", "simple")
+    assert "EvalPython" not in p and "Join" not in p
+    assert p.count("FileScan parquet") == 1
