@@ -372,6 +372,10 @@ BENCH_QUERIES_EXT = [
     # funnel tracker — its per-run landing-zone staging writes ~10 s
     # of non-engine I/O; the source's engine cost is covered by the
     # batch workbook_cells tests and the offset-contract unit tests
+    # round 9 (batch 50: engine contracts, basket stats, diagnostics)
+    "json_path_semantics_audit",
+    "cooccurrence_null_lift",
+    "overdispersion_index",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
