@@ -950,25 +950,29 @@ _DRIVER_GATE_PRIORITY = [
     "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # Round-9 rotation (VERDICT r8 #4): none of the nine r8 batches was
-    # driver-verified — the governance lane, the two new iterative
-    # families, the container/sketch/profile additions, and the closed
-    # label-noise scale-killer all move under the independent hash gate.
-    "governance_nightly_report",
-    "pii_detection_report",
-    "pii_redaction_audit",
-    "gopher_repetition_report",
-    "table_profile_report",
-    "inverted_index_build",
-    "histogram_quantile_sketch",
-    "url_canonicalize_dedup",
-    "hits_hub_authority",
-    "perceptron_training",
-    "multimodal_tar_shards",
-    "watermark_delay_sweep",
-    "woe_information_value",
-    "max_concurrent_user_spans",
-    "label_noise_knn_disagreement",
+    # Round-10 rotation (VERDICT r9 #1): the r9 batches 24-50 added 73
+    # entries that were mirror-green but never driver-verified.  The r9
+    # rotation (governance/sketch/profile lane) was driver-confirmed
+    # 50/50 in CORRECTNESS_r09.json and rotates back to the local
+    # mirror; one exemplar per new r9 family moves under the hash gate —
+    # including the two entries whose bugs only self-review caught
+    # (label_propagation_communities tiebreak, timeseries_forward_cv
+    # train count), which deserve driver eyes most.
+    "bcubed_cluster_eval",
+    "dedup_eval_precision_recall",
+    "label_propagation_communities",
+    "timeseries_forward_cv",
+    "streaming_funnel_tracker",
+    "sinkhorn_matrix_scaling",
+    "multimodal_dhash_dedup",
+    "merkle_range_fingerprints",
+    "range_value_frame_stats",
+    "null_semantics_audit",
+    "json_path_semantics_audit",
+    "hashing_trick_doc_vectors",
+    "median_ci_order_stats",
+    "maxmin_fair_allocation",
+    "cooccurrence_null_lift",
 ]
 
 

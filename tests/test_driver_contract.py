@@ -91,21 +91,21 @@ _GATE_FIRST_50 = [
     "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    "governance_nightly_report",
-    "pii_detection_report",
-    "pii_redaction_audit",
-    "gopher_repetition_report",
-    "table_profile_report",
-    "inverted_index_build",
-    "histogram_quantile_sketch",
-    "url_canonicalize_dedup",
-    "hits_hub_authority",
-    "perceptron_training",
-    "multimodal_tar_shards",
-    "watermark_delay_sweep",
-    "woe_information_value",
-    "max_concurrent_user_spans",
-    "label_noise_knn_disagreement",
+    "bcubed_cluster_eval",
+    "dedup_eval_precision_recall",
+    "label_propagation_communities",
+    "timeseries_forward_cv",
+    "streaming_funnel_tracker",
+    "sinkhorn_matrix_scaling",
+    "multimodal_dhash_dedup",
+    "merkle_range_fingerprints",
+    "range_value_frame_stats",
+    "null_semantics_audit",
+    "json_path_semantics_audit",
+    "hashing_trick_doc_vectors",
+    "median_ci_order_stats",
+    "maxmin_fair_allocation",
+    "cooccurrence_null_lift",
 ]
 
 
