@@ -102,7 +102,29 @@ def streaming_funnel_tracker(
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    import shutil
+
     stage = tempfile.mkdtemp(prefix="funnel_stream_")
+    try:
+        return _run_funnel_stream(spark, e, stage)
+    finally:
+        # result is eagerly localCheckpoint()ed first, so the staged
+        # parquet copy of events is unreferenced by then — without
+        # this, repeated correctness runs leak disk in the system
+        # temp dir (ADVICE r9)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_funnel_stream(spark, e, stage):
+    import os
+
+    from series_tiempo_ar_scraping_spark.streaming.events import (
+        read_events_stream,
+    )
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
     main_dir = os.path.join(stage, "stream")
     # midpoint derived as a 1-row aggregate — no driver collect(); the
     # two writes split the table time-wise so per-user order is

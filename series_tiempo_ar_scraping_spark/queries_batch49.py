@@ -92,7 +92,23 @@ def workbook_cells_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 2).alias("half"),
         )
     )
+    import shutil
+
     stage = tempfile.mkdtemp(prefix="cells_stream_")
+    try:
+        return _run_cells_stream(spark, cells, stage)
+    finally:
+        # the result is eagerly localCheckpoint()ed before the finally
+        # runs, so the staged landing files are no longer referenced —
+        # without this, repeated correctness runs leak the copies in
+        # the system temp dir (ADVICE r9)
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def _run_cells_stream(spark, cells, stage):
+    import os
+    import time
+
     land = os.path.join(stage, "landing")
     os.makedirs(land)
     for half in (0, 1):

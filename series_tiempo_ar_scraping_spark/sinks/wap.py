@@ -67,8 +67,15 @@ def write_audit_publish(
     "generation": int}``.
 
     Atomicity: the publish step is two POSIX renames (current →
-    retired, staging → current) — each atomic, and a reader holding
-    the old path keeps its open file handles. A failed audit deletes
+    retired, staging → current) — each individually atomic, and a
+    reader holding the old path keeps its open file handles. Between
+    the two renames there is a brief window where ``publish_dir`` does
+    not exist (a new reader gets ENOENT rather than "old or new");
+    crash recovery closes it on the next run: if the process died
+    inside that window, ``publish_dir`` is absent and ``retired``
+    holds the only good copy, so entry RESTORES retired →
+    publish_dir before doing anything else — ``retired`` is only ever
+    deleted while ``publish_dir`` exists. A failed audit deletes
     staging and leaves the CURRENT PUBLICATION EXACTLY AS IT WAS —
     the property the reference's write-then-validate order cannot
     give. Generations increment across publishes so consumers can
@@ -76,9 +83,15 @@ def write_audit_publish(
     spark = df.sparkSession
     staging = publish_dir.rstrip("/") + ".staging"
     retired = publish_dir.rstrip("/") + ".retired"
-    for leftover in (staging, retired):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+    # Crash recovery: a death between the two publish renames leaves
+    # publish_dir missing and retired holding the last good
+    # publication. Roll it back rather than treating it as leftover.
+    if os.path.exists(retired) and not os.path.exists(publish_dir):
+        os.rename(retired, publish_dir)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(retired) and os.path.exists(publish_dir):
+        shutil.rmtree(retired)
     df.write.mode("overwrite").format(fmt).save(staging)
 
     back = spark.read.format(fmt).load(staging)

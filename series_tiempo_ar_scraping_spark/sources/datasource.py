@@ -120,11 +120,20 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
     names sort AFTER the last committed one — the reference scrapes
     catalogs on a schedule; this is the same ingestion as a
     continuous stream, with the scheduler replaced by Structured
-    Streaming's offset log. Offsets are {"last": <filename>}, so the
-    contract is that arriving files sort after consumed ones
-    (timestamped names — the standard landing-zone convention);
-    readBetweenOffsets replays any committed range exactly, which is
-    what makes recovery from the checkpoint exactly-once."""
+    Streaming's offset log. Offsets are {"last": <filename>, "n":
+    <files at-or-below last>}, so the contract is that arriving files
+    sort after consumed ones (timestamped names — the standard
+    landing-zone convention); readBetweenOffsets replays any committed
+    range exactly, which is what makes recovery from the checkpoint
+    exactly-once.
+
+    Contract violations are DETECTED, not silently absorbed (ADVICE
+    r9): the "n" count lets each read compare the live listing against
+    the committed range in O(1) offset size — a late-arriving file
+    whose name sorts at or below the committed "last" (which the
+    watermark would skip forever, and which a replay would wrongly
+    inject into an already-committed batch) raises by default, or
+    warns and skips under ``.option("onLateFile", "warn")``."""
 
     def __init__(self, options: dict):
         self._dir = options.get("path") or options.get("paths")
@@ -132,6 +141,11 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 "workbook_cells stream: .load(directory) is required"
             )
+        self._on_late = str(
+            options.get("onLateFile")
+            or options.get("onlatefile")
+            or "error"
+        ).lower()
 
     def _names(self):
         return sorted(
@@ -140,21 +154,51 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
             if f.endswith((".jsonl", ".xlsx", ".xls"))
         )
 
+    def _check_consumed(self, names, offset: dict, where: str):
+        """The live listing must still agree with a committed offset:
+        exactly offset["n"] files at-or-below offset["last"]. More
+        means a late arrival landed inside the committed range (the
+        watermark would never read it); fewer means a consumed file
+        vanished (a replay could not reproduce the batch)."""
+        expected = offset.get("n")
+        if expected is None:  # pre-r10 checkpoint: count not recorded
+            return
+        last = offset.get("last", "")
+        below = [n for n in names if n <= last]
+        if len(below) == expected:
+            return
+        kind = "late-arriving" if len(below) > expected else "missing"
+        msg = (
+            f"workbook_cells stream: {kind} file inside the committed "
+            f"range during {where} — {len(below)} files sort <= "
+            f"{last!r} but the offset committed {expected}; the "
+            "lexicographic-arrival contract is violated and the "
+            "watermark cannot deliver the difference exactly-once"
+        )
+        if self._on_late == "warn":
+            import warnings
+
+            warnings.warn(msg)
+        else:
+            raise RuntimeError(msg)
+
     def initialOffset(self):
-        return {"last": ""}
+        return {"last": "", "n": 0}
 
     def read(self, start: dict):
-        new = [n for n in self._names() if n > start.get("last", "")]
+        names = self._names()
+        self._check_consumed(names, start, "read")
+        new = [n for n in names if n > start.get("last", "")]
         if not new:
             return [], start
-        end = {"last": new[-1]}
+        end = {"last": new[-1], "n": len(names)}
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        names = self._names()
+        self._check_consumed(names, end, "replay")
         lo, hi = start.get("last", ""), end.get("last", "")
-        return self._rows(
-            [n for n in self._names() if lo < n <= hi]
-        )
+        return self._rows([n for n in names if lo < n <= hi])
 
     def _rows(self, names):
         # the simple-reader wrapper prefetches and PICKLES the batch

@@ -176,12 +176,18 @@ FUNNEL_STATE_SCHEMA = T.StructType(
 )
 
 
-def _funnel_fn(stages: tuple):
+def _funnel_fn(stages: tuple, ttl_minutes: int):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:  # pragma: no cover - purge-only path
+        if state.hasTimedOut:
+            # event time passed last activity + TTL: drop the entry —
+            # an abandoned funnel emits nothing, a completed funnel's
+            # done-tombstone has outlived any event the watermark
+            # would still admit (watermark << TTL), so exactly-once
+            # emission is preserved while state stays bounded by the
+            # ACTIVE user set, not the all-time one (ADVICE r9).
             state.remove()
             return
         evs: list[tuple[int, int, str]] = []
@@ -223,14 +229,24 @@ def _funnel_fn(stages: tuple):
                     ],
                 )
         state.update((stage, view_us, click_us, done))
+        if evs:  # TTL rides the newest event time seen for this key
+            state.setTimeoutTimestamp(
+                evs[-1][0] // 1000 + ttl_minutes * 60_000
+            )
         if out is not None:
             yield out
 
     return fn
 
 
+FUNNEL_TTL_MIN = 7 * 24 * 60  # purge funnels idle for 7 event-time days
+
+
 def funnel_stream(
-    events: DataFrame, stages: tuple = FUNNEL_STAGES
+    events: DataFrame,
+    stages: tuple = FUNNEL_STAGES,
+    ttl_minutes: int = FUNNEL_TTL_MIN,
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming funnel tracker: a per-user ordered-stage state machine
     (view -> click -> purchase) that emits ONE row per user at the
@@ -240,10 +256,16 @@ def funnel_stream(
     family). Events advance the machine in (ts, event_id) order — a
     total order, so replays and multi-batch arrivals are
     deterministic; completed users keep a tombstone (done=1) so the
-    emission is exactly-once per user. State per key is four ints —
-    bounded; a production deployment adds the event-time TTL purge
-    exactly as ``sessionize_stream`` does (the hasTimedOut branch is
-    already wired).
+    emission is exactly-once per user. State per key is four ints, and
+    the event-time TTL (``ttl_minutes`` past a user's newest event,
+    enforced via ``EventTimeTimeout`` + the watermark, same purge
+    idiom as ``sessionize_stream``) bounds TOTAL state by the active
+    user set rather than the all-time one — without it a long-running
+    deployment keeps one entry per user forever (ADVICE r9). The TTL
+    dwarfs the watermark, so a tombstone is only dropped once no
+    admissible event could re-trigger the funnel: emission stays
+    exactly-once; a user returning after the TTL starts a fresh
+    funnel (the standard expiry semantics).
 
     Grouping is the normal hash shuffle on user_id: a billion users
     partition cleanly, and each microbatch touches only keys with
@@ -253,10 +275,14 @@ def funnel_stream(
     )
 
     ensure_package_on_executors(events.sparkSession)
-    return events.groupBy("user_id").applyInPandasWithState(
-        _funnel_fn(stages),
-        outputStructType=FUNNEL_OUTPUT_SCHEMA,
-        stateStructType=FUNNEL_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_fn(stages, ttl_minutes),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -35,7 +35,7 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     start = rdr.initialOffset()
     rows1, off1 = rdr.read(start)
     assert len(list(rows1)) == 2
-    assert off1 == {"last": "000.jsonl"}
+    assert off1 == {"last": "000.jsonl", "n": 1}
     # nothing new: offset must NOT advance
     rows2, off2 = rdr.read(off1)
     assert list(rows2) == [] and off2 == off1
@@ -44,10 +44,50 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     rows3, off3 = rdr.read(off1)
     got3 = list(rows3)
     assert [r[2] for r in got3] == [3]
-    assert off3 == {"last": "001.jsonl"}
+    assert off3 == {"last": "001.jsonl", "n": 2}
     # replay of the committed first window is exact
     replay = list(rdr.readBetweenOffsets(start, off1))
     assert [r[2] for r in replay] == [1, 2]
+
+
+def test_stream_reader_detects_late_file(tmp_path):
+    """A file arriving with a name that sorts at or below the committed
+    offset violates the lexicographic-arrival contract; pre-r10 the
+    watermark skipped it silently forever (ADVICE r9). Now: raise by
+    default, warn-and-skip under onLateFile=warn, and a replay of a
+    committed range that the late file would corrupt also raises."""
+    import warnings
+
+    import pytest
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write_cells(os.path.join(d, "005.jsonl"), "s1", [(1, "a")])
+    rdr = WorkbookCellsStreamReader({"path": d})
+    start = rdr.initialOffset()
+    _, off1 = rdr.read(start)
+    assert off1 == {"last": "005.jsonl", "n": 1}
+    # late arrival: sorts BELOW the committed watermark
+    _write_cells(os.path.join(d, "001.jsonl"), "s1", [(9, "late")])
+    with pytest.raises(RuntimeError, match="late-arriving"):
+        rdr.read(off1)
+    with pytest.raises(RuntimeError, match="late-arriving"):
+        list(rdr.readBetweenOffsets(start, off1))
+    # warn mode: surfaced but the stream continues (late file skipped)
+    lenient = WorkbookCellsStreamReader({"path": d, "onLateFile": "warn"})
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        rows, off2 = lenient.read(off1)
+    assert any("late-arriving" in str(w.message) for w in caught)
+    assert list(rows) == []  # nothing sorts after the watermark
+    # a consumed file VANISHING is the mirror violation
+    os.remove(os.path.join(d, "001.jsonl"))
+    os.remove(os.path.join(d, "005.jsonl"))
+    with pytest.raises(RuntimeError, match="missing"):
+        rdr.read(off1)
+    # pre-r10 checkpoints (no "n") stay readable: no check possible
+    rows, off3 = rdr.read({"last": ""})
+    assert list(rows) == []
 
 
 def test_stream_checkpoint_carries_offsets(spark, tmp_path):

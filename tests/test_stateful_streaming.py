@@ -780,3 +780,72 @@ def test_cms_cells_checkpoint_recovery_exactly_once(spark, tmp_path):
         for r in cms_cells(static).collect()
     )
     assert got == want  # exactly once: no cell duplicated by the replay
+
+
+def test_funnel_ttl_purges_idle_state(spark, tmp_path):
+    """The funnel tracker's event-time TTL (ADVICE r9: NoTimeout left
+    one state entry per user forever). With a short TTL, a funnel idle
+    past it is PURGED: the user's later purchase meets fresh state and
+    completes nothing. With the default (7-day) TTL the same input
+    completes the funnel — proving the purge, not the watermark, is
+    what changed the outcome."""
+    from series_tiempo_ar_scraping_spark.streaming import events as SE
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        funnel_stream,
+    )
+
+    def drive(src: str, name: str, **kw):
+        stream = SE.read_events_stream(
+            spark, src, max_files_per_trigger=1
+        )
+        q = (
+            funnel_stream(stream, **kw)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()
+
+    for i, (name, kw, want) in enumerate(
+        [
+            ("funnel_ttl_short", {"ttl_minutes": 60}, 0),
+            ("funnel_ttl_default", {}, 1),
+        ]
+    ):
+        src = str(tmp_path / f"src{i}")
+        # f1: user 1 reaches stage 2 (view+click), idle afterwards
+        _write_batch(
+            spark,
+            src,
+            [
+                (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+                (2, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+            ],
+        )
+        # f2: watermark pusher (far future, other user)
+        _write_batch(
+            spark,
+            src,
+            [(3, "2024-01-02 00:00:00", 50, "view", 1.0, "{}")],
+        )
+        # f3: a batch WITHOUT user-1 data whose starting watermark is
+        # past user 1's last event + short TTL -> timeout fires here
+        _write_batch(
+            spark,
+            src,
+            [(4, "2024-01-03 00:00:00", 51, "view", 1.0, "{}")],
+        )
+        # f4: user 1 finally purchases (admitted: past the watermark)
+        _write_batch(
+            spark,
+            src,
+            [(5, "2024-01-03 12:00:00", 1, "purchase", 1.0, "{}")],
+        )
+        got = drive(src, name, **kw)
+        assert len(got) == want, (name, got)
+        if want == 1:
+            assert got[0].user_id == 1
+            assert str(got[0].purchase_ts) == "2024-01-03 12:00:00"

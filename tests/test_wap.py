@@ -77,3 +77,45 @@ def test_wap_empty_output_refused(spark, tmp_path):
     r = write_audit_publish(empty, pub, [non_empty_audit])
     assert not r["published"]
     assert not os.path.exists(pub)
+
+
+def test_wap_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulated crash in the publish window (publish_dir already moved
+    to .retired, staging not yet renamed): the next run must RESTORE
+    the retired copy, not rmtree it (ADVICE r9 — data-loss bug: the
+    leftover sweep deleted the only remaining good publication)."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(5).select(F.col("id"))
+    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    # crash simulation: first rename done, second never happened; a
+    # stale staging dir from the dead run is also present
+    os.rename(pub, pub + ".retired")
+    os.makedirs(pub + ".staging")
+    with open(os.path.join(pub + ".staging", "part-junk"), "w") as fh:
+        fh.write("torn write")
+    r = write_audit_publish(
+        spark.range(9).select(F.col("id")), pub, [non_empty_audit]
+    )
+    assert r["published"]
+    # generation continued from the RECOVERED publication (1 -> 2),
+    # proving entry rolled retired back instead of deleting it
+    assert r["generation"] == 2
+    assert spark.read.parquet(pub).count() == 9
+    assert not os.path.exists(pub + ".retired")
+    assert not os.path.exists(pub + ".staging")
+
+
+def test_wap_recovery_restores_readable_publication(spark, tmp_path):
+    """Crash recovery alone (no new publish): entry restores the
+    retired copy so a reader sees the last good generation."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(4).select(F.col("id"))
+    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    os.rename(pub, pub + ".retired")
+    # a failed-audit run must still have recovered the publication
+    empty = spark.range(0).select(F.col("id"))
+    r = write_audit_publish(empty, pub, [non_empty_audit])
+    assert not r["published"]
+    assert spark.read.parquet(pub).count() == 4
+    with open(os.path.join(pub, MANIFEST)) as fh:
+        assert json.load(fh)["generation"] == 1
