@@ -2585,7 +2585,8 @@ def _pi_iter_sql(prev: str, cur: str) -> str:
     {cur} AS (
       SELECT d,
              (CASE WHEN u < 0 THEN -1 ELSE 1 END)
-             * ((abs(u) * 1000000) // (SELECT m FROM m{cur})) AS w
+             * ((abs(u) * 1000000)
+                // (SELECT NULLIF(m, 0) FROM m{cur})) AS w
       FROM u{cur}
     )"""
 
@@ -2700,7 +2701,7 @@ def embedding_power_iteration(
                 F.col("da").alias("d"),
                 (
                     F.when(F.col("u") < 0, -1).otherwise(1)
-                    * F.expr("(abs(u) * 1000000) DIV m")
+                    * F.expr("(abs(u) * 1000000) DIV NULLIF(m, 0)")
                 )
                 .cast("decimal(38,0)")
                 .alias("w"),

@@ -1222,7 +1222,7 @@ _SEATS = 100
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY 1, 2
     ),
-    t AS (SELECT SUM(cents) AS total_cents FROM rev),
+    t AS (SELECT NULLIF(SUM(cents), 0) AS total_cents FROM rev),
     b AS (
       SELECT r.*, t.total_cents,
              (r.cents * {_SEATS}) // t.total_cents AS base_seats,
@@ -1281,7 +1281,9 @@ def largest_remainder_apportionment(
             .alias("cents")
         )
     )
-    t = rev.agg(F.sum("cents").alias("total_cents"))
+    t = rev.agg(
+        F.expr("NULLIF(SUM(cents), 0)").alias("total_cents")
+    )
     b = rev.crossJoin(F.broadcast(t)).select(
         "*",
         F.expr(f"(cents * {_SEATS}) DIV total_cents").alias(

@@ -2738,7 +2738,7 @@ def embedding_index_pipeline(
     ),
     r AS (
       SELECT part, qty,
-             (price_cents * 1000000) // qty AS unit_cost_micro,
+             (price_cents * 1000000) // NULLIF(qty, 0) AS unit_cost_micro,
              SUM(qty) OVER (PARTITION BY part ORDER BY sd, ok, ln
                             ROWS UNBOUNDED PRECEDING) AS hi
       FROM m WHERE is_receipt
@@ -2832,7 +2832,7 @@ def fifo_cogs_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "part",
             "qty",
-            F.expr("(price_cents * 1000000) DIV qty").alias(
+            F.expr("(price_cents * 1000000) DIV NULLIF(qty, 0)").alias(
                 "unit_cost_micro"
             ),
             F.sum("qty").over(w).alias("hi"),
@@ -3584,10 +3584,10 @@ _PI_Y0, _PI_Y1 = 1994, 1995
       SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
              -- p1*q0 = (e1/q1)*q0: ONE truncating integer division per
              -- term (exact products first), then exact sums
-             CAST(SUM((e1 * q0) // q1) AS BIGINT) AS l_num,
+             CAST(SUM((e1 * q0) // NULLIF(q1, 0)) AS BIGINT) AS l_num,
              CAST(SUM(e0) AS BIGINT) AS l_den,
              CAST(SUM(e1) AS BIGINT) AS p_num,
-             CAST(SUM((e0 * q1) // q0) AS BIGINT) AS p_den
+             CAST(SUM((e0 * q1) // NULLIF(q0, 0)) AS BIGINT) AS p_den
       FROM pq
     )
     SELECT n_parts, l_num, l_den, p_num, p_den,
@@ -3649,12 +3649,12 @@ def price_index_laspeyres_fisher(
         a.join(b, "part")
         .agg(
             F.count("*").cast("long").alias("n_parts"),
-            F.sum(F.expr("(e1 * q0) DIV q1"))
+            F.sum(F.expr("(e1 * q0) DIV NULLIF(q1, 0)"))
             .cast("long")
             .alias("l_num"),
             F.sum("e0").cast("long").alias("l_den"),
             F.sum("e1").cast("long").alias("p_num"),
-            F.sum(F.expr("(e0 * q1) DIV q0"))
+            F.sum(F.expr("(e0 * q1) DIV NULLIF(q0, 0)"))
             .cast("long")
             .alias("p_den"),
         )
@@ -3830,8 +3830,8 @@ def _gm_iter_sql(prev: str, cur: str) -> str:
     return f"""
     {cur} AS MATERIALIZED (
       SELECT p.nk,
-             SUM(p.x * {inv}) // SUM({inv}) AS mx,
-             SUM(p.y * {inv}) // SUM({inv}) AS my
+             SUM(p.x * {inv}) // NULLIF(SUM({inv}), 0) AS mx,
+             SUM(p.y * {inv}) // NULLIF(SUM({inv}), 0) AS my
       FROM pts p JOIN {prev} m ON m.nk = p.nk
       GROUP BY p.nk
     )"""
@@ -3914,8 +3914,8 @@ def weiszfeld_geometric_median(
             j.withColumn("inv", inv)
             .groupBy("nk")
             .agg(
-                F.expr("SUM(x * inv) DIV SUM(inv)").alias("mx"),
-                F.expr("SUM(y * inv) DIV SUM(inv)").alias("my"),
+                F.expr("SUM(x * inv) DIV NULLIF(SUM(inv), 0)").alias("mx"),
+                F.expr("SUM(y * inv) DIV NULLIF(SUM(inv), 0)").alias("my"),
             )
             .localCheckpoint(eager=False)  # broadcast materializes it
         )

@@ -257,7 +257,7 @@ _TRIGRAMS_SQL = """
     tri AS (
       SELECT doc_id, source, len(t) AS n_tokens,
              unnest({_TRIGRAMS_SQL.format(t='t')}) AS g
-      FROM toks
+      FROM toks WHERE len(t) >= 3
     ),
     cnt AS (
       SELECT doc_id, source, n_tokens, g,
@@ -299,12 +299,12 @@ def gopher_repetition_report(
     trigrams; duplicate mass > 30%; distinct/total < 60%) and rolled
     up per corpus source. Catches boilerplate/spam documents that
     pass length and stopword filters. All comparisons are integer
-    cross-multiplications — no ratio ever materializes. Edge case
-    (r9 review): a document under 3 tokens contributes ONE partial
-    n-gram (both engines skip the out-of-range positions
-    identically), so degenerate docs always trip the top-trigram
-    flag — conservative for a quality screen; the production Gopher
-    rules gate on minimum length upstream.
+    cross-multiplications — no ratio ever materializes. Documents
+    under 3 tokens are gated out UPSTREAM (``n_tokens >= 3`` on both
+    engines, r10 — closing the r9 COVERAGE edge): the real Gopher
+    rules apply a minimum-length filter before the repetition screens,
+    and without it a 1-2-token doc contributes one degenerate partial
+    n-gram that always trips the top-trigram flag.
 
     Scale shape: tokenize once, explode the trigram MULTISET (the
     dedup family's distinct-shingle fragment deliberately doesn't
@@ -320,7 +320,7 @@ def gopher_repetition_report(
     idx = F.sequence(
         F.lit(0), F.greatest(F.size("t") - 3, F.lit(0))
     )
-    tri = toks.select(
+    tri = toks.filter(F.size("t") >= 3).select(
         "doc_id",
         "source",
         F.size("t").alias("n_tokens"),

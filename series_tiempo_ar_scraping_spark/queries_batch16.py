@@ -224,7 +224,7 @@ def _jce_oracle() -> str:
         SELECT '{name}' AS join_name,
                s.n_left, s.ndv_left, s.n_right, s.ndv_right,
                CAST(s.n_left * s.n_right
-                    // greatest(s.ndv_left, s.ndv_right) AS BIGINT)
+                    // NULLIF(greatest(s.ndv_left, s.ndv_right), 0) AS BIGINT)
                  AS est_rows,
                a.actual_rows
         FROM (
@@ -292,7 +292,7 @@ def join_cardinality_estimate(
                 "ndv_right",
                 F.expr(
                     "CAST(n_left * n_right DIV "
-                    "greatest(ndv_left, ndv_right) AS BIGINT)"
+                    "NULLIF(greatest(ndv_left, ndv_right), 0) AS BIGINT)"
                 ).alias("est_rows"),
                 "actual_rows",
             )

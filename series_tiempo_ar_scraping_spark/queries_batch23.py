@@ -48,7 +48,7 @@ def _hits_round_sql(h_prev: str, a_cur: str, h_cur: str) -> str:
     {a_cur} AS (
       SELECT n.id,
              CAST(COALESCE(r.s, 0) * 1000000
-                  // (SELECT MAX(s) FROM ra_{a_cur}) AS BIGINT) AS v
+                  // (SELECT NULLIF(MAX(s), 0) FROM ra_{a_cur}) AS BIGINT) AS v
       FROM nodes n LEFT JOIN ra_{a_cur} r ON r.id = n.id
     ),
     rh_{h_cur} AS (
@@ -58,7 +58,7 @@ def _hits_round_sql(h_prev: str, a_cur: str, h_cur: str) -> str:
     {h_cur} AS (
       SELECT n.id,
              CAST(COALESCE(r.s, 0) * 1000000
-                  // (SELECT MAX(s) FROM rh_{h_cur}) AS BIGINT) AS v
+                  // (SELECT NULLIF(MAX(s), 0) FROM rh_{h_cur}) AS BIGINT) AS v
       FROM nodes n LEFT JOIN rh_{h_cur} r ON r.id = n.id
     )"""
 
@@ -109,7 +109,10 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(F.broadcast(mx))
             .select(
                 "id",
-                F.expr("CAST(coalesce(s, 0) * 1000000 DIV m AS BIGINT)")
+                F.expr(
+                    "CAST(coalesce(s, 0) * 1000000"
+                    " DIV NULLIF(m, 0) AS BIGINT)"
+                )
                 .alias("v"),
             )
             .localCheckpoint(eager=True)

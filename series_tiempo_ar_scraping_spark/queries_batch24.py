@@ -484,9 +484,9 @@ _KAPPA_RATER_B_SQL = """
            CAST(agree * 1000000 // n AS BIGINT) AS po_micro,
            CAST(s * 1000000 // (n * n) AS BIGINT) AS pe_micro,
            CAST(((agree * n - s) * 1000000
-                 - ((((agree * n - s) * 1000000) % (n * n - s)
-                     + (n * n - s)) % (n * n - s)))
-                // (n * n - s) AS BIGINT) AS kappa_micro
+                 - ((((agree * n - s) * 1000000) % NULLIF(n * n - s, 0)
+                     + (n * n - s)) % NULLIF(n * n - s, 0)))
+                // NULLIF(n * n - s, 0) AS BIGINT) AS kappa_micro
     FROM n, s
     """,
 )
@@ -551,9 +551,9 @@ def cohens_kappa_agreement(
         ),
         F.expr(
             "CAST(((agree * n - s) * 1000000"
-            " - ((((agree * n - s) * 1000000) % (n * n - s)"
-            "     + (n * n - s)) % (n * n - s)))"
-            " DIV (n * n - s) AS BIGINT)"
+            " - ((((agree * n - s) * 1000000) % NULLIF(n * n - s, 0)"
+            "     + (n * n - s)) % NULLIF(n * n - s, 0)))"
+            " DIV NULLIF(n * n - s, 0) AS BIGINT)"
         ).alias("kappa_micro"),
     )
 

@@ -78,10 +78,10 @@ _AP_PACK = 1 << 32
       FROM r
     )
     SELECT n, n_pos,
-           CAST(ap_sum_micro // n_pos AS BIGINT) AS ap_micro,
+           CAST(ap_sum_micro // NULLIF(n_pos, 0) AS BIGINT) AS ap_micro,
            CAST(pos_at_k * 1000000 // {_AP_K} AS BIGINT)
              AS p_at_{_AP_K}_micro,
-           CAST(pos_at_k * 1000000 // n_pos AS BIGINT)
+           CAST(pos_at_k * 1000000 // NULLIF(n_pos, 0) AS BIGINT)
              AS r_at_{_AP_K}_micro
     FROM t
     """,
@@ -147,12 +147,14 @@ def average_precision_report(
     return t.select(
         "n",
         "n_pos",
-        F.expr("CAST(ap_sum_micro DIV n_pos AS BIGINT)").alias(
+        F.expr("CAST(ap_sum_micro DIV NULLIF(n_pos, 0) AS BIGINT)").alias(
             "ap_micro"
         ),
         F.expr(f"CAST(pos_at_k * 1000000 DIV {_AP_K} AS BIGINT)")
         .alias(f"p_at_{_AP_K}_micro"),
-        F.expr("CAST(pos_at_k * 1000000 DIV n_pos AS BIGINT)").alias(
+        F.expr(
+            "CAST(pos_at_k * 1000000 DIV NULLIF(n_pos, 0) AS BIGINT)"
+        ).alias(
             f"r_at_{_AP_K}_micro"
         ),
     )

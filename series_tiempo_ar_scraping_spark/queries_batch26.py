@@ -190,13 +190,13 @@ def label_propagation_communities(
     ),
     plans AS (
       SELECT 'customer_orders_first' AS plan,
-             CAST(nc * no // greatest(dck, dock) AS BIGINT)
+             CAST(nc * no // NULLIF(greatest(dck, dock), 0) AS BIGINT)
                AS est_intermediate,
              a_co AS actual_intermediate
       FROM st, act
       UNION ALL
       SELECT 'orders_lineitem_first',
-             CAST(no * nl // greatest(dook, dlok) AS BIGINT),
+             CAST(no * nl // NULLIF(greatest(dook, dlok), 0) AS BIGINT),
              a_ol
       FROM st, act
     )
@@ -270,14 +270,16 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("customer_orders_first").alias("plan"),
                     F.expr(
-                        "CAST(nc * no DIV greatest(dck, dock) AS BIGINT)"
+                        "CAST(nc * no DIV NULLIF(greatest(dck, dock), 0)"
+                        " AS BIGINT)"
                     ).alias("est_intermediate"),
                     F.col("a_co").alias("actual_intermediate"),
                 ),
                 F.struct(
                     F.lit("orders_lineitem_first").alias("plan"),
                     F.expr(
-                        "CAST(no * nl DIV greatest(dook, dlok) AS BIGINT)"
+                        "CAST(no * nl DIV NULLIF(greatest(dook, dlok), 0)"
+                        " AS BIGINT)"
                     ).alias("est_intermediate"),
                     F.col("a_ol").alias("actual_intermediate"),
                 ),

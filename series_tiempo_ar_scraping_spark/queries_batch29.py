@@ -73,9 +73,11 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (
       FROM cls
     )
     SELECT tp + fp AS n_predicted, tp + fn AS n_planted, tp, fp, fn,
-           CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_micro,
-           CAST(tp * 1000000 // (tp + fn) AS BIGINT) AS recall_micro,
-           CAST(2 * tp * 1000000 // (2 * tp + fp + fn) AS BIGINT)
+           CAST(tp * 1000000 // NULLIF(tp + fp, 0) AS BIGINT)
+             AS precision_micro,
+           CAST(tp * 1000000 // NULLIF(tp + fn, 0) AS BIGINT)
+             AS recall_micro,
+           CAST(2 * tp * 1000000 // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
              AS f1_micro
     FROM t
     """,
@@ -134,14 +136,19 @@ def dedup_eval_precision_recall(
         "tp",
         "fp",
         "fn",
-        F.expr("CAST(tp * 1000000 DIV (tp + fp) AS BIGINT)").alias(
+        F.expr(
+            "CAST(tp * 1000000 DIV NULLIF(tp + fp, 0) AS BIGINT)"
+        ).alias(
             "precision_micro"
         ),
-        F.expr("CAST(tp * 1000000 DIV (tp + fn) AS BIGINT)").alias(
+        F.expr(
+            "CAST(tp * 1000000 DIV NULLIF(tp + fn, 0) AS BIGINT)"
+        ).alias(
             "recall_micro"
         ),
         F.expr(
-            "CAST(2 * tp * 1000000 DIV (2 * tp + fp + fn) AS BIGINT)"
+            "CAST(2 * tp * 1000000 DIV NULLIF(2 * tp + fp + fn, 0)"
+            " AS BIGINT)"
         ).alias("f1_micro"),
     )
 

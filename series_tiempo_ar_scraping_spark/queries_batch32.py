@@ -200,7 +200,8 @@ def _bootstrap_oracle() -> str:
         for b in range(_BOOT_B)
     )
     means = ", ".join(
-        f"CAST(s{b} * 10000 // c{b} AS BIGINT)" for b in range(_BOOT_B)
+        f"CAST(s{b} * 10000 // NULLIF(c{b}, 0) AS BIGINT)"
+        for b in range(_BOOT_B)
     )
     return f"""
     WITH base AS (
@@ -326,7 +327,7 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = F.sort_array(
         F.array(
             *[
-                F.expr(f"CAST(s{b} * 10000 DIV c{b} AS BIGINT)")
+                F.expr(f"CAST(s{b} * 10000 DIV NULLIF(c{b}, 0) AS BIGINT)")
                 for b in range(_BOOT_B)
             ]
         )
@@ -408,7 +409,7 @@ def _bcubed_oracle() -> str:
            CAST(psum // n AS BIGINT) AS bcubed_precision_micro,
            CAST(rsum // n AS BIGINT) AS bcubed_recall_micro,
            CAST(2 * (psum // n) * (rsum // n)
-                // ((psum // n) + (rsum // n)) AS BIGINT)
+                // NULLIF((psum // n) + (rsum // n), 0) AS BIGINT)
              AS bcubed_f1_micro
     FROM agg
     """
@@ -468,6 +469,6 @@ def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(rsum DIV n AS BIGINT)").alias("bcubed_recall_micro"),
         F.expr(
             "CAST(2 * (psum DIV n) * (rsum DIV n)"
-            " DIV ((psum DIV n) + (rsum DIV n)) AS BIGINT)"
+            " DIV NULLIF((psum DIV n) + (rsum DIV n), 0) AS BIGINT)"
         ).alias("bcubed_f1_micro"),
     )

@@ -335,7 +335,7 @@ def _kfold_oracle() -> str:
     ),
     scored AS (
       SELECT c.fold, c.n, c.x,
-             CAST((t.x_all - c.x) * 1000000 // (t.n_all - c.n)
+             CAST((t.x_all - c.x) * 1000000 // NULLIF(t.n_all - c.n, 0)
                   AS BIGINT) AS score_micro
       FROM cell c JOIN tot t USING (priority)
     ),
@@ -393,7 +393,8 @@ def kfold_cv_rate_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         F.expr(
             "CAST((SUM(x) OVER (PARTITION BY priority) - x) * 1000000"
-            " DIV (SUM(n) OVER (PARTITION BY priority) - n) AS BIGINT)"
+            " DIV NULLIF(SUM(n) OVER (PARTITION BY priority) - n, 0)"
+            " AS BIGINT)"
         ).alias("score_micro"),
     )
     per_fold = scored.groupBy("fold").agg(

@@ -52,14 +52,14 @@ from series_tiempo_ar_scraping_spark.sqlfrags import (
     ),
     u AS (
       SELECT r.user_id,
-             SUM(r.cnt * v0.v) * 1000000 // SUM(v0.v * v0.v) AS u
+             SUM(r.cnt * v0.v) * 1000000 // NULLIF(SUM(v0.v * v0.v), 0) AS u
       FROM r JOIN v0 ON v0.event_type = r.event_type
       GROUP BY 1
     ),
     v1 AS (
       SELECT r.event_type,
              CAST(COUNT(*) AS BIGINT) AS n_users,
-             SUM(r.cnt * u.u) * 1000000 // SUM(u.u * u.u) AS v_milli
+             SUM(r.cnt * u.u) * 1000000 // NULLIF(SUM(u.u * u.u), 0) AS v_milli
       FROM r JOIN u ON u.user_id = r.user_id
       GROUP BY 1
     )
@@ -110,14 +110,16 @@ def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.expr(
-                "SUM(cnt * v) * 1000000 DIV SUM(v * v)"
+                "SUM(cnt * v) * 1000000 DIV NULLIF(SUM(v * v), 0)"
             ).alias("u")
         )
     )
     ru = r.join(u, "user_id")
     v1 = ru.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_users"),
-        F.expr("SUM(cnt * u) * 1000000 DIV SUM(u * u)").alias(
+        F.expr(
+            "SUM(cnt * u) * 1000000 DIV NULLIF(SUM(u * u), 0)"
+        ).alias(
             "v_milli"
         ),
     )

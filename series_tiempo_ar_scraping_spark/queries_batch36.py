@@ -203,20 +203,20 @@ def skipgram_training_pairs(
       FROM o GROUP BY 1
     ),
     pool AS (
-      SELECT CAST(SUM(y_hi) * 1000000 // SUM(n_hi)
-                  - SUM(y_lo) * 1000000 // SUM(n_lo) AS BIGINT)
+      SELECT CAST(SUM(y_hi) * 1000000 // NULLIF(SUM(n_hi), 0)
+                  - SUM(y_lo) * 1000000 // NULLIF(SUM(n_lo), 0) AS BIGINT)
                AS pooled_gap_micro
       FROM seg
     )
     SELECT priority, n_hi, n_lo,
-           CAST(y_hi * 1000000 // n_hi AS BIGINT) AS rate_hi_micro,
-           CAST(y_lo * 1000000 // n_lo AS BIGINT) AS rate_lo_micro,
-           CAST(y_hi * 1000000 // n_hi
-                - y_lo * 1000000 // n_lo AS BIGINT)
+           CAST(y_hi * 1000000 // NULLIF(n_hi, 0) AS BIGINT) AS rate_hi_micro,
+           CAST(y_lo * 1000000 // NULLIF(n_lo, 0) AS BIGINT) AS rate_lo_micro,
+           CAST(y_hi * 1000000 // NULLIF(n_hi, 0)
+                - y_lo * 1000000 // NULLIF(n_lo, 0) AS BIGINT)
              AS segment_gap_micro,
            p.pooled_gap_micro,
-           CAST(CASE WHEN SIGN(y_hi * 1000000 // n_hi
-                              - y_lo * 1000000 // n_lo)
+           CAST(CASE WHEN SIGN(y_hi * 1000000 // NULLIF(n_hi, 0)
+                              - y_lo * 1000000 // NULLIF(n_lo, 0))
                           * SIGN(p.pooled_gap_micro) < 0
                      THEN 1 ELSE 0 END AS INT) AS reverses_pooled
     FROM seg CROSS JOIN pool p
@@ -262,28 +262,28 @@ def simpson_paradox_detector(
     ).localCheckpoint(eager=True)
     pool = seg.agg(
         F.expr(
-            "CAST(SUM(y_hi) * 1000000 DIV SUM(n_hi)"
-            " - SUM(y_lo) * 1000000 DIV SUM(n_lo) AS BIGINT)"
+            "CAST(SUM(y_hi) * 1000000 DIV NULLIF(SUM(n_hi), 0)"
+            " - SUM(y_lo) * 1000000 DIV NULLIF(SUM(n_lo), 0) AS BIGINT)"
         ).alias("pooled_gap_micro")
     )
     return seg.crossJoin(F.broadcast(pool)).select(
         "priority",
         "n_hi",
         "n_lo",
-        F.expr("CAST(y_hi * 1000000 DIV n_hi AS BIGINT)").alias(
+        F.expr("CAST(y_hi * 1000000 DIV NULLIF(n_hi, 0) AS BIGINT)").alias(
             "rate_hi_micro"
         ),
-        F.expr("CAST(y_lo * 1000000 DIV n_lo AS BIGINT)").alias(
+        F.expr("CAST(y_lo * 1000000 DIV NULLIF(n_lo, 0) AS BIGINT)").alias(
             "rate_lo_micro"
         ),
         F.expr(
-            "CAST(y_hi * 1000000 DIV n_hi - y_lo * 1000000 DIV n_lo"
+            "CAST(y_hi * 1000000 DIV NULLIF(n_hi, 0) - y_lo * 1000000 DIV NULLIF(n_lo, 0)"
             " AS BIGINT)"
         ).alias("segment_gap_micro"),
         "pooled_gap_micro",
         F.expr(
-            "CAST(CASE WHEN SIGN(y_hi * 1000000 DIV n_hi"
-            " - y_lo * 1000000 DIV n_lo) * SIGN(pooled_gap_micro) < 0"
+            "CAST(CASE WHEN SIGN(y_hi * 1000000 DIV NULLIF(n_hi, 0)"
+            " - y_lo * 1000000 DIV NULLIF(n_lo, 0)) * SIGN(pooled_gap_micro) < 0"
             " THEN 1 ELSE 0 END AS INT)"
         ).alias("reverses_pooled"),
     )

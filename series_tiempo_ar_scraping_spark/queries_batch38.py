@@ -94,18 +94,18 @@ def _fs_agree_sql(side: str) -> str:
     u AS ({_fs_agree_sql('nonmatches')}),
     feat AS (
       SELECT 'nation' AS feature,
-             m.a_nation * 1000000 // m.n AS m_micro,
-             greatest(u.a_nation * 1000000 // u.n, 1) AS u_micro
+             m.a_nation * 1000000 // NULLIF(m.n, 0) AS m_micro,
+             greatest(u.a_nation * 1000000 // NULLIF(u.n, 0), 1) AS u_micro
       FROM m CROSS JOIN u
       UNION ALL
       SELECT 'name_exact',
-             m.a_name * 1000000 // m.n,
-             greatest(u.a_name * 1000000 // u.n, 1)
+             m.a_name * 1000000 // NULLIF(m.n, 0),
+             greatest(u.a_name * 1000000 // NULLIF(u.n, 0), 1)
       FROM m CROSS JOIN u
       UNION ALL
       SELECT 'balance_band',
-             m.a_band * 1000000 // m.n,
-             greatest(u.a_band * 1000000 // u.n, 1)
+             m.a_band * 1000000 // NULLIF(m.n, 0),
+             greatest(u.a_band * 1000000 // NULLIF(u.n, 0), 1)
       FROM m CROSS JOIN u
     )
     SELECT feature,
@@ -217,8 +217,10 @@ def fellegi_sunter_weights(
     ):
         row = mu.select(
             F.lit(name).alias("feature"),
-            F.expr(f"{mc} * 1000000 DIV n").alias("m_micro"),
-            F.expr(f"greatest({uc} * 1000000 DIV un, 1)").alias(
+            F.expr(f"{mc} * 1000000 DIV NULLIF(n, 0)").alias("m_micro"),
+            F.expr(
+                f"greatest({uc} * 1000000 DIV NULLIF(un, 0), 1)"
+            ).alias(
                 "u_micro"
             ),
         )

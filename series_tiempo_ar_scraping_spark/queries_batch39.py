@@ -197,13 +197,15 @@ def _sk_round_sql(src: str, col: str, rnd: int) -> str:
     r{rnd} AS (
       SELECT nationkey, priority, n_orders,
              {col} * {_SK_ROW_TARGET}
-               // SUM({col}) OVER (PARTITION BY nationkey) AS a_r{rnd}
+               // NULLIF(SUM({col}) OVER (PARTITION BY nationkey), 0)
+               AS a_r{rnd}
       FROM {src}
     ),
     c{rnd} AS (
       SELECT nationkey, priority, n_orders,
              a_r{rnd} * {_SK_COL_TARGET}
-               // SUM(a_r{rnd}) OVER (PARTITION BY priority) AS a_c{rnd}
+               // NULLIF(SUM(a_r{rnd}) OVER (PARTITION BY priority), 0)
+               AS a_c{rnd}
       FROM r{rnd}
     )"""
 
@@ -276,7 +278,8 @@ def sinkhorn_matrix_scaling(
             .withColumn(
                 f"a_r{rnd}",
                 F.expr(
-                    f"CAST({col} * {_SK_ROW_TARGET} DIV _rs AS BIGINT)"
+                    f"CAST({col} * {_SK_ROW_TARGET}"
+                    " DIV NULLIF(_rs, 0) AS BIGINT)"
                 ),
             )
             .drop("_rs")
@@ -286,8 +289,8 @@ def sinkhorn_matrix_scaling(
             .withColumn(
                 f"a_c{rnd}",
                 F.expr(
-                    f"CAST(a_r{rnd} * {_SK_COL_TARGET} DIV _cs"
-                    " AS BIGINT)"
+                    f"CAST(a_r{rnd} * {_SK_COL_TARGET}"
+                    " DIV NULLIF(_cs, 0) AS BIGINT)"
                 ),
             )
             .drop("_cs")

@@ -170,10 +170,12 @@ _SLO_SLOW = 1000000  # ...AND 6h burn >= 1x budget
     oracle=f"""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS hour,
+             date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                       date_trunc('hour', ts)) AS h_idx,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
                       END) AS BIGINT) AS n_err
-      FROM events GROUP BY 1
+      FROM events GROUP BY 1, 2
     ),
     rates AS (
       SELECT hour, n, n_err,
@@ -181,7 +183,7 @@ _SLO_SLOW = 1000000  # ...AND 6h burn >= 1x budget
              SUM(n_err) OVER w6 * 1000000 // SUM(n) OVER w6
                AS rate6_micro
       FROM hourly
-      WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING
+      WINDOW w6 AS (ORDER BY h_idx RANGE BETWEEN 5 PRECEDING
                     AND CURRENT ROW)
     )
     SELECT hour, n, n_err,
@@ -207,6 +209,13 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same policy is ``streaming_anomaly_scores``' lane; this is the
     batch backfill an SRE runs to tune the thresholds against history.
 
+    The 6-hour window is TIME-based (RANGE over an epoch-hour index,
+    r10 — closes the r9 COVERAGE edge): an hour with zero traffic
+    simply contributes nothing, rather than silently stretching the
+    "6-hour" window to the last 6 OBSERVED hours the way a ROWS frame
+    does on gappy data — the difference between an SRE page policy and
+    one that mis-fires after an ingestion outage.
+
     Scale shape: ONE hourly aggregate of the fact table, one trailing
     window over the bounded hourly frame. Determinism: exact counts,
     truncating DIV at both normalization steps."""
@@ -219,7 +228,14 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_err"),
     )
-    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    hourly = hourly.withColumn(
+        "h_idx",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP '1970-01-01 00:00:00',"
+            " hour)"
+        ),
+    )
+    w6 = Window.orderBy("h_idx").rangeBetween(-5, 0)
     rates = (
         hourly.withColumn("s_err6", F.sum("n_err").over(w6))
         .withColumn("s_n6", F.sum("n").over(w6))

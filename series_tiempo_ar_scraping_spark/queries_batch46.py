@@ -59,7 +59,7 @@ _CTX_LIMITS = (128, 512, 2048)
            CAST(SUM(least(d.n_toks, l.ctx_limit)) AS BIGINT)
              AS kept_tokens,
            CAST(SUM(least(d.n_toks, l.ctx_limit)) * 1000000
-                // SUM(d.n_toks) AS BIGINT) AS kept_share_micro
+                // NULLIF(SUM(d.n_toks), 0) AS BIGINT) AS kept_share_micro
     FROM lens d CROSS JOIN lims l
     GROUP BY 1
     """,
@@ -109,7 +109,7 @@ def context_window_fit_report(
             .alias("kept_tokens"),
             F.expr(
                 "CAST(SUM(least(n_toks, ctx_limit)) * 1000000"
-                " DIV SUM(n_toks) AS BIGINT)"
+                " DIV NULLIF(SUM(n_toks), 0) AS BIGINT)"
             ).alias("kept_share_micro"),
         )
     )
@@ -149,7 +149,7 @@ def context_window_fit_report(
            CAST(MAX(only_base + only_mutant) AS BIGINT)
              AS max_changed,
            CAST(SUM(shared) * 1000000
-                // SUM(shared + only_base + only_mutant) AS BIGINT)
+                // NULLIF(SUM(shared + only_base + only_mutant), 0) AS BIGINT)
              AS mean_overlap_micro
     FROM pairs
     """,
@@ -207,6 +207,6 @@ def dup_pair_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_changed"),
         F.expr(
             "CAST(SUM(shared) * 1000000"
-            " DIV SUM(shared + only_base + only_mutant) AS BIGINT)"
+            " DIV NULLIF(SUM(shared + only_base + only_mutant), 0) AS BIGINT)"
         ).alias("mean_overlap_micro"),
     )

@@ -166,3 +166,34 @@ def test_inverted_index_postings_sorted_and_consistent(spark):
         # the head is exactly the SMALLEST doc ids — the capped window
         # must not admit arbitrary survivors
         assert head == postings[r.tok][: min(r.df, 10)]
+
+
+def test_gopher_min_length_gate(spark, tmp_path):
+    """The r9 COVERAGE edge, closed in r10: documents under 3 tokens
+    are gated out upstream (the real Gopher rules filter on minimum
+    length before the repetition screens). Pre-r10 a 1-2-token doc
+    contributed one degenerate partial trigram that always tripped
+    the top-trigram flag."""
+    rows = [
+        (1, "web", "ok",
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "web", "ok", "hi"),          # 1 token: gated out
+        (3, "web", "ok", "two words"),   # 2 tokens: gated out
+        (4, "web", "ok", "spam spam spam spam spam spam spam spam"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = QUERIES["gopher_repetition_report"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    # only the >= 3-token docs are counted
+    assert r.n_docs == 2
+    # the all-one-trigram spam doc trips every flag; the clean doc
+    # trips none — so exactly one doc per flag, and the degenerate
+    # docs contribute nothing (pre-r10: n_flagged_top_trigram was 3)
+    assert r.n_flagged_top_trigram == 1
+    assert r.n_flagged_dup_mass == 1
+    assert r.n_flagged_low_diversity == 1

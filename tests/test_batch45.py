@@ -61,19 +61,24 @@ def test_maxmin_allocation_is_maxmin_fair(spark):
 def test_burn_rate_policy(spark):
     """Burn columns recompute from hourly counts; the page flag is
     exactly the two-window conjunction; a page implies the fast
-    window alone would have fired."""
+    window alone would have fired. The 6-hour window is TIME-based
+    (r10): recomputed here by hour index, not row position."""
     rows = sorted(
         QUERIES["slo_burn_rate_alerts"](spark, SF).collect(),
         key=lambda r: r.hour,
     )
     assert rows
-    s_err, s_n = [], []
-    for i, r in enumerate(rows):
-        s_err.append(r.n_err)
-        s_n.append(r.n)
+    by_hidx = {
+        int(r.hour.timestamp() // 3600): (r.n_err, r.n) for r in rows
+    }
+    for r in rows:
         rate = r.n_err * 1_000_000 // r.n
-        e6 = sum(s_err[max(0, i - 5): i + 1])
-        n6 = sum(s_n[max(0, i - 5): i + 1])
+        h = int(r.hour.timestamp() // 3600)
+        win = [
+            by_hidx[k] for k in range(h - 5, h + 1) if k in by_hidx
+        ]
+        e6 = sum(e for e, _ in win)
+        n6 = sum(n for _, n in win)
         rate6 = e6 * 1_000_000 // n6
         assert r.burn_1h_micro == rate * 1_000_000 // 150_000
         assert r.burn_6h_micro == rate6 * 1_000_000 // 150_000
@@ -126,3 +131,54 @@ def test_session_gap_sweep_monotone_and_recomputes(spark):
         <= rows[30].events_per_session_micro
         <= rows[60].events_per_session_micro
     )
+
+
+def test_burn_rate_window_is_gap_tolerant(spark, tmp_path):
+    """The r9 COVERAGE edge, closed in r10: on GAPPY hours the 6-hour
+    window must be time-based (RANGE on the hour index), not the last
+    6 observed rows. Fixture: 3 clean hours, a 10-hour ingestion
+    outage, then one 100%-error hour — a ROWS frame would dilute the
+    post-gap burn with pre-gap traffic; the time window must not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # hours 0-2: 10 clean events each
+    for h in range(3):
+        for i in range(10):
+            eid += 1
+            rows.append(
+                (eid, base + dt.timedelta(hours=h, minutes=i),
+                 1, "view", 1.0, "{}")
+            )
+    # hour 13 (post-outage): 4 events, all errors
+    for i in range(4):
+        eid += 1
+        rows.append(
+            (eid, base + dt.timedelta(hours=13, minutes=i),
+             1, "error", 1.0, "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.hour.hour: r
+        for r in QUERIES["slo_burn_rate_alerts"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 13}
+    # post-gap hour: the 6h window covers hours 8-13 -> only hour 13
+    # itself (time-based). rate6 = 100% -> burn_6h = 1e6/15e4 scaled.
+    r13 = got[13]
+    assert r13.burn_6h_micro == r13.burn_1h_micro == (
+        1_000_000 * 1_000_000 // 150_000
+    )
+    assert r13.page == 1
+    # a ROWS-based frame would have computed rate6 = 4 errors / 34
+    # events (~11.8% < 15% budget) and NOT paged — the outage would
+    # have suppressed the page exactly when it matters most
+    assert (4 * 1_000_000 // 34) * 1_000_000 // 150_000 < 1_000_000
