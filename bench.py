@@ -386,6 +386,18 @@ BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
 # and excluded from tools/bench_regression.py's full-run lineage.
 if os.environ.get("SPARK_GRAFT_BENCH_SET") == "r2set":
     BENCH_QUERIES = list(BENCH_QUERIES_R2)
+# SPARK_GRAFT_BENCH_ONLY="a,b,c" runs ONLY the named queries in a fresh
+# JVM — the isolation probe tools/bench_regression.py --rerun uses to
+# separate lane-position/JVM-pressure noise from real plan regressions
+# (VERDICT r9 #2). Tagged bench_set=only so the record never enters the
+# full-run lineage.
+_ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if _ONLY:
+    only = [n.strip() for n in _ONLY.split(",") if n.strip()]
+    BENCH_QUERIES = [n for n in BENCH_QUERIES if n in set(only)] + [
+        n for n in only if n not in set(BENCH_QUERIES)
+    ]
+    os.environ["SPARK_GRAFT_BENCH_SET"] = "only"
 
 
 TABLES = (
@@ -497,6 +509,15 @@ def build_output(
     )
     ext_total = round(sum(timings.values()), 3)
     detail = {"sf": sf_val, "queries": timings}
+    # lane index: each query's position in the run order. Cross-round
+    # per-query times are only comparable when the JVM context matches
+    # (same total set, same position); recording the lane makes the
+    # "did this query's context move?" question mechanical instead of
+    # forensic (VERDICT r9 #2) — bench_regression annotates flags with
+    # it and --rerun re-times suspects in a fresh JVM.
+    detail["lane"] = {
+        n: i for i, n in enumerate(BENCH_QUERIES) if n in timings
+    }
     bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET")
     if bench_set:
         detail["bench_set"] = bench_set
@@ -524,7 +545,9 @@ def build_output(
         "n_queries": len(timings),
     }
     if cold:
-        cold_r2 = round(sum(cold[n] for n in BENCH_QUERIES_R2), 3)
+        cold_r2 = round(
+            sum(cold[n] for n in BENCH_QUERIES_R2 if n in cold), 3
+        )
         out["value_cold"] = cold_r2
         out["value_cold_r2set"] = cold_r2
         out["value_cold_ext"] = round(sum(cold.values()), 3)

@@ -123,3 +123,79 @@ def test_wrong_sf_records_excluded(tmp_path):
     rec["sf"] = 0.01
     (tmp_path / "BENCH_HISTORY.jsonl").write_text(json.dumps(rec) + "\n")
     assert BR.load_records(repo=str(tmp_path)) == []
+
+
+def test_flags_annotated_with_jvm_context_and_lane():
+    """Cross-round flags carry the context the verdict (r9 #2) asked
+    for: did the record size change, and how far did the query's lane
+    move? Same-context flags say so too (False / 0)."""
+    old = _rec({"q": 1.0, "r": 1.0}, {"q": 1.0, "r": 1.0})
+    old["lane"] = {"q": 5, "r": 6}
+    new = _rec({"q": 1.5, "r": 1.0, "s": 1.0},
+               {"q": 2.9, "r": 1.0, "s": 1.0})
+    new["lane"] = {"q": 5, "r": 6, "s": 7}
+    flags = BR.compare(old, new)
+    assert len(flags) == 1
+    assert flags[0]["jvm_context_changed"] is True
+    assert flags[0]["lane_delta"] == 0
+    # same-size records: context unchanged
+    new2 = _rec({"q": 1.5, "r": 1.0}, {"q": 2.9, "r": 1.0})
+    flags2 = BR.compare(old, new2)
+    assert flags2[0]["jvm_context_changed"] is False
+
+
+def test_rerun_confirm_kills_lane_noise(monkeypatch, tmp_path):
+    """--rerun keeps a flag only when a FRESH JVM still violates the
+    thresholds vs the old record; a fresh time inside the band means
+    the original flag was shared-JVM lane noise."""
+    old = _rec({"q": 1.0, "p": 1.0}, {"q": 1.0, "p": 1.0})
+    new = _rec({"q": 1.5, "p": 1.5}, {"q": 2.9, "p": 2.9})
+    flags = BR.compare(old, new)
+    assert {f["query"] for f in flags} == {"q", "p"}
+
+    fresh = {
+        "sf": 0.1,
+        # q: fresh-JVM time back inside the band -> lane noise.
+        # p: still 2.9x cold / 1.5x warm -> a real regression.
+        "queries": {"q": 1.05, "p": 1.5},
+        "queries_cold": {"q": 1.1, "p": 2.9},
+    }
+
+    class FakeProc:
+        stdout = "BENCH_DETAIL " + json.dumps(fresh) + "\n{}\n"
+        stderr = ""
+
+    monkeypatch.setattr(
+        BR.subprocess, "run", lambda *a, **k: FakeProc()
+    )
+    confirmed = BR.rerun_confirm(flags, old, 0.1)
+    assert [f["query"] for f in confirmed] == ["p"]
+    assert confirmed[0]["rerun"] == "confirmed"
+    noise = [f for f in flags if f["query"] == "q"][0]
+    assert noise["rerun"] == "lane_noise"
+
+
+def test_round_record_resolves_via_history(tmp_path):
+    """A round artifact (summary-only) resolves to its per-query
+    history line: by embedded ts when present, by totals otherwise."""
+    rec_a = _rec({"q": 1.0}, {"q": 1.0})
+    rec_a.update({"ts": 1000.0, "n_queries": 1, "value_ext": 1.0})
+    rec_b = _rec({"q": 2.0}, {"q": 2.0})
+    rec_b.update({"ts": 2000.0, "n_queries": 1, "value_ext": 2.0})
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        json.dumps(rec_a) + "\n" + json.dumps(rec_b) + "\n"
+    )
+    # r9-style artifact: embedded ts
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"sf": 0.1, "ts": 2000.0}})
+    )
+    got = BR._round_record(7, 0.1, repo=str(tmp_path))
+    assert got and got["queries"] == {"q": 2.0}
+    # pre-r9 artifact: no ts, match on totals
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps(
+            {"parsed": {"sf": 0.1, "n_queries": 1, "value_ext": 1.0}}
+        )
+    )
+    got = BR._round_record(5, 0.1, repo=str(tmp_path))
+    assert got and got["queries"] == {"q": 1.0}

@@ -8,12 +8,34 @@ moved beyond 2× the band-adjusted previous value AND its warm
 (min-of-two, cache-hot) time moved too — warm corroboration is what
 separates a plan regression from cold-lane jitter.
 
+Cross-round comparability (VERDICT r9 #2): per-query times from
+different rounds ride different JVM contexts — the set grows, so a
+query's wall-clock lane position and the driver's class/GC pressure
+both move even when its plan did not (the r8→r9 phantom drift:
+nine untouched queries read 1.5–3.2× slower purely from 259-vs-186
+shared-JVM load). Two mechanisms make the check survive that:
+
+- every flag is annotated with ``jvm_context_changed`` (record sizes
+  differ) and the per-query ``lane`` delta when both records carry
+  the lane map bench.py now writes;
+- ``--rerun`` re-times every flagged query in ONE fresh JVM
+  (``SPARK_GRAFT_BENCH_ONLY``, tagged out of the lineage) and keeps a
+  flag only if the fresh-JVM time still violates the thresholds
+  against the OLD record — lane noise dies there, plan regressions
+  survive.
+
 Sources, newest-last: per-round driver artifacts ``BENCH_r*.json``
 (records whose ``parsed`` carries per-query dicts) and the append-only
 ``BENCH_HISTORY.jsonl`` that bench.py writes (always carries them).
-The two most recent records at the target SF are compared.
+By default the two most recent records at the target SF are compared;
+``--old-round N --new-round M`` selects specific round artifacts for
+cross-round diffs (e.g. ``--old-round 8 --new-round 9``).
 
 Exit status: 1 when any query is flagged (usable as a gate), else 0.
+
+Usage:
+    python tools/bench_regression.py [SF] [--old-round N]
+        [--new-round M] [--rerun]
 """
 
 from __future__ import annotations
@@ -22,6 +44,7 @@ import glob
 import json
 import os
 import re
+import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -86,8 +109,17 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
 
 
 def compare(old: dict, new: dict) -> list[dict]:
-    """Flag queries whose cold AND warm moved per the policy above."""
+    """Flag queries whose cold AND warm moved per the policy above.
+    Each flag is annotated with the JVM-context delta when the records
+    carry it (different set sizes / lane positions mean the times rode
+    different shared-JVM loads — cross-round comparisons must treat
+    such flags as SUSPECT until a fresh-JVM rerun confirms them)."""
     flags = []
+    n_old = len(old.get("queries_cold") or {})
+    n_new = len(new.get("queries_cold") or {})
+    context_changed = n_old != n_new
+    lane_old = old.get("lane") or {}
+    lane_new = new.get("lane") or {}
     for name, cold_new in new["queries_cold"].items():
         cold_old = old["queries_cold"].get(name)
         warm_new = new["queries"].get(name)
@@ -100,37 +132,175 @@ def compare(old: dict, new: dict) -> list[dict]:
         cold_ratio = cold_new / cold_old
         warm_ratio = warm_new / warm_old
         if cold_ratio > COLD_FACTOR * COLD_BAND and warm_ratio > WARM_FACTOR:
-            flags.append(
-                {
-                    "query": name,
-                    "cold_old": cold_old,
-                    "cold_new": cold_new,
-                    "cold_ratio": round(cold_ratio, 2),
-                    "warm_old": warm_old,
-                    "warm_new": warm_new,
-                    "warm_ratio": round(warm_ratio, 2),
-                }
-            )
+            flag = {
+                "query": name,
+                "cold_old": cold_old,
+                "cold_new": cold_new,
+                "cold_ratio": round(cold_ratio, 2),
+                "warm_old": warm_old,
+                "warm_new": warm_new,
+                "warm_ratio": round(warm_ratio, 2),
+                "jvm_context_changed": context_changed,
+            }
+            if name in lane_old and name in lane_new:
+                flag["lane_delta"] = lane_new[name] - lane_old[name]
+            flags.append(flag)
     flags.sort(key=lambda f: -f["cold_ratio"])
     return flags
 
 
+def rerun_confirm(
+    flags: list[dict], old: dict, sf: float, repo: str = REPO
+) -> list[dict]:
+    """Re-time every flagged query in ONE fresh JVM and keep only the
+    flags the fresh run still confirms against the OLD record. The
+    rerun record is tagged bench_set=only, so it never enters the
+    lineage; its cold lane is a true fresh-JVM first execution — the
+    cleanest apples-to-apples against any older record."""
+    if not flags:
+        return flags
+    names = [f["query"] for f in flags]
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names)
+    env["SPARK_GRAFT_SF_DIR"] = f"/root/testdata/sf{sf:g}"
+    env.pop("SPARK_GRAFT_BENCH_SKIP_COLD", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=repo,
+    )
+    detail = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("BENCH_DETAIL ") and '"queries"' in line:
+            try:
+                detail = json.loads(line[len("BENCH_DETAIL "):])
+            except json.JSONDecodeError:
+                continue
+    if not detail:  # rerun failed: keep the flags, note why
+        for f in flags:
+            f["rerun"] = "failed"
+        return flags
+    confirmed = []
+    for f in flags:
+        name = f["query"]
+        cold_fresh = (detail.get("queries_cold") or {}).get(name)
+        warm_fresh = (detail.get("queries") or {}).get(name)
+        cold_old = old["queries_cold"].get(name)
+        warm_old = old["queries"].get(name)
+        if not all(
+            isinstance(v, (int, float)) and v > 0
+            for v in (cold_fresh, warm_fresh, cold_old, warm_old)
+        ):
+            f["rerun"] = "missing"
+            confirmed.append(f)
+            continue
+        f["cold_fresh"] = cold_fresh
+        f["warm_fresh"] = warm_fresh
+        if (
+            cold_fresh / cold_old > COLD_FACTOR * COLD_BAND
+            and warm_fresh / warm_old > WARM_FACTOR
+        ):
+            f["rerun"] = "confirmed"
+            confirmed.append(f)
+        else:
+            f["rerun"] = "lane_noise"
+    return confirmed
+
+
+def _round_record(n: int, sf: float, repo: str = REPO) -> dict | None:
+    """Resolve round N's bench run to its PER-QUERY history record.
+
+    The driver artifact ``BENCH_rNN.json`` carries only the compact
+    summary (the driver captures the final stdout line); the per-query
+    dicts live in the history line that same bench run appended. Match
+    by the embedded ``ts`` (exact for r9+ artifacts), falling back to
+    (n_queries, value_ext) totals for pre-r9 artifacts without one."""
+    path = os.path.join(repo, f"BENCH_r{n:02d}.json")
+    try:
+        doc = json.load(open(path))
+    except (OSError, json.JSONDecodeError):
+        return None
+    parsed = doc.get("parsed") if isinstance(doc, dict) else None
+    if not parsed or parsed.get("sf") != sf:
+        return None
+    hist = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    if not os.path.exists(hist):
+        return None
+    art_ts = parsed.get("ts")
+    best = None
+    for line in open(hist):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if not (
+            rec.get("sf") == sf
+            and rec.get("queries")
+            and rec.get("queries_cold")
+            and not rec.get("bench_set")
+        ):
+            continue
+        if isinstance(art_ts, (int, float)):
+            if abs(rec.get("ts", 0) - art_ts) < 120:
+                return rec
+        elif rec.get("n_queries") == parsed.get("n_queries") and abs(
+            (rec.get("value_ext") or 0) - (parsed.get("value_ext") or 0)
+        ) < 0.01:
+            best = rec  # keep scanning: newest matching line wins
+    return best
+
+
 def main() -> int:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
-    records = load_records(sf=sf)
-    if len(records) < 2:
-        print(
-            json.dumps(
-                {
-                    "status": "insufficient_data",
-                    "records": len(records),
-                    "sf": sf,
-                }
+    args = sys.argv[1:]
+    rerun = "--rerun" in args
+    args = [a for a in args if a != "--rerun"]
+    old_round = new_round = None
+    if "--old-round" in args:
+        i = args.index("--old-round")
+        old_round = int(args[i + 1])
+        del args[i : i + 2]
+    if "--new-round" in args:
+        i = args.index("--new-round")
+        new_round = int(args[i + 1])
+        del args[i : i + 2]
+    sf = float(args[0]) if args else 0.1
+
+    if old_round is not None or new_round is not None:
+        old = _round_record(old_round, sf) if old_round else None
+        new = _round_record(new_round, sf) if new_round else None
+        if not old or not new:
+            print(
+                json.dumps(
+                    {
+                        "status": "missing_round_record",
+                        "old_round": old_round,
+                        "new_round": new_round,
+                        "sf": sf,
+                    }
+                )
             )
-        )
-        return 0
-    old, new = records[-2], records[-1]
+            return 0
+    else:
+        records = load_records(sf=sf)
+        if len(records) < 2:
+            print(
+                json.dumps(
+                    {
+                        "status": "insufficient_data",
+                        "records": len(records),
+                        "sf": sf,
+                    }
+                )
+            )
+            return 0
+        old, new = records[-2], records[-1]
     flags = compare(old, new)
+    rerun_ran = False
+    if rerun and flags:
+        flags = rerun_confirm(flags, old, sf)
+        rerun_ran = True
     print(
         json.dumps(
             {
@@ -139,6 +309,7 @@ def main() -> int:
                 "n_compared": len(
                     set(new["queries_cold"]) & set(old["queries_cold"])
                 ),
+                "rerun": rerun_ran,
                 "flags": flags,
             }
         )
