@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""sf1 probe for the heaviest catalog queries (VERDICT r9 #7).
+
+The driver fixtures stop at sf0.1; the 100 TB question is whether the
+heaviest queries' runtime grows ~linearly past it. This tool
+synthesizes an sf1-scale dataset as TEN key-shifted copies of the
+read-only sf0.1 fixture (foreign keys shifted consistently on both
+sides of every join, so join selectivity and per-key densities are
+preserved; the time range stays fixed, so events gets 10x denser — the
+realistic direction for a busier system), then times each named query
+at sf0.1 and at sf1 in the same JVM and reports the ratio. A shape
+with a super-linear term reads >> 10x; sort/shuffle log-factors read
+10-14x; embarrassingly-parallel maps read ~10x or less (fixed costs
+amortize).
+
+Usage: python tools/sf1_probe.py [query ...]   (default: the r9 top-10)
+Writes /tmp/sf1 once (reused if present); prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from series_tiempo_ar_scraping_spark.queries import QUERIES  # noqa: E402
+from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1"
+COPIES = 10
+# multiple of every modulus the fixtures plant structure with (5, 7,
+# 100000, ...) so each copy keeps its internal planted relationships
+SHIFT = 10_000_000
+
+# key columns to shift per table; every FK pair shifts by the same
+# amount on both sides, so joins land exactly as at sf0.1
+KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],
+    "nation": [],
+}
+
+# r9 bench top-10 warm entries (VERDICT r9 "Plan audit" + history)
+DEFAULT = [
+    "spatial_dbscan_clusters",
+    "basket_recommender_hitrate",
+    "embedding_index_pipeline",
+    "corpus_curation_pipeline",
+    "label_noise_knn_disagreement",
+    "governance_nightly_report",
+    "semantic_cluster_dedup",
+    "pagerank_part_graph",
+    "markov_removal_attribution",
+    "graph_kcore_extraction",
+]
+
+
+def inflate(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for table, keys in KEYS.items():
+        dst = os.path.join(SF1, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src = spark.read.parquet(os.path.join(SF01, f"{table}.parquet"))
+        if not keys:  # bounded dimensions copy through unchanged
+            src.write.mode("overwrite").parquet(dst)
+            continue
+        copies = None
+        for k in range(COPIES):
+            c = src
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(k * SHIFT))
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(dst)
+
+
+def _run(name: str, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+    os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+    spark = get_spark("sf1-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    inflate(spark)
+    out = {}
+    for name in names:
+        t01 = _run(name, spark, SF01)
+        t1 = _run(name, spark, SF1)
+        out[name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": round(t1 / t01, 2) if t01 > 0 else None,
+        }
+        print(f"PROBE_DETAIL {name}: sf0.1={t01}s sf1={t1}s "
+              f"ratio={out[name]['ratio']}x")
+    print(json.dumps({"sf1_probe": out}))
+
+
+if __name__ == "__main__":
+    main()
