@@ -61,25 +61,42 @@ def write_audit_publish(
     publish_dir: str,
     audits: list,
     fmt: str = "parquet",
+    symlink_publish: bool = False,
 ) -> dict:
     """Run the WAP cycle for one output. Returns a result dict:
     ``{"published": bool, "rows": int, "failures": [...],
     "generation": int}``.
 
-    Atomicity: the publish step is two POSIX renames (current →
-    retired, staging → current) — each individually atomic, and a
-    reader holding the old path keeps its open file handles. Between
-    the two renames there is a brief window where ``publish_dir`` does
-    not exist (a new reader gets ENOENT rather than "old or new");
-    crash recovery closes it on the next run: if the process died
-    inside that window, ``publish_dir`` is absent and ``retired``
-    holds the only good copy, so entry RESTORES retired →
-    publish_dir before doing anything else — ``retired`` is only ever
-    deleted while ``publish_dir`` exists. A failed audit deletes
-    staging and leaves the CURRENT PUBLICATION EXACTLY AS IT WAS —
-    the property the reference's write-then-validate order cannot
-    give. Generations increment across publishes so consumers can
-    pin or diff releases."""
+    Atomicity (default mode): the publish step is two POSIX renames
+    (current → retired, staging → current) — each individually
+    atomic, and a reader holding the old path keeps its open file
+    handles. Between the two renames there is a brief window where
+    ``publish_dir`` does not exist (a new reader gets ENOENT rather
+    than "old or new"); crash recovery closes it on the next run: if
+    the process died inside that window, ``publish_dir`` is absent
+    and ``retired`` holds the only good copy, so entry RESTORES
+    retired → publish_dir before doing anything else — ``retired`` is
+    only ever deleted while ``publish_dir`` exists. A failed audit
+    deletes staging and leaves the CURRENT PUBLICATION EXACTLY AS IT
+    WAS — the property the reference's write-then-validate order
+    cannot give. Generations increment across publishes so consumers
+    can pin or diff releases.
+
+    ``symlink_publish=True`` removes even the ENOENT window:
+    ``publish_dir`` becomes a SYMLINK to a versioned directory
+    (``<publish_dir>.gen<N>``) and each publish is a single atomic
+    ``rename(templink, publish_dir)`` symlink swap — a new reader sees
+    the old version or the new one at every instant, with no
+    in-between state at all (the Iceberg/Delta pointer-swap idea
+    expressed in plain POSIX). Old generation directories are removed
+    after the swap; a crash at any point leaves the link pointing at
+    a complete version. The two modes interoperate per directory only
+    in the forward direction (a dir-mode publication is upgraded to
+    link-mode on the next symlink publish)."""
+    if symlink_publish:
+        return _write_audit_publish_symlink(
+            df, publish_dir, audits, fmt
+        )
     spark = df.sparkSession
     staging = publish_dir.rstrip("/") + ".staging"
     retired = publish_dir.rstrip("/") + ".retired"
@@ -128,6 +145,98 @@ def write_audit_publish(
     os.rename(staging, publish_dir)
     if os.path.exists(retired):
         shutil.rmtree(retired)
+    return {
+        "published": True,
+        "rows": rows,
+        "failures": [],
+        "generation": gen,
+    }
+
+
+def _write_audit_publish_symlink(
+    df: DataFrame, publish_dir: str, audits: list, fmt: str
+) -> dict:
+    """Pointer-swap WAP: write to a fresh versioned dir, audit the
+    read-back, then atomically repoint the ``publish_dir`` symlink.
+
+    Crash safety by construction: the versioned dir is complete before
+    the link ever points at it, the swap is one atomic rename, and
+    cleanup of superseded generations happens only after the swap —
+    at every instant the link resolves to a complete publication (or,
+    before the first publish, does not exist). Leftover unreferenced
+    ``.gen*`` dirs from a crashed run are swept on entry."""
+    spark = df.sparkSession
+    base = publish_dir.rstrip("/")
+    # crash recovery: a death between the legacy-dir move-aside and
+    # the first symlink swap leaves base missing and .legacy holding
+    # the only good copy — restore it before anything else
+    if not os.path.lexists(base) and os.path.isdir(base + ".legacy"):
+        os.rename(base + ".legacy", base)
+    # upgrade path: a real directory from the rename-mode publisher
+    # becomes generation N content behind the link
+    prior_gen = _generation(base)
+    current_target = (
+        os.readlink(base) if os.path.islink(base) else None
+    )
+    # sweep unreferenced generation dirs from crashed runs
+    parent = os.path.dirname(base) or "."
+    prefix = os.path.basename(base) + ".gen"
+    for entry in os.listdir(parent):
+        if not entry.startswith(prefix):
+            continue
+        full = os.path.join(parent, entry)
+        if current_target and os.path.basename(
+            current_target
+        ) == entry:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+
+    gen = prior_gen + 1
+    target = f"{base}.gen{gen}"
+    df.write.mode("overwrite").format(fmt).save(target)
+    back = spark.read.format(fmt).load(target)
+    failures = [m for m in (a(back) for a in audits) if m is not None]
+    if failures:
+        shutil.rmtree(target)
+        return {
+            "published": False,
+            "rows": 0,
+            "failures": failures,
+            "generation": prior_gen,
+        }
+    rows = back.count()
+    with open(os.path.join(target, MANIFEST), "w") as fh:
+        json.dump(
+            {
+                "rows": rows,
+                "audits": [
+                    getattr(a, "__name__", "audit") for a in audits
+                ],
+                "generation": gen,
+                "format": fmt,
+            },
+            fh,
+        )
+    # atomic pointer swap: symlink to a temp name, rename over the
+    # link (rename replaces an existing symlink atomically). A real
+    # directory at publish_dir (rename-mode legacy) is moved aside
+    # first and cleaned after the swap.
+    legacy = None
+    if os.path.exists(base) and not os.path.islink(base):
+        legacy = base + ".legacy"
+        os.rename(base, legacy)
+    tmp_link = f"{base}.lnk.tmp"
+    if os.path.lexists(tmp_link):
+        os.unlink(tmp_link)
+    os.symlink(os.path.basename(target), tmp_link)
+    os.rename(tmp_link, base)
+    if legacy:
+        shutil.rmtree(legacy, ignore_errors=True)
+    if current_target:
+        shutil.rmtree(
+            os.path.join(parent, os.path.basename(current_target)),
+            ignore_errors=True,
+        )
     return {
         "published": True,
         "rows": rows,

@@ -119,3 +119,95 @@ def test_wap_recovery_restores_readable_publication(spark, tmp_path):
     assert spark.read.parquet(pub).count() == 4
     with open(os.path.join(pub, MANIFEST)) as fh:
         assert json.load(fh)["generation"] == 1
+
+
+def test_wap_symlink_publish_no_enoent_window(spark, tmp_path):
+    """symlink_publish mode: publish_dir is a symlink swapped
+    atomically per generation — a reader sees old or new at every
+    instant (no ENOENT window), old generations are cleaned, and the
+    audit-failure path leaves the live link untouched."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(5).select(F.col("id"))
+    r = write_audit_publish(
+        df, pub, [non_empty_audit], symlink_publish=True
+    )
+    assert r["published"] and r["generation"] == 1
+    assert os.path.islink(pub)
+    assert spark.read.parquet(pub).count() == 5
+    # second publish: link repoints, gen1 dir removed
+    r = write_audit_publish(
+        spark.range(9).select(F.col("id")),
+        pub,
+        [non_empty_audit],
+        symlink_publish=True,
+    )
+    assert r["generation"] == 2
+    assert spark.read.parquet(pub).count() == 9
+    assert not os.path.exists(pub + ".gen1")
+    assert os.path.isdir(pub + ".gen2")
+    # failed audit: link still points at gen2, no gen3 left behind
+    empty = spark.range(0).select(F.col("id"))
+    r = write_audit_publish(
+        empty, pub, [non_empty_audit], symlink_publish=True
+    )
+    assert not r["published"] and r["generation"] == 2
+    assert spark.read.parquet(pub).count() == 9
+    assert not os.path.exists(pub + ".gen3")
+
+
+def test_wap_symlink_upgrades_rename_mode_dir(spark, tmp_path):
+    """A directory published by the rename-mode publisher upgrades in
+    place: the next symlink publish continues its generation counter
+    and replaces the real dir with a link."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(3).select(F.col("id"))
+    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    assert os.path.isdir(pub) and not os.path.islink(pub)
+    r = write_audit_publish(
+        spark.range(7).select(F.col("id")),
+        pub,
+        [non_empty_audit],
+        symlink_publish=True,
+    )
+    assert r["published"] and r["generation"] == 2
+    assert os.path.islink(pub)
+    assert spark.read.parquet(pub).count() == 7
+    assert not os.path.exists(pub + ".legacy")
+
+
+def test_wap_symlink_recovers_crashed_swap(spark, tmp_path):
+    """Crash windows in link mode: an unreferenced .genN dir from a
+    dead run is swept; a legacy dir moved aside before a crashed
+    first swap is restored."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(4).select(F.col("id"))
+    assert write_audit_publish(
+        df, pub, [non_empty_audit], symlink_publish=True
+    )["published"]
+    # dead run left an unreferenced generation dir
+    os.makedirs(pub + ".gen99")
+    r = write_audit_publish(
+        spark.range(6).select(F.col("id")),
+        pub,
+        [non_empty_audit],
+        symlink_publish=True,
+    )
+    assert r["published"]
+    assert not os.path.exists(pub + ".gen99")
+    assert spark.read.parquet(pub).count() == 6
+    # crashed between move-aside and first swap: only .legacy remains
+    target = os.path.join(
+        os.path.dirname(pub), os.readlink(pub)
+    )
+    os.unlink(pub)
+    os.rename(target, pub + ".legacy")
+    r = write_audit_publish(
+        spark.range(8).select(F.col("id")),
+        pub,
+        [non_empty_audit],
+        symlink_publish=True,
+    )
+    assert r["published"]
+    assert spark.read.parquet(pub).count() == 8
+    # generation continued from the recovered manifest (2 -> 3)
+    assert r["generation"] == 3
