@@ -2233,7 +2233,7 @@ def _label_noise_oracle() -> str:
 
 @register("label_noise_knn_disagreement", oracle=_label_noise_oracle())
 def label_noise_knn_disagreement(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, k: int = 8
 ) -> DataFrame:
     """Label-noise detection by neighborhood voting: for every labeled
     embedding, how many of its 5 nearest CANDIDATE neighbors (cosine)
@@ -2256,9 +2256,17 @@ def label_noise_knn_disagreement(
     candidate at most once (its probe cells are distinct; the
     candidate's own cell is unique), so no dedup stage. K grows ~√n at
     fleet scale to keep cells bounded. Disagreement counts are exact
-    ints; the per-class rate is one division of identical ints."""
+    ints; the per-class rate is one division of identical ints.
+
+    ``k`` is the codebook size: 8 is the ORACLE CONTRACT (the static
+    SQL mirrors exactly 8 unrolled centroids), while a caller sizing
+    for scale passes k ~ n/target_cell — per-cell candidate work is
+    quadratic in cell density, so holding K fixed while the corpus
+    grows 10x costs ~100x in the join (measured: PROBE_r10.json's
+    57x at 10x data with k=8 vs ~linear with k=80). The probe drives
+    this parameter; the gate always checks the k=8 contract."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent, _ = S.kmeans_lloyd_micro(emb, k=8, iters=_LN_KM_ITERS)
+    cent, _ = S.kmeans_lloyd_micro(emb, k=k, iters=_LN_KM_ITERS)
     centroids = cent.select(
         F.col("cid").alias("vec_id"),
         F.transform(

@@ -114,6 +114,31 @@ def main() -> None:
         }
         print(f"PROBE_DETAIL {name}: sf0.1={t01}s sf1={t1}s "
               f"ratio={out[name]['ratio']}x")
+    # Adaptive-K twin for the cell-blocked kNN: holding the codebook
+    # at the oracle-contract K=8 while the corpus grows 10x makes
+    # per-cell candidate work ~100x (quadratic in cell density); the
+    # production sizing rule is K ~ n/target_cell. Time the same query
+    # at sf1 with K scaled 10x to verify the rule restores ~linear.
+    if "label_noise_knn_disagreement" in names:
+        fn = QUERIES["label_noise_knn_disagreement"]
+        t0 = time.perf_counter()
+        fn(spark, SF1, k=80).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t_adapt = round(time.perf_counter() - t0, 3)
+        out["label_noise_knn_disagreement_k80"] = {
+            "sf1_sec": t_adapt,
+            "vs_k8_sf1": round(
+                t_adapt
+                / out["label_noise_knn_disagreement"]["sf1_sec"],
+                3,
+            ),
+        }
+        print(
+            f"PROBE_DETAIL label_noise k=80 at sf1: {t_adapt}s "
+            f"(k=8 was "
+            f"{out['label_noise_knn_disagreement']['sf1_sec']}s)"
+        )
     print(json.dumps({"sf1_probe": out}))
 
 
