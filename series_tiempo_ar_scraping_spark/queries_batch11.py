@@ -213,7 +213,9 @@ def fuzzy_blocked_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semantic_cluster_dedup",
     oracle=None,  # filled at the bottom (needs batch-10's kmeans CTEs)
 )
-def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semantic_cluster_dedup(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> DataFrame:
     """Semantic near-dup detection with a TRAINED clustering as the
     blocking function: 2 Lloyd's rounds (K=8, the hash-oracled
     micro-unit loop) partition the planted near-dup corpus into cells;
@@ -229,13 +231,19 @@ def semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum C(n_c, 2) << C(n, 2) when K spreads the corpus), upper-
     triangled so no pair scores twice, with per-vector norms
     materialized BEFORE the pair join. Output is pure bigint counts —
-    no float crosses the engine boundary."""
+    no float crosses the engine boundary.
+
+    ``k`` is the codebook size: 8 is the ORACLE CONTRACT (static SQL,
+    8 unrolled centroids); per-cell pair work is quadratic in cell
+    density, so a caller at N× the fixture passes k ~ n/target_cell —
+    the same sizing rule PROBE_r10.json demonstrates on the kNN twin
+    (``label_noise_knn_disagreement``: 245 s → 19.8 s at sf1)."""
     from series_tiempo_ar_scraping_spark.queries_batch4 import (
         _emb_near_corpus,
     )
 
     corpus = _emb_near_corpus(spark, sf_dir)
-    _, assign = S.kmeans_lloyd_micro(corpus, k=8, iters=2)
+    _, assign = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
     mem = (
         corpus.select(
             "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
