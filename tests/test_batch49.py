@@ -126,3 +126,45 @@ def test_stream_checkpoint_carries_offsets(spark, tmp_path):
     # the restarted query resumes from the offset log: the output now
     # holds the union, having read ONLY the new arrival this run
     assert run_once() == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stream_late_file_fails_query_loudly(spark, tmp_path):
+    """End to end: a file violating the lexicographic-arrival contract
+    (sorts below the committed offset) must fail the RESTARTED
+    Structured Streaming query with the late-arriving diagnostic —
+    pre-r10 it was silently never read (ADVICE r9)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    register_workbook_cells(spark)
+    d = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(d)
+    _write_cells(os.path.join(d, "005.jsonl"), "s1", [(1, "a")])
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("workbook_cells")
+            .load(d)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # violation: arrives with a name below the committed '005.jsonl'
+    _write_cells(os.path.join(d, "001.jsonl"), "s1", [(9, "late")])
+    with pytest.raises(StreamingQueryException) as err:
+        run_once()
+    assert "late-arriving" in str(err.value)
+    # the committed output is intact (exactly the first run's rows)
+    assert [
+        (r.row, r.value) for r in spark.read.parquet(out).collect()
+    ] == [(1, "a")]

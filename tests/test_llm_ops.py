@@ -654,3 +654,53 @@ def test_label_noise_blocked_recall_vs_brute(spark, sf_dir):
     tot_b = sum(r.total_disagreement for r in agg_blocked)
     tot_t = sum(r.total_disagreement for r in agg_brute)
     assert abs(tot_b - tot_t) <= 0.15 * tot_t, (tot_b, tot_t)
+
+
+def test_blocked_kernels_adaptive_codebook_param(spark, sf_dir):
+    """r10: the density-sizing rule (K ~ n/target_cell, PROBE_r10) is
+    an executable parameter on both fixed-codebook blockers. A larger
+    K must (a) run, (b) keep the schema, (c) preserve the structural
+    invariants — per-vector neighborhoods still cap at 5 so total
+    disagreement <= 5 * n_vectors, and the dedup census still
+    partitions the corpus (members sum to corpus size, survivors =
+    members - dups per cell) — while (d) generating strictly less
+    candidate work than the contract K=8 (more cells -> sparser
+    cells)."""
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    ln = QUERIES["label_noise_knn_disagreement"]
+    rows = ln(spark, sf_dir, k=16).collect()
+    assert rows
+    assert sorted(rows[0].asDict()) == [
+        "disagreement_rate",
+        "label",
+        "n_suspects",
+        "n_vectors",
+        "total_disagreement",
+    ]
+    for r in rows:
+        assert 0 <= r.n_suspects <= r.n_vectors
+        assert 0 <= r.total_disagreement <= 5 * r.n_vectors
+
+    from series_tiempo_ar_scraping_spark.queries_batch4 import (
+        _emb_near_corpus,
+    )
+
+    n_corpus = _emb_near_corpus(spark, sf_dir).count()
+    scd = QUERIES["semantic_cluster_dedup"]
+    for k, prev_pairs in ((8, None), (16, None)):
+        cells = scd(spark, sf_dir, k=k).collect()
+        assert sum(c.n_members for c in cells) == n_corpus
+        for c in cells:
+            assert c.n_survivors == c.n_members - c.n_dups
+            assert (
+                c.n_cand_pairs
+                <= c.n_members * (c.n_members - 1) // 2
+            )
+    pairs8 = sum(
+        c.n_cand_pairs for c in scd(spark, sf_dir, k=8).collect()
+    )
+    pairs16 = sum(
+        c.n_cand_pairs for c in scd(spark, sf_dir, k=16).collect()
+    )
+    assert pairs16 <= pairs8, (pairs16, pairs8)
