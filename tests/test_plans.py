@@ -1452,3 +1452,13 @@ def test_batch50_plan_properties(plans):
     p = plans("overdispersion_index", "simple")
     assert "EvalPython" not in p and "Join" not in p
     assert p.count("FileScan parquet") == 1
+
+
+def test_slo_burn_window_is_range_frame(plans):
+    """Round-10 plan contract (mirrors PLANS.md): the 6-hour burn
+    window is a TIME-based RANGE frame on the epoch-hour index — a
+    ROWS frame here silently stretches the window across traffic gaps
+    (the r9 COVERAGE edge this closed)."""
+    p = plans("slo_burn_rate_alerts")
+    assert "RangeFrame, -5" in p, p[:2000]
+    assert "h_idx" in p

@@ -120,6 +120,13 @@ SHOWCASE = {
         ("Window", "per-vector 5-NN ranking within blocked candidates"),
         ("HashAggregate", "per-class suspect rollup with partials"),
     ],
+    # round 10: the gap-tolerant SLO window — RANGE frame on the
+    # epoch-hour index (an empty hour contributes nothing instead of
+    # silently stretching the window to the last 6 OBSERVED hours)
+    "slo_burn_rate_alerts": [
+        ("RangeFrame, -5", "time-based trailing frame on h_idx"),
+        ("HashAggregate", "one hourly rollup of the fact table"),
+    ],
 }
 
 
