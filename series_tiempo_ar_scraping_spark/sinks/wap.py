@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 from typing import Callable, Optional
 
@@ -61,13 +62,17 @@ def write_audit_publish(
     publish_dir: str,
     audits: list,
     fmt: str = "parquet",
-    symlink_publish: bool = False,
+    symlink_publish: bool = True,
 ) -> dict:
     """Run the WAP cycle for one output. Returns a result dict:
     ``{"published": bool, "rows": int, "failures": [...],
     "generation": int}``.
 
-    Atomicity (default mode): the publish step is two POSIX renames
+    Default mode is ``symlink_publish=True`` (pointer-swap): it has no
+    ENOENT window at all. Pass ``symlink_publish=False`` for the
+    two-rename mode on filesystems without symlink support.
+
+    Atomicity (rename mode): the publish step is two POSIX renames
     (current → retired, staging → current) — each individually
     atomic, and a reader holding the old path keeps its open file
     handles. Between the two renames there is a brief window where
@@ -172,6 +177,11 @@ def _write_audit_publish_symlink(
     # the only good copy — restore it before anything else
     if not os.path.lexists(base) and os.path.isdir(base + ".legacy"):
         os.rename(base + ".legacy", base)
+    # a death between the swap and the legacy rmtree leaves a stale
+    # .legacy next to a live base; clear it or the next upgrade
+    # publish would rename onto a non-empty dir and fail
+    elif os.path.lexists(base) and os.path.lexists(base + ".legacy"):
+        shutil.rmtree(base + ".legacy", ignore_errors=True)
     # upgrade path: a real directory from the rename-mode publisher
     # becomes generation N content behind the link
     prior_gen = _generation(base)
@@ -181,8 +191,11 @@ def _write_audit_publish_symlink(
     # sweep unreferenced generation dirs from crashed runs
     parent = os.path.dirname(base) or "."
     prefix = os.path.basename(base) + ".gen"
+    gen_pat = re.compile(re.escape(prefix) + r"\d+")
     for entry in os.listdir(parent):
-        if not entry.startswith(prefix):
+        # anchor to the exact versioned-dir shape: a sibling named
+        # e.g. "<base>.gen_backup" or "<base>.general" is NOT ours
+        if not gen_pat.fullmatch(entry):
             continue
         full = os.path.join(parent, entry)
         if current_target and os.path.basename(

@@ -22,6 +22,8 @@ def test_wap_publishes_good_output(spark, tmp_path):
     )
     r = write_audit_publish(df, pub, [non_empty_audit])
     assert r["published"] and r["rows"] == 10 and r["generation"] == 1
+    # default mode is now the pointer-swap (no ENOENT window)
+    assert os.path.islink(pub)
     back = spark.read.parquet(pub)
     assert back.count() == 10
     with open(os.path.join(pub, MANIFEST)) as fh:
@@ -86,7 +88,9 @@ def test_wap_recovers_from_crash_between_renames(spark, tmp_path):
     leftover sweep deleted the only remaining good publication)."""
     pub = str(tmp_path / "pub")
     df = spark.range(5).select(F.col("id"))
-    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    assert write_audit_publish(
+        df, pub, [non_empty_audit], symlink_publish=False
+    )["published"]
     # crash simulation: first rename done, second never happened; a
     # stale staging dir from the dead run is also present
     os.rename(pub, pub + ".retired")
@@ -94,7 +98,10 @@ def test_wap_recovers_from_crash_between_renames(spark, tmp_path):
     with open(os.path.join(pub + ".staging", "part-junk"), "w") as fh:
         fh.write("torn write")
     r = write_audit_publish(
-        spark.range(9).select(F.col("id")), pub, [non_empty_audit]
+        spark.range(9).select(F.col("id")),
+        pub,
+        [non_empty_audit],
+        symlink_publish=False,
     )
     assert r["published"]
     # generation continued from the RECOVERED publication (1 -> 2),
@@ -110,11 +117,15 @@ def test_wap_recovery_restores_readable_publication(spark, tmp_path):
     retired copy so a reader sees the last good generation."""
     pub = str(tmp_path / "pub")
     df = spark.range(4).select(F.col("id"))
-    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    assert write_audit_publish(
+        df, pub, [non_empty_audit], symlink_publish=False
+    )["published"]
     os.rename(pub, pub + ".retired")
     # a failed-audit run must still have recovered the publication
     empty = spark.range(0).select(F.col("id"))
-    r = write_audit_publish(empty, pub, [non_empty_audit])
+    r = write_audit_publish(
+        empty, pub, [non_empty_audit], symlink_publish=False
+    )
     assert not r["published"]
     assert spark.read.parquet(pub).count() == 4
     with open(os.path.join(pub, MANIFEST)) as fh:
@@ -161,7 +172,9 @@ def test_wap_symlink_upgrades_rename_mode_dir(spark, tmp_path):
     and replaces the real dir with a link."""
     pub = str(tmp_path / "pub")
     df = spark.range(3).select(F.col("id"))
-    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    assert write_audit_publish(
+        df, pub, [non_empty_audit], symlink_publish=False
+    )["published"]
     assert os.path.isdir(pub) and not os.path.islink(pub)
     r = write_audit_publish(
         spark.range(7).select(F.col("id")),
@@ -211,3 +224,39 @@ def test_wap_symlink_recovers_crashed_swap(spark, tmp_path):
     assert spark.read.parquet(pub).count() == 8
     # generation continued from the recovered manifest (2 -> 3)
     assert r["generation"] == 3
+
+
+def test_wap_symlink_sweep_spares_near_named_siblings(spark, tmp_path):
+    """The crashed-run sweep must match ONLY '<base>.gen<digits>' —
+    a neighboring dir like 'pub.gen_backup' or a publish dir named
+    'pub.general' is someone else's data (ADVICE r10)."""
+    pub = str(tmp_path / "pub")
+    os.makedirs(pub + ".gen_backup")
+    with open(os.path.join(pub + ".gen_backup", "keep"), "w") as fh:
+        fh.write("precious")
+    os.makedirs(pub + ".general")
+    os.makedirs(pub + ".gen7")  # a genuine orphan: swept
+    df = spark.range(5).select(F.col("id"))
+    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    assert os.path.exists(os.path.join(pub + ".gen_backup", "keep"))
+    assert os.path.isdir(pub + ".general")
+    assert not os.path.exists(pub + ".gen7")
+
+
+def test_wap_symlink_clears_stale_legacy(spark, tmp_path):
+    """Crash after the swap but before rmtree(legacy): base is live,
+    '.legacy' is stale. Entry must clear it — otherwise it leaks
+    forever and a later dir→link upgrade would rename onto a
+    non-empty dir and fail (ADVICE r10)."""
+    pub = str(tmp_path / "pub")
+    df = spark.range(4).select(F.col("id"))
+    assert write_audit_publish(df, pub, [non_empty_audit])["published"]
+    os.makedirs(pub + ".legacy")
+    with open(os.path.join(pub + ".legacy", "stale"), "w") as fh:
+        fh.write("dead run residue")
+    r = write_audit_publish(
+        spark.range(6).select(F.col("id")), pub, [non_empty_audit]
+    )
+    assert r["published"] and r["generation"] == 2
+    assert not os.path.exists(pub + ".legacy")
+    assert spark.read.parquet(pub).count() == 6
