@@ -131,9 +131,19 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
     r9): the "n" count lets each read compare the live listing against
     the committed range in O(1) offset size — a late-arriving file
     whose name sorts at or below the committed "last" (which the
-    watermark would skip forever, and which a replay would wrongly
-    inject into an already-committed batch) raises by default, or
-    warns and skips under ``.option("onLateFile", "warn")``."""
+    watermark would skip forever) raises by default, or warns and
+    skips under ``.option("onLateFile", "warn")``.
+
+    Replay exactness (ADVICE r10): each end offset additionally
+    records the batch's own file list ("files"), so
+    ``readBetweenOffsets`` replays EXACTLY the files the committed
+    batch read — a late arrival inside the range can never be
+    injected into a replayed batch, in either onLateFile mode. A
+    recorded file that has vanished always raises (the batch is
+    unreproducible; no warn mode can patch that). Pre-r11 checkpoints
+    without the list fall back to a range scan, where a detected
+    contract violation raises even in warn mode, because exactness
+    cannot be proven from the count alone."""
 
     def __init__(self, options: dict):
         self._dir = options.get("path") or options.get("paths")
@@ -154,7 +164,9 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
             if f.endswith((".jsonl", ".xlsx", ".xls"))
         )
 
-    def _check_consumed(self, names, offset: dict, where: str):
+    def _check_consumed(
+        self, names, offset: dict, where: str, force_error: bool = False
+    ):
         """The live listing must still agree with a committed offset:
         exactly offset["n"] files at-or-below offset["last"]. More
         means a late arrival landed inside the committed range (the
@@ -175,7 +187,7 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
             "lexicographic-arrival contract is violated and the "
             "watermark cannot deliver the difference exactly-once"
         )
-        if self._on_late == "warn":
+        if self._on_late == "warn" and not force_error:
             import warnings
 
             warnings.warn(msg)
@@ -191,12 +203,32 @@ class WorkbookCellsStreamReader(SimpleDataSourceStreamReader):
         new = [n for n in names if n > start.get("last", "")]
         if not new:
             return [], start
-        end = {"last": new[-1], "n": len(names)}
+        end = {"last": new[-1], "n": len(names), "files": new}
         return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         names = self._names()
-        self._check_consumed(names, end, "replay")
+        files = end.get("files")
+        if files is not None:
+            # exact replay: the committed batch's own file list —
+            # late arrivals inside the range are excluded by
+            # construction (they are not in the list)
+            live = set(names)
+            gone = [n for n in files if n not in live]
+            if gone:
+                raise RuntimeError(
+                    "workbook_cells stream: committed files vanished "
+                    f"before replay — {gone}; the batch ending at "
+                    f"{end.get('last')!r} cannot be reproduced"
+                )
+            # still surface late arrivals (warn mode warns; replay
+            # itself is unaffected because it uses the recorded list)
+            self._check_consumed(names, end, "replay")
+            return self._rows(files)
+        # legacy checkpoint without the file list: replay is a range
+        # scan; a contract violation makes exactness unprovable, so
+        # raise even in warn mode
+        self._check_consumed(names, end, "replay", force_error=True)
         lo, hi = start.get("last", ""), end.get("last", "")
         return self._rows([n for n in names if lo < n <= hi])
 

@@ -35,7 +35,7 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     start = rdr.initialOffset()
     rows1, off1 = rdr.read(start)
     assert len(list(rows1)) == 2
-    assert off1 == {"last": "000.jsonl", "n": 1}
+    assert off1 == {"last": "000.jsonl", "n": 1, "files": ["000.jsonl"]}
     # nothing new: offset must NOT advance
     rows2, off2 = rdr.read(off1)
     assert list(rows2) == [] and off2 == off1
@@ -44,7 +44,7 @@ def test_stream_reader_offsets_and_replay(tmp_path):
     rows3, off3 = rdr.read(off1)
     got3 = list(rows3)
     assert [r[2] for r in got3] == [3]
-    assert off3 == {"last": "001.jsonl", "n": 2}
+    assert off3 == {"last": "001.jsonl", "n": 2, "files": ["001.jsonl"]}
     # replay of the committed first window is exact
     replay = list(rdr.readBetweenOffsets(start, off1))
     assert [r[2] for r in replay] == [1, 2]
@@ -66,7 +66,7 @@ def test_stream_reader_detects_late_file(tmp_path):
     rdr = WorkbookCellsStreamReader({"path": d})
     start = rdr.initialOffset()
     _, off1 = rdr.read(start)
-    assert off1 == {"last": "005.jsonl", "n": 1}
+    assert off1 == {"last": "005.jsonl", "n": 1, "files": ["005.jsonl"]}
     # late arrival: sorts BELOW the committed watermark
     _write_cells(os.path.join(d, "001.jsonl"), "s1", [(9, "late")])
     with pytest.raises(RuntimeError, match="late-arriving"):
@@ -88,6 +88,43 @@ def test_stream_reader_detects_late_file(tmp_path):
     # pre-r10 checkpoints (no "n") stay readable: no check possible
     rows, off3 = rdr.read({"last": ""})
     assert list(rows) == []
+
+
+def test_stream_replay_is_exact_under_warn_mode(tmp_path):
+    """ADVICE r10 (medium): in onLateFile=warn mode a replay used to
+    warn and then INJECT late-in-range files into the replayed batch,
+    breaking exactly-once recovery. Now the end offset records the
+    batch's file list and replay uses exactly it — the late file is
+    excluded by construction; a vanished committed file still raises
+    (in both modes), and a legacy offset without the list raises on a
+    detected violation even in warn mode."""
+    import warnings
+
+    import pytest
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    _write_cells(os.path.join(d, "005.jsonl"), "s1", [(1, "a")])
+    lenient = WorkbookCellsStreamReader({"path": d, "onLateFile": "warn"})
+    start = lenient.initialOffset()
+    rows1, off1 = lenient.read(start)
+    committed = [(r[2], r[4]) for r in rows1]
+    # a late file lands INSIDE the committed range
+    _write_cells(os.path.join(d, "001.jsonl"), "s1", [(9, "late")])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        replay = [(r[2], r[4]) for r in lenient.readBetweenOffsets(start, off1)]
+    assert any("late-arriving" in str(w.message) for w in caught)
+    assert replay == committed  # the late file was NOT injected
+    # legacy checkpoint (no file list): exactness unprovable -> raise
+    # even in warn mode
+    legacy_end = {"last": off1["last"], "n": off1["n"]}
+    with pytest.raises(RuntimeError, match="late-arriving"):
+        list(lenient.readBetweenOffsets(start, legacy_end))
+    # a committed file vanishing always fails the replay
+    os.remove(os.path.join(d, "005.jsonl"))
+    with pytest.raises(RuntimeError, match="vanished"):
+        list(lenient.readBetweenOffsets(start, off1))
 
 
 def test_stream_checkpoint_carries_offsets(spark, tmp_path):
