@@ -48,6 +48,37 @@ def _us(ts) -> int:
     return int(ts.value // 1_000)
 
 
+_DURATION_UNIT_SECONDS = {
+    "microsecond": 1e-6,
+    "millisecond": 1e-3,
+    "second": 1.0,
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "week": 604800.0,
+}
+
+
+def _duration_seconds(s: str) -> float:
+    """Parse a Spark interval string ("1 hour", "30 minutes",
+    "1 hour 30 minutes") to seconds — the subset `withWatermark`
+    accepts. Raises ValueError on anything unparseable so a typo'd
+    watermark fails at plan-build, not inside a microbatch."""
+    import re as _re
+
+    total, matched = 0.0, 0
+    for m in _re.finditer(
+        r"(\d+(?:\.\d+)?)\s*"
+        r"(microsecond|millisecond|second|minute|hour|day|week)s?",
+        s.strip().lower(),
+    ):
+        total += float(m.group(1)) * _DURATION_UNIT_SECONDS[m.group(2)]
+        matched += 1
+    if matched == 0:
+        raise ValueError(f"unparseable duration: {s!r}")
+    return total
+
+
 def _session_fn(gap_minutes: int):
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -262,10 +293,12 @@ def funnel_stream(
     idiom as ``sessionize_stream``) bounds TOTAL state by the active
     user set rather than the all-time one — without it a long-running
     deployment keeps one entry per user forever (ADVICE r9). The TTL
-    dwarfs the watermark, so a tombstone is only dropped once no
+    must dwarf the watermark, so a tombstone is only dropped once no
     admissible event could re-trigger the funnel: emission stays
     exactly-once; a user returning after the TTL starts a fresh
-    funnel (the standard expiry semantics).
+    funnel (the standard expiry semantics). This invariant is
+    ENFORCED at plan-build: ``ttl_minutes`` at or below the watermark
+    delay raises ValueError (ADVICE r10).
 
     Grouping is the normal hash shuffle on user_id: a billion users
     partition cleanly, and each microbatch touches only keys with
@@ -275,6 +308,22 @@ def funnel_stream(
     )
 
     ensure_package_on_executors(events.sparkSession)
+    # Enforce the documented invariant (ADVICE r10): the TTL must
+    # exceed the watermark delay. At ttl <= delay, a key's timeout
+    # timestamp (newest event + TTL) can sit below the current
+    # watermark (Spark raises IllegalArgumentException inside the
+    # microbatch), and a done-tombstone could be purged while the
+    # watermark still admits events — re-emitting a completed funnel
+    # and breaking exactly-once. Fail at plan-build time instead.
+    wm_seconds = _duration_seconds(watermark)
+    if ttl_minutes * 60 <= wm_seconds:
+        raise ValueError(
+            f"funnel_stream: ttl_minutes={ttl_minutes} "
+            f"({ttl_minutes * 60}s) must exceed the watermark delay "
+            f"({watermark!r} = {wm_seconds:.0f}s); a TTL at or below "
+            "the watermark can purge state the watermark still admits "
+            "events for, re-emitting a completed funnel"
+        )
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -811,7 +811,13 @@ def test_funnel_ttl_purges_idle_state(spark, tmp_path):
 
     for i, (name, kw, want) in enumerate(
         [
-            ("funnel_ttl_short", {"ttl_minutes": 60}, 0),
+            # r11: ttl must exceed the watermark delay (enforced), so
+            # the short-TTL case shrinks the watermark alongside it
+            (
+                "funnel_ttl_short",
+                {"ttl_minutes": 60, "watermark": "30 minutes"},
+                0,
+            ),
             ("funnel_ttl_default", {}, 1),
         ]
     ):
@@ -849,3 +855,34 @@ def test_funnel_ttl_purges_idle_state(spark, tmp_path):
         if want == 1:
             assert got[0].user_id == 1
             assert str(got[0].purchase_ts) == "2024-01-03 12:00:00"
+
+
+def test_funnel_ttl_below_watermark_rejected(spark):
+    """ADVICE r10: a TTL at or below the watermark delay can purge a
+    tombstone while the watermark still admits events (re-emitting a
+    completed funnel) or produce a timeout timestamp below the current
+    watermark (runtime IllegalArgumentException). funnel_stream must
+    reject the configuration at plan-build time."""
+    import pytest
+
+    from series_tiempo_ar_scraping_spark.streaming.stateful import (
+        _duration_seconds,
+        funnel_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("timestamp as ts", "value as user_id",
+                    "value as event_id", "'view' as event_type")
+    )
+    # at the boundary (ttl == delay) and below it: both rejected
+    for ttl, wm in [(60, "1 hour"), (30, "1 hour"), (59, "59 minutes")]:
+        with pytest.raises(ValueError, match="must exceed the watermark"):
+            funnel_stream(stream, ttl_minutes=ttl, watermark=wm)
+    # strictly above: accepted (plan builds)
+    funnel_stream(stream, ttl_minutes=61, watermark="1 hour")
+    # the parser handles compound intervals and rejects garbage
+    assert _duration_seconds("1 hour 30 minutes") == 5400.0
+    assert _duration_seconds("2 days") == 172800.0
+    with pytest.raises(ValueError, match="unparseable"):
+        _duration_seconds("soon")
