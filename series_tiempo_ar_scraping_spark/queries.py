@@ -950,29 +950,32 @@ _DRIVER_GATE_PRIORITY = [
     "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # Round-10 rotation (VERDICT r9 #1): the r9 batches 24-50 added 73
-    # entries that were mirror-green but never driver-verified.  The r9
-    # rotation (governance/sketch/profile lane) was driver-confirmed
-    # 50/50 in CORRECTNESS_r09.json and rotates back to the local
-    # mirror; one exemplar per new r9 family moves under the hash gate —
-    # including the two entries whose bugs only self-review caught
-    # (label_propagation_communities tiebreak, timeseries_forward_cv
-    # train count), which deserve driver eyes most.
-    "bcubed_cluster_eval",
-    "dedup_eval_precision_recall",
-    "label_propagation_communities",
-    "timeseries_forward_cv",
-    "streaming_funnel_tracker",
-    "sinkhorn_matrix_scaling",
-    "multimodal_dhash_dedup",
-    "merkle_range_fingerprints",
-    "range_value_frame_stats",
-    "null_semantics_audit",
-    "json_path_semantics_audit",
-    "hashing_trick_doc_vectors",
-    "median_ci_order_stats",
-    "maxmin_fair_allocation",
-    "cooccurrence_null_lift",
+    # Round-11 rotation (VERDICT r10 #3). ROTATION RULE, codified:
+    # entries whose Spark or oracle text CHANGED since their last
+    # driver verification outrank never-verified ones — an edited
+    # oracle is a fresh correctness claim, while a never-verified
+    # entry at least has an unbroken mirror history. Round 10 edited
+    # 26 entries (24 NULLIF-guard sites + the SLO RANGE conversion +
+    # the Gopher min-length gate); the edited-but-never-gated ones
+    # rotate in first (the judge-prescribed 15 below), the r10 block
+    # (driver-confirmed 50/50 in CORRECTNESS_r10.json) rotates back
+    # to the local mirror. Backfill, when slots remain, comes from
+    # the never-driver-verified pool.
+    "slo_burn_rate_alerts",
+    "gopher_repetition_report",
+    "embedding_power_iteration",
+    "hits_hub_authority",
+    "als_rank1_factors",
+    "average_precision_report",
+    "fellegi_sunter_weights",
+    "simpson_paradox_detector",
+    "kfold_cv_rate_model",
+    "cohens_kappa_agreement",
+    "largest_remainder_apportionment",
+    "fifo_cogs_matching",
+    "price_index_laspeyres_fisher",
+    "weiszfeld_geometric_median",
+    "join_order_advisor",
 ]
 
 

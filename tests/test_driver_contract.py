@@ -91,21 +91,25 @@ _GATE_FIRST_50 = [
     "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    "bcubed_cluster_eval",
-    "dedup_eval_precision_recall",
-    "label_propagation_communities",
-    "timeseries_forward_cv",
-    "streaming_funnel_tracker",
-    "sinkhorn_matrix_scaling",
-    "multimodal_dhash_dedup",
-    "merkle_range_fingerprints",
-    "range_value_frame_stats",
-    "null_semantics_audit",
-    "json_path_semantics_audit",
-    "hashing_trick_doc_vectors",
-    "median_ci_order_stats",
-    "maxmin_fair_allocation",
-    "cooccurrence_null_lift",
+    # r11 rotation (VERDICT r10 #3, changed-first rule): the 15
+    # entries whose oracle/Spark text r10 edited without a driver
+    # re-verification; the r10 block (50/50 in CORRECTNESS_r10.json)
+    # rotates back to the local mirror.
+    "slo_burn_rate_alerts",
+    "gopher_repetition_report",
+    "embedding_power_iteration",
+    "hits_hub_authority",
+    "als_rank1_factors",
+    "average_precision_report",
+    "fellegi_sunter_weights",
+    "simpson_paradox_detector",
+    "kfold_cv_rate_model",
+    "cohens_kappa_agreement",
+    "largest_remainder_apportionment",
+    "fifo_cogs_matching",
+    "price_index_laspeyres_fisher",
+    "weiszfeld_geometric_median",
+    "join_order_advisor",
 ]
 
 
