@@ -392,12 +392,25 @@ if os.environ.get("SPARK_GRAFT_BENCH_SET") == "r2set":
 # (VERDICT r9 #2). Tagged bench_set=only so the record never enters the
 # full-run lineage.
 _ONLY = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+# Only-mode fresh-JVM comparability (VERDICT r10 #1): a bare JVM charges
+# ~15 s of one-time costs (codegen framework init, parquet/Arrow reader
+# init, JIT of shared generated classes) to whatever runs first, and the
+# table cache materializes inside the first warm run — so a sub-second
+# suspect timed at lane 0 reads as a 15 s cold / 4 s warm "regression"
+# no matter what its plan does (the langid_confusion_matrix
+# false-confirm). Only-mode therefore executes a fixed UNTIMED warmup —
+# the standard lane-head (first 5 frozen-set queries not under test) —
+# before the cold lane, and materializes the table cache untimed before
+# the warm lane, so fresh-JVM times approximate the in-lane JVM context
+# the old record's numbers rode.
+BENCH_WARMUP: list[str] = []
 if _ONLY:
     only = [n.strip() for n in _ONLY.split(",") if n.strip()]
     BENCH_QUERIES = [n for n in BENCH_QUERIES if n in set(only)] + [
         n for n in only if n not in set(BENCH_QUERIES)
     ]
     os.environ["SPARK_GRAFT_BENCH_SET"] = "only"
+    BENCH_WARMUP = [n for n in BENCH_QUERIES_R2 if n not in set(only)][:5]
 
 
 TABLES = (
@@ -451,6 +464,11 @@ def main() -> None:
     cold: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_COLD") != "1":
         os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+        for name in BENCH_WARMUP:
+            # untimed lane-head warmup (only-mode): absorb the per-JVM
+            # fixed costs WITHOUT executing the suspects, so their cold
+            # times are comparable to in-lane records (VERDICT r10 #1)
+            _run_once(QUERIES[name], spark, sf_dir)
         for name in BENCH_QUERIES:
             cold[name] = _run_once(QUERIES[name], spark, sf_dir)
 
@@ -471,17 +489,27 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t)
+    if BENCH_WARMUP:
+        # only-mode: in a full run the lane head pays the (lazy) cache
+        # materialization; here nothing runs before the suspects, so
+        # materialize the cache untimed — otherwise the suspect's first
+        # warm run reads parquet + builds the cache and reports that
+        for t in TABLES:
+            load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     r2 = set(BENCH_QUERIES_R2)
     for name in BENCH_QUERIES:
         first = _run_once(QUERIES[name], spark, sf_dir)
-        if name in r2 or not cold:
+        if name in r2 or not cold or BENCH_WARMUP:
             # frozen lineage set keeps the r2-r5 min-of-2 methodology
             # (guards against cache-eviction pathologies). EXT queries
             # also get min-of-2 when the cold lane was SKIPPED — their
             # single-run shortcut below is only valid because the cold
-            # lane already paid their codegen compile (ADVICE r7)
+            # lane already paid their codegen compile (ADVICE r7) —
+            # and in only-mode, where min-of-2 lets the first warm run
+            # absorb the fresh JVM's re-JIT so the reported number is
+            # the steady state an in-lane record saw (VERDICT r10 #1)
             second = _run_once(QUERIES[name], spark, sf_dir)
             timings[name] = min(first, second)
         else:
@@ -521,6 +549,11 @@ def build_output(
     bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET")
     if bench_set:
         detail["bench_set"] = bench_set
+    if BENCH_WARMUP:
+        # self-documenting record: which lane-head queries warmed this
+        # only-mode JVM (so a later reader knows the times are
+        # in-lane-comparable, not bare-JVM)
+        detail["warmup"] = list(BENCH_WARMUP)
     out = {
         "metric": "headline_queries_total",
         # FROZEN r2-era 29-query warm subtotal — the r2-r5 lineage number

@@ -175,6 +175,192 @@ def test_rerun_confirm_kills_lane_noise(monkeypatch, tmp_path):
     assert noise["rerun"] == "lane_noise"
 
 
+def test_rerun_calibration_kills_deep_lane_false_confirm(monkeypatch):
+    """The r10 false-confirm, reproduced: a sub-second deep-lane query
+    (old in-lane cold 0.5s) re-timed in a fresh JVM reads ~5x slower
+    from pure environment floor — pre-r11 that 'confirmed' the flag.
+    With lane-neighbor references timed in the SAME fresh JVM showing
+    the SAME floor, the calibrated ratio falls back in band ->
+    lane_noise. A suspect whose slowdown EXCEEDS the reference floor
+    still confirms."""
+    lane = {"s": 200, "t": 201, "n1": 199, "n2": 202, "n3": 198, "q": 0}
+    old = _rec(
+        {"s": 0.3, "t": 0.3, "n1": 0.3, "n2": 0.3, "n3": 0.3, "q": 1.0},
+        {"s": 0.5, "t": 0.5, "n1": 0.5, "n2": 0.5, "n3": 0.5, "q": 8.0},
+    )
+    old["lane"] = lane
+    new = _rec(
+        {"s": 0.6, "t": 0.6, "n1": 0.3, "n2": 0.3, "n3": 0.3, "q": 1.0},
+        {"s": 1.6, "t": 1.6, "n1": 0.5, "n2": 0.5, "n3": 0.5, "q": 8.0},
+    )
+    new["lane"] = lane
+    flags = BR.compare(old, new)
+    assert {f["query"] for f in flags} == {"s", "t"}
+
+    # fresh JVM: the untouched neighbors read the ~5x cold / 1.5x warm
+    # environment floor; s reads the same floor (false flag), t reads
+    # 4x MORE than the floor (a real plan regression)
+    fresh = {
+        "sf": 0.1,
+        "queries": {"s": 0.45, "t": 1.9, "n1": 0.45, "n2": 0.46, "n3": 0.44},
+        "queries_cold": {"s": 2.6, "t": 10.0, "n1": 2.5, "n2": 2.7, "n3": 2.4},
+    }
+    seen_only = {}
+
+    class FakeProc:
+        stdout = "BENCH_DETAIL " + json.dumps(fresh) + "\n{}\n"
+        stderr = ""
+
+    def fake_run(*a, **k):
+        seen_only["v"] = (k.get("env") or {}).get("SPARK_GRAFT_BENCH_ONLY")
+        return FakeProc()
+
+    monkeypatch.setattr(BR.subprocess, "run", fake_run)
+    confirmed = BR.rerun_confirm(flags, old, 0.1, new=new)
+    # references chosen = the nearest lane neighbors, timed in the run
+    assert set(seen_only["v"].split(",")) == {"n1", "n2", "n3", "s", "t"}
+    assert [f["query"] for f in confirmed] == ["t"]
+    s_flag = [f for f in flags if f["query"] == "s"][0]
+    assert s_flag["rerun"] == "lane_noise"
+    assert s_flag["rerun_cal_cold"] == 5.0  # the measured floor
+    assert s_flag["cold_fresh_ratio_adj"] < 2.4
+    t_flag = confirmed[0]
+    assert t_flag["rerun"] == "confirmed"
+    assert t_flag["cold_fresh_ratio_adj"] > 2.4
+
+
+def test_rerun_calibration_never_amplifies(monkeypatch):
+    """A fresh JVM that is FASTER than the old in-lane context (refs
+    ratio < 1) must not inflate suspects into confirmation: the
+    calibration factor clamps at 1.0."""
+    lane = {"s": 10, "n1": 9, "n2": 11, "n3": 12}
+    old = _rec(
+        {"s": 1.0, "n1": 1.0, "n2": 1.0, "n3": 1.0},
+        {"s": 1.0, "n1": 1.0, "n2": 1.0, "n3": 1.0},
+    )
+    old["lane"] = lane
+    new = _rec(
+        {"s": 1.5, "n1": 1.0, "n2": 1.0, "n3": 1.0},
+        {"s": 2.9, "n1": 1.0, "n2": 1.0, "n3": 1.0},
+    )
+    new["lane"] = lane
+    flags = BR.compare(old, new)
+    fresh = {
+        "sf": 0.1,
+        # refs come back HALF the old time; suspect just in band
+        "queries": {"s": 1.2, "n1": 0.5, "n2": 0.5, "n3": 0.5},
+        "queries_cold": {"s": 2.0, "n1": 0.5, "n2": 0.5, "n3": 0.5},
+    }
+
+    class FakeProc:
+        stdout = "BENCH_DETAIL " + json.dumps(fresh) + "\n{}\n"
+        stderr = ""
+
+    monkeypatch.setattr(BR.subprocess, "run", lambda *a, **k: FakeProc())
+    confirmed = BR.rerun_confirm(flags, old, 0.1, new=new)
+    # uncalibrated: cold 2.0x (< 2.4) -> lane_noise; with a <1 factor
+    # it would read 4.0x and falsely confirm
+    assert confirmed == []
+    assert flags[0]["rerun_cal_cold"] == 1.0
+
+
+def test_rerun_respects_caller_sf_dir(monkeypatch):
+    """ADVICE r10: rerun_confirm must not clobber a caller-provided
+    SPARK_GRAFT_SF_DIR — on a non-standard layout the hardcoded
+    /root/testdata path would bench a different (or missing) dataset
+    and every flag would degrade to rerun=failed."""
+    old = _rec({"q": 1.0}, {"q": 1.0})
+    new = _rec({"q": 1.5}, {"q": 2.9})
+    seen_env = {}
+
+    class FakeProc:
+        stdout = (
+            "BENCH_DETAIL "
+            + json.dumps(
+                {"sf": 0.1, "queries": {"q": 1.0}, "queries_cold": {"q": 1.0}}
+            )
+            + "\n{}\n"
+        )
+        stderr = ""
+
+    def fake_run(*a, **k):
+        seen_env.update(k.get("env") or {})
+        return FakeProc()
+
+    monkeypatch.setattr(BR.subprocess, "run", fake_run)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/elsewhere/sfX")
+    BR.rerun_confirm(BR.compare(old, new), old, 0.1)
+    assert seen_env["SPARK_GRAFT_SF_DIR"] == "/elsewhere/sfX"
+    # without a caller dir: the standard layout is the default
+    seen_env.clear()
+    monkeypatch.delenv("SPARK_GRAFT_SF_DIR")
+    BR.rerun_confirm(BR.compare(old, new), old, 0.1)
+    assert seen_env["SPARK_GRAFT_SF_DIR"] == "/root/testdata/sf0.1"
+
+
+def test_only_mode_warms_the_fresh_jvm():
+    """VERDICT r10 #1 pinned at the mechanism level: in only-mode
+    bench.py must (a) select a non-empty lane-head warmup disjoint
+    from the suspects, and (b) take min-of-2 in the warm lane — a bare
+    JVM otherwise charges its one-time init to the suspect and every
+    sub-second query 'confirms' as a regression. Module-level config is
+    checked via a fresh import under the env var (no Spark boot)."""
+    import importlib
+
+    saved = dict(os.environ)
+    sys.modules.pop("bench", None)
+    os.environ["SPARK_GRAFT_BENCH_ONLY"] = (
+        "langid_confusion_matrix,q01_pricing_summary"
+    )
+    # build_output appends a history line: keep it OUT of the real
+    # lineage file
+    os.environ["SPARK_GRAFT_BENCH_HISTORY"] = os.devnull
+    try:
+        sys.path.insert(0, os.path.dirname(BR.REPO + "/"))
+        import bench  # noqa: F401
+
+        bench = importlib.reload(bench)
+        assert bench.BENCH_QUERIES == [
+            "q01_pricing_summary", "langid_confusion_matrix"
+        ]
+        assert len(bench.BENCH_WARMUP) == 5
+        # warmup is the standard lane-head MINUS anything under test
+        assert "q01_pricing_summary" not in bench.BENCH_WARMUP
+        assert bench.BENCH_WARMUP == [
+            n for n in bench.BENCH_QUERIES_R2
+            if n != "q01_pricing_summary"
+        ][:5]
+        # the warmup list travels in the record (self-documenting)
+        out = bench.build_output({"q01_pricing_summary": 1.0}, {}, "0.1")
+        assert out["n_queries"] == 1
+    finally:
+        os.environ.clear()
+        os.environ.update(saved)
+        sys.modules.pop("bench", None)
+
+
+def test_full_run_has_no_warmup():
+    """The full-bench path must be untouched by the only-mode warmup:
+    BENCH_WARMUP stays empty, so no untimed executions shift the lane
+    map."""
+    import importlib
+
+    saved = dict(os.environ)
+    os.environ.pop("SPARK_GRAFT_BENCH_ONLY", None)
+    os.environ.pop("SPARK_GRAFT_BENCH_SET", None)
+    sys.modules.pop("bench", None)
+    try:
+        import bench
+
+        bench = importlib.reload(bench)
+        assert bench.BENCH_WARMUP == []
+        assert len(bench.BENCH_QUERIES) > 200
+    finally:
+        os.environ.clear()
+        os.environ.update(saved)
+        sys.modules.pop("bench", None)
+
+
 def test_round_record_resolves_via_history(tmp_path):
     """A round artifact (summary-only) resolves to its per-query
     history line: by embedded ts when present, by totals otherwise."""

@@ -22,7 +22,9 @@ shared-JVM load). Two mechanisms make the check survive that:
   (``SPARK_GRAFT_BENCH_ONLY``, tagged out of the lineage) and keeps a
   flag only if the fresh-JVM time still violates the thresholds
   against the OLD record — lane noise dies there, plan regressions
-  survive.
+  survive. The fresh JVM is warmed with the standard lane-head and an
+  untimed cache materialization first (VERDICT r10 #1: a bare JVM's
+  ~15 s one-time init false-confirmed every sub-second suspect).
 
 Sources, newest-last: per-round driver artifacts ``BENCH_r*.json``
 (records whose ``parsed`` carries per-query dicts) and the append-only
@@ -149,20 +151,88 @@ def compare(old: dict, new: dict) -> list[dict]:
     return flags
 
 
+# fallback reference pool when the old record carries no lane map
+# (pre-r9): the frozen-set head, always present in every record
+_R2_HEAD_REFERENCES = [
+    "q01_pricing_summary",
+    "q03_revenue_topk",
+    "q05_region_revenue",
+    "semi_orders_with_big_lineitem",
+    "align_daily_activity",
+]
+
+
+def _pick_references(
+    flags: list[dict], old: dict, new: dict, k: int = 3
+) -> list[str]:
+    """Reference queries for fresh-JVM calibration: un-flagged entries
+    whose OLD in-lane times rode the same JVM context as the suspects
+    — their fresh/old ratio measures the bare-vs-in-lane floor, not a
+    plan change. Nearest lane-neighbors of the flagged queries when the
+    old record carries a lane map (they shared the suspect's deep-lane
+    context); the frozen-set head otherwise. A reference must have both
+    lanes in BOTH records (membership in the new record doubles as
+    proof the name still exists in the current catalog)."""
+    flagged = {f["query"] for f in flags}
+
+    def usable(name: str) -> bool:
+        return all(
+            isinstance(rec.get(lane, {}).get(name), (int, float))
+            and rec[lane][name] > 0
+            for rec in (old, new)
+            for lane in ("queries", "queries_cold")
+        )
+
+    lane_old = old.get("lane") or {}
+    flag_lanes = [lane_old[q] for q in flagged if q in lane_old]
+    if lane_old and flag_lanes:
+        cands = sorted(
+            (min(abs(ln - fl) for fl in flag_lanes), name)
+            for name, ln in lane_old.items()
+            if name not in flagged and usable(name)
+        )
+        return [name for _, name in cands[:k]]
+    return [
+        r for r in _R2_HEAD_REFERENCES if r not in flagged and usable(r)
+    ][:k]
+
+
 def rerun_confirm(
-    flags: list[dict], old: dict, sf: float, repo: str = REPO
+    flags: list[dict], old: dict, sf: float, repo: str = REPO,
+    new: dict | None = None,
 ) -> list[dict]:
     """Re-time every flagged query in ONE fresh JVM and keep only the
     flags the fresh run still confirms against the OLD record. The
     rerun record is tagged bench_set=only, so it never enters the
-    lineage; its cold lane is a true fresh-JVM first execution — the
-    cleanest apples-to-apples against any older record."""
+    lineage.
+
+    Fresh-vs-in-lane comparability (VERDICT r10 #1 — the
+    langid_confusion_matrix false-confirm; a bare JVM charges ~15 s of
+    one-time init to whatever runs first, so every sub-second suspect
+    'confirmed' regardless of its plan) is handled by two mechanisms:
+
+    - the fresh JVM is WARMED before timing (bench.py only-mode runs
+      the standard lane-head untimed before the cold lane,
+      materializes the table cache untimed before the warm lane, and
+      reports warm as min-of-2);
+    - the run also times REFERENCE queries — the suspects' own lane
+      neighbors from the old record, untouched entries whose old times
+      rode the same deep-lane JVM context — and divides each suspect's
+      fresh/old ratio by the references' median fresh/old ratio. What
+      a 5-query warmup cannot reproduce (a 200-query-warm JIT and page
+      cache), the references measure directly; the residual ratio is
+      the plan's, and the ordinary thresholds adjudicate it. The
+      calibration factor is clamped to >= 1 so it can only forgive
+      fresh-JVM overhead, never excuse a genuine slowdown."""
     if not flags:
         return flags
     names = [f["query"] for f in flags]
+    refs = _pick_references(flags, old, new or {"queries": {}, "queries_cold": {}})
     env = dict(os.environ)
-    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(names)
-    env["SPARK_GRAFT_SF_DIR"] = f"/root/testdata/sf{sf:g}"
+    env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(refs + names)
+    # respect a caller-provided fixture dir (ADVICE r10): only default
+    # to the standard testdata layout when the caller set nothing
+    env.setdefault("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf:g}")
     env.pop("SPARK_GRAFT_BENCH_SKIP_COLD", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
@@ -182,6 +252,27 @@ def rerun_confirm(
         for f in flags:
             f["rerun"] = "failed"
         return flags
+    # calibration: median fresh/old ratio over the references, per
+    # lane. >1 means the fresh JVM is slower than the old in-lane
+    # context for UNTOUCHED queries — pure environment, divided out of
+    # every suspect. Clamped to >=1: a fresh JVM that happens to be
+    # FASTER must not inflate suspects into confirmation.
+    def _median(vals: list[float]) -> float:
+        vals = sorted(vals)
+        n = len(vals)
+        return (vals[n // 2] + vals[(n - 1) // 2]) / 2 if vals else 1.0
+
+    cal_cold = cal_warm = 1.0
+    refs_used = []
+    for r in refs:
+        cf = (detail.get("queries_cold") or {}).get(r)
+        wf = (detail.get("queries") or {}).get(r)
+        co, wo = old["queries_cold"].get(r), old["queries"].get(r)
+        if all(isinstance(v, (int, float)) and v > 0 for v in (cf, wf, co, wo)):
+            refs_used.append((r, cf / co, wf / wo))
+    if refs_used:
+        cal_cold = max(1.0, _median([rc for _, rc, _ in refs_used]))
+        cal_warm = max(1.0, _median([rw for _, _, rw in refs_used]))
     confirmed = []
     for f in flags:
         name = f["query"]
@@ -198,10 +289,14 @@ def rerun_confirm(
             continue
         f["cold_fresh"] = cold_fresh
         f["warm_fresh"] = warm_fresh
-        if (
-            cold_fresh / cold_old > COLD_FACTOR * COLD_BAND
-            and warm_fresh / warm_old > WARM_FACTOR
-        ):
+        f["rerun_refs"] = [r for r, _, _ in refs_used]
+        f["rerun_cal_cold"] = round(cal_cold, 2)
+        f["rerun_cal_warm"] = round(cal_warm, 2)
+        adj_cold = cold_fresh / cold_old / cal_cold
+        adj_warm = warm_fresh / warm_old / cal_warm
+        f["cold_fresh_ratio_adj"] = round(adj_cold, 2)
+        f["warm_fresh_ratio_adj"] = round(adj_warm, 2)
+        if adj_cold > COLD_FACTOR * COLD_BAND and adj_warm > WARM_FACTOR:
             f["rerun"] = "confirmed"
             confirmed.append(f)
         else:
@@ -299,7 +394,7 @@ def main() -> int:
     flags = compare(old, new)
     rerun_ran = False
     if rerun and flags:
-        flags = rerun_confirm(flags, old, sf)
+        flags = rerun_confirm(flags, old, sf, new=new)
         rerun_ran = True
     print(
         json.dumps(
