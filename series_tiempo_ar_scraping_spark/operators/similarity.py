@@ -138,6 +138,32 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     )
 
 
+# Codebook sizing for cell-blocked kernels (kNN disagreement, cluster
+# dedup): per-cell candidate work is QUADRATIC in cell density, so a
+# fixed K turns 10x data into ~100x join work (measured: PROBE_r10
+# 57x/14.7x at 10x with K=8; ~linear with K ∝ n). 250 vectors/cell
+# keeps cells broadcast-join friendly while K stays a small broadcast
+# codebook; the floor preserves the original 8-cell contract on tiny
+# fixtures.
+CODEBOOK_TARGET_CELL = 250
+
+
+def adaptive_codebook_k(
+    vectors: DataFrame,
+    target_cell: int = CODEBOOK_TARGET_CELL,
+    floor: int = 8,
+) -> int:
+    """K ∝ n codebook sizing: ⌈n / target_cell⌉, floored. One scalar
+    count on the driver — the only data-dependent input a static
+    codebook size needs. The SQL oracles derive the SAME K with a
+    ``LIMIT (SELECT GREATEST(floor, CEIL(COUNT(*)/target)) ...)``
+    subquery, so both engines stay pinned at every scale."""
+    import math
+
+    n = vectors.count()
+    return max(floor, math.ceil(n / target_cell))
+
+
 def kmeans_lloyd_micro(
     vectors: DataFrame,
     k: int = 8,

@@ -214,7 +214,7 @@ def fuzzy_blocked_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # filled at the bottom (needs batch-10's kmeans CTEs)
 )
 def semantic_cluster_dedup(
-    spark: SparkSession, sf_dir: str, k: int = 8
+    spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> DataFrame:
     """Semantic near-dup detection with a TRAINED clustering as the
     blocking function: 2 Lloyd's rounds (K=8, the hash-oracled
@@ -233,16 +233,23 @@ def semantic_cluster_dedup(
     materialized BEFORE the pair join. Output is pure bigint counts —
     no float crosses the engine boundary.
 
-    ``k`` is the codebook size: 8 is the ORACLE CONTRACT (static SQL,
-    8 unrolled centroids); per-cell pair work is quadratic in cell
-    density, so a caller at N× the fixture passes k ~ n/target_cell —
-    the same sizing rule PROBE_r10.json demonstrates on the kNN twin
-    (``label_noise_knn_disagreement``: 245 s → 19.8 s at sf1)."""
+    ``k`` is the codebook size; the DEFAULT (``None``) derives it from
+    a one-row corpus count as ⌈n / 250⌉ floored at 8 (r11, VERDICT r10
+    #2: the registered default must be the scale-safe path — per-cell
+    pair work is quadratic in cell density, the sizing rule
+    PROBE_r10.json demonstrates on the kNN twin:
+    ``label_noise_knn_disagreement`` 245 s → 19.8 s at sf1). The
+    ORACLE derives the SAME K via a dynamic-LIMIT scalar subquery over
+    the same planted corpus, so both engines stay pinned at every
+    scale; at the gate fixtures the derived K equals the floor 8, the
+    original contract."""
     from series_tiempo_ar_scraping_spark.queries_batch4 import (
         _emb_near_corpus,
     )
 
     corpus = _emb_near_corpus(spark, sf_dir)
+    if k is None:
+        k = S.adaptive_codebook_k(corpus)
     _, assign = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
     mem = (
         corpus.select(
@@ -298,12 +305,13 @@ from series_tiempo_ar_scraping_spark.queries import ORACLES  # noqa: E402
 from series_tiempo_ar_scraping_spark.sqlfrags import (  # noqa: E402
     _COS64_SQL as _COS,
     _EMB_NEAR_SQL,
+    _adaptive_k_sql,
     _kmeans_ctes,
 )
 
 ORACLES["semantic_cluster_dedup"] = f"""
     WITH corpus AS ({_EMB_NEAR_SQL}),
-    {_kmeans_ctes(8, 2, src="corpus")},
+    {_kmeans_ctes(iters=2, src="corpus", k_sql=_adaptive_k_sql("corpus"))},
     mem AS (
       SELECT a.vid, a.cid, c.embedding
       FROM assign1 a JOIN corpus c ON c.vec_id = a.vid

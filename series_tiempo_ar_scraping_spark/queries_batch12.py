@@ -60,6 +60,7 @@ from series_tiempo_ar_scraping_spark.queries import (
 from series_tiempo_ar_scraping_spark.sqlfrags import (
     _COS64_SQL,
     _QUALITY_SQL,
+    _adaptive_k_sql,
     _hex60_seeded,
     _kmeans_ctes,
 )
@@ -2176,8 +2177,13 @@ _LN_KM_ITERS = 2  # same 2-round trained codebook as ivf_trained_ann_topk
 def _label_noise_oracle() -> str:
     cos_vc = _COS64_SQL.format(a="v.embedding", b="c.cvec")
     cos_ab = _COS64_SQL.format(a="qa.embedding", b="qb.embedding")
+    # K derives from the corpus count in BOTH engines (r11, VERDICT
+    # r10 #2): at the gate fixtures (500-2000 vectors / 250-per-cell
+    # target) the derived K is the floor 8 — the original contract —
+    # while at 10x data the oracle and the Spark default both scale K
+    # so the entry never re-enters the quadratic regime.
     return f"""
-    WITH {_kmeans_ctes(8, _LN_KM_ITERS)},
+    WITH {_kmeans_ctes(iters=_LN_KM_ITERS, k_sql=_adaptive_k_sql("embeddings"))},
     cent AS (
       SELECT cid AS centroid_id,
              list_transform(ci, x -> CAST(x AS DOUBLE) / 1000000.0)
@@ -2233,7 +2239,7 @@ def _label_noise_oracle() -> str:
 
 @register("label_noise_knn_disagreement", oracle=_label_noise_oracle())
 def label_noise_knn_disagreement(
-    spark: SparkSession, sf_dir: str, k: int = 8
+    spark: SparkSession, sf_dir: str, k: int | None = None
 ) -> DataFrame:
     """Label-noise detection by neighborhood voting: for every labeled
     embedding, how many of its 5 nearest CANDIDATE neighbors (cosine)
@@ -2258,14 +2264,20 @@ def label_noise_knn_disagreement(
     fleet scale to keep cells bounded. Disagreement counts are exact
     ints; the per-class rate is one division of identical ints.
 
-    ``k`` is the codebook size: 8 is the ORACLE CONTRACT (the static
-    SQL mirrors exactly 8 unrolled centroids), while a caller sizing
-    for scale passes k ~ n/target_cell — per-cell candidate work is
-    quadratic in cell density, so holding K fixed while the corpus
-    grows 10x costs ~100x in the join (measured: PROBE_r10.json's
-    57x at 10x data with k=8 vs ~linear with k=80). The probe drives
-    this parameter; the gate always checks the k=8 contract."""
+    ``k`` is the codebook size; the DEFAULT (``None``) derives it from
+    a one-row corpus count as ⌈n / 250⌉ floored at 8 (r11, VERDICT r10
+    #2: the registered default must be the scale-safe path). Per-cell
+    candidate work is quadratic in cell density, so holding K fixed
+    while the corpus grows 10x costs ~100x in the join (measured:
+    PROBE_r10.json's 57x at 10x data with k=8 vs ~linear with k=80 —
+    exactly what the adaptive rule yields at that scale). The ORACLE
+    derives the SAME K via a dynamic-LIMIT scalar subquery
+    (``_adaptive_k_sql``), so both engines stay pinned at every scale;
+    at the gate fixtures the derived K equals the floor 8, the
+    original contract."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if k is None:
+        k = S.adaptive_codebook_k(emb)
     cent, _ = S.kmeans_lloyd_micro(emb, k=k, iters=_LN_KM_ITERS)
     centroids = cent.select(
         F.col("cid").alias("vec_id"),

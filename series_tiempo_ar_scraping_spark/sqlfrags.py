@@ -261,7 +261,25 @@ _COS64_SQL = """
 """
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, src: str = "embeddings") -> str:
+def _adaptive_k_sql(
+    src: str, target_cell: int = 250, floor: int = 8
+) -> str:
+    """SQL twin of ``operators.similarity.adaptive_codebook_k``: the
+    K ∝ n codebook size as a scalar subquery, usable as a dynamic
+    ``LIMIT`` — so an oracle derives the SAME K the Spark default
+    derives, at any corpus scale."""
+    return (
+        f"SELECT GREATEST({floor}, CAST(CEIL(COUNT(*) / {target_cell}.0)"
+        f" AS BIGINT)) FROM {src}"
+    )
+
+
+def _kmeans_ctes(
+    k: int = 8,
+    iters: int = 3,
+    src: str = "embeddings",
+    k_sql: str | None = None,
+) -> str:
     """Unrolled Lloyd's-k-means CTE prefix (one assign/update pair per
     iteration) — the fixed-point micro-unit arithmetic is what lets an
     ITERATIVE clustering loop be stated as plain SQL and hash-match the
@@ -269,7 +287,9 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, src: str = "embeddings") -> str:
     xi) and ``cent{iters}`` (cid, ci). ``src`` is the relation trained
     over — a table name or an earlier CTE with (vec_id, embedding).
     Composed by the clusters query, the trained-IVF query, and batch
-    11's cluster-blocked dedup."""
+    11's cluster-blocked dedup. ``k_sql`` (a scalar-subquery string,
+    e.g. ``_adaptive_k_sql(...)``) replaces the literal ``k`` as a
+    dynamic LIMIT — the K ∝ n sizing rule stated in SQL."""
     dist = (
         "list_sum(list_transform(generate_series(1, 64), "
         "j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j])))"
@@ -284,7 +304,7 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, src: str = "embeddings") -> str:
     ),
     cent0 AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, xi AS ci
-      FROM vecs ORDER BY vid LIMIT {k}
+      FROM vecs ORDER BY vid LIMIT {f"({k_sql})" if k_sql else k}
     )"""
     ]
     for i in range(iters):

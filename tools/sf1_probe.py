@@ -114,31 +114,12 @@ def main() -> None:
         }
         print(f"PROBE_DETAIL {name}: sf0.1={t01}s sf1={t1}s "
               f"ratio={out[name]['ratio']}x")
-    # Adaptive-K twin for the cell-blocked kNN: holding the codebook
-    # at the oracle-contract K=8 while the corpus grows 10x makes
-    # per-cell candidate work ~100x (quadratic in cell density); the
-    # production sizing rule is K ~ n/target_cell. Time the same query
-    # at sf1 with K scaled 10x to verify the rule restores ~linear.
-    if "label_noise_knn_disagreement" in names:
-        fn = QUERIES["label_noise_knn_disagreement"]
-        t0 = time.perf_counter()
-        fn(spark, SF1, k=80).write.mode("overwrite").format(
-            "noop"
-        ).save()
-        t_adapt = round(time.perf_counter() - t0, 3)
-        out["label_noise_knn_disagreement_k80"] = {
-            "sf1_sec": t_adapt,
-            "vs_k8_sf1": round(
-                t_adapt
-                / out["label_noise_knn_disagreement"]["sf1_sec"],
-                3,
-            ),
-        }
-        print(
-            f"PROBE_DETAIL label_noise k=80 at sf1: {t_adapt}s "
-            f"(k=8 was "
-            f"{out['label_noise_knn_disagreement']['sf1_sec']}s)"
-        )
+    # r11: the cell-blocked kernels' REGISTERED DEFAULT is now the
+    # adaptive K ∝ n sizing (VERDICT r10 #2), so the plain runs above
+    # already measure the scale-safe path (K=80 at sf1 for the kNN
+    # entry — the configuration the r10 twin verified at 19.8 s vs
+    # 245 s for the quadratic fixed-K=8). No separate twin needed; the
+    # fixed-K hazard remains reachable only by explicit k= override.
     print(json.dumps({"sf1_probe": out}))
 
 
