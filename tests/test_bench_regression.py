@@ -361,6 +361,49 @@ def test_full_run_has_no_warmup():
         sys.modules.pop("bench", None)
 
 
+def test_streaming_regression_flags_large_drops(tmp_path):
+    """VERDICT r10 #6: a >40% rows/s drop per streaming operator
+    between the two newest streaming records is flagged; smaller
+    moves (the two r10 records agree within ~13%) are environment
+    noise and pass."""
+
+    def srec(ts, ops):
+        return {
+            "ts": ts,
+            "sf": 0.1,
+            "bench_set": "streaming",
+            "streaming": {
+                op: {"rows_per_sec": rps, "rows_in": 100000}
+                for op, rps in ops.items()
+            },
+        }
+
+    old = srec(1.0, {"tumbling": 20000, "funnel": 30000, "lww": 50000})
+    new = srec(
+        2.0,
+        {
+            "tumbling": 12200,   # -39%: inside the band
+            "funnel": 17000,     # -43%: flagged
+            "lww": 51000,        # faster: fine
+            "new_op": 1,         # no old baseline: skipped
+        },
+    )
+    flags = BR.compare_streaming(old, new)
+    assert [f["op"] for f in flags] == ["funnel"]
+    assert flags[0]["drop"] == 0.433
+
+    # the loader picks streaming records only, ordered by ts
+    hist = tmp_path / "BENCH_HISTORY.jsonl"
+    batch = {"ts": 1.5, "sf": 0.1, "queries": {"q": 1.0},
+             "queries_cold": {"q": 1.0}}
+    hist.write_text(
+        json.dumps(new) + "\n" + json.dumps(batch) + "\n"
+        + json.dumps(old) + "\n"
+    )
+    recs = BR.load_streaming_records(repo=str(tmp_path), sf=0.1)
+    assert [r["ts"] for r in recs] == [1.0, 2.0]
+
+
 def test_round_record_resolves_via_history(tmp_path):
     """A round artifact (summary-only) resolves to its per-query
     history line: by embedded ts when present, by totals otherwise."""

@@ -38,6 +38,9 @@ Exit status: 1 when any query is flagged (usable as a gate), else 0.
 Usage:
     python tools/bench_regression.py [SF] [--old-round N]
         [--new-round M] [--rerun]
+    python tools/bench_regression.py --streaming [SF]
+        # compares the two newest bench_set=streaming records and
+        # flags any operator whose rows/s dropped >40% (VERDICT r10 #6)
 """
 
 from __future__ import annotations
@@ -304,6 +307,88 @@ def rerun_confirm(
     return confirmed
 
 
+# streaming lane: rows/s per stateful operator, measured by
+# tools/bench_streaming.py. The two newest records agree within ~13%
+# (measured r10), so a >40% per-operator drop is outside environment
+# noise and flags a state-machine/shuffle regression (VERDICT r10 #6).
+STREAM_DROP = 0.40
+
+
+def load_streaming_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
+    """bench_set=streaming history records at ``sf``, oldest first."""
+    hist = os.path.join(repo, "BENCH_HISTORY.jsonl")
+    records = []
+    if os.path.exists(hist):
+        for line in open(hist):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if (
+                rec.get("bench_set") == "streaming"
+                and rec.get("sf") == sf
+                and rec.get("streaming")
+            ):
+                records.append(rec)
+    records.sort(key=lambda r: r.get("ts", 0))
+    return records
+
+
+def compare_streaming(old: dict, new: dict) -> list[dict]:
+    """Flag operators whose rows/s dropped more than STREAM_DROP
+    between two streaming records."""
+    flags = []
+    for op, d in (new.get("streaming") or {}).items():
+        o = (old.get("streaming") or {}).get(op)
+        if not o:
+            continue
+        r_new, r_old = d.get("rows_per_sec"), o.get("rows_per_sec")
+        if not all(
+            isinstance(v, (int, float)) and v > 0 for v in (r_new, r_old)
+        ):
+            continue
+        if r_new < (1.0 - STREAM_DROP) * r_old:
+            flags.append(
+                {
+                    "op": op,
+                    "rows_per_sec_old": r_old,
+                    "rows_per_sec_new": r_new,
+                    "drop": round(1.0 - r_new / r_old, 3),
+                }
+            )
+    flags.sort(key=lambda f: -f["drop"])
+    return flags
+
+
+def streaming_main(sf: float, repo: str = REPO) -> int:
+    records = load_streaming_records(repo, sf)
+    if len(records) < 2:
+        print(
+            json.dumps(
+                {
+                    "status": "insufficient_data",
+                    "lane": "streaming",
+                    "records": len(records),
+                    "sf": sf,
+                }
+            )
+        )
+        return 0
+    flags = compare_streaming(records[-2], records[-1])
+    print(
+        json.dumps(
+            {
+                "status": "flagged" if flags else "ok",
+                "lane": "streaming",
+                "sf": sf,
+                "n_ops": len(records[-1].get("streaming") or {}),
+                "flags": flags,
+            }
+        )
+    )
+    return 1 if flags else 0
+
+
 def _round_record(n: int, sf: float, repo: str = REPO) -> dict | None:
     """Resolve round N's bench run to its PER-QUERY history record.
 
@@ -351,6 +436,9 @@ def main() -> int:
     args = sys.argv[1:]
     rerun = "--rerun" in args
     args = [a for a in args if a != "--rerun"]
+    if "--streaming" in args:
+        args.remove("--streaming")
+        return streaming_main(float(args[0]) if args else 0.1)
     old_round = new_round = None
     if "--old-round" in args:
         i = args.index("--old-round")
