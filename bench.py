@@ -436,7 +436,15 @@ def _run_once(fn, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+_LOAD_BEFORE: float | None = None
+
+
 def main() -> None:
+    global _LOAD_BEFORE
+    try:
+        _LOAD_BEFORE = round(os.getloadavg()[0], 1)
+    except OSError:
+        pass
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # one JVM compiles and times 250+ query plans: give the driver GC
@@ -549,6 +557,14 @@ def build_output(
     bench_set = os.environ.get("SPARK_GRAFT_BENCH_SET")
     if bench_set:
         detail["bench_set"] = bench_set
+    # ambient-contention telltale (r11 warm-inflation diagnosis): the
+    # r10 same-tree records diverged 28% from machine load DURING the
+    # runs, not from any JVM property — record the 1-min loadavg from
+    # BEFORE the session booted (the bench itself saturates the box, so
+    # end-of-run load is meaningless) so a contaminated record is
+    # identifiable from the record itself instead of forensically.
+    if _LOAD_BEFORE is not None:
+        detail["loadavg_before"] = _LOAD_BEFORE
     if BENCH_WARMUP:
         # self-documenting record: which lane-head queries warmed this
         # only-mode JVM (so a later reader knows the times are

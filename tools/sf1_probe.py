@@ -53,18 +53,30 @@ KEYS = {
     "nation": [],
 }
 
-# r9 bench top-10 warm entries (VERDICT r9 "Plan audit" + history)
+# r10 bench top-20 warm entries (VERDICT r10 #7: every bench top-20
+# entry keeps a growth curve as ranks shift; vocab_size_oov_curve and
+# the pagerank companions entered the top ranks in r10)
 DEFAULT = [
     "spatial_dbscan_clusters",
-    "basket_recommender_hitrate",
-    "embedding_index_pipeline",
-    "corpus_curation_pipeline",
     "label_noise_knn_disagreement",
-    "governance_nightly_report",
-    "semantic_cluster_dedup",
+    "vocab_size_oov_curve",
+    "basket_recommender_hitrate",
+    "corpus_curation_pipeline",
     "pagerank_part_graph",
+    "semantic_cluster_dedup",
+    "embedding_index_pipeline",
     "markov_removal_attribution",
+    "governance_nightly_report",
+    "hits_hub_authority",
     "graph_kcore_extraction",
+    "graph_bounded_shortest_paths",
+    "histogram_quantile_sketch",
+    "embedding_power_iteration",
+    "dedup_containment",
+    "incremental_dedup",
+    "multimodal_tar_shards",
+    "leakage_safe_split_assignment",
+    "graph_degree_assortativity",
 ]
 
 
