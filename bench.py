@@ -437,14 +437,29 @@ def _run_once(fn, spark, sf_dir: str) -> float:
 
 
 _LOAD_BEFORE: float | None = None
+_STAT_BEFORE: tuple[int, int] | None = None
+
+
+def _cpu_stat() -> tuple[int, int] | None:
+    """(steal_jiffies, total_jiffies) from /proc/stat. On a guest VM,
+    STEAL is host-level CPU contention — invisible to guest loadavg,
+    and the measured cause of multi-x bench inflation episodes (r11
+    diagnosis: a cold lane read 3.4x slow at loadavg 0.5)."""
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def main() -> None:
-    global _LOAD_BEFORE
+    global _LOAD_BEFORE, _STAT_BEFORE
     try:
         _LOAD_BEFORE = round(os.getloadavg()[0], 1)
     except OSError:
         pass
+    _STAT_BEFORE = _cpu_stat()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # one JVM compiles and times 250+ query plans: give the driver GC
@@ -565,6 +580,17 @@ def build_output(
     # identifiable from the record itself instead of forensically.
     if _LOAD_BEFORE is not None:
         detail["loadavg_before"] = _LOAD_BEFORE
+    stat_after = _cpu_stat()
+    if _STAT_BEFORE and stat_after and stat_after[1] > _STAT_BEFORE[1]:
+        # % of this run's CPU time stolen by the host — the r10/r11
+        # inflation episodes are steal, not guest load; >~1% means the
+        # record's timings are contaminated and should not be compared
+        detail["steal_pct"] = round(
+            100.0
+            * (stat_after[0] - _STAT_BEFORE[0])
+            / (stat_after[1] - _STAT_BEFORE[1]),
+            2,
+        )
     if BENCH_WARMUP:
         # self-documenting record: which lane-head queries warmed this
         # only-mode JVM (so a later reader knows the times are
