@@ -361,6 +361,29 @@ def test_full_run_has_no_warmup():
         sys.modules.pop("bench", None)
 
 
+def test_steal_contaminated_records_excluded_from_lineage(tmp_path):
+    """r11: a record whose run lost >1% of CPU to hypervisor steal
+    (steal_pct from /proc/stat deltas) is timing-contaminated — the
+    measured episode inflated a cold lane 3.4x at guest loadavg 0.5 —
+    and must not be selected for lineage comparison. Pre-r11 records
+    without the field pass through."""
+    recs = [
+        {"ts": 1.0, "sf": 0.1, "queries": {"q": 1.0},
+         "queries_cold": {"q": 1.0}},                      # pre-r11
+        {"ts": 2.0, "sf": 0.1, "queries": {"q": 3.0},
+         "queries_cold": {"q": 9.0}, "steal_pct": 7.5},    # stolen
+        {"ts": 3.0, "sf": 0.1, "queries": {"q": 1.02},
+         "queries_cold": {"q": 1.1}, "steal_pct": 0.2},    # clean
+    ]
+    (tmp_path / "BENCH_HISTORY.jsonl").write_text(
+        "".join(json.dumps(r) + "\n" for r in recs)
+    )
+    got = BR.load_records(repo=str(tmp_path), sf=0.1)
+    assert [r["ts"] for r in got] == [1.0, 3.0]
+    # newest-two compare therefore sees clean-vs-clean: no flags
+    assert BR.compare(got[-2], got[-1]) == []
+
+
 def test_streaming_regression_flags_large_drops(tmp_path):
     """VERDICT r10 #6: a >40% rows/s drop per streaming operator
     between the two newest streaming records is flagged; smaller

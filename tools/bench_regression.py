@@ -57,6 +57,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COLD_BAND = 1.2  # documented ±20% cold-lane variance
 COLD_FACTOR = 2.0  # "moved >2x outside the band"
 WARM_FACTOR = 1.25  # warm corroboration threshold
+# records whose run lost more than this share of CPU to hypervisor
+# steal (bench.py records steal_pct from /proc/stat deltas since r11)
+# are timing-contaminated and excluded from lineage comparison — the
+# r11 diagnosis measured a 3.4x cold-lane inflation at guest loadavg
+# 0.5 from exactly this
+STEAL_MAX_PCT = 1.0
 
 
 def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
@@ -105,6 +111,9 @@ def load_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
                 # isolation runs (bench_set=r2set) time a deliberate
                 # subset under different JVM load — not lineage records
                 and not rec.get("bench_set")
+                # steal-contaminated runs are not lineage either
+                # (pre-r11 records lack the field and pass through)
+                and (rec.get("steal_pct") or 0) <= STEAL_MAX_PCT
             ):
                 # history records carry their own append timestamp —
                 # directly comparable with the artifacts' file mtimes
