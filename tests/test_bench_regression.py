@@ -384,6 +384,31 @@ def test_steal_contaminated_records_excluded_from_lineage(tmp_path):
     assert BR.compare(got[-2], got[-1]) == []
 
 
+def test_contaminated_rerun_keeps_flags_annotated(monkeypatch):
+    """A rerun whose own record shows steal_pct > 1 rode a contended
+    host: it can neither confirm nor dismiss, so flags survive with
+    rerun=contaminated (fail-safe) instead of being adjudicated on
+    garbage timings."""
+    old = _rec({"q": 1.0}, {"q": 1.0})
+    new = _rec({"q": 1.5}, {"q": 2.9})
+    flags = BR.compare(old, new)
+    fresh = {
+        "sf": 0.1,
+        "queries": {"q": 1.0},
+        "queries_cold": {"q": 1.0},
+        "steal_pct": 6.4,
+    }
+
+    class FakeProc:
+        stdout = "BENCH_DETAIL " + json.dumps(fresh) + "\n{}\n"
+        stderr = ""
+
+    monkeypatch.setattr(BR.subprocess, "run", lambda *a, **k: FakeProc())
+    confirmed = BR.rerun_confirm(flags, old, 0.1, new=new)
+    assert [f["rerun"] for f in confirmed] == ["contaminated"]
+    assert confirmed[0]["rerun_steal_pct"] == 6.4
+
+
 def test_streaming_regression_flags_large_drops(tmp_path):
     """VERDICT r10 #6: a >40% rows/s drop per streaming operator
     between the two newest streaming records is flagged; smaller

@@ -264,6 +264,13 @@ def rerun_confirm(
         for f in flags:
             f["rerun"] = "failed"
         return flags
+    if (detail.get("steal_pct") or 0) > STEAL_MAX_PCT:
+        # the rerun itself rode a contended host: its times can neither
+        # confirm nor dismiss — keep the flags (fail-safe) annotated
+        for f in flags:
+            f["rerun"] = "contaminated"
+            f["rerun_steal_pct"] = detail["steal_pct"]
+        return flags
     # calibration: median fresh/old ratio over the references, per
     # lane. >1 means the fresh JVM is slower than the old in-lane
     # context for UNTOUCHED queries — pure environment, divided out of
@@ -337,6 +344,7 @@ def load_streaming_records(repo: str = REPO, sf: float = 0.1) -> list[dict]:
                 rec.get("bench_set") == "streaming"
                 and rec.get("sf") == sf
                 and rec.get("streaming")
+                and (rec.get("steal_pct") or 0) <= STEAL_MAX_PCT
             ):
                 records.append(rec)
     records.sort(key=lambda r: r.get("ts", 0))

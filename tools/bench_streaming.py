@@ -50,6 +50,9 @@ def _drain(stream_df, name: str, mode: str) -> float:
 
 
 def main() -> None:
+    from bench import _cpu_stat  # steal telemetry (r11)
+
+    stat0 = _cpu_stat()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
@@ -134,6 +137,14 @@ def main() -> None:
         "streaming": results,
         "n_input_rows": n_rows,
     }
+    stat1 = _cpu_stat()
+    if stat0 and stat1 and stat1[1] > stat0[1]:
+        # hypervisor-steal share over the run (see bench.py): a record
+        # with steal_pct >~1 rode a contended host and should not be
+        # used as a regression baseline
+        record["steal_pct"] = round(
+            100.0 * (stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 2
+        )
     hist = os.path.join(REPO, "BENCH_HISTORY.jsonl")
     with open(hist, "a") as f:
         f.write(json.dumps(record) + "\n")

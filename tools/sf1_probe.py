@@ -109,6 +109,9 @@ def _run(name: str, spark, sf_dir: str) -> float:
 
 def main() -> None:
     names = sys.argv[1:] or DEFAULT
+    from bench import _cpu_stat  # steal telemetry (r11)
+
+    stat0 = _cpu_stat()
     os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
     os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
     spark = get_spark("sf1-probe")
@@ -132,6 +135,14 @@ def main() -> None:
     # entry — the configuration the r10 twin verified at 19.8 s vs
     # 245 s for the quadratic fixed-K=8). No separate twin needed; the
     # fixed-K hazard remains reachable only by explicit k= override.
+    stat1 = _cpu_stat()
+    if stat0 and stat1 and stat1[1] > stat0[1]:
+        # hypervisor steal over the probe window: a steal episode can
+        # fake a super-linear growth reading, so the record carries
+        # its own contamination telltale (>~1% = rerun the probe)
+        out["steal_pct"] = round(
+            100.0 * (stat1[0] - stat0[0]) / (stat1[1] - stat0[1]), 2
+        )
     print(json.dumps({"sf1_probe": out}))
 
 
