@@ -69,8 +69,10 @@ def write_audit_publish(
     "generation": int}``.
 
     Default mode is ``symlink_publish=True`` (pointer-swap): it has no
-    ENOENT window at all. Pass ``symlink_publish=False`` for the
-    two-rename mode on filesystems without symlink support.
+    ENOENT window at all. On a filesystem without symlink support the
+    default degrades to the two-rename mode automatically (probed
+    before any data is written); ``symlink_publish=False`` forces the
+    rename mode.
 
     Atomicity (rename mode): the publish step is two POSIX renames
     (current → retired, staging → current) — each individually
@@ -98,7 +100,7 @@ def write_audit_publish(
     a complete version. The two modes interoperate per directory only
     in the forward direction (a dir-mode publication is upgraded to
     link-mode on the next symlink publish)."""
-    if symlink_publish:
+    if symlink_publish and _symlinks_supported(publish_dir):
         return _write_audit_publish_symlink(
             df, publish_dir, audits, fmt
         )
@@ -156,6 +158,25 @@ def write_audit_publish(
         "failures": [],
         "generation": gen,
     }
+
+
+def _symlinks_supported(publish_dir: str) -> bool:
+    """Probe (once per parent dir) whether the target filesystem can
+    hold symlinks — some object-store mounts and SMB/FAT volumes
+    cannot. Probing BEFORE any data is written lets the symlink
+    default degrade to the two-rename mode up front, instead of
+    failing mid-publish with a complete-but-unreachable generation
+    directory."""
+    parent = os.path.dirname(publish_dir.rstrip("/")) or "."
+    probe = os.path.join(
+        parent, f".wap_symlink_probe_{os.getpid()}"
+    )
+    try:
+        os.symlink("x", probe)
+        os.unlink(probe)
+        return True
+    except OSError:
+        return False
 
 
 def _write_audit_publish_symlink(

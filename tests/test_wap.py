@@ -243,6 +243,40 @@ def test_wap_symlink_sweep_spares_near_named_siblings(spark, tmp_path):
     assert not os.path.exists(pub + ".gen7")
 
 
+def test_wap_default_degrades_without_symlink_support(
+    spark, tmp_path, monkeypatch
+):
+    """On a filesystem that cannot hold symlinks, the symlink DEFAULT
+    must degrade to the two-rename mode up front (probed before any
+    data is written) — not fail mid-publish with a complete-but-
+    unreachable generation dir."""
+    import series_tiempo_ar_scraping_spark.sinks.wap as W
+
+    real_symlink = os.symlink
+
+    def no_symlink(*a, **k):
+        raise OSError(95, "Operation not supported")
+
+    monkeypatch.setattr(W.os, "symlink", no_symlink)
+    pub = str(tmp_path / "pub")
+    df = spark.range(5).select(F.col("id"))
+    r = write_audit_publish(df, pub, [non_empty_audit])
+    assert r["published"] and r["generation"] == 1
+    assert os.path.isdir(pub) and not os.path.islink(pub)
+    assert spark.read.parquet(pub).count() == 5
+    # no probe residue, no gen dirs
+    assert not [
+        e for e in os.listdir(str(tmp_path)) if "probe" in e or ".gen" in e
+    ]
+    # symlinks back: the same dir upgrades to link mode seamlessly
+    monkeypatch.setattr(W.os, "symlink", real_symlink)
+    r = write_audit_publish(
+        spark.range(7).select(F.col("id")), pub, [non_empty_audit]
+    )
+    assert r["published"] and r["generation"] == 2
+    assert os.path.islink(pub)
+
+
 def test_wap_symlink_clears_stale_legacy(spark, tmp_path):
     """Crash after the swap but before rmtree(legacy): base is live,
     '.legacy' is stale. Entry must clear it — otherwise it leaks
