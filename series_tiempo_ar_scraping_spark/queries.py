@@ -977,6 +977,19 @@ _DRIVER_GATE_PRIORITY = [
     "weiszfeld_geometric_median",
     "join_order_advisor",
 ]
+# Backlog after the r11 rotation: 116 of 362 entries driver-verified at
+# least once; 246 never (all carry the full local-mirror signal at two
+# scales every round). r12 rotation staging, per the changed-first
+# rule: (1) any entry r11+ edits touch, then (2) never-verified
+# backfill — earliest-registered first, which fronts the oldest
+# never-verified code: dedup_cc_star, series_pct_change,
+# series_pct_change_year_ago, series_rebase_index,
+# series_collapse_quarterly, percentile_order_values,
+# grouping_sets_order_stats, salted_user_event_stats,
+# multimodal_image_stats, multimodal_audio_stats,
+# multimodal_video_stats, streaming_tumbling_counts,
+# sliding_window_rates, streaming_enriched_nation_stats,
+# observations_last_wins_upsert.
 
 
 def apply_driver_gate_order(strict: bool = False) -> None:

@@ -243,8 +243,18 @@ def rerun_confirm(
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(refs + names)
     # respect a caller-provided fixture dir (ADVICE r10): only default
-    # to the standard testdata layout when the caller set nothing
+    # to the standard testdata layout when the caller set nothing. A
+    # caller dir whose sf suffix contradicts the records' sf would
+    # adjudicate flags against the wrong dataset — surface that.
     env.setdefault("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf:g}")
+    tail = env["SPARK_GRAFT_SF_DIR"].rstrip("/").rsplit("sf", 1)[-1]
+    if tail != f"{sf:g}":
+        print(
+            f"bench_regression: WARNING rerun dir {env['SPARK_GRAFT_SF_DIR']}"
+            f" does not look like sf{sf:g}; fresh times may not be"
+            " comparable to the records under comparison",
+            file=sys.stderr,
+        )
     env.pop("SPARK_GRAFT_BENCH_SKIP_COLD", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
