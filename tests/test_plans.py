@@ -569,6 +569,42 @@ def test_batch12_part4_no_python_and_broadcast_margins(plans):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_adaptive_k_default_keeps_blocked_plans(spark, sf_dir):
+    """r11: the adaptive K ∝ n DEFAULT must change only the codebook
+    SIZE, never the plan shape — same operator tree as the historical
+    k=8 contract (the fixture derives K=8, so the trees must be
+    identical), and the cell-blocked equi-join posture holds on both
+    kernels' default paths."""
+    for name in ("label_noise_knn_disagreement", "semantic_cluster_dedup"):
+        default_p = plan_of(QUERIES[name](spark, sf_dir), "simple")
+        pinned_p = plan_of(QUERIES[name](spark, sf_dir, k=8), "simple")
+        assert "CartesianProduct" not in default_p, name
+        # BroadcastNestedLoopJoin is permitted ONLY as the Lloyd
+        # assignment shape: every vector scores against the K-row
+        # BROADCAST codebook (n x K bounded work, the k-means step
+        # itself; its build side shows as a BroadcastExchange within
+        # the next lines). The sf1 probe is the authoritative guard
+        # against a corpus-level cross join regrowing here — textual
+        # plan checks cannot size the build side.
+        lines = default_p.splitlines()
+        for i, ln in enumerate(lines):
+            if "BroadcastNestedLoopJoin" in ln:
+                window = "\n".join(lines[i : i + 4])
+                assert "BroadcastExchange" in window, (name, window)
+        # identical operator trees (localCheckpoint RDD ids differ
+        # between builds; normalize the volatile tokens)
+        import re as _re
+
+        def norm(p: str) -> str:
+            p = _re.sub(r"#\d+", "#x", p)
+            p = _re.sub(r"\[id=#?\d+\]", "[id=x]", p)
+            p = _re.sub(r"plan_id=\d+", "plan_id=x", p)
+            p = _re.sub(r"lambda [a-z]+_\d+", "lambda v", p)
+            return _re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[x]", p)
+
+        assert norm(default_p) == norm(pinned_p), name
+
+
 def test_nightly_quality_report_composed_plan(plans):
     """The composed ops report is a UNION of four independent component
     subtrees — pure JVM, no Python, and no sort-merge joins outside
