@@ -251,6 +251,152 @@ def kmeans_lloyd_micro(
     return cent, assign.select("vid", "cid")
 
 
+def kmeans_lloyd_micro_grouped(
+    vectors: DataFrame,
+    group_col: str,
+    iters: int = 2,
+    target_cell: int = CODEBOOK_TARGET_CELL,
+    floor: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means trained INDEPENDENTLY per group, for every group
+    in ONE dataflow — the second level of a two-level codebook (see
+    ``two_level_codebook``). Identical micro-unit arithmetic, init and
+    tie-breaks as ``kmeans_lloyd_micro`` (per group: init = the k_g
+    smallest ids; assignment = exact bigint squared-L2, ties → smaller
+    centroid id; update = floor(sum/count)), so restricting the result
+    to one group equals running the flat primitive on that group alone
+    — the equivalence ``test_grouped_lloyd_equals_per_group`` pins.
+
+    Per-group codebook size derives IN the dataflow (a window count:
+    k_g = max(floor, ⌈n_g / target_cell⌉)) — no driver-side counts, no
+    per-group loop. Scale shape: centroids are (group, cid) keyed, so
+    assignment is an EQUI-JOIN on the group key (shuffle-partitionable;
+    never a broadcast of a corpus-sized codebook), each round is one
+    join + per-(group, vector) window + one grouped update. With G
+    groups of ~n/G members, per-round work is n · k_g ≈ n²/(G·target)
+    — the group fan-out G divides the flat rule's n²/target assignment
+    cost, which is the whole point of the two-level structure.
+
+    Returns (centroids (group, cid, ci), assignment (group, id, cid))."""
+    if iters < 1:
+        raise ValueError("kmeans_lloyd_micro_grouped requires iters >= 1")
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
+    )
+    vecs = vectors.select(
+        F.col(group_col).alias("gid"),
+        F.col(id_col).alias("vid"),
+        micro.alias("xi"),
+    ).localCheckpoint(eager=True)
+    wg = Window.partitionBy("gid").orderBy("vid")
+    kg = F.greatest(
+        F.lit(floor),
+        F.ceil(
+            F.count("*").over(Window.partitionBy("gid"))
+            / F.lit(float(target_cell))
+        ).cast("int"),
+    )
+    cent = (
+        vecs.select(
+            "gid",
+            (F.row_number().over(wg) - 1).alias("cid"),
+            F.col("xi").alias("ci"),
+            kg.alias("kg"),
+        )
+        .filter(F.col("cid") < F.col("kg"))
+        .drop("kg")
+        .localCheckpoint(eager=True)
+    )
+    assign = None
+    for _ in range(iters):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("xi"), F.col("ci"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored = vecs.join(cent, "gid").select(
+            "gid", "vid", "cid", "xi", dist.alias("d2")
+        )
+        w = Window.partitionBy("gid", "vid").orderBy("d2", "cid")
+        assign = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("gid", "vid", "cid", "xi")
+        )
+        comp = assign.select(
+            "gid", "cid", F.posexplode("xi").alias("pos", "val")
+        )
+        upd = comp.groupBy("gid", "cid", "pos").agg(
+            F.floor(F.sum("val").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("m")
+        )
+        cent = (
+            upd.groupBy("gid", "cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("ci")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent, assign.select("gid", "vid", "cid")
+
+
+def two_level_codebook(
+    vectors: DataFrame,
+    coarse_k: int = 8,
+    iters: int = 2,
+    target_cell: int = CODEBOOK_TARGET_CELL,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level codebook assignment (coarse quantize → per-coarse-cell
+    fine Lloyd) — the blocked-assignment structure SCALE.md prescribes
+    past the flat adaptive-K crossover (~10⁵ vectors, where a flat
+    K ∝ n codebook makes assignment itself n²/target_cell):
+
+    1. a SMALL fixed coarse codebook (``coarse_k`` rows, broadcast)
+       partitions the corpus — n · coarse_k bounded work;
+    2. ``kmeans_lloyd_micro_grouped`` trains a fine codebook inside
+       every coarse cell in one dataflow — equi-join on the coarse id,
+       per-group k ∝ cell size, n²/(coarse_k · target_cell) work.
+
+    Returns the final cell assignment (id, coarse_cid, fine_cid): the
+    blocking key for cell-local pair work with BOTH stages linear-ish.
+    Composes the existing primitives — nothing here is new arithmetic."""
+    coarse_cent, coarse_assign = kmeans_lloyd_micro(
+        vectors, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    members = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).join(
+        coarse_assign.withColumnRenamed("vid", id_col).withColumnRenamed(
+            "cid", "coarse_cid"
+        ),
+        id_col,
+    )
+    _, fine_assign = kmeans_lloyd_micro_grouped(
+        members,
+        group_col="coarse_cid",
+        iters=iters,
+        target_cell=target_cell,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return fine_assign.select(
+        F.col("vid").alias(id_col),
+        F.col("gid").alias("coarse_cid"),
+        F.col("cid").alias("fine_cid"),
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

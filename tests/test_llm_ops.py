@@ -395,6 +395,86 @@ def test_kmeans_lloyd_partitions_all_vectors_and_tightens(spark, sf_dir):
     assert objective(3) <= objective(1) + n * 64
 
 
+def test_grouped_lloyd_equals_per_group(spark, sf_dir):
+    """The two-level codebook's second stage
+    (``kmeans_lloyd_micro_grouped``): training every group in ONE
+    dataflow must be value-identical to running the flat primitive on
+    each group separately — same init, ties, and floor(sum/count)
+    update, so (centroids, assignment) restricted to a group equal the
+    flat run on that group. This is what makes the blocked assignment
+    a pure re-partitioning of the flat algorithm, not a new one."""
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    grouped = emb.withColumn("g", (F.col("vec_id") % 3).cast("long"))
+    cent_g, assign_g = S.kmeans_lloyd_micro_grouped(
+        grouped, group_col="g", iters=2, target_cell=50, floor=2
+    )
+    got_assign = {
+        (r.gid, r.vid): r.cid for r in assign_g.collect()
+    }
+    got_cent = {
+        (r.gid, r.cid): tuple(r.ci) for r in cent_g.collect()
+    }
+    n = emb.count()
+    assert len(got_assign) == n  # every vector assigned exactly once
+    import math
+
+    for g in range(3):
+        part = grouped.filter(F.col("g") == g)
+        n_g = part.count()
+        k_g = max(2, math.ceil(n_g / 50))
+        cent_f, assign_f = S.kmeans_lloyd_micro(part, k=k_g, iters=2)
+        for r in assign_f.collect():
+            assert got_assign[(g, r.vid)] == r.cid, (g, r.vid)
+        flat_cent = {r.cid: tuple(r.ci) for r in cent_f.collect()}
+        grp_cent = {
+            cid: ci for (gid, cid), ci in got_cent.items() if gid == g
+        }
+        assert grp_cent == flat_cent, g
+
+
+def test_two_level_codebook_partitions_and_bounds_cells(spark, sf_dir):
+    """The composed two-level assignment: every vector lands in exactly
+    one (coarse, fine) cell; fine cells respect the coarse partition;
+    and the plan never cross-joins the corpus against itself (the
+    codebook joins are a broadcast of coarse_k rows and an equi-join
+    on the coarse id)."""
+    import contextlib
+    import io
+
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = S.two_level_codebook(
+        emb, coarse_k=4, iters=1, target_cell=40
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cells.explain("simple")
+    assert "CartesianProduct" not in buf.getvalue()
+    rows = cells.collect()
+    assert len(rows) == emb.count()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert {r.coarse_cid for r in rows} <= set(range(4))
+    # fine cells are bounded-ish: no fine cell exceeds its own coarse
+    # cell, and cell keys are the (coarse, fine) composite
+    from collections import Counter
+
+    coarse_sizes = Counter(r.coarse_cid for r in rows)
+    fine_sizes = Counter((r.coarse_cid, r.fine_cid) for r in rows)
+    for (cc, _), sz in fine_sizes.items():
+        assert sz <= coarse_sizes[cc]
+    # at least one coarse cell actually split (target_cell=40 on a
+    # 500-vector fixture forces k_g >= 2 in the big cells)
+    assert any(
+        len([k for k in fine_sizes if k[0] == cc]) >= 2
+        for cc in coarse_sizes
+    )
+
+
 def test_kmeans_iters_zero_is_a_contract_error(spark):
     """iters=0 has no defined result (no assignment round ran); the
     operator must fail fast with a clear error, not an AttributeError."""
