@@ -980,7 +980,10 @@ _DRIVER_GATE_PRIORITY = [
 # Backlog after the r11 rotation: 116 of 362 entries driver-verified at
 # least once; 246 never (all carry the full local-mirror signal at two
 # scales every round). r12 rotation staging, per the changed-first
-# rule: (1) any entry r11+ edits touch, then (2) never-verified
+# rule: (1) entries whose oracle/Spark text r11 edited —
+# label_noise_knn_disagreement and semantic_cluster_dedup (adaptive-K
+# defaults + dynamic-K oracles; both mirror-green at three scales this
+# round but never driver-gated) — then (2) never-verified
 # backfill — earliest-registered first, which fronts the oldest
 # never-verified code: dedup_cc_star, series_pct_change,
 # series_pct_change_year_ago, series_rebase_index,
