@@ -105,17 +105,34 @@ def write_audit_publish(
             df, publish_dir, audits, fmt
         )
     spark = df.sparkSession
+
+    def _remove_retired(path: str) -> None:
+        # the retired slot can hold a SYMLINK when this store was last
+        # published in link mode (downgrade path — e.g. the symlink
+        # support probe failing on a previously-link-mode store):
+        # rmtree refuses symlinks, so unlink the pointer and remove
+        # the generation dir it referenced
+        if os.path.islink(path):
+            target = os.path.join(
+                os.path.dirname(path) or ".", os.readlink(path)
+            )
+            os.unlink(path)
+            if os.path.isdir(target):
+                shutil.rmtree(target, ignore_errors=True)
+        elif os.path.lexists(path):
+            shutil.rmtree(path)
+
     staging = publish_dir.rstrip("/") + ".staging"
     retired = publish_dir.rstrip("/") + ".retired"
     # Crash recovery: a death between the two publish renames leaves
     # publish_dir missing and retired holding the last good
     # publication. Roll it back rather than treating it as leftover.
-    if os.path.exists(retired) and not os.path.exists(publish_dir):
+    if os.path.lexists(retired) and not os.path.lexists(publish_dir):
         os.rename(retired, publish_dir)
     if os.path.exists(staging):
         shutil.rmtree(staging)
-    if os.path.exists(retired) and os.path.exists(publish_dir):
-        shutil.rmtree(retired)
+    if os.path.lexists(retired) and os.path.lexists(publish_dir):
+        _remove_retired(retired)
     df.write.mode("overwrite").format(fmt).save(staging)
 
     back = spark.read.format(fmt).load(staging)
@@ -147,11 +164,11 @@ def write_audit_publish(
             },
             fh,
         )
-    if os.path.exists(publish_dir):
+    if os.path.lexists(publish_dir):
         os.rename(publish_dir, retired)
     os.rename(staging, publish_dir)
-    if os.path.exists(retired):
-        shutil.rmtree(retired)
+    if os.path.lexists(retired):
+        _remove_retired(retired)
     return {
         "published": True,
         "rows": rows,
@@ -171,12 +188,22 @@ def _symlinks_supported(publish_dir: str) -> bool:
     probe = os.path.join(
         parent, f".wap_symlink_probe_{os.getpid()}"
     )
+    # a leftover probe from a crashed earlier call must not read as
+    # "unsupported" forever (FileExistsError is not ENOTSUP)
+    if os.path.lexists(probe):
+        try:
+            os.unlink(probe)
+        except OSError:
+            pass
     try:
         os.symlink("x", probe)
-        os.unlink(probe)
-        return True
     except OSError:
         return False
+    try:
+        os.unlink(probe)
+    except OSError:
+        pass  # cleanup is best-effort; support itself is proven
+    return True
 
 
 def _write_audit_publish_symlink(
