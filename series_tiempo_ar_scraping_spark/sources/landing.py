@@ -45,7 +45,11 @@ def _atomic_write(file_path: str, data: bytes) -> None:
     """mkdir -p + write-to-unique-temp + rename. The temp name embeds
     pid so concurrent writers of the same target (task retry, Spark
     speculative execution) never interleave into one ``.part`` file —
-    last rename wins with a complete payload either way.
+    last rename wins with a complete payload either way. A crash
+    between write and replace orphans one ``.part.*`` file; it is
+    INERT (readers address the exact target path, never globs) and is
+    deliberately not swept here — a sweep could unlink the live tmp of
+    a concurrent speculative writer and fail its replace.
     abspath first: dirname of a bare filename is '' and makedirs('')
     raises — same pattern as the xlsx writer."""
     os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
