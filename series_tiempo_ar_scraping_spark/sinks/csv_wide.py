@@ -319,6 +319,20 @@ def compact_observations_parquet(
             total += sum(1 for f in files if f.endswith(".parquet"))
         return total
 
+    # Crash recovery for the batch_id-folding swap below (r11, found by
+    # the WAP crash-enumeration pattern): a death between its two
+    # renames leaves the store stranded at __precompact and every later
+    # read of `path` failing. Same contract as the WAP rename mode —
+    # restore when the live path is missing, clear the leftover when
+    # both exist (the swap completed, only cleanup died).
+    old = path.rstrip("/") + "__precompact"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    elif os.path.exists(old):
+        import shutil as _shutil
+
+        _shutil.rmtree(old, ignore_errors=True)
+
     before = count_parquet_files(path)
     size_bytes = 0
     for _dir, _sub, files in os.walk(path):
@@ -352,7 +366,6 @@ def compact_observations_parquet(
             .partitionBy(*parts)
             .parquet(staging)
         )
-        old = path.rstrip("/") + "__precompact"
         os.rename(path, old)
         os.rename(staging, path)
         _shutil.rmtree(old, ignore_errors=True)

@@ -181,6 +181,49 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     assert os.path.isdir(os.path.join(path, "catalog_id=c1", "freq_code=M"))
 
 
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """The batch_id-folding compaction swaps via two renames; a death
+    between them strands the store at __precompact with the live path
+    MISSING (found by applying the WAP crash-enumeration pattern).
+    Entry recovery must restore the store; a stale __precompact beside
+    a live store (crash after the swap, before cleanup) must be
+    cleared, not leak."""
+    import os
+    import shutil
+
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        compact_observations_parquet,
+    )
+
+    path = str(tmp_path / "obs")
+    for batch in range(3):
+        spark.createDataFrame(
+            [("c1", f"s{batch}", f"2024-0{batch + 1}-01", float(batch), "M")],
+            "catalog_id string, series_id string, ts string,"
+            " value double, freq_code string",
+        ).write.mode("append").partitionBy("catalog_id", "freq_code").parquet(
+            path
+        )
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    # crash window 1: between the renames — store stranded at
+    # __precompact, live path gone
+    os.rename(path, path + "__precompact")
+    stats = compact_observations_parquet(spark, path, target_file_mb=128)
+    assert stats["files_after"] >= 1
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+    assert not os.path.exists(path + "__precompact")
+    # crash window 2: after the swap, before cleanup — stale
+    # __precompact beside the live store
+    shutil.copytree(path, path + "__precompact")
+    compact_observations_parquet(spark, path, target_file_mb=128)
+    assert not os.path.exists(path + "__precompact")
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+
+
 def test_parquet_store_schema_evolution(spark, tmp_path):
     """A long-lived store accretes columns across ingest generations;
     mergeSchema reads must surface the union schema with nulls for
