@@ -35,43 +35,18 @@ from series_tiempo_ar_scraping_spark.sinks.wap import (
 )
 
 
-class _InjectedCrash(RuntimeError):
-    pass
-
-
-class _Injector:
-    """Raise _InjectedCrash on the k-th mutating call, AFTER the k-1
-    preceding calls took effect — simulating a process death between
-    any two filesystem mutations."""
-
-    def __init__(self, monkeypatch, crash_at: int):
-        self.crash_at = crash_at
-        self.calls = 0
-
-        def wrap(mod, name):
-            real = getattr(mod, name)
-
-            def wrapped(*a, **k):
-                self.calls += 1
-                if self.calls == self.crash_at:
-                    raise _InjectedCrash(f"{name} call #{self.calls}")
-                return real(*a, **k)
-
-            monkeypatch.setattr(mod, name, wrapped)
-
-        wrap(W.os, "rename")
-        wrap(W.os, "symlink")
-        wrap(W.os, "unlink")
-        wrap(W.shutil, "rmtree")
+from tests.crashlib import (  # noqa: E402
+    InjectedCrash as _InjectedCrash,
+    Injector,
+    count_mutations,
+)
 
 
 def _count_mutations(monkeypatch_factory, publish, *args) -> int:
     """Dry-count the mutating calls of one publish (no injection)."""
-    mp = monkeypatch_factory()
-    inj = _Injector(mp, crash_at=10**9)
-    publish(*args)
-    mp.undo()
-    return inj.calls
+    return count_mutations(
+        monkeypatch_factory, W, lambda: publish(*args)
+    )
 
 
 def _readable_count(spark, pub: str) -> int | None:
@@ -108,7 +83,7 @@ def test_every_crash_point_leaves_a_recoverable_store(
         pub = os.path.join(base_dir, f"pub{symlink_mode}{crash_at}")
         assert publish(pub, df_old)["published"]
         mp = MonkeyPatch()
-        _Injector(mp, crash_at=crash_at)
+        Injector(mp, W, crash_at=crash_at)
         with pytest.raises(_InjectedCrash):
             publish(pub, df_new)
         mp.undo()
