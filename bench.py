@@ -448,7 +448,10 @@ def _cpu_stat() -> tuple[int, int] | None:
     try:
         with open("/proc/stat") as fh:
             vals = [int(x) for x in fh.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+        # total = user..steal (first 8 fields) ONLY: guest/guest_nice
+        # are already accounted inside user/nice, so summing them
+        # double-counts guest time and understates steal_pct
+        return (vals[7] if len(vals) > 7 else 0), sum(vals[:8])
     except (OSError, ValueError, IndexError):
         return None
 

@@ -897,6 +897,7 @@ from series_tiempo_ar_scraping_spark import queries_batch47  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_batch48  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_batch49  # noqa: E402,F401
 from series_tiempo_ar_scraping_spark import queries_batch50  # noqa: E402,F401
+from series_tiempo_ar_scraping_spark import queries_batch51  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The driver's correctness gate checks the FIRST 50

@@ -249,6 +249,10 @@ def semantic_cluster_dedup(
 
     corpus = _emb_near_corpus(spark, sf_dir)
     if k is None:
+        # the adaptive default needs an eager count; checkpoint first so
+        # the count and the Lloyd training share one materialization of
+        # the derived corpus instead of evaluating it twice
+        corpus = corpus.localCheckpoint(eager=True)
         k = S.adaptive_codebook_k(corpus)
     _, assign = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
     mem = (

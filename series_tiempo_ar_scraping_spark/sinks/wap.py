@@ -21,6 +21,7 @@ the provenance record a downstream job can assert against.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -177,32 +178,57 @@ def write_audit_publish(
     }
 
 
+# Memoized probe results keyed by (device, inode) of the parent dir —
+# symlink support is a filesystem property, so one probe per mounted
+# parent suffices; path-keying would re-probe bind-mount aliases but
+# never give a wrong answer, inode-keying avoids even that. Exposed
+# (not name-mangled) so tests that monkeypatch os.symlink can clear it.
+_SYMLINK_SUPPORT_CACHE: dict = {}
+_PROBE_SEQ = itertools.count()
+
+
 def _symlinks_supported(publish_dir: str) -> bool:
-    """Probe (once per parent dir) whether the target filesystem can
+    """Probe (memoized per parent filesystem) whether the target can
     hold symlinks — some object-store mounts and SMB/FAT volumes
     cannot. Probing BEFORE any data is written lets the symlink
     default degrade to the two-rename mode up front, instead of
     failing mid-publish with a complete-but-unreachable generation
-    directory."""
+    directory.
+
+    Only ``OSError``s that plausibly mean "this filesystem cannot hold
+    a symlink" read as unsupported: the probe name is unique per call
+    (pid + process-wide counter), so ``FileExistsError`` cannot arise
+    from concurrent publishes, and a missing parent (first publish
+    into a new tree) is created rather than misread as ENOTSUP —
+    either misreading would silently degrade a publish to the
+    two-rename mode and reintroduce the ENOENT window the symlink
+    default exists to remove."""
     parent = os.path.dirname(publish_dir.rstrip("/")) or "."
+    # ENOENT on the parent is "not created yet", not "unsupported"
+    os.makedirs(parent, exist_ok=True)
+    st = os.stat(parent)
+    cache_key = (st.st_dev, st.st_ino)
+    cached = _SYMLINK_SUPPORT_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     probe = os.path.join(
-        parent, f".wap_symlink_probe_{os.getpid()}"
+        parent,
+        f".wap_symlink_probe_{os.getpid()}_{next(_PROBE_SEQ)}",
     )
-    # a leftover probe from a crashed earlier call must not read as
-    # "unsupported" forever (FileExistsError is not ENOTSUP)
-    if os.path.lexists(probe):
-        try:
-            os.unlink(probe)
-        except OSError:
-            pass
     try:
         os.symlink("x", probe)
+    except FileExistsError:
+        # unreachable with per-call-unique names short of a crashed
+        # prior run colliding on (pid, seq); indeterminate, not ENOTSUP
+        return _symlinks_supported(publish_dir)
     except OSError:
+        _SYMLINK_SUPPORT_CACHE[cache_key] = False
         return False
     try:
         os.unlink(probe)
     except OSError:
         pass  # cleanup is best-effort; support itself is proven
+    _SYMLINK_SUPPORT_CACHE[cache_key] = True
     return True
 
 

@@ -331,6 +331,69 @@ def _kmeans_ctes(
     return ",\n    ".join(parts)
 
 
+def _kmeans_grouped_ctes(
+    iters: int = 2,
+    src: str = "gvecs_src",
+    target_cell: int = 250,
+    floor: int = 2,
+) -> str:
+    """SQL twin of ``operators.similarity.kmeans_lloyd_micro_grouped``:
+    per-group unrolled Lloyd with the per-group codebook size derived
+    IN the query (k_g = GREATEST(floor, CEIL(n_g / target_cell)) via a
+    window count — the same rule the Spark side states as a Column).
+    ``src`` must provide (gid, vid, xi) with xi already in micro units
+    (e.g. the ``assign{{i}}`` CTE of ``_kmeans_ctes``, whose cid becomes
+    the gid). Identical init (per group: the k_g smallest vids),
+    distance (exact bigint squared-L2), tie-break (then smaller cid)
+    and update (floor(sum/count) by double division) as the flat CTEs,
+    so restricting to one group equals the flat chain on that group
+    alone. Final CTEs: ``gassign{iters-1}`` (gid, vid, cid, xi) and
+    ``gcent{iters}`` (gid, cid, ci)."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "j -> (v.xi[j] - c.ci[j]) * (v.xi[j] - c.ci[j])))"
+    )
+    parts = [
+        f"""gvecs AS (
+      SELECT gid, vid, xi FROM {src}
+    ),
+    gcent0 AS (
+      SELECT gid, cid, ci FROM (
+        SELECT gid,
+               ROW_NUMBER() OVER (PARTITION BY gid ORDER BY vid) - 1
+                 AS cid,
+               xi AS ci,
+               GREATEST({floor}, CAST(CEIL(
+                 COUNT(*) OVER (PARTITION BY gid) / {target_cell}.0)
+                 AS BIGINT)) AS kg
+        FROM gvecs
+      ) WHERE cid < kg
+    )"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""gassign{i} AS (
+      SELECT gid, vid, cid, xi FROM (
+        SELECT v.gid, v.vid, c.cid, v.xi,
+               ROW_NUMBER() OVER (PARTITION BY v.gid, v.vid
+                                  ORDER BY {dist}, c.cid) AS rk
+        FROM gvecs v JOIN gcent{i} c ON v.gid = c.gid
+      ) WHERE rk = 1
+    ),
+    gcent{i + 1} AS (
+      SELECT gid, cid, list(m ORDER BY pos) AS ci FROM (
+        SELECT a.gid, a.cid, g.pos,
+               CAST(FLOOR(CAST(SUM(a.xi[g.pos]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS m
+        FROM gassign{i} a,
+             LATERAL (SELECT unnest(generate_series(1, 64)) AS pos) g
+        GROUP BY 1, 2, 3
+      ) GROUP BY gid, cid
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
 def _ivf_trained_ctes(iters: int = 2) -> str:
     """Composed trained-IVF CTE chain: Lloyd CTEs -> float centroids ->
     the exact IVF assign/probe/score/rank SQL of ``ivf_ann_topk``

@@ -62,20 +62,31 @@ _DURATION_UNIT_SECONDS = {
 def _duration_seconds(s: str) -> float:
     """Parse a Spark interval string ("1 hour", "30 minutes",
     "1 hour 30 minutes") to seconds — the subset `withWatermark`
-    accepts. Raises ValueError on anything unparseable so a typo'd
-    watermark fails at plan-build, not inside a microbatch."""
+    accepts. Raises ValueError on anything unparseable — INCLUDING
+    partially parseable strings ("1 hour 30 minuts" must not read as
+    3600 s) — so a typo'd watermark fails at plan-build, not inside a
+    microbatch. Month/year units are deliberately excluded: Spark's
+    interval parser accepts them, but a watermark/TTL comparison in
+    seconds has no fixed-length answer for them, so this module
+    rejects them up front rather than guessing 30/365 days."""
     import re as _re
 
-    total, matched = 0.0, 0
-    for m in _re.finditer(
+    pattern = _re.compile(
         r"(\d+(?:\.\d+)?)\s*"
-        r"(microsecond|millisecond|second|minute|hour|day|week)s?",
-        s.strip().lower(),
-    ):
+        r"(microsecond|millisecond|second|minute|hour|day|week)s?"
+    )
+    total, matched = 0.0, 0
+    for m in pattern.finditer(s.strip().lower()):
         total += float(m.group(1)) * _DURATION_UNIT_SECONDS[m.group(2)]
         matched += 1
-    if matched == 0:
-        raise ValueError(f"unparseable duration: {s!r}")
+    # full-coverage check: stripping every recognized term must leave
+    # only whitespace, else an unrecognized token was silently dropped
+    residue = pattern.sub("", s.strip().lower()).strip()
+    if matched == 0 or residue:
+        raise ValueError(
+            f"unparseable duration: {s!r}"
+            + (f" (unrecognized: {residue!r})" if residue else "")
+        )
     return total
 
 

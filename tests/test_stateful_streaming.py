@@ -886,3 +886,12 @@ def test_funnel_ttl_below_watermark_rejected(spark):
     assert _duration_seconds("2 days") == 172800.0
     with pytest.raises(ValueError, match="unparseable"):
         _duration_seconds("soon")
+    # residue rejection (ADVICE r11): a partially parseable string must
+    # raise (naming the unrecognized token), not silently drop it —
+    # "1 hour 30 minuts" parsing as 3600 s would defeat the
+    # fail-at-plan-build guarantee
+    with pytest.raises(ValueError, match="minuts"):
+        _duration_seconds("1 hour 30 minuts")
+    # month/year are deliberately excluded (no fixed second length)
+    with pytest.raises(ValueError, match="unparseable"):
+        _duration_seconds("3 months")

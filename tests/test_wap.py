@@ -268,13 +268,73 @@ def test_wap_default_degrades_without_symlink_support(
     assert not [
         e for e in os.listdir(str(tmp_path)) if "probe" in e or ".gen" in e
     ]
-    # symlinks back: the same dir upgrades to link mode seamlessly
+    # symlinks back (in reality: a remount — the probe result is
+    # memoized per parent filesystem, so simulate the remount by
+    # clearing the cache): the same dir upgrades to link mode
     monkeypatch.setattr(W.os, "symlink", real_symlink)
+    W._SYMLINK_SUPPORT_CACHE.clear()
     r = write_audit_publish(
         spark.range(7).select(F.col("id")), pub, [non_empty_audit]
     )
     assert r["published"] and r["generation"] == 2
     assert os.path.islink(pub)
+
+
+def test_wap_symlink_probe_memoized_and_enoent_safe(
+    tmp_path, monkeypatch
+):
+    """ADVICE r11: the probe must (a) run at most once per parent
+    filesystem — not once per publish, (b) treat a not-yet-existing
+    parent as "create it and probe" rather than silently degrading the
+    first publish into a new tree to rename mode, and (c) use a
+    per-call-unique probe name so concurrent publishes cannot misread
+    a name collision as 'unsupported'."""
+    import series_tiempo_ar_scraping_spark.sinks.wap as W
+
+    W._SYMLINK_SUPPORT_CACHE.clear()
+    calls = {"n": 0}
+    real_symlink = os.symlink
+
+    def counting_symlink(*a, **k):
+        calls["n"] += 1
+        return real_symlink(*a, **k)
+
+    monkeypatch.setattr(W.os, "symlink", counting_symlink)
+    # (b) parent does not exist yet: must probe True, not ENOENT→False
+    pub = str(tmp_path / "new" / "tree" / "pub")
+    assert W._symlinks_supported(pub) is True
+    assert calls["n"] == 1
+    assert os.path.isdir(os.path.dirname(pub))
+    # (a) second call on the same parent: memoized, no new probe
+    assert W._symlinks_supported(pub) is True
+    assert calls["n"] == 1
+    # a sibling publish dir under the SAME parent shares the cache
+    assert W._symlinks_supported(
+        str(tmp_path / "new" / "tree" / "pub2")
+    ) is True
+    assert calls["n"] == 1
+    # (c) a leftover probe file from a crashed run must not wedge the
+    # probe: unique names mean FileExistsError retries with a fresh
+    # name instead of reading as unsupported
+    W._SYMLINK_SUPPORT_CACHE.clear()
+    seq_now = next(W._PROBE_SEQ)
+    stale = os.path.join(
+        os.path.dirname(pub),
+        f".wap_symlink_probe_{os.getpid()}_{seq_now + 1}",
+    )
+    real_symlink("x", stale)
+    try:
+        assert W._symlinks_supported(pub) is True
+    finally:
+        if os.path.lexists(stale):
+            os.unlink(stale)
+    # no probe residue anywhere
+    assert not [
+        e
+        for e in os.listdir(os.path.dirname(pub))
+        if "probe" in e and e != os.path.basename(stale)
+    ]
+    W._SYMLINK_SUPPORT_CACHE.clear()
 
 
 def test_wap_symlink_clears_stale_legacy(spark, tmp_path):
