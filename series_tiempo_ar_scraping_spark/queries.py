@@ -910,7 +910,16 @@ from series_tiempo_ar_scraping_spark import queries_batch51  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 _DRIVER_GATE_PRIORITY = [
     # Core §2 exemplars (one per family): scans, filters, joins,
-    # aggregations, windows, validation, scalars
+    # aggregations, windows, validation, scalars.
+    # r12 (VERDICT r11 #6): five redundant stable slots freed for
+    # never-verified backfill — resample_gapfill_daily (V4 stays
+    # covered by series_gap_check), sessionize_events (§2.6 stays
+    # covered by window_rank_suite + topk_orders_per_priority),
+    # tfidf_top_terms (text analysis stays covered by text_stats +
+    # bpe_train_merges), range_join_purchase_context and
+    # asof_nearest_click_to_purchase (showcase extensions,
+    # driver-verified r8-r11, mirror-green every round). Each freed
+    # family keeps at least one driver-gated exemplar.
     "q01_pricing_summary",
     "q05_region_revenue",
     "semi_orders_with_big_lineitem",
@@ -924,7 +933,6 @@ _DRIVER_GATE_PRIORITY = [
     "align_daily_activity",
     "series_gap_check",
     "tumbling_hourly_counts",
-    "resample_gapfill_daily",
     "meta_field_validation",
     "window_rank_suite",
     # LLM-pipeline exemplars: dedup / similarity / text / multimodal
@@ -933,12 +941,9 @@ _DRIVER_GATE_PRIORITY = [
     "dedup_minhash_lsh",
     "ivf_ann_topk",
     "multimodal_features",
-    "tfidf_top_terms",
     "stratified_sample_documents",
     # Showcase relational extensions
     "topk_orders_per_priority",
-    "sessionize_events",
-    "range_join_purchase_context",
     # Round-8 rotation survivors (VERDICT r7 #1): one exemplar per hard
     # family stays under the driver gate; siblings verified in r8 rotate
     # back to the local mirror.
@@ -948,52 +953,54 @@ _DRIVER_GATE_PRIORITY = [
     "spatial_dbscan_clusters",
     "cdc_apply_roundtrip",
     "survival_kaplan_meier",
-    "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # Round-11 rotation (VERDICT r10 #3). ROTATION RULE, codified:
-    # entries whose Spark or oracle text CHANGED since their last
-    # driver verification outrank never-verified ones — an edited
-    # oracle is a fresh correctness claim, while a never-verified
-    # entry at least has an unbroken mirror history. Round 10 edited
-    # 26 entries (24 NULLIF-guard sites + the SLO RANGE conversion +
-    # the Gopher min-length gate); the edited-but-never-gated ones
-    # rotate in first (the judge-prescribed 15 below), the r10 block
-    # (driver-confirmed 50/50 in CORRECTNESS_r10.json) rotates back
-    # to the local mirror. Backfill, when slots remain, comes from
-    # the never-driver-verified pool.
-    "slo_burn_rate_alerts",
-    "gopher_repetition_report",
-    "embedding_power_iteration",
-    "hits_hub_authority",
-    "als_rank1_factors",
-    "average_precision_report",
-    "fellegi_sunter_weights",
-    "simpson_paradox_detector",
-    "kfold_cv_rate_model",
-    "cohens_kappa_agreement",
-    "largest_remainder_apportionment",
-    "fifo_cogs_matching",
-    "price_index_laspeyres_fisher",
-    "weiszfeld_geometric_median",
-    "join_order_advisor",
+    # Round-12 rotation (VERDICT r11 #1/#6), per the codified rule
+    # (changed-since-last-driver-verification outranks never-verified;
+    # backfill earliest-registered-first from the never-verified pool).
+    # Changed-first: the two adaptive-K entries whose oracle/Spark text
+    # r11 edited (and r12 touched again: semantic_cluster_dedup gained
+    # the corpus localCheckpoint), plus the r12-new two_level_codebook.
+    "label_noise_knn_disagreement",
+    "semantic_cluster_dedup",
+    "two_level_codebook",
+    # Never-verified backfill (earliest-registered first — the oldest
+    # never-driver-verified code). The r11 block (50/50 in
+    # CORRECTNESS_r11.json) rotates back to the local mirror.
+    "dedup_cc_star",
+    "series_pct_change",
+    "series_pct_change_year_ago",
+    "series_rebase_index",
+    "series_collapse_quarterly",
+    "percentile_order_values",
+    "grouping_sets_order_stats",
+    "salted_user_event_stats",
+    "multimodal_image_stats",
+    "multimodal_audio_stats",
+    "multimodal_video_stats",
+    "streaming_tumbling_counts",
+    "sliding_window_rates",
+    "streaming_enriched_nation_stats",
+    "observations_last_wins_upsert",
+    "sketch_exact_twin",
+    "value_histogram",
 ]
-# Backlog after the r11 rotation: 116 of 362 entries driver-verified at
-# least once; 246 never (all carry the full local-mirror signal at two
-# scales every round). r12 rotation staging, per the changed-first
-# rule: (1) entries whose oracle/Spark text r11 edited —
-# label_noise_knn_disagreement and semantic_cluster_dedup (adaptive-K
-# defaults + dynamic-K oracles; both mirror-green at three scales this
-# round but never driver-gated) — then (2) never-verified
-# backfill — earliest-registered first, which fronts the oldest
-# never-verified code: dedup_cc_star, series_pct_change,
-# series_pct_change_year_ago, series_rebase_index,
-# series_collapse_quarterly, percentile_order_values,
-# grouping_sets_order_stats, salted_user_event_stats,
-# multimodal_image_stats, multimodal_audio_stats,
-# multimodal_video_stats, streaming_tumbling_counts,
-# sliding_window_rates, streaming_enriched_nation_stats,
-# observations_last_wins_upsert.
+# Backlog after the r12 rotation: 116 + 20 = 136 of 363 entries
+# driver-verified at least once (assuming the r12 gate lands green);
+# 227 never (all carry the full local-mirror signal at two scales
+# every round). r13 rotation staging, per the changed-first rule:
+# (1) any entry whose oracle/Spark text r12 edits without a driver
+# re-verification, then (2) never-verified backfill,
+# earliest-registered first: profile_table_columns,
+# session_window_native, funnel_conversion, signup_cohort_retention,
+# series_zscore_outliers, part_co_occurrence,
+# streaming_click_purchase_join, weighted_avg_discount_udaf,
+# skyline_orders_pareto, json_props_bucket_stats,
+# streaming_dedup_event_totals, fuzzy_part_name_pairs,
+# null_safe_segment_join, pagerank_part_graph, variant_props_stats,
+# streaming_stateful_sessions, udtf_expand_series_calendar,
+# lateral_top_customers_per_nation, json_error_channel_report,
+# running_distinct_users.
 
 
 def apply_driver_gate_order(strict: bool = False) -> None:

@@ -69,7 +69,6 @@ _GATE_FIRST_50 = [
     "align_daily_activity",
     "series_gap_check",
     "tumbling_hourly_counts",
-    "resample_gapfill_daily",
     "meta_field_validation",
     "window_rank_suite",
     "text_stats",
@@ -77,39 +76,40 @@ _GATE_FIRST_50 = [
     "dedup_minhash_lsh",
     "ivf_ann_topk",
     "multimodal_features",
-    "tfidf_top_terms",
     "stratified_sample_documents",
     "topk_orders_per_priority",
-    "sessionize_events",
-    "range_join_purchase_context",
     "nightly_quality_report",
     "kmeans_lloyd_clusters",
     "bpe_train_merges",
     "spatial_dbscan_clusters",
     "cdc_apply_roundtrip",
     "survival_kaplan_meier",
-    "asof_nearest_click_to_purchase",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # r11 rotation (VERDICT r10 #3, changed-first rule): the 15
-    # entries whose oracle/Spark text r10 edited without a driver
-    # re-verification; the r10 block (50/50 in CORRECTNESS_r10.json)
-    # rotates back to the local mirror.
-    "slo_burn_rate_alerts",
-    "gopher_repetition_report",
-    "embedding_power_iteration",
-    "hits_hub_authority",
-    "als_rank1_factors",
-    "average_precision_report",
-    "fellegi_sunter_weights",
-    "simpson_paradox_detector",
-    "kfold_cv_rate_model",
-    "cohens_kappa_agreement",
-    "largest_remainder_apportionment",
-    "fifo_cogs_matching",
-    "price_index_laspeyres_fisher",
-    "weiszfeld_geometric_median",
-    "join_order_advisor",
+    # r12 rotation (VERDICT r11 #1/#6): changed-first (the two
+    # adaptive-K entries + the new two_level_codebook), then
+    # never-verified backfill earliest-registered first; five
+    # redundant stable slots freed (each family keeps an exemplar).
+    "label_noise_knn_disagreement",
+    "semantic_cluster_dedup",
+    "two_level_codebook",
+    "dedup_cc_star",
+    "series_pct_change",
+    "series_pct_change_year_ago",
+    "series_rebase_index",
+    "series_collapse_quarterly",
+    "percentile_order_values",
+    "grouping_sets_order_stats",
+    "salted_user_event_stats",
+    "multimodal_image_stats",
+    "multimodal_audio_stats",
+    "multimodal_video_stats",
+    "streaming_tumbling_counts",
+    "sliding_window_rates",
+    "streaming_enriched_nation_stats",
+    "observations_last_wins_upsert",
+    "sketch_exact_twin",
+    "value_histogram",
 ]
 
 
