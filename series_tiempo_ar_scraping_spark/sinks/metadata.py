@@ -12,8 +12,8 @@ both sinks are driver-side collects by design.
 from __future__ import annotations
 
 import json
-import os
 
+from series_tiempo_ar_scraping_spark.sinks.atomic import atomic_output_path
 from series_tiempo_ar_scraping_spark.sources.catalog_json import renest_catalog
 from series_tiempo_ar_scraping_spark.sources.xlsx import write_xlsx_frames
 
@@ -45,9 +45,13 @@ def write_json_catalog(frames: dict, path: str) -> str:
     doc = _prune_nulls(rows[0]) if rows else {}
     if "catalog_id" in doc:
         doc["identifier"] = doc.pop("catalog_id")
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "w", encoding="utf-8") as fh:
-        json.dump(doc, fh, ensure_ascii=False, indent=2, sort_keys=True)
+    # stage + atomic replace: a crash mid-dump must never leave a
+    # truncated data.json at the path consumers read
+    with atomic_output_path(path) as tmp:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(
+                doc, fh, ensure_ascii=False, indent=2, sort_keys=True
+            )
     return path
 
 

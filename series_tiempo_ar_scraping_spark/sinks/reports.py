@@ -18,11 +18,17 @@ from pyspark.sql import DataFrame
 
 def write_report_csv(report: DataFrame, out_dir: str, name: str) -> str:
     """K4 — small report frame → one CSV file (reports are inherently
-    small: one row per dataset/distribution)."""
-    os.makedirs(out_dir, exist_ok=True)
+    small: one row per dataset/distribution). Staged + atomic replace:
+    a crash mid-write must never leave a truncated report at the path
+    a mail attachment or downstream check reads."""
+    from series_tiempo_ar_scraping_spark.sinks.atomic import (
+        atomic_output_path,
+    )
+
     path = os.path.join(out_dir, f"{name}.csv")
     pdf = report.toPandas()
-    pdf.to_csv(path, index=False)
+    with atomic_output_path(path) as tmp:
+        pdf.to_csv(tmp, index=False)
     return path
 
 

@@ -42,21 +42,22 @@ def _attempt_fetch(
 
 
 def _atomic_write(file_path: str, data: bytes) -> None:
-    """mkdir -p + write-to-unique-temp + rename. The temp name embeds
-    pid so concurrent writers of the same target (task retry, Spark
-    speculative execution) never interleave into one ``.part`` file —
-    last rename wins with a complete payload either way. A crash
-    between write and replace orphans one ``.part.*`` file; it is
-    INERT (readers address the exact target path, never globs) and is
-    deliberately not swept here — a sweep could unlink the live tmp of
-    a concurrent speculative writer and fail its replace.
-    abspath first: dirname of a bare filename is '' and makedirs('')
-    raises — same pattern as the xlsx writer."""
-    os.makedirs(os.path.dirname(os.path.abspath(file_path)), exist_ok=True)
-    tmp = f"{file_path}.part.{os.getpid()}.{id(data):x}"
-    with open(tmp, "wb") as fh:
-        fh.write(data)
-    os.replace(tmp, file_path)
+    """mkdir -p + write-to-unique-temp + atomic replace, via the
+    shared ``sinks/atomic.py`` contract (one implementation for every
+    file-shaped publish): concurrent writers of the same target (task
+    retry, Spark speculative execution) never interleave into one
+    ``.part`` file — last replace wins with a complete payload either
+    way. A hard kill between write and replace orphans one ``.part.*``
+    file; it is INERT (readers address the exact target path, never
+    globs) and is deliberately not swept — a sweep could unlink the
+    live tmp of a concurrent speculative writer and fail its replace."""
+    from series_tiempo_ar_scraping_spark.sinks.atomic import (
+        atomic_output_path,
+    )
+
+    with atomic_output_path(file_path) as tmp:
+        with open(tmp, "wb") as fh:
+            fh.write(data)
 
 
 def download(url: str, tries: int = DEFAULT_TRIES, retry_delay: float = RETRY_DELAY,

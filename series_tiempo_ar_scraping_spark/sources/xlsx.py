@@ -299,11 +299,16 @@ def write_xlsx(path: str, sheets: dict[str, tuple[list[str], list[tuple]]]) -> s
     part needed); numerics are native. Readable back by ``iter_cells`` and
     by Excel/pandas.
     """
-    import os
+    from series_tiempo_ar_scraping_spark.sinks.atomic import (
+        atomic_output_path,
+    )
 
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     names = list(sheets)
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+    # stage + atomic replace: a crash mid-zip must never leave a
+    # corrupt xlsx at the path consumers read (K3/K4 contract)
+    with atomic_output_path(path) as tmp, zipfile.ZipFile(
+        tmp, "w", zipfile.ZIP_DEFLATED
+    ) as zf:
         overrides = "\n".join(
             f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
             'ContentType="application/vnd.openxmlformats-officedocument.'
