@@ -439,6 +439,11 @@ def _run_once(fn, spark, sf_dir: str) -> float:
 _LOAD_BEFORE: float | None = None
 _STAT_BEFORE: tuple[int, int] | None = None
 
+# one source of truth with tools/bench_regression.STEAL_MAX_PCT (kept
+# literal here so bench.py stays import-light; a contract test pins
+# the two equal)
+STEAL_CONTAMINATION_PCT = 1.0
+
 
 def _cpu_stat() -> tuple[int, int] | None:
     """(steal_jiffies, total_jiffies) from /proc/stat. On a guest VM,
@@ -584,16 +589,18 @@ def build_output(
     if _LOAD_BEFORE is not None:
         detail["loadavg_before"] = _LOAD_BEFORE
     stat_after = _cpu_stat()
+    steal_pct = None
     if _STAT_BEFORE and stat_after and stat_after[1] > _STAT_BEFORE[1]:
         # % of this run's CPU time stolen by the host — the r10/r11
         # inflation episodes are steal, not guest load; >~1% means the
         # record's timings are contaminated and should not be compared
-        detail["steal_pct"] = round(
+        steal_pct = round(
             100.0
             * (stat_after[0] - _STAT_BEFORE[0])
             / (stat_after[1] - _STAT_BEFORE[1]),
             2,
         )
+        detail["steal_pct"] = steal_pct
     if BENCH_WARMUP:
         # self-documenting record: which lane-head queries warmed this
         # only-mode JVM (so a later reader knows the times are
@@ -630,6 +637,26 @@ def build_output(
         out["value_cold_r2set"] = cold_r2
         out["value_cold_ext"] = round(sum(cold.values()), 3)
         detail["queries_cold"] = cold
+    # Ship-gate on steal (VERDICT r11 #4): the r11 round record shipped
+    # with steal_pct 1.23 and a 2.2x-inflated cold lane that three clean
+    # same-tree records had to vouch against. Contamination must be
+    # LOUD and must mark the SUMMARY line (the artifact of record), not
+    # only the detail: downstream tooling already excludes such records
+    # (bench_regression STEAL_MAX_PCT); the flag lets a human reading
+    # BENCH_r{N}.json alone see it too. The round checklist rule: a
+    # shipped record must read steal_pct <= 1 — re-run until clean.
+    if steal_pct is not None and steal_pct > STEAL_CONTAMINATION_PCT:
+        out["steal_pct"] = steal_pct
+        out["steal_contaminated"] = True
+        detail["steal_contaminated"] = True
+        print(
+            f"WARNING: steal_pct={steal_pct} > "
+            f"{STEAL_CONTAMINATION_PCT} — host-level CPU steal "
+            "contaminated this run's timings; re-run bench.py until a "
+            "clean record lands (bench_regression will exclude this "
+            "one from lineage)",
+            file=sys.stderr,
+        )
     # Per-query detail: earlier stdout lines (outside the driver's
     # 2000-char tail window) + an append-only history file for
     # tools/bench_regression.py. Never in the final line.

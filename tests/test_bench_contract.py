@@ -83,6 +83,52 @@ def test_cold_lane_optional(tmp_path):
     assert json.dumps(out)  # still serializable
 
 
+def test_steal_contamination_marks_summary_and_warns(
+    tmp_path, monkeypatch
+):
+    """VERDICT r11 #4: a contaminated run must be loud — stderr
+    warning + flags on the SUMMARY line (the artifact of record), so a
+    shipped BENCH_r{N}.json self-identifies without the detail line."""
+    import io as _io
+    from contextlib import redirect_stderr
+
+    # before/after /proc/stat snapshots with 2% steal in the delta
+    monkeypatch.setattr(bench, "_STAT_BEFORE", (100, 10_000))
+    monkeypatch.setattr(
+        bench, "_cpu_stat", lambda: (100 + 20, 10_000 + 1_000)
+    )
+    err = _io.StringIO()
+    with redirect_stderr(err):
+        out, stdout = _capture(_fake_lane(1.0), {}, tmp_path)
+    assert out["steal_contaminated"] is True
+    assert out["steal_pct"] == 2.0
+    assert "steal_pct=2.0" in err.getvalue()
+    detail = json.loads(
+        [
+            ln
+            for ln in stdout.splitlines()
+            if ln.startswith("BENCH_DETAIL ")
+        ][0][len("BENCH_DETAIL "):]
+    )
+    assert detail["steal_contaminated"] is True
+    # clean run: no flag, no warning
+    monkeypatch.setattr(
+        bench, "_cpu_stat", lambda: (100 + 5, 10_000 + 1_000)
+    )
+    err2 = _io.StringIO()
+    with redirect_stderr(err2):
+        out2, _ = _capture(_fake_lane(1.0), {}, tmp_path)
+    assert "steal_contaminated" not in out2
+    assert "steal_pct" not in out2  # summary stays compact when clean
+    assert err2.getvalue() == ""
+
+
+def test_steal_threshold_matches_regression_tool():
+    from tools.bench_regression import STEAL_MAX_PCT
+
+    assert bench.STEAL_CONTAMINATION_PCT == STEAL_MAX_PCT
+
+
 def test_r2_set_is_frozen():
     # the lineage subtotal is only meaningful if the r2 list never changes
     assert len(bench.BENCH_QUERIES_R2) == 29
