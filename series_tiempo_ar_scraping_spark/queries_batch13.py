@@ -666,6 +666,20 @@ def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     core graph has a giant component whose diameter would sink
     min-label propagation). All-integer geometry end to end.
     Cites: Ester et al. KDD'96 (DBSCAN); Kiveris et al. SoCC'14 (CC)."""
+    return _dbscan_clusters_frame(spark, sf_dir, grid=10000)
+
+
+def _dbscan_clusters_frame(
+    spark: SparkSession, sf_dir: str, grid: int
+) -> DataFrame:
+    """Grid-parameterized DBSCAN builder. The registered entry pins
+    ``grid=10000`` (the oracle's ``_SP_GRID``); ``tools/sf1_probe.py``'s
+    value-space-scaled variant runs ``grid=31623`` (10000·√10) against
+    the 10x corpus so point DENSITY stays constant — the new-content
+    growth regime — alongside the fixed-domain run, which deliberately
+    models densification (10x rows into the same domain → ~100x
+    in-cell pair work). The pair of curves is the standing scale
+    adjudication for this entry (SCALE.md r12)."""
     from series_tiempo_ar_scraping_spark.operators.dedup import (
         connected_components_star,
     )
@@ -673,9 +687,9 @@ def spatial_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     pts = customer.select(
         F.col("c_custkey").alias("pid"),
-        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % 10000)
+        (hash64_seeded(F.col("c_custkey").cast("string"), 11) % grid)
         .alias("x"),
-        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % 10000)
+        (hash64_seeded(F.col("c_custkey").cast("string"), 12) % grid)
         .alias("y"),
     ).localCheckpoint(eager=True)
     offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])

@@ -58,6 +58,8 @@ KEYS = {
 # the pagerank companions entered the top ranks in r10)
 DEFAULT = [
     "spatial_dbscan_clusters",
+    "spatial_dbscan_clusters_scaled_domain",
+    "two_level_codebook",
     "label_noise_knn_disagreement",
     "vocab_size_oov_curve",
     "basket_recommender_hitrate",
@@ -99,9 +101,37 @@ def inflate(spark) -> None:
         copies.write.mode("overwrite").parquet(dst)
 
 
+# Value-space-scaled probe variants (VERDICT r11 #5): entries whose
+# synthetic value domain must GROW with the corpus for the probe to
+# model new content rather than densification. Each maps a probe name
+# to per-scale builders; plain names keep running the registered
+# default (which, for dbscan, deliberately measures the densification
+# regime — the pair of curves is the standing adjudication).
+def _dbscan_variant(grid):
+    def fn(spark, sf_dir):
+        from series_tiempo_ar_scraping_spark.queries_batch13 import (
+            _dbscan_clusters_frame,
+        )
+
+        return _dbscan_clusters_frame(spark, sf_dir, grid=grid)
+
+    return fn
+
+
+VARIANTS = {
+    # 10000·√10 at 10x rows → constant density (same expected points
+    # per eps-cell as the registered sf0.1 run)
+    "spatial_dbscan_clusters_scaled_domain": {
+        SF01: _dbscan_variant(10000),
+        SF1: _dbscan_variant(31623),
+    },
+}
+
+
 def _run(name: str, spark, sf_dir: str) -> float:
+    fn = VARIANTS.get(name, {}).get(sf_dir) or QUERIES[name]
     t0 = time.perf_counter()
-    QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+    fn(spark, sf_dir).write.mode("overwrite").format(
         "noop"
     ).save()
     return round(time.perf_counter() - t0, 3)
