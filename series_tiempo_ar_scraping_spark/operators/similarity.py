@@ -157,7 +157,15 @@ def adaptive_codebook_k(
     count on the driver — the only data-dependent input a static
     codebook size needs. The SQL oracles derive the SAME K with a
     ``LIMIT (SELECT GREATEST(floor, CEIL(COUNT(*)/target)) ...)``
-    subquery, so both engines stay pinned at every scale."""
+    subquery, so both engines stay pinned at every scale.
+
+    ESCALATION (SCALE.md crossover analysis): K ∝ n keeps per-cell
+    pair work linear but assignment itself costs n·K = n²/target_cell
+    scorings — past n ≈ 2·target_cell² (~125k vectors at target 250)
+    switch the blocking key from this flat codebook to
+    ``two_level_codebook`` (coarse quantize → per-cell grouped Lloyd,
+    n²/(coarse_k·target_cell) assignment work; an oracled catalog
+    entry since r12, measured sub-1× per unit data at 10×)."""
     import math
 
     n = vectors.count()

@@ -895,3 +895,7 @@ def test_funnel_ttl_below_watermark_rejected(spark):
     # month/year are deliberately excluded (no fixed second length)
     with pytest.raises(ValueError, match="unparseable"):
         _duration_seconds("3 months")
+    # a negative duration used to parse as its absolute value (the
+    # sign was unmatched residue, silently dropped); now it raises
+    with pytest.raises(ValueError, match="unparseable|-"):
+        _duration_seconds("-5 hours")
