@@ -376,6 +376,10 @@ BENCH_QUERIES_EXT = [
     "json_path_semantics_audit",
     "cooccurrence_null_lift",
     "overdispersion_index",
+    # round 12 (batch 51): the two-level codebook's registered path —
+    # appended at the lane TAIL so every earlier query keeps its JVM
+    # context and cross-round per-query comparability
+    "two_level_codebook",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT
