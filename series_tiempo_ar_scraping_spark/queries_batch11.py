@@ -214,7 +214,11 @@ def fuzzy_blocked_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # filled at the bottom (needs batch-10's kmeans CTEs)
 )
 def semantic_cluster_dedup(
-    spark: SparkSession, sf_dir: str, k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    blocking: str = "flat",
+    coarse_k: int = 8,
 ) -> DataFrame:
     """Semantic near-dup detection with a TRAINED clustering as the
     blocking function: 2 Lloyd's rounds (K=8, the hash-oracled
@@ -242,24 +246,57 @@ def semantic_cluster_dedup(
     ORACLE derives the SAME K via a dynamic-LIMIT scalar subquery over
     the same planted corpus, so both engines stay pinned at every
     scale; at the gate fixtures the derived K equals the floor 8, the
-    original contract."""
+    original contract.
+
+    ``blocking="two_level"`` (r12) is the wired escalation past the
+    flat rule's own crossover (n ≈ 2·target_cell² ≈ 125k vectors,
+    where flat assignment itself is n²/target): the census cells
+    become the (coarse, fine) two-level codebook cells — same pair
+    verification, same census semantics, blocking key from the oracled
+    ``two_level_codebook`` entry (1.38× at 10× in PROBE_r12). With
+    ``coarse_k=1`` and the corpus above the K floor it is provably
+    identical to the flat path (pinned by
+    ``test_two_level_blocking_equals_flat_at_coarse_1``)."""
     from series_tiempo_ar_scraping_spark.queries_batch4 import (
         _emb_near_corpus,
     )
 
     corpus = _emb_near_corpus(spark, sf_dir)
-    if k is None:
-        # the adaptive default needs an eager count; checkpoint first so
-        # the count and the Lloyd training share one materialization of
-        # the derived corpus instead of evaluating it twice
-        corpus = corpus.localCheckpoint(eager=True)
-        k = S.adaptive_codebook_k(corpus)
-    _, assign = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
+    if blocking == "two_level":
+        # ESCALATION PATH (SCALE.md crossover, r12): past n ≈
+        # 2·target_cell² the flat adaptive codebook's own assignment
+        # goes n²/target — block it with the two-level structure. The
+        # combined (coarse, fine) cell becomes the census cid (coarse
+        # packed into the high 32 bits, so with coarse_k=1 the ids
+        # equal the flat path's — the equivalence the pytest pins).
+        # Not the registered default: the gate fixtures sit far below
+        # the crossover and the oracle pins the flat derivation.
+        assign = S.two_level_codebook(
+            corpus, coarse_k=coarse_k, iters=2
+        ).select(
+            "vec_id",
+            (
+                F.col("coarse_cid").cast("long") * F.lit(2**32)
+                + F.col("fine_cid")
+            ).alias("cid"),
+        )
+    elif blocking == "flat":
+        if k is None:
+            # the adaptive default needs an eager count; checkpoint
+            # first so the count and the Lloyd training share one
+            # materialization of the derived corpus instead of
+            # evaluating it twice
+            corpus = corpus.localCheckpoint(eager=True)
+            k = S.adaptive_codebook_k(corpus)
+        _, a = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
+        assign = a.withColumnRenamed("vid", "vec_id")
+    else:
+        raise ValueError(f"unknown blocking mode: {blocking!r}")
     mem = (
         corpus.select(
             "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
         )
-        .join(assign.withColumnRenamed("vid", "vec_id"), "vec_id")
+        .join(assign, "vec_id")
         .localCheckpoint(eager=True)
     )
     x = mem.select(

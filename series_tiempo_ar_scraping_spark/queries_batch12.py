@@ -2274,7 +2274,18 @@ def label_noise_knn_disagreement(
     derives the SAME K via a dynamic-LIMIT scalar subquery
     (``_adaptive_k_sql``), so both engines stay pinned at every scale;
     at the gate fixtures the derived K equals the floor 8, the
-    original contract."""
+    original contract.
+
+    Escalation past the flat crossover (n ≈ 2·target_cell²): unlike
+    the hard-assignment dedup census (which r12 wired to
+    ``two_level_codebook`` directly — ``semantic_cluster_dedup``'s
+    ``blocking="two_level"``), this kernel MULTI-PROBES (crank ≤ 2),
+    so its two-level form needs a grouped probe: rank the coarse
+    codebook (coarse_k rows, broadcast), then within the 2 nearest
+    coarse cells rank that cell's fine codebook (equi-join on
+    coarse id + per-(vector, coarse) window — the
+    ``kmeans_lloyd_micro_grouped`` assignment shape with crank ≤ 2).
+    Same recall contract as IVF nprobe=2 over a two-level index."""
     emb = load_table(spark, sf_dir, "embeddings")
     if k is None:
         k = S.adaptive_codebook_k(emb)

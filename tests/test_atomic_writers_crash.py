@@ -261,6 +261,57 @@ def test_write_json_catalog_every_crash_point(spark, tmp_path):
     assert _no_part_residue(str(tmp_path))
 
 
+def test_write_wide_csv_every_crash_point(spark, tmp_path):
+    """K1 — the wide-CSV writer (coalesce(1) into a _tmp dir, replace
+    the part file onto the product path, clean the dir): the published
+    CSV must be old-complete or new-complete at every mutating call,
+    and a re-run must converge even with stale _tmp residue from a
+    crashed predecessor (Spark's overwrite mode clears it)."""
+    import series_tiempo_ar_scraping_spark.sinks.csv_wide as CW
+    from series_tiempo_ar_scraping_spark.sinks.csv_wide import (
+        write_wide_csv,
+    )
+
+    target = str(tmp_path / "serie.csv")
+
+    def obs(v):
+        return spark.createDataFrame(
+            [("s1", "2024-01-01", float(v))],
+            "series_title string, ts string, value double",
+        )
+
+    def write(v):
+        write_wide_csv(obs(v), target, ["s1"])
+
+    def read_back():
+        if not os.path.exists(target):
+            return None
+        return open(target).read().splitlines()
+
+    write(1)
+    assert read_back() == ["indice_tiempo,s1", "2024-01-01,1.0"]
+    n_mut = count_mutations(MonkeyPatch, CW, lambda: write(2))
+    assert n_mut >= 2  # replace + at least one cleanup call
+    for k in range(1, n_mut + 1):
+        write(1)
+        mp = MonkeyPatch()
+        Injector(mp, CW, crash_at=k)
+        try:
+            with pytest.raises(InjectedCrash):
+                write(2)
+        finally:
+            mp.undo()
+        got = read_back()
+        assert got in (
+            ["indice_tiempo,s1", "2024-01-01,1.0"],
+            ["indice_tiempo,s1", "2024-01-01,2.0"],
+        ), f"torn wide CSV after crash at call #{k}: {got}"
+        # recovery: a plain re-run converges despite any _tmp residue
+        write(2)
+        assert read_back() == ["indice_tiempo,s1", "2024-01-01,2.0"]
+        assert not os.path.exists(target + "_tmp")
+
+
 def test_landing_atomic_write_every_crash_point(tmp_path):
     """S2 — the landing-zone byte writer shares the same contract."""
     from series_tiempo_ar_scraping_spark.sources.landing import (

@@ -475,6 +475,66 @@ def test_two_level_codebook_partitions_and_bounds_cells(spark, sf_dir):
     )
 
 
+def test_two_level_blocking_equals_flat_at_coarse_1(spark):
+    """The wired escalation path (r12): semantic_cluster_dedup with
+    blocking="two_level" must be PROVABLY the same algorithm — with
+    coarse_k=1 the coarse pass is a single cell, the per-group fine
+    Lloyd's init (k_g smallest vids) and micro-unit arithmetic equal
+    the flat primitive's, and k_g = ⌈n/250⌉ equals the flat adaptive K
+    once the corpus exceeds the flat floor (n ≥ 2000 here, sf0.1's
+    planted corpus ≈ 2286). So the two census frames must be row-for-
+    row identical, including the cid values (coarse 0 packs to the
+    high bits, leaving the fine id)."""
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        semantic_cluster_dedup,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    flat = sorted(
+        map(tuple, semantic_cluster_dedup(spark, sf01).collect())
+    )
+    two = sorted(
+        map(
+            tuple,
+            semantic_cluster_dedup(
+                spark, sf01, blocking="two_level", coarse_k=1
+            ).collect(),
+        )
+    )
+    assert flat == two
+    # and an unknown mode fails fast
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown blocking"):
+        semantic_cluster_dedup(spark, sf01, blocking="typo")
+
+
+def test_two_level_blocking_census_invariants(spark, sf_dir):
+    """At a realistic coarse_k the two-level census keeps the census
+    contract even though cells differ from the flat blocking: members
+    partition the corpus, survivors = members - dups, and pair counts
+    stay within the per-cell upper triangle."""
+    from series_tiempo_ar_scraping_spark.queries_batch4 import (
+        _emb_near_corpus,
+    )
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        semantic_cluster_dedup,
+    )
+
+    rows = semantic_cluster_dedup(
+        spark, sf_dir, blocking="two_level", coarse_k=4
+    ).collect()
+    n_corpus = _emb_near_corpus(spark, sf_dir).count()
+    assert sum(r.n_members for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_survivors == r.n_members - r.n_dups
+        assert r.n_cand_pairs <= r.n_members * (r.n_members - 1) // 2
+        assert 0 <= r.n_near_pairs <= r.n_cand_pairs
+        assert r.n_dups <= r.n_members
+    # the coarse split is real: more than one distinct coarse id
+    assert len({r.cid >> 32 for r in rows}) > 1
+
+
 def test_kmeans_iters_zero_is_a_contract_error(spark):
     """iters=0 has no defined result (no assignment round ran); the
     operator must fail fast with a clear error, not an AttributeError."""
