@@ -405,6 +405,126 @@ def two_level_codebook(
     )
 
 
+def two_level_multiprobe(
+    vectors: DataFrame,
+    coarse_k: int = 8,
+    iters: int = 2,
+    nprobe_coarse: int = 2,
+    nprobe_fine: int = 2,
+    target_cell: int = CODEBOOK_TARGET_CELL,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style multi-probe over a TRAINED two-level codebook — the
+    escalation shape for multi-probe kernels (the kNN disagreement
+    family) past the flat adaptive-K crossover, where a flat codebook's
+    own ranking pass is n·K = n²/target_cell scorings:
+
+    1. train: coarse micro Lloyd (``coarse_k`` rows) hard-partitions
+       the corpus; ``kmeans_lloyd_micro_grouped`` trains a fine
+       codebook inside every coarse cell (k_g ∝ cell size) — one
+       dataflow, no driver loops;
+    2. probe: each vector ranks the coarse codebook by the
+       ``assign_clusters`` cosine contract (``nprobe_coarse`` cells,
+       n·coarse_k work), then within EACH probed coarse cell ranks
+       that cell's fine centroids (equi-join on the coarse id +
+       per-(vector, coarse) window, ``nprobe_fine`` cells) — the IVF
+       nprobe contract, one level down.
+
+    Returns (id, coarse_cid, fine_cid, crank_c, crank_f); the own cell
+    is (crank_c=1, crank_f=1), candidate cells are all returned rows
+    (≤ nprobe_coarse · nprobe_fine per vector). Ranking work is
+    n·(coarse_k + nprobe_coarse·k_g) ≈ n·(coarse_k + 2n/(coarse_k·
+    target_cell)) — the coarse fan-out divides the flat rule's n²/
+    target ranking cost, the same division ``two_level_codebook``
+    buys hard assignment.
+
+    Degenerate contract (pinned by
+    ``test_label_noise_two_level_equals_flat_at_coarse_1``): with
+    ``coarse_k=1`` and the corpus above the flat K floor this is
+    EXACTLY ``assign_clusters(n_assign=nprobe_fine)`` over the flat
+    codebook — same init, same micro-unit training, same float
+    conversion (ci/10⁶), same cosine tree, same tie-breaks."""
+    coarse_cent, coarse_assign = kmeans_lloyd_micro(
+        vectors, k=coarse_k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    members = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        coarse_assign.withColumnRenamed("vid", id_col).withColumnRenamed(
+            "cid", "coarse_cid"
+        ),
+        id_col,
+    )
+    fine_cent, _ = kmeans_lloyd_micro_grouped(
+        members,
+        group_col="coarse_cid",
+        iters=iters,
+        target_cell=target_cell,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    coarse_float = coarse_cent.select(
+        F.col("cid").alias(id_col),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias(vec_col),
+    )
+    probes_c = assign_clusters(
+        vectors,
+        coarse_float,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_assign=nprobe_coarse,
+    ).select(
+        F.col(id_col).alias("vid"),
+        F.col("centroid_id").alias("coarse_cid"),
+        F.col("crank").alias("crank_c"),
+    )
+    # fine ranking: the assign_clusters float/cosine contract, grouped
+    # — identical expression tree (dot / (v_norm · c_norm)), the
+    # broadcast codebook keyed by (coarse_cid, fine_cid)
+    fine_float = fine_cent.select(
+        F.col("gid").alias("coarse_cid"),
+        F.col("cid").alias("fine_cid"),
+        F.transform(
+            "ci", lambda x: x.cast("double") / 1000000.0
+        ).alias("fvec"),
+    )
+    fine_float = fine_float.withColumn("f_norm", norm(F.col("fvec")))
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vvec"),
+        norm(F.col(vec_col)).alias("v_norm"),
+    )
+    scored = (
+        v.join(probes_c, "vid")
+        .join(F.broadcast(fine_float), "coarse_cid")
+        .select(
+            "vid",
+            "coarse_cid",
+            "crank_c",
+            "fine_cid",
+            (
+                dot(F.col("vvec"), F.col("fvec"))
+                / (F.col("v_norm") * F.col("f_norm"))
+            ).alias("csim"),
+        )
+    )
+    w = Window.partitionBy("vid", "coarse_cid").orderBy(
+        F.desc("csim"), F.asc("fine_cid")
+    )
+    return (
+        scored.withColumn("crank_f", F.row_number().over(w))
+        .filter(F.col("crank_f") <= nprobe_fine)
+        .select(
+            F.col("vid").alias(id_col),
+            "coarse_cid",
+            "fine_cid",
+            "crank_c",
+            "crank_f",
+        )
+    )
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
              k: int = 5, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -2239,7 +2239,11 @@ def _label_noise_oracle() -> str:
 
 @register("label_noise_knn_disagreement", oracle=_label_noise_oracle())
 def label_noise_knn_disagreement(
-    spark: SparkSession, sf_dir: str, k: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    blocking: str = "flat",
+    coarse_k: int = 8,
 ) -> DataFrame:
     """Label-noise detection by neighborhood voting: for every labeled
     embedding, how many of its 5 nearest CANDIDATE neighbors (cosine)
@@ -2276,36 +2280,63 @@ def label_noise_knn_disagreement(
     at the gate fixtures the derived K equals the floor 8, the
     original contract.
 
-    Escalation past the flat crossover (n ≈ 2·target_cell²): unlike
-    the hard-assignment dedup census (which r12 wired to
-    ``two_level_codebook`` directly — ``semantic_cluster_dedup``'s
-    ``blocking="two_level"``), this kernel MULTI-PROBES (crank ≤ 2),
-    so its two-level form needs a grouped probe: rank the coarse
-    codebook (coarse_k rows, broadcast), then within the 2 nearest
-    coarse cells rank that cell's fine codebook (equi-join on
-    coarse id + per-(vector, coarse) window — the
-    ``kmeans_lloyd_micro_grouped`` assignment shape with crank ≤ 2).
-    Same recall contract as IVF nprobe=2 over a two-level index."""
+    ``blocking="two_level"`` (r12) is the WIRED escalation past the
+    flat crossover (n ≈ 2·target_cell²): unlike the hard-assignment
+    dedup census (``semantic_cluster_dedup``), this kernel
+    multi-probes, so the escalation is ``S.two_level_multiprobe`` —
+    rank the coarse codebook (coarse_k rows, broadcast, nprobe 2),
+    then within each probed coarse cell rank that cell's fine codebook
+    (equi-join on the coarse id + per-(vector, coarse) window,
+    nprobe 2) — the IVF nprobe contract one level down, ≤ 4 candidate
+    cells per vector. With ``coarse_k=1`` above the flat K floor it is
+    provably identical to the flat path (pinned by
+    ``test_label_noise_two_level_equals_flat_at_coarse_1``)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    if k is None:
-        k = S.adaptive_codebook_k(emb)
-    cent, _ = S.kmeans_lloyd_micro(emb, k=k, iters=_LN_KM_ITERS)
-    centroids = cent.select(
-        F.col("cid").alias("vec_id"),
-        F.transform(
-            "ci", lambda x: x.cast("double") / 1000000.0
-        ).alias("embedding"),
-    )
-    # One ranking pass yields both frames: own cell = crank 1, probe
-    # cells = crank <= 2 (checkpointed so the window runs once).
-    cells = (
-        S.assign_clusters(emb, centroids, n_assign=2)
-        .localCheckpoint(eager=True)
-    )
-    own = cells.filter(F.col("crank") == 1).select(
-        F.col("vec_id").alias("vb"), "centroid_id"
-    )
-    probes = cells.select(F.col("vec_id").alias("va"), "centroid_id")
+    if blocking == "two_level":
+        # ESCALATION PATH (r12): the grouped multi-probe described in
+        # the docstring, over the trained two-level codebook. Cell key
+        # = (coarse, fine) packed (coarse in the high 32 bits — with
+        # coarse_k=1 the keys equal the flat fine ids, the equivalence
+        # the pytest pins). Not the registered default: the gate
+        # fixtures sit far below the crossover and the oracle pins the
+        # flat derivation.
+        cells2 = S.two_level_multiprobe(
+            emb,
+            coarse_k=coarse_k,
+            iters=_LN_KM_ITERS,
+            nprobe_coarse=2,
+            nprobe_fine=2,
+        ).localCheckpoint(eager=True)
+        key = (
+            F.col("coarse_cid").cast("long") * F.lit(2**32)
+            + F.col("fine_cid")
+        ).alias("centroid_id")
+        own = cells2.filter(
+            (F.col("crank_c") == 1) & (F.col("crank_f") == 1)
+        ).select(F.col("vec_id").alias("vb"), key)
+        probes = cells2.select(F.col("vec_id").alias("va"), key)
+    elif blocking == "flat":
+        if k is None:
+            k = S.adaptive_codebook_k(emb)
+        cent, _ = S.kmeans_lloyd_micro(emb, k=k, iters=_LN_KM_ITERS)
+        centroids = cent.select(
+            F.col("cid").alias("vec_id"),
+            F.transform(
+                "ci", lambda x: x.cast("double") / 1000000.0
+            ).alias("embedding"),
+        )
+        # One ranking pass yields both frames: own cell = crank 1,
+        # probe cells = crank <= 2 (checkpointed: the window runs once)
+        cells = (
+            S.assign_clusters(emb, centroids, n_assign=2)
+            .localCheckpoint(eager=True)
+        )
+        own = cells.filter(F.col("crank") == 1).select(
+            F.col("vec_id").alias("vb"), "centroid_id"
+        )
+        probes = cells.select(F.col("vec_id").alias("va"), "centroid_id")
+    else:
+        raise ValueError(f"unknown blocking mode: {blocking!r}")
     a = emb.select(
         F.col("vec_id").alias("va"),
         F.col("label").alias("la"),

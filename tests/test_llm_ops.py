@@ -535,6 +535,75 @@ def test_two_level_blocking_census_invariants(spark, sf_dir):
     assert len({r.cid >> 32 for r in rows}) > 1
 
 
+def test_label_noise_two_level_equals_flat_at_coarse_1(spark):
+    """The multi-probe escalation (r12): label_noise_knn_disagreement
+    with blocking="two_level", coarse_k=1 must equal the flat path
+    exactly — one coarse cell makes the grouped fine training the flat
+    training (same init/arithmetic), the fine k_g = ⌈n/250⌉ equals the
+    flat adaptive K at sf0.1's 2000 embeddings (both 8), and the fine
+    cosine ranking is the assign_clusters contract verbatim, so the
+    probed cells, candidate pairs and final report are identical."""
+    from series_tiempo_ar_scraping_spark.queries_batch12 import (
+        label_noise_knn_disagreement,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    flat = sorted(
+        map(tuple, label_noise_knn_disagreement(spark, sf01).collect())
+    )
+    two = sorted(
+        map(
+            tuple,
+            label_noise_knn_disagreement(
+                spark, sf01, blocking="two_level", coarse_k=1
+            ).collect(),
+        )
+    )
+    assert flat == two
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown blocking"):
+        label_noise_knn_disagreement(spark, sf01, blocking="typo")
+
+
+def test_two_level_multiprobe_contract(spark, sf_dir):
+    """The probe operator's own contract at a realistic coarse_k:
+    every vector probes ≤ nprobe_coarse·nprobe_fine cells, exactly one
+    own cell (crank_c=1, crank_f=1), probed fine cells belong to the
+    probed coarse cell's codebook, and no corpus self-join appears in
+    the plan (broadcast codebooks + equi-joins only)."""
+    import contextlib
+    import io
+    from collections import Counter
+
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probed = S.two_level_multiprobe(
+        emb, coarse_k=4, iters=1, nprobe_coarse=2, nprobe_fine=2,
+        target_cell=40,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("simple")
+    assert "CartesianProduct" not in buf.getvalue()
+    rows = probed.collect()
+    n = emb.count()
+    per_vec = Counter(r.vec_id for r in rows)
+    assert set(per_vec) == {r.vec_id for r in rows}
+    assert len(per_vec) == n  # every vector probes something
+    assert max(per_vec.values()) <= 4  # nprobe_coarse * nprobe_fine
+    own = [r for r in rows if r.crank_c == 1 and r.crank_f == 1]
+    assert len(own) == n  # exactly one own cell each
+    assert len({r.vec_id for r in own}) == n
+    # probed coarse ids come from the coarse codebook's range
+    assert {r.coarse_cid for r in rows} <= set(range(4))
+    # within one (vec, coarse) at most nprobe_fine fine cells
+    per_vc = Counter((r.vec_id, r.coarse_cid) for r in rows)
+    assert max(per_vc.values()) <= 2
+
+
 def test_kmeans_iters_zero_is_a_contract_error(spark):
     """iters=0 has no defined result (no assignment round ran); the
     operator must fail fast with a clear error, not an AttributeError."""
