@@ -495,9 +495,14 @@ def two_level_multiprobe(
         F.col(vec_col).alias("vvec"),
         norm(F.col(vec_col)).alias("v_norm"),
     )
+    # NO broadcast hint on the fine codebook: it grows as n/target_cell
+    # (≈200 MB at 10⁸ vectors) — forcing a broadcast would reintroduce
+    # the corpus-sized-codebook problem this structure removes. The
+    # join is keyed by coarse_cid, so AQE broadcasts it while small and
+    # shuffle-joins it once it isn't; either way the work distributes.
     scored = (
         v.join(probes_c, "vid")
-        .join(F.broadcast(fine_float), "coarse_cid")
+        .join(fine_float, "coarse_cid")
         .select(
             "vid",
             "coarse_cid",

@@ -140,6 +140,60 @@ def test_atomic_output_path_stray_orphan_is_inert(tmp_path):
     assert open(stray).read() == "dead run residue"
 
 
+def test_atomic_output_path_concurrent_writers_never_interleave(
+    tmp_path,
+):
+    """The docstring's concurrency claim, exercised: N threads
+    publishing distinct complete payloads to ONE target path. At every
+    instant the target holds some writer's COMPLETE payload (the
+    unique temp names mean no interleave is possible; os.replace is
+    atomic), the final content is one of the payloads, and no temp
+    residue survives."""
+    import threading
+
+    target = str(tmp_path / "contended.txt")
+    payloads = [f"writer-{i}:" + ("x" * (100 + 37 * i)) for i in range(8)]
+    valid = set(payloads)
+    errors: list[BaseException] = []
+    torn: list[str] = []
+    stop = threading.Event()
+
+    def writer(payload):
+        try:
+            for _ in range(50):
+                with A.atomic_output_path(target) as tmp:
+                    with open(tmp, "w") as fh:
+                        fh.write(payload)
+        except BaseException as exc:  # pragma: no cover - fail loudly
+            errors.append(exc)
+            stop.set()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                with open(target) as fh:
+                    content = fh.read()
+            except FileNotFoundError:
+                continue  # before the first publish
+            if content and content not in valid:
+                torn.append(content[:80])
+                return
+
+    threads = [threading.Thread(target=writer, args=(p,)) for p in payloads]
+    observer = threading.Thread(target=reader)
+    observer.start()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    stop.set()
+    observer.join()
+    assert not errors, errors
+    assert not torn, f"reader saw a torn/interleaved payload: {torn[:1]}"
+    assert open(target).read() in valid
+    assert _no_part_residue(str(tmp_path))
+
+
 def test_write_xlsx_every_crash_point(tmp_path):
     """K3/K4 — a crash mid-zip must never leave a corrupt xlsx at the
     published path: the old workbook stays readable at every window."""
