@@ -118,12 +118,40 @@ def _dbscan_variant(grid):
     return fn
 
 
+def _two_level_kernel(module, fn_name):
+    def fn(spark, sf_dir):
+        import importlib
+
+        m = importlib.import_module(
+            f"series_tiempo_ar_scraping_spark.{module}"
+        )
+        return getattr(m, fn_name)(spark, sf_dir, blocking="two_level")
+
+    return fn
+
+
+_SCD_2L = _two_level_kernel("queries_batch11", "semantic_cluster_dedup")
+_LN_2L = _two_level_kernel(
+    "queries_batch12", "label_noise_knn_disagreement"
+)
+
 VARIANTS = {
     # 10000·√10 at 10x rows → constant density (same expected points
     # per eps-cell as the registered sf0.1 run)
     "spatial_dbscan_clusters_scaled_domain": {
         SF01: _dbscan_variant(10000),
         SF1: _dbscan_variant(31623),
+    },
+    # the wired escalation paths (r12): the same kernels blocked by the
+    # two-level codebook instead of the flat adaptive one — the curve a
+    # fleet user rides past the ~125k-vector crossover
+    "semantic_cluster_dedup_two_level": {
+        SF01: _SCD_2L,
+        SF1: _SCD_2L,
+    },
+    "label_noise_knn_two_level": {
+        SF01: _LN_2L,
+        SF1: _LN_2L,
     },
 }
 
