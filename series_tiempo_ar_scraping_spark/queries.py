@@ -1000,7 +1000,10 @@ _DRIVER_GATE_PRIORITY = [
 # null_safe_segment_join, pagerank_part_graph, variant_props_stats,
 # streaming_stateful_sessions, udtf_expand_series_calendar,
 # lateral_top_customers_per_nation, json_error_channel_report,
-# running_distinct_users.
+# running_distinct_users. (approx_sketch_stats, the one oracle-less
+# entry, is deliberately skipped by backfill: the driver records only
+# a rows-only check for it — gate it once, last, when the oracled
+# backlog is burned, for that weaker signal.)
 
 
 def apply_driver_gate_order(strict: bool = False) -> None:

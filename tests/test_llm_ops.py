@@ -604,7 +604,49 @@ def test_two_level_multiprobe_contract(spark, sf_dir):
     assert max(per_vc.values()) <= 2
 
 
-def test_kmeans_iters_zero_is_a_contract_error(spark):
+def test_grouped_lloyd_sql_fragment_at_nondefault_params(spark, sf_dir):
+    """The grouped-Lloyd SQL fragment (`sqlfrags._kmeans_grouped_ctes`)
+    is parameterized (iters, target_cell, floor) but the registered
+    two_level_codebook entry only exercises the defaults — pin the
+    FRAGMENT itself against the Spark operator at non-default
+    parameters (target_cell=40 forces k_g above the floor on the
+    500-vector fixture; floor=3 exercises the floor branch on small
+    groups), so future compositions can trust any parameterization."""
+    import duckdb
+
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.session import load_table
+    from series_tiempo_ar_scraping_spark.sqlfrags import (
+        _kmeans_grouped_ctes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    members = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("g")
+    )
+    _, assign = S.kmeans_lloyd_micro_grouped(
+        members, group_col="g", iters=2, target_cell=40, floor=3
+    )
+    got = sorted((r.gid, r.vid, r.cid) for r in assign.collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{sf_dir}/embeddings.parquet'"
+    )
+    src = (
+        "(SELECT vec_id % 3 AS gid, vec_id AS vid, "
+        "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+        "* 1000000.0 + 0.5) AS BIGINT)) AS xi FROM embeddings)"
+    )
+    sql = (
+        "WITH "
+        + _kmeans_grouped_ctes(iters=2, src=src, target_cell=40, floor=3)
+        + " SELECT gid, vid, cid FROM gassign1 ORDER BY gid, vid"
+    )
+    want = [tuple(r) for r in con.execute(sql).fetchall()]
+    assert got == want
+    # the non-default params actually bite: k_g above the floor
+    assert max(c for _, _, c in got) >= 3
     """iters=0 has no defined result (no assignment round ran); the
     operator must fail fast with a clear error, not an AttributeError."""
     import pytest
