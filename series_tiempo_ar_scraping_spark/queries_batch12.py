@@ -649,8 +649,10 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = df.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
     db = df.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
     return (
-        pairs.join(F.broadcast(da), "tok_a")
-        .join(F.broadcast(db), "tok_b")
+        # no broadcast hint on the per-token DF tables: vocabulary
+        # grows with the corpus (Heaps) — AQE decides (r12 audit)
+        pairs.join(da, "tok_a")
+        .join(db, "tok_b")
         .crossJoin(F.broadcast(n))
         .select(
             "tok_a",
@@ -1346,8 +1348,10 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("pb"), F.col("s_item").alias("s_b")
     )
     return (
-        pair.join(F.broadcast(ia), "pa")
-        .join(F.broadcast(ib), "pb")
+        # no broadcast hint on per-item support: item cardinality
+        # grows with the corpus — AQE decides (r12 audit)
+        pair.join(ia, "pa")
+        .join(ib, "pb")
         .crossJoin(F.broadcast(n))
         .select(
             "pa",

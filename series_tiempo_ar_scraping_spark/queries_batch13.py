@@ -1464,7 +1464,9 @@ def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt.crossJoin(
             F.broadcast(clx.select("cl", "prior_micro", "default_micro"))
         )
-        .join(F.broadcast(lik), ["cl", "token"], "left")
+        # lik is (classes x vocabulary)-sized — vocab grows with the
+        # corpus, so no broadcast hint; AQE decides (r12 audit)
+        .join(lik, ["cl", "token"], "left")
         .groupBy("doc_id", F.col("lang").alias("actual"), "cl")
         .agg(
             (

@@ -133,7 +133,9 @@ def heavy_hitters_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = toks.mapInPandas(_mg_candidates, "tok string").distinct()
     n = toks.agg(F.count("*").cast("long").alias("n_tokens"))
     exact = (
-        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        # candidates is a vocabulary subset (grows with the corpus):
+        # no broadcast hint; AQE decides (r12 audit)
+        toks.join(candidates, "tok", "left_semi")
         .groupBy("tok")
         .agg(F.count("*").cast("long").alias("cnt"))
     )

@@ -178,12 +178,15 @@ def hashing_trick_doc_vectors(
         .join(vb, ["b", "dim"])
         .groupBy("pair_type", "a", "b")
         .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        # no broadcast hint: norms is one row per DOCUMENT (corpus-
+        # sized at 100 TB) — AQE broadcasts it while small and
+        # shuffle-joins once it is not (r12 broadcast-hint audit)
         .join(
-            F.broadcast(norms.withColumnRenamed("doc_id", "a")).withColumnRenamed("n2", "na"),
+            norms.withColumnRenamed("doc_id", "a").withColumnRenamed("n2", "na"),
             "a",
         )
         .join(
-            F.broadcast(norms.withColumnRenamed("doc_id", "b")).withColumnRenamed("n2", "nb"),
+            norms.withColumnRenamed("doc_id", "b").withColumnRenamed("n2", "nb"),
             "b",
         )
     )

@@ -258,8 +258,10 @@ def cooccurrence_null_lift(
         F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
     )
     return (
-        pairs.join(F.broadcast(ia), "item_a")
-        .join(F.broadcast(ib), "item_b")
+        # no broadcast hint on per-item counts: item cardinality
+        # grows with the corpus — AQE decides (r12 audit)
+        pairs.join(ia, "item_a")
+        .join(ib, "item_b")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "item_a",
