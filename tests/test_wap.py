@@ -337,6 +337,64 @@ def test_wap_symlink_probe_memoized_and_enoent_safe(
     W._SYMLINK_SUPPORT_CACHE.clear()
 
 
+def test_wap_symlink_probe_transient_errors_not_cached(
+    tmp_path, monkeypatch
+):
+    """ADVICE r12: only errnos that actually signal 'this filesystem
+    cannot hold symlinks' (EPERM/ENOTSUP/EOPNOTSUPP/EINVAL) may be
+    CACHED as unsupported. A transient error (ENOSPC, momentary
+    EACCES) degrades only that one call — the next publish must
+    re-probe and recover link mode. And a filesystem that persistently
+    raises EEXIST must terminate with a bounded retry, not recurse."""
+    import errno as E
+
+    import series_tiempo_ar_scraping_spark.sinks.wap as W
+
+    W._SYMLINK_SUPPORT_CACHE.clear()
+    real_symlink = os.symlink
+    pub = str(tmp_path / "pub")
+
+    # transient ENOSPC: this call degrades, nothing cached
+    def enospc(*a, **k):
+        raise OSError(E.ENOSPC, "no space")
+
+    monkeypatch.setattr(W.os, "symlink", enospc)
+    assert W._symlinks_supported(pub) is False
+    assert W._SYMLINK_SUPPORT_CACHE == {}
+    # next call (space freed): recovers True and caches it
+    monkeypatch.setattr(W.os, "symlink", real_symlink)
+    assert W._symlinks_supported(pub) is True
+    assert True in W._SYMLINK_SUPPORT_CACHE.values()
+
+    # genuine lack of support (EPERM, e.g. SMB): cached False
+    W._SYMLINK_SUPPORT_CACHE.clear()
+
+    def eperm(*a, **k):
+        raise OSError(E.EPERM, "operation not permitted")
+
+    monkeypatch.setattr(W.os, "symlink", eperm)
+    assert W._symlinks_supported(pub) is False
+    assert False in W._SYMLINK_SUPPORT_CACHE.values()
+    # memoized: flipping symlink back does NOT re-probe (same fs)
+    monkeypatch.setattr(W.os, "symlink", real_symlink)
+    assert W._symlinks_supported(pub) is False
+
+    # persistent EEXIST (weird mount): bounded — returns, no
+    # RecursionError, and nothing cached (indeterminate)
+    W._SYMLINK_SUPPORT_CACHE.clear()
+    calls = {"n": 0}
+
+    def always_eexist(*a, **k):
+        calls["n"] += 1
+        raise FileExistsError(E.EEXIST, "exists")
+
+    monkeypatch.setattr(W.os, "symlink", always_eexist)
+    assert W._symlinks_supported(pub) is False
+    assert calls["n"] == 2  # one retry with a fresh name, then stop
+    assert W._SYMLINK_SUPPORT_CACHE == {}
+    W._SYMLINK_SUPPORT_CACHE.clear()
+
+
 def test_wap_symlink_clears_stale_legacy(spark, tmp_path):
     """Crash after the swap but before rmtree(legacy): base is live,
     '.legacy' is stale. Entry must clear it — otherwise it leaks
