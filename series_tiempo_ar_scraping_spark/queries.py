@@ -920,8 +920,16 @@ _DRIVER_GATE_PRIORITY = [
     # asof_nearest_click_to_purchase (showcase extensions,
     # driver-verified r8-r11, mirror-green every round). Each freed
     # family keeps at least one driver-gated exemplar.
+    # r13 (VERDICT r12 #5): two more redundant stable slots freed for
+    # never-verified backfill — q05_region_revenue (J2 broadcast
+    # metadata lookups stay covered by meta_field_validation; the
+    # relational-join family by semi/anti/topk) and
+    # tumbling_hourly_counts (time-bucket aggregation stays covered by
+    # count_by_status + series_gap_check + window_rank_suite; the
+    # streaming tumbling form enters the gate via this round's three
+    # rotated-in streaming entries). Both were driver-verified every
+    # round r1-r12 and keep the full mirror signal.
     "q01_pricing_summary",
-    "q05_region_revenue",
     "semi_orders_with_big_lineitem",
     "anti_customers_without_orders",
     "filter_purchase_events",
@@ -932,7 +940,6 @@ _DRIVER_GATE_PRIORITY = [
     "union_segments",
     "align_daily_activity",
     "series_gap_check",
-    "tumbling_hourly_counts",
     "meta_field_validation",
     "window_rank_suite",
     # LLM-pipeline exemplars: dedup / similarity / text / multimodal
@@ -955,55 +962,60 @@ _DRIVER_GATE_PRIORITY = [
     "survival_kaplan_meier",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # Round-12 rotation (VERDICT r11 #1/#6), per the codified rule
+    # Round-13 rotation (VERDICT r12 #2/#5), per the codified rule
     # (changed-since-last-driver-verification outranks never-verified;
     # backfill earliest-registered-first from the never-verified pool).
-    # Changed-first: the two adaptive-K entries whose oracle/Spark text
-    # r11 edited (and r12 touched again: semantic_cluster_dedup gained
-    # the corpus localCheckpoint), plus the r12-new two_level_codebook.
+    # Changed-first: the two cell-blocked kernels whose Spark text r13
+    # edited (blocking="auto" default — the gate fixtures resolve to
+    # the flat path, so the flat-derivation oracle stays the pin).
     "label_noise_knn_disagreement",
     "semantic_cluster_dedup",
-    "two_level_codebook",
     # Never-verified backfill (earliest-registered first — the oldest
-    # never-driver-verified code). The r11 block (50/50 in
-    # CORRECTNESS_r11.json) rotates back to the local mirror.
-    "dedup_cc_star",
-    "series_pct_change",
-    "series_pct_change_year_ago",
-    "series_rebase_index",
-    "series_collapse_quarterly",
-    "percentile_order_values",
-    "grouping_sets_order_stats",
-    "salted_user_event_stats",
-    "multimodal_image_stats",
-    "multimodal_audio_stats",
-    "multimodal_video_stats",
-    "streaming_tumbling_counts",
-    "sliding_window_rates",
-    "streaming_enriched_nation_stats",
-    "observations_last_wins_upsert",
-    "sketch_exact_twin",
-    "value_histogram",
+    # never-driver-verified code; the full r13 staging list from r12).
+    # The r12 block (50/50 in CORRECTNESS_r12.json, incl.
+    # two_level_codebook) rotates back to the local mirror.
+    "profile_table_columns",
+    "session_window_native",
+    "funnel_conversion",
+    "signup_cohort_retention",
+    "series_zscore_outliers",
+    "part_co_occurrence",
+    "streaming_click_purchase_join",
+    "weighted_avg_discount_udaf",
+    "skyline_orders_pareto",
+    "json_props_bucket_stats",
+    "streaming_dedup_event_totals",
+    "fuzzy_part_name_pairs",
+    "null_safe_segment_join",
+    "pagerank_part_graph",
+    "variant_props_stats",
+    "streaming_stateful_sessions",
+    "udtf_expand_series_calendar",
+    "lateral_top_customers_per_nation",
+    "json_error_channel_report",
+    "running_distinct_users",
 ]
-# Backlog after the r12 rotation: 116 + 20 = 136 of 363 entries
-# driver-verified at least once (assuming the r12 gate lands green);
-# 227 never (all carry the full local-mirror signal at two scales
-# every round). r13 rotation staging, per the changed-first rule:
-# (1) any entry whose oracle/Spark text r12 edits without a driver
-# re-verification, then (2) never-verified backfill,
-# earliest-registered first: profile_table_columns,
-# session_window_native, funnel_conversion, signup_cohort_retention,
-# series_zscore_outliers, part_co_occurrence,
-# streaming_click_purchase_join, weighted_avg_discount_udaf,
-# skyline_orders_pareto, json_props_bucket_stats,
-# streaming_dedup_event_totals, fuzzy_part_name_pairs,
-# null_safe_segment_join, pagerank_part_graph, variant_props_stats,
-# streaming_stateful_sessions, udtf_expand_series_calendar,
-# lateral_top_customers_per_nation, json_error_channel_report,
-# running_distinct_users. (approx_sketch_stats, the one oracle-less
-# entry, is deliberately skipped by backfill: the driver records only
-# a rows-only check for it — gate it once, last, when the oracled
-# backlog is burned, for that weaker signal.)
+# Backlog after the r13 rotation: 155 of 363 entries driver-verified
+# at least once (assuming the r13 gate lands green — the union of
+# CORRECTNESS_r1-r12's 135 names, this round's 20 backfills, and the
+# gate's stable/changed rows); 208 never (all carry the full
+# local-mirror signal at two scales every round; the count is
+# reproducible from the CORRECTNESS_r*.json files + this list).
+# r14 rotation staging, per the changed-first rule: (1) any entry
+# whose oracle/Spark text r13 edits without a driver re-verification,
+# then (2) never-verified backfill, earliest-registered first:
+# concurrent_sessions_by_day, q18_large_volume_orders,
+# embedding_dim_profile, skew_salted_join_stats, trailing_7d_avg,
+# long_word_extraction, series_forward_fill, ordered_string_agg,
+# series_linear_interpolate, rolling_median_value,
+# union_missing_columns, safe_arithmetic_report, table_fingerprint,
+# decontamination_ngram_overlap, embedding_int8_quantization,
+# token_length_histogram, boilerplate_ngram_detection,
+# repetition_score, pii_pattern_scan, dataset_split_assignment.
+# (approx_sketch_stats, the one oracle-less entry, is deliberately
+# skipped by backfill: the driver records only a rows-only check for
+# it — gate it once, last, when the oracled backlog is burned, for
+# that weaker signal.)
 
 
 def apply_driver_gate_order(strict: bool = False) -> None:

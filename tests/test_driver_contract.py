@@ -57,7 +57,6 @@ def test_entry_and_python_islands_from_foreign_cwd(tmp_path):
 # happened in r2) fails here instead of silently downgrading the gate.
 _GATE_FIRST_50 = [
     "q01_pricing_summary",
-    "q05_region_revenue",
     "semi_orders_with_big_lineitem",
     "anti_customers_without_orders",
     "filter_purchase_events",
@@ -68,7 +67,6 @@ _GATE_FIRST_50 = [
     "union_segments",
     "align_daily_activity",
     "series_gap_check",
-    "tumbling_hourly_counts",
     "meta_field_validation",
     "window_rank_suite",
     "text_stats",
@@ -86,30 +84,33 @@ _GATE_FIRST_50 = [
     "survival_kaplan_meier",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # r12 rotation (VERDICT r11 #1/#6): changed-first (the two
-    # adaptive-K entries + the new two_level_codebook), then
-    # never-verified backfill earliest-registered first; five
-    # redundant stable slots freed (each family keeps an exemplar).
+    # r13 rotation (VERDICT r12 #2/#5): changed-first (the two
+    # cell-blocked kernels that gained the blocking="auto" default),
+    # then the full 20-name staged never-verified backfill; two more
+    # redundant stable slots freed (q05_region_revenue,
+    # tumbling_hourly_counts — each family keeps an exemplar).
     "label_noise_knn_disagreement",
     "semantic_cluster_dedup",
-    "two_level_codebook",
-    "dedup_cc_star",
-    "series_pct_change",
-    "series_pct_change_year_ago",
-    "series_rebase_index",
-    "series_collapse_quarterly",
-    "percentile_order_values",
-    "grouping_sets_order_stats",
-    "salted_user_event_stats",
-    "multimodal_image_stats",
-    "multimodal_audio_stats",
-    "multimodal_video_stats",
-    "streaming_tumbling_counts",
-    "sliding_window_rates",
-    "streaming_enriched_nation_stats",
-    "observations_last_wins_upsert",
-    "sketch_exact_twin",
-    "value_histogram",
+    "profile_table_columns",
+    "session_window_native",
+    "funnel_conversion",
+    "signup_cohort_retention",
+    "series_zscore_outliers",
+    "part_co_occurrence",
+    "streaming_click_purchase_join",
+    "weighted_avg_discount_udaf",
+    "skyline_orders_pareto",
+    "json_props_bucket_stats",
+    "streaming_dedup_event_totals",
+    "fuzzy_part_name_pairs",
+    "null_safe_segment_join",
+    "pagerank_part_graph",
+    "variant_props_stats",
+    "streaming_stateful_sessions",
+    "udtf_expand_series_calendar",
+    "lateral_top_customers_per_nation",
+    "json_error_channel_report",
+    "running_distinct_users",
 ]
 
 
