@@ -380,6 +380,12 @@ BENCH_QUERIES_EXT = [
     # appended at the lane TAIL so every earlier query keeps its JVM
     # context and cross-round per-query comparability
     "two_level_codebook",
+    # round 13 (batch 52): the escalated dedup census (two-level
+    # blocking at coarse_k=8) — the dataflow the auto default rides
+    # past the 125k crossover; benched so its warm-lane lineage exists
+    # at the same time it becomes reachable by default (VERDICT r12
+    # #7). Lane tail, same comparability rule.
+    "semantic_cluster_dedup_two_level",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

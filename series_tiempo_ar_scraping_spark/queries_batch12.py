@@ -2248,6 +2248,8 @@ def label_noise_knn_disagreement(
     k: int | None = None,
     blocking: str = "auto",
     coarse_k: int = 8,
+    nprobe_coarse: int = 2,
+    nprobe_fine: int = 1,
 ) -> DataFrame:
     """Label-noise detection by neighborhood voting: for every labeled
     embedding, how many of its 5 nearest CANDIDATE neighbors (cosine)
@@ -2288,13 +2290,25 @@ def label_noise_knn_disagreement(
     flat crossover (n ≈ 2·target_cell²): unlike the hard-assignment
     dedup census (``semantic_cluster_dedup``), this kernel
     multi-probes, so the escalation is ``S.two_level_multiprobe`` —
-    rank the coarse codebook (coarse_k rows, broadcast, nprobe 2),
-    then within each probed coarse cell rank that cell's fine codebook
-    (equi-join on the coarse id + per-(vector, coarse) window,
-    nprobe 2) — the IVF nprobe contract one level down, ≤ 4 candidate
-    cells per vector. With ``coarse_k=1`` above the flat K floor it is
-    provably identical to the flat path (pinned by
-    ``test_label_noise_two_level_equals_flat_at_coarse_1``).
+    rank the coarse codebook (coarse_k rows, broadcast,
+    ``nprobe_coarse`` cells), then within each probed coarse cell rank
+    that cell's fine codebook (equi-join on the coarse id +
+    per-(vector, coarse) window, ``nprobe_fine`` cells) — the IVF
+    nprobe contract one level down. The DEFAULT escalation shape is
+    (2, 1): two probed coarse cells, the nearest fine cell in each —
+    the SAME 2-candidate-cell budget as the flat path's nprobe=2, so
+    the escalation isolates the ranking-term savings instead of
+    doubling the pair work. MEASURED at 128k vectors (just past the
+    crossover, tools/crossover_probe.py, r13): (2,1) beats flat 1.19×
+    while the r12 (2,2) shape LOSES 0.79× — its 4 candidate cells
+    double the dominant per-pair cosine work; pass ``nprobe_fine=2``
+    to trade that cost for the wider neighborhoods. With
+    ``coarse_k=1`` and ``nprobe_fine=2`` above the flat K floor the
+    escalated path is provably identical to the flat one (pinned by
+    ``test_label_noise_two_level_equals_flat_at_coarse_1`` — the
+    identity needs the (2,2) shape: one coarse cell collapses the
+    coarse probes, so the two flat-probed cells come from the fine
+    ranking).
 
     ``blocking="auto"`` — the REGISTERED DEFAULT since r13 (VERDICT
     r12 #3: a fleet user must not need to know the SCALE.md crossover
@@ -2323,8 +2337,8 @@ def label_noise_knn_disagreement(
             emb,
             coarse_k=coarse_k,
             iters=_LN_KM_ITERS,
-            nprobe_coarse=2,
-            nprobe_fine=2,
+            nprobe_coarse=nprobe_coarse,
+            nprobe_fine=nprobe_fine,
         ).localCheckpoint(eager=True)
         key = (
             F.col("coarse_cid").cast("long") * F.lit(2**32)

@@ -227,7 +227,7 @@ def _symlinks_supported(publish_dir: str) -> bool:
         getattr(errno, "EOPNOTSUPP", errno.ENOTSUP),
         errno.EINVAL,
     }
-    for attempt in range(2):  # one retry on residue collision, bounded
+    for _ in range(2):  # one retry on residue collision, bounded
         probe = os.path.join(
             parent,
             f".wap_symlink_probe_{os.getpid()}_{next(_PROBE_SEQ)}",

@@ -551,11 +551,17 @@ def test_label_noise_two_level_equals_flat_at_coarse_1(spark):
     flat = sorted(
         map(tuple, label_noise_knn_disagreement(spark, sf01).collect())
     )
+    # the identity needs the (2,2) probe shape: with ONE coarse cell
+    # the coarse probes collapse, so both flat-probed cells must come
+    # from the fine ranking (the r13 default escalation shape (2,1)
+    # probes a single cell at coarse_k=1 — a different, narrower
+    # candidate set, deliberately not what this test pins)
     two = sorted(
         map(
             tuple,
             label_noise_knn_disagreement(
-                spark, sf01, blocking="two_level", coarse_k=1
+                spark, sf01, blocking="two_level", coarse_k=1,
+                nprobe_fine=2,
             ).collect(),
         )
     )

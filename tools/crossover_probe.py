@@ -94,16 +94,31 @@ def main() -> None:
         "crossover": S.TWO_LEVEL_CROSSOVER,
         "auto_resolves_to": S.blocking_mode_for(n),
     }
-    for mode in ("two_level", "flat"):
+    # three configs: flat (adaptive K, nprobe 2 => 2 candidate cells);
+    # two_level at the r12 wiring (nprobe 2x2 => up to 4 candidate
+    # cells — double the pair work of flat, the suspected reason the
+    # first 128k reading lost); two_level_fine1 (nprobe 2x1 => 2
+    # candidate cells — the candidate-budget-parity escalation, which
+    # isolates the ranking-term savings the crossover analysis is
+    # about)
+    configs = {
+        "flat": dict(blocking="flat"),
+        "two_level": dict(blocking="two_level", nprobe_fine=2),
+        "two_level_fine1": dict(blocking="two_level", nprobe_fine=1),
+    }
+    for mode, kw in configs.items():
         t0 = time.perf_counter()
         label_noise_knn_disagreement(
-            spark, XL_DIR, blocking=mode
+            spark, XL_DIR, **kw
         ).write.mode("overwrite").format("noop").save()
         out[f"{mode}_sec"] = round(time.perf_counter() - t0, 3)
         print(f"PROBE_DETAIL label_noise_knn[{mode}] @ {n}: "
               f"{out[f'{mode}_sec']}s")
     out["two_level_speedup_vs_flat"] = round(
         out["flat_sec"] / out["two_level_sec"], 2
+    )
+    out["two_level_fine1_speedup_vs_flat"] = round(
+        out["flat_sec"] / out["two_level_fine1_sec"], 2
     )
     stat1 = _cpu_stat()
     if stat0 and stat1 and stat1[1] > stat0[1]:
