@@ -2298,11 +2298,14 @@ def label_noise_knn_disagreement(
     (2, 1): two probed coarse cells, the nearest fine cell in each —
     the SAME 2-candidate-cell budget as the flat path's nprobe=2, so
     the escalation isolates the ranking-term savings instead of
-    doubling the pair work. MEASURED at 128k vectors (just past the
-    crossover, tools/crossover_probe.py, r13): (2,1) beats flat 1.19×
-    while the r12 (2,2) shape LOSES 0.79× — its 4 candidate cells
-    double the dominant per-pair cosine work; pass ``nprobe_fine=2``
-    to trade that cost for the wider neighborhoods. With
+    doubling the pair work. MEASURED (tools/crossover_probe.py, r13):
+    at 128k vectors — just past the crossover — (2,1) reads parity
+    with flat (0.93×, clean window) and at 256k it wins 1.50× with
+    diverging growth exponents (flat 4.22× vs two-level 2.61× per
+    corpus doubling); the r12 (2,2) shape LOSES 0.75× even at 128k —
+    its 4 candidate cells double the dominant per-pair cosine work.
+    Pass ``nprobe_fine=2`` to trade that cost for the wider
+    neighborhoods. With
     ``coarse_k=1`` and ``nprobe_fine=2`` above the flat K floor the
     escalated path is provably identical to the flat one (pinned by
     ``test_label_noise_two_level_equals_flat_at_coarse_1`` — the

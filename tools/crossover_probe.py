@@ -32,7 +32,10 @@ target cell density), so the delta isolates the assignment/ranking
 term the crossover analysis is about. One JSON line to stdout;
 steal_pct telemetry as in sf1_probe (>~1% = rerun).
 
-Usage: python tools/crossover_probe.py [copies]   (default 64)
+Usage: python tools/crossover_probe.py [copies] [configs]
+  copies  — XL corpus = copies × 2,000 vectors (default 64 = 128k)
+  configs — comma-separated subset of flat,two_level,two_level_fine1
+            (default: all three)
 """
 from __future__ import annotations
 
@@ -49,17 +52,17 @@ from pyspark.sql import functions as F  # noqa: E402
 from series_tiempo_ar_scraping_spark.session import get_spark  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
-XL_DIR = "/tmp/sf_knn_xl"
+XL_DIR_BASE = "/tmp/sf_knn_xl"
 # multiple of every modulus the fixtures plant structure with, same
 # constant as sf1_probe so per-copy planted relationships survive
 SHIFT = 10_000_000
 
 
-def inflate(spark, copies: int) -> None:
-    dst = os.path.join(XL_DIR, "embeddings.parquet")
+def inflate(spark, copies: int, xl_dir: str) -> None:
+    dst = os.path.join(xl_dir, "embeddings.parquet")
     if os.path.exists(dst):
         return
-    os.makedirs(XL_DIR, exist_ok=True)
+    os.makedirs(xl_dir, exist_ok=True)
     src = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
     out = None
     for k in range(copies):
@@ -85,9 +88,11 @@ def main() -> None:
     spark = get_spark("crossover-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).count()
-    inflate(spark, copies)
+    # one dir per scale so multi-point curves reuse each inflation
+    xl_dir = XL_DIR_BASE if copies == 64 else f"{XL_DIR_BASE}_{copies}"
+    inflate(spark, copies, xl_dir)
     n = spark.read.parquet(
-        os.path.join(XL_DIR, "embeddings.parquet")
+        os.path.join(xl_dir, "embeddings.parquet")
     ).count()
     out = {
         "n_vectors": n,
@@ -106,20 +111,22 @@ def main() -> None:
         "two_level": dict(blocking="two_level", nprobe_fine=2),
         "two_level_fine1": dict(blocking="two_level", nprobe_fine=1),
     }
+    if len(sys.argv) > 2:
+        wanted = sys.argv[2].split(",")
+        configs = {k: v for k, v in configs.items() if k in wanted}
     for mode, kw in configs.items():
         t0 = time.perf_counter()
         label_noise_knn_disagreement(
-            spark, XL_DIR, **kw
+            spark, xl_dir, **kw
         ).write.mode("overwrite").format("noop").save()
         out[f"{mode}_sec"] = round(time.perf_counter() - t0, 3)
         print(f"PROBE_DETAIL label_noise_knn[{mode}] @ {n}: "
               f"{out[f'{mode}_sec']}s")
-    out["two_level_speedup_vs_flat"] = round(
-        out["flat_sec"] / out["two_level_sec"], 2
-    )
-    out["two_level_fine1_speedup_vs_flat"] = round(
-        out["flat_sec"] / out["two_level_fine1_sec"], 2
-    )
+    for mode in configs:
+        if mode != "flat" and "flat_sec" in out:
+            out[f"{mode}_speedup_vs_flat"] = round(
+                out["flat_sec"] / out[f"{mode}_sec"], 2
+            )
     stat1 = _cpu_stat()
     if stat0 and stat1 and stat1[1] > stat0[1]:
         out["steal_pct"] = round(
