@@ -380,12 +380,14 @@ BENCH_QUERIES_EXT = [
     # appended at the lane TAIL so every earlier query keeps its JVM
     # context and cross-round per-query comparability
     "two_level_codebook",
-    # round 13 (batch 52): the escalated dedup census (two-level
-    # blocking at coarse_k=8) — the dataflow the auto default rides
-    # past the 125k crossover; benched so its warm-lane lineage exists
-    # at the same time it becomes reachable by default (VERDICT r12
-    # #7). Lane tail, same comparability rule.
+    # round 13 (batch 52): the escalated blocking paths (two-level at
+    # coarse_k=8; the kNN form at the measured (2,1) probe shape) —
+    # the dataflows the auto default rides past the 125k crossover;
+    # benched so their warm-lane lineage exists from the round they
+    # became reachable by default (VERDICT r12 #7). Lane tail, same
+    # comparability rule.
     "semantic_cluster_dedup_two_level",
+    "label_noise_knn_two_level",
 ]
 
 BENCH_QUERIES = BENCH_QUERIES_R2 + BENCH_QUERIES_EXT

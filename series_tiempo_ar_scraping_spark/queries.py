@@ -996,18 +996,19 @@ _DRIVER_GATE_PRIORITY = [
     "json_error_channel_report",
     "running_distinct_users",
 ]
-# Backlog after the r13 rotation: 155 of 364 entries driver-verified
+# Backlog after the r13 rotation: 155 of 365 entries driver-verified
 # at least once (assuming the r13 gate lands green — the union of
 # CORRECTNESS_r1-r12's 135 names, this round's 20 backfills, and the
-# gate's stable/changed rows); 209 never (all carry the full
+# gate's stable/changed rows); 210 never (all carry the full
 # local-mirror signal at two scales every round; the count is
 # reproducible from the CORRECTNESS_r*.json files + this list).
-# r14 rotation staging, per the changed-first rule: (1) the r13-NEW
-# oracled entry semantic_cluster_dedup_two_level (the escalated
-# census — registered after this round's gate dry-run, so it enters
-# the gate changed-first next round, the two_level_codebook r12
-# precedent), then (2) any entry whose oracle/Spark text r14 edits
-# without a driver re-verification, then (3) never-verified backfill,
+# r14 rotation staging, per the changed-first rule: (1) the two
+# r13-NEW oracled entries semantic_cluster_dedup_two_level and
+# label_noise_knn_two_level (the escalated blocking paths —
+# registered after this round's gate dry-run, so they enter the gate
+# changed-first next round, the two_level_codebook r12 precedent),
+# then (2) any entry whose oracle/Spark text r14 edits without a
+# driver re-verification, then (3) never-verified backfill,
 # earliest-registered first:
 # concurrent_sessions_by_day, q18_large_volume_orders,
 # embedding_dim_profile, skew_salted_join_stats, trailing_7d_avg,

@@ -118,23 +118,6 @@ def _dbscan_variant(grid):
     return fn
 
 
-def _two_level_kernel(module, fn_name):
-    def fn(spark, sf_dir):
-        import importlib
-
-        m = importlib.import_module(
-            f"series_tiempo_ar_scraping_spark.{module}"
-        )
-        return getattr(m, fn_name)(spark, sf_dir, blocking="two_level")
-
-    return fn
-
-
-_SCD_2L = _two_level_kernel("queries_batch11", "semantic_cluster_dedup")
-_LN_2L = _two_level_kernel(
-    "queries_batch12", "label_noise_knn_disagreement"
-)
-
 VARIANTS = {
     # 10000·√10 at 10x rows → constant density (same expected points
     # per eps-cell as the registered sf0.1 run)
@@ -142,17 +125,12 @@ VARIANTS = {
         SF01: _dbscan_variant(10000),
         SF1: _dbscan_variant(31623),
     },
-    # the wired escalation paths (r12): the same kernels blocked by the
-    # two-level codebook instead of the flat adaptive one — the curve a
-    # fleet user rides past the ~125k-vector crossover
-    "semantic_cluster_dedup_two_level": {
-        SF01: _SCD_2L,
-        SF1: _SCD_2L,
-    },
-    "label_noise_knn_two_level": {
-        SF01: _LN_2L,
-        SF1: _LN_2L,
-    },
+    # The r12-era escalation variants (semantic_cluster_dedup_two_level,
+    # label_noise_knn_two_level) became REGISTERED oracled entries in
+    # r13 (queries_batch52) with identical semantics, so plain QUERIES
+    # lookup now covers them — no override needed. The kNN variant's
+    # r12 lineage points used the (2,2) probe shape; r13+ points ride
+    # the (2,1) default (SCALE.md r13 adjudication).
 }
 
 
