@@ -464,10 +464,14 @@ def connected_components_star(
     ``connected_components``: ``(id_col, component_id)`` where
     component_id = min node id in the component.
 
-    Convergence detection: the edge multiset is canonicalized
-    (child > parent, distinct) each round, so an unchanged
+    Convergence detection: the small-star output is already canonical —
+    every emitted edge satisfies child > parent (both branches point a
+    node at a closed-neighborhood MINIMUM, and the = case is filtered),
+    and the round ends with a distinct — so an unchanged
     (count, xxhash-sum) fingerprint means fixpoint — one tiny aggregate,
-    no set-compare join.
+    no set-compare join, and no separate canonicalize pass (r13: the
+    former greatest/least + distinct re-canonicalization was a provable
+    identity costing one full exchange + dedup per round; dropped).
     """
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -501,12 +505,16 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # No distinct here (r13): duplicates in the large-star output are
+        # harmless — pmins' min-agg is duplicate-insensitive (map-side
+        # partial agg absorbs them) and the small-star round ends with
+        # its own distinct. Deduping ls bought nothing and cost a full
+        # extra exchange per round.
         ls = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("child"), F.col("m").alias("parent"))
             .filter(F.col("child") != F.col("parent"))
-            .distinct()
         )
         # ---- small-star over the large-star output: edges point child →
         # smaller parent; for each child u, m = min(parents ∪ {u}); emit
@@ -523,10 +531,12 @@ def connected_components_star(
             .filter(F.col("child") != F.col("parent"))
             .distinct()
         )
-        e = ss.select(
-            F.greatest("child", "parent").alias("child"),
-            F.least("child", "parent").alias("parent"),
-        ).distinct().localCheckpoint(eager=True)
+        # Small-star output is already canonical (child > parent, distinct
+        # — see docstring), so checkpoint it directly. eager=False: the
+        # fingerprint aggregate below is the action that materializes the
+        # checkpoint — one pass over the round's result, not two (the
+        # same pattern min-label CC uses).
+        e = ss.localCheckpoint(eager=False)
         cur = fingerprint(e)
         if cur == prev:
             break

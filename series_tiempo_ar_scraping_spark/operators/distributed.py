@@ -17,12 +17,18 @@ from pyspark.sql import functions as F
 def two_phase_prefix_sum(
     df: DataFrame,
     order_cols: list,
-    value_col: str,
-    out_col: str = "running_sum",
+    value_col,
+    out_col="running_sum",
     n_parts: int | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = inclusive running sum of ``value_col`` over the
     global ``order_cols`` order, without ever sorting the data globally.
+
+    ``value_col`` / ``out_col`` may be lists of equal length (r13): all
+    running sums then share ONE range partitioning, one local window
+    pass and one carry aggregate — callers that used to nest two calls
+    (two range exchanges + two checkpoints) pay a single pass for the
+    same exact values.
 
     Mechanics: ``repartitionByRange`` on the order (so partition ranges
     tile the order), a per-partition cumulative window, and an exclusive
@@ -33,6 +39,11 @@ def two_phase_prefix_sum(
     drop it). Shared by ``sequence_packing_bins`` and
     ``concurrent_sessions_by_day``.
     """
+    pairs = (
+        [(value_col, out_col)]
+        if isinstance(value_col, str)
+        else list(zip(value_col, out_col))
+    )
     spark = df.sparkSession
     n_parts = n_parts or max(spark.sparkContext.defaultParallelism, 8)
     ranged = (
@@ -45,7 +56,9 @@ def two_phase_prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = ranged.withColumn("_local", F.sum(value_col).over(local_w))
+    local = ranged
+    for v, _o in pairs:
+        local = local.withColumn(f"_local_{v}", F.sum(v).over(local_w))
     # exclusive prefix over per-partition totals: one row per partition,
     # so this global window is O(#parts), never O(rows)
     carry_w = Window.orderBy("part_id").rowsBetween(
@@ -53,16 +66,25 @@ def two_phase_prefix_sum(
     )
     offsets = (
         ranged.groupBy("part_id")
-        .agg(F.sum(value_col).alias("_part_total"))
+        .agg(
+            *[
+                F.sum(v).alias(f"_part_total_{v}")
+                for v, _o in pairs
+            ]
+        )
         .select(
             "part_id",
-            F.coalesce(F.sum("_part_total").over(carry_w), F.lit(0)).alias(
-                "_carry"
-            ),
+            *[
+                F.coalesce(
+                    F.sum(f"_part_total_{v}").over(carry_w), F.lit(0)
+                ).alias(f"_carry_{v}")
+                for v, _o in pairs
+            ],
         )
     )
-    return (
-        local.join(F.broadcast(offsets), "part_id")
-        .withColumn(out_col, F.col("_local") + F.col("_carry"))
-        .drop("_local", "_carry")
-    )
+    out = local.join(F.broadcast(offsets), "part_id")
+    for v, o in pairs:
+        out = out.withColumn(
+            o, F.col(f"_local_{v}") + F.col(f"_carry_{v}")
+        ).drop(f"_local_{v}", f"_carry_{v}")
+    return out

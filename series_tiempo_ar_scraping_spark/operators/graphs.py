@@ -26,8 +26,11 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     Reference parity: the graph the reference's co-occurrence style
     rollups imply; cited by ``hits_hub_authority`` (batch 23) and
     ``triangle_count_clustering`` (batch 24)."""
-    op = lineitem.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
+    # No pre-distinct (r13): collect_set already dedups per basket, so
+    # the former (l_orderkey, l_partkey).distinct() was a second full
+    # shuffle of the same projection for nothing — one exchange, not two
+    # (the part_co_occurrence spelling, now shared here).
+    baskets = lineitem.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     return (

@@ -130,6 +130,27 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
             / (F.col("v_norm") * F.col("c_norm"))
         ).alias("csim"),
     )
+    if n_assign == 1:
+        # Argmax by struct-max aggregate (r13): max over
+        # (csim, -centroid_id) is the window's exact total order —
+        # largest csim first (incl. Spark's NaN-greatest and
+        # null-field-smallest semantics, which match DESC NULLS LAST),
+        # ties to the smallest centroid id — but the k scored rows per
+        # vector collapse in the map-side partial aggregate instead of
+        # riding a full shuffle + sort through row_number.
+        best = scored.groupBy("vid").agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("centroid_id")).alias("nid"),
+                )
+            ).alias("b")
+        )
+        return best.select(
+            F.col("vid").alias(id_col),
+            (-F.col("b.nid")).alias("centroid_id"),
+            F.lit(1).alias("crank"),
+        )
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -257,11 +278,18 @@ def kmeans_lloyd_micro(
         scored = vecs.crossJoin(F.broadcast(cent)).select(
             "vid", "cid", "xi", dist.alias("d2")
         )
-        w = Window.partitionBy("vid").orderBy("d2", "cid")
+        # Argmin by struct-min aggregate (r13), not a window: min over
+        # (d2, cid, xi) compares exact-bigint d2 then cid — the same
+        # total order the former row_number window used — but partial
+        # aggregation collapses the k candidate rows per vector BEFORE
+        # the exchange, so the shuffle moves n rows instead of n·k
+        # (each carrying the dim-wide xi array) and pays no sort. The
+        # xi field rides along un-compared ((d2, cid) is already unique
+        # per vid).
         assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vid", "cid", "xi")
+            scored.groupBy("vid")
+            .agg(F.min(F.struct("d2", "cid", "xi")).alias("b"))
+            .select("vid", F.col("b.cid").alias("cid"), F.col("b.xi").alias("xi"))
         )
         comp = assign.select(
             "cid", F.posexplode("xi").alias("pos", "val")
@@ -357,11 +385,19 @@ def kmeans_lloyd_micro_grouped(
         scored = vecs.join(cent, "gid").select(
             "gid", "vid", "cid", "xi", dist.alias("d2")
         )
-        w = Window.partitionBy("gid", "vid").orderBy("d2", "cid")
+        # Struct-min argmin (r13) — same rewrite as the flat kernel:
+        # selection order (d2 asc, cid asc) is unchanged, but the k_g
+        # candidate rows per (gid, vid) collapse map-side instead of
+        # riding a full shuffle+sort through a window.
         assign = (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("gid", "vid", "cid", "xi")
+            scored.groupBy("gid", "vid")
+            .agg(F.min(F.struct("d2", "cid", "xi")).alias("b"))
+            .select(
+                "gid",
+                "vid",
+                F.col("b.cid").alias("cid"),
+                F.col("b.xi").alias("xi"),
+            )
         )
         comp = assign.select(
             "gid", "cid", F.posexplode("xi").alias("pos", "val")

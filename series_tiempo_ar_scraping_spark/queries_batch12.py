@@ -2757,24 +2757,42 @@ def embedding_power_iteration(
     )
     n = emb.agg(F.count("*").alias("n"))
     s = q.groupBy("d").agg(F.sum("x").cast("long").alias("sd"))
-    y = (
-        q.join(F.broadcast(s), "d")
+    # Map-side Gram (r13): the former ya⋈yb self-join on vec_id
+    # shuffled the exploded N×64 frame twice just to pair each vector's
+    # dims with themselves. The pairing is per-row: keep y as a 64-array
+    # (s broadcast back as an array, same exact integers), double
+    # posexplode the array for the outer product, and let the partial
+    # aggregate collapse to the 64×64 Gram BEFORE the only exchange —
+    # zero data-sized shuffles (guide §2.4). Gram entries are the same
+    # exact decimal(38,0) sums of identical integer terms.
+    s_row = s.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "sd"))),
+            lambda t: t["sd"],
+        ).alias("sarr")
+    )
+    ywide = (
+        emb.crossJoin(F.broadcast(s_row))
         .crossJoin(F.broadcast(n))
         .select(
-            "vec_id",
-            "d",
-            (F.col("n") * F.col("x") - F.col("sd")).alias("y"),
+            F.transform(
+                F.col("embedding"),
+                lambda v, i: F.col("n")
+                * F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast(
+                    "long"
+                )
+                - F.element_at(F.col("sarr"), i + F.lit(1)),
+            ).alias("y_arr")
         )
     )
-    ya = y.select(
-        "vec_id", F.col("d").alias("da"), F.col("y").alias("ya")
-    )
-    yb = y.select(
-        "vec_id", F.col("d").alias("db"), F.col("y").alias("yb")
-    )
     gram = (
-        ya.join(yb, "vec_id")
-        .groupBy("da", "db")
+        ywide.select(F.col("y_arr"), F.posexplode("y_arr").alias("pa", "ya"))
+        .select(
+            (F.col("pa") + 1).alias("da"),
+            F.col("ya"),
+            F.posexplode("y_arr").alias("pb", "yb"),
+        )
+        .groupBy("da", (F.col("pb") + 1).alias("db"))
         .agg(
             F.sum(
                 F.col("ya").cast("decimal(38,0)") * F.col("yb")
@@ -3692,8 +3710,8 @@ def graph_bounded_shortest_paths(
     size O(1) in rounds via per-round checkpoints (the pagerank
     discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
+    # collect_set dedups per basket — no pre-distinct shuffle (r13)
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     und = (
@@ -3725,7 +3743,7 @@ def graph_bounded_shortest_paths(
         )
         .localCheckpoint(eager=True)
     )
-    nodes = op.select(F.col("l_partkey").alias("id")).distinct()
+    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
     src = nodes.agg(F.min("id").alias("s"))
     d = (
         nodes.crossJoin(F.broadcast(src))

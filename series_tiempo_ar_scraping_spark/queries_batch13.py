@@ -1423,14 +1423,21 @@ def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(TX.tokens(TX.normalize_text("text"))).alias("token"),
     )
+    # Tokenize ONCE (r13): dt is the sufficient statistic for everything
+    # downstream — vocab (distinct token), class totals (c_tokens =
+    # Σc, c_docs = distinct doc_id) and the (class, token) counts
+    # (cnt = Σc) are all exact rollups of it. Formerly vocab/cls/tc each
+    # re-ran the regex tokenization + explode over the full corpus (4
+    # passes); now one pass is checkpointed and the three aggregates
+    # read the much smaller distinct-(doc,token) frame.
     dt = tk.groupBy("doc_id", "lang", "token").agg(
         F.count("*").alias("c")
-    )
-    vocab = tk.agg(F.countDistinct("token").alias("v"))
+    ).localCheckpoint(eager=False)
+    vocab = dt.agg(F.countDistinct("token").alias("v"))
     nd = docs.agg(F.count("*").alias("n_docs"))
-    cls = tk.groupBy(F.col("lang").alias("cl")).agg(
+    cls = dt.groupBy(F.col("lang").alias("cl")).agg(
         F.countDistinct("doc_id").alias("c_docs"),
-        F.count("*").alias("c_tokens"),
+        F.sum("c").cast("long").alias("c_tokens"),
     )
     micro_ln = lambda num, den: F.floor(  # noqa: E731
         F.log(num.cast("double") / den) * 1000000 + F.lit(0.5)
@@ -1450,8 +1457,8 @@ def naive_bayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("default_micro"),
         )
     )
-    tc = tk.groupBy(F.col("lang").alias("cl"), "token").agg(
-        F.count("*").alias("cnt")
+    tc = dt.groupBy(F.col("lang").alias("cl"), "token").agg(
+        F.sum("c").cast("long").alias("cnt")
     )
     lik = tc.join(F.broadcast(clx), "cl").select(
         "cl",
@@ -1599,11 +1606,10 @@ def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("long").alias("pos_cnt"),
         F.count("*").alias("cnt"),
     )
+    # one range pass for both running sums (r13) — formerly two nested
+    # calls paid two range exchanges + two checkpoints for the same data
     cum = two_phase_prefix_sum(
-        two_phase_prefix_sum(vals, ["cents"], "pos_cnt", out_col="cum_p"),
-        ["cents"],
-        "cnt",
-        out_col="cum_t",
+        vals, ["cents"], ["pos_cnt", "cnt"], out_col=["cum_p", "cum_t"]
     )
     tot = vals.agg(
         F.sum("pos_cnt").cast("long").alias("p_tot"),
@@ -1729,8 +1735,8 @@ def graph_kcore_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
+    # collect_set dedups per basket — no pre-distinct shuffle (r13)
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     pairs = (

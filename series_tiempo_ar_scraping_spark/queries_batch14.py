@@ -2433,8 +2433,8 @@ def graph_degree_assortativity(
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
+    # collect_set dedups per basket — no pre-distinct shuffle (r13)
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     pairs = (
@@ -3119,21 +3119,29 @@ def classification_f1_report(
         .select("actual", "predicted")
         .localCheckpoint(eager=False)  # reused: class frame + counts
     )
+    # Confusion-matrix-first (r13, the docstring's own "at larger label
+    # spaces" shape): ONE aggregate over preds collapses map-side to
+    # |labels|² cells; the per-class tallies then cross the tiny matrix
+    # with the label frame instead of expanding every prediction row
+    # ×|labels| before aggregating. Same exact tp/fp/fn counts.
+    conf = preds.groupBy("actual", "predicted").agg(
+        F.count("*").cast("long").alias("m")
+    ).localCheckpoint(eager=False)
     cls = (
-        preds.select(F.col("actual").alias("cl"))
-        .union(preds.select("predicted"))
+        conf.select(F.col("actual").alias("cl"))
+        .union(conf.select("predicted"))
         .distinct()
     )
     per = (
         F.broadcast(cls)
-        .crossJoin(preds)
+        .crossJoin(conf)
         .groupBy("cl")
         .agg(
             F.sum(
                 F.when(
                     (F.col("actual") == F.col("cl"))
                     & (F.col("predicted") == F.col("cl")),
-                    1,
+                    F.col("m"),
                 ).otherwise(0)
             )
             .cast("long")
@@ -3142,7 +3150,7 @@ def classification_f1_report(
                 F.when(
                     (F.col("actual") != F.col("cl"))
                     & (F.col("predicted") == F.col("cl")),
-                    1,
+                    F.col("m"),
                 ).otherwise(0)
             )
             .cast("long")
@@ -3151,7 +3159,7 @@ def classification_f1_report(
                 F.when(
                     (F.col("actual") == F.col("cl"))
                     & (F.col("predicted") != F.col("cl")),
-                    1,
+                    F.col("m"),
                 ).otherwise(0)
             )
             .cast("long")
@@ -4214,10 +4222,7 @@ def ks_two_sample_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition global window over the value grid — the
     # decision_stump_split discipline)
     c = two_phase_prefix_sum(
-        two_phase_prefix_sum(g, ["v"], "ca", out_col="cum_a"),
-        ["v"],
-        "cb",
-        out_col="cum_b",
+        g, ["v"], ["ca", "cb"], out_col=["cum_a", "cum_b"]
     ).select("v", "cum_a", "cum_b")
     t = c.agg(
         F.max("cum_a").cast("long").alias("na"),

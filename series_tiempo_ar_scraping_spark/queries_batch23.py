@@ -103,6 +103,12 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = nodes.select("id", F.lit(1000000).cast("bigint").alias("v"))
 
     def normalize(raw: DataFrame) -> DataFrame:
+        # Lazy-checkpoint the half-round aggregate (r13): it feeds BOTH
+        # the 1-row max (built as a broadcast) and the node join below —
+        # uncheckpointed, the edge⋈scores join + sum executed twice per
+        # half-round. The broadcast build materializes the checkpoint;
+        # the join reuses it.
+        raw = raw.localCheckpoint(eager=False)
         mx = raw.agg(F.max("s").alias("m"))
         return (
             nodes.join(raw, nodes["id"] == raw["rid"], "left")

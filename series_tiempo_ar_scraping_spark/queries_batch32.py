@@ -437,9 +437,14 @@ def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component_id").alias("pred"),
         (F.col("doc_id") % 100000).alias("truth"),
     )
+    # Lazy checkpoint (r13): cells feeds FOUR branches (psize, tsize,
+    # the join, counts) — uncheckpointed, each branch re-planned the
+    # whole upstream CC pipeline; now the contingency table materializes
+    # once (broadcast(counts) is built first and pays it) and every
+    # branch reads the bounded cells RDD.
     cells = assign.groupBy("pred", "truth").agg(
         F.count("*").cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     psize = cells.groupBy("pred").agg(F.sum("c").cast("long").alias("p"))
     tsize = cells.groupBy("truth").agg(F.sum("c").cast("long").alias("t"))
     agg = (

@@ -445,8 +445,8 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list is the big side — it stays partitioned by src across
     rounds while ranks (one row per node) shuffle to meet it."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = op.groupBy("l_orderkey").agg(
+    # collect_set dedups per basket — no pre-distinct shuffle (r13)
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
     )
     from series_tiempo_ar_scraping_spark.operators.dedup import (
