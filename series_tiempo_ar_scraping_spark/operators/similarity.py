@@ -122,6 +122,43 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
     # the extra division can collapse 1-ulp csim gaps into ties the two
     # engines then break differently, flipping a list assignment — the
     # determinism rule (identical trees) outranks the ~1/3 flops saving.
+    if n_assign == 1:
+        # Map-side argmax over the broadcast codebook ARRAY (r13):
+        # array_max over (csim, -centroid_id) structs is the window's
+        # exact total order — largest csim first (incl. Spark's
+        # NaN-greatest and struct-comparison semantics, which match
+        # DESC NULLS LAST), ties to the smallest centroid id — and the
+        # whole assignment runs inside one codegen stage: ZERO
+        # exchange (a struct-max AGGREGATE would fall back to
+        # SortAggregate — struct agg buffers are immutable — and a
+        # window pays a full shuffle+sort). Same cosine float tree:
+        # dot / (v_norm · c_norm) per candidate, unchanged.
+        cands = c.agg(
+            F.collect_list(
+                F.struct("centroid_id", "centroid_vec", "c_norm")
+            ).alias("cands")
+        )
+        best = F.array_max(
+            F.transform(
+                F.col("cands"),
+                lambda cc: F.struct(
+                    (
+                        dot(F.col("vvec"), cc["centroid_vec"])
+                        / (F.col("v_norm") * cc["c_norm"])
+                    ).alias("csim"),
+                    (-cc["centroid_id"]).alias("nid"),
+                ),
+            )
+        )
+        return (
+            v.crossJoin(F.broadcast(cands))
+            .select("vid", best.alias("b"))
+            .select(
+                F.col("vid").alias(id_col),
+                (-F.col("b.nid")).alias("centroid_id"),
+                F.lit(1).alias("crank"),
+            )
+        )
     scored = v.crossJoin(F.broadcast(c)).select(
         "vid",
         "centroid_id",
@@ -130,27 +167,6 @@ def assign_clusters(vectors: DataFrame, centroids: DataFrame,
             / (F.col("v_norm") * F.col("c_norm"))
         ).alias("csim"),
     )
-    if n_assign == 1:
-        # Argmax by struct-max aggregate (r13): max over
-        # (csim, -centroid_id) is the window's exact total order —
-        # largest csim first (incl. Spark's NaN-greatest and
-        # null-field-smallest semantics, which match DESC NULLS LAST),
-        # ties to the smallest centroid id — but the k scored rows per
-        # vector collapse in the map-side partial aggregate instead of
-        # riding a full shuffle + sort through row_number.
-        best = scored.groupBy("vid").agg(
-            F.max(
-                F.struct(
-                    F.col("csim"),
-                    (-F.col("centroid_id")).alias("nid"),
-                )
-            ).alias("b")
-        )
-        return best.select(
-            F.col("vid").alias(id_col),
-            (-F.col("b.nid")).alias("centroid_id"),
-            F.lit(1).alias("crank"),
-        )
     w = Window.partitionBy("vid").orderBy(F.desc("csim"), F.asc("centroid_id"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
@@ -241,9 +257,11 @@ def kmeans_lloyd_micro(
 
     Scale shape: the pagerank pattern — centroids are a tiny broadcast
     frame re-checkpointed per round (plan size O(1) in iterations);
-    each round is one broadcast crossJoin + per-vector window + one
-    grouped update keyed by (cid, component). The big side never
-    self-joins and shuffles only on its own id for the argmin window.
+    each round is one broadcast of the codebook ARRAY + a map-side
+    per-vector argmin (array_min over (d2, cid) structs — no window,
+    no argmin shuffle at all) + one grouped update keyed by
+    (cid, component). The big side never self-joins and never shuffles
+    for assignment.
     The fixed-point arithmetic is what makes an ITERATIVE clustering
     loop hash-oracle-able (mirrored, unrolled, in DuckDB SQL)."""
     if iters < 1:
@@ -267,29 +285,39 @@ def kmeans_lloyd_micro(
         .localCheckpoint(eager=True)
     )
     assign = None
+    cands = cent.agg(F.collect_list(F.struct("cid", "ci")).alias("cands"))
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("xi"), F.col("ci"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        # Map-side argmin over the broadcast codebook ARRAY (r13): the
+        # k candidates live in one array column, so the per-vector
+        # argmin is array_min over (d2, cid) structs — the exact
+        # (d2 asc, cid asc) total order the former row_number window
+        # used (struct comparison is lexicographic; min is
+        # order-invariant, so collect_list order is irrelevant) — and
+        # the whole assignment runs inside one codegen stage: ZERO
+        # exchange, vs a full n·k-row shuffle+sort (window) or the
+        # SortAggregate fallback a struct-min WITH the xi array forces
+        # (array in the agg buffer is not hash-aggregatable).
+        best = F.array_min(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xi"),
+                            c["ci"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
+            )
         )
-        scored = vecs.crossJoin(F.broadcast(cent)).select(
-            "vid", "cid", "xi", dist.alias("d2")
-        )
-        # Argmin by struct-min aggregate (r13), not a window: min over
-        # (d2, cid, xi) compares exact-bigint d2 then cid — the same
-        # total order the former row_number window used — but partial
-        # aggregation collapses the k candidate rows per vector BEFORE
-        # the exchange, so the shuffle moves n rows instead of n·k
-        # (each carrying the dim-wide xi array) and pays no sort. The
-        # xi field rides along un-compared ((d2, cid) is already unique
-        # per vid).
         assign = (
-            scored.groupBy("vid")
-            .agg(F.min(F.struct("d2", "cid", "xi")).alias("b"))
-            .select("vid", F.col("b.cid").alias("cid"), F.col("b.xi").alias("xi"))
+            vecs.crossJoin(F.broadcast(cands))
+            .select("vid", "xi", best.alias("b"))
+            .select("vid", F.col("b.cid").alias("cid"), "xi")
         )
         comp = assign.select(
             "cid", F.posexplode("xi").alias("pos", "val")
@@ -310,6 +338,9 @@ def kmeans_lloyd_micro(
                 ).alias("ci")
             )
             .localCheckpoint(eager=True)
+        )
+        cands = cent.agg(
+            F.collect_list(F.struct("cid", "ci")).alias("cands")
         )
     return cent, assign.select("vid", "cid")
 
@@ -337,7 +368,7 @@ def kmeans_lloyd_micro_grouped(
     per-group loop. Scale shape: centroids are (group, cid) keyed, so
     assignment is an EQUI-JOIN on the group key (shuffle-partitionable;
     never a broadcast of a corpus-sized codebook), each round is one
-    join + per-(group, vector) window + one grouped update. With G
+    join + map-side per-(group, vector) argmin + one grouped update. With G
     groups of ~n/G members, per-round work is n · k_g ≈ n²/(G·target)
     — the group fan-out G divides the flat rule's n²/target assignment
     cost, which is the whole point of the two-level structure.
@@ -374,30 +405,39 @@ def kmeans_lloyd_micro_grouped(
         .localCheckpoint(eager=True)
     )
     assign = None
+    cmap = cent.groupBy("gid").agg(
+        F.collect_list(F.struct("cid", "ci")).alias("cands")
+    )
     for _ in range(iters):
-        dist = F.aggregate(
-            F.zip_with(
-                F.col("xi"), F.col("ci"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        scored = vecs.join(cent, "gid").select(
-            "gid", "vid", "cid", "xi", dist.alias("d2")
-        )
-        # Struct-min argmin (r13) — same rewrite as the flat kernel:
-        # selection order (d2 asc, cid asc) is unchanged, but the k_g
-        # candidate rows per (gid, vid) collapse map-side instead of
-        # riding a full shuffle+sort through a window.
-        assign = (
-            scored.groupBy("gid", "vid")
-            .agg(F.min(F.struct("d2", "cid", "xi")).alias("b"))
-            .select(
-                "gid",
-                "vid",
-                F.col("b.cid").alias("cid"),
-                F.col("b.xi").alias("xi"),
+        # Map-side argmin over the per-group codebook ARRAY (r13) —
+        # same rewrite as the flat kernel: one equi-join on gid ships
+        # each group's codebook (one array row per group, smaller than
+        # the former k_g candidate rows), then array_min over (d2, cid)
+        # structs picks the (d2 asc, cid asc) winner inside the same
+        # codegen stage. The per-(gid, vid) aggregate exchange over
+        # n·k_g rows — a SortAggregate, since the carried xi array is
+        # not hash-aggregatable — disappears entirely.
+        best = F.array_min(
+            F.transform(
+                F.col("cands"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("xi"),
+                            c["ci"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    c["cid"].alias("cid"),
+                ),
             )
+        )
+        assign = (
+            vecs.join(cmap, "gid")
+            .select("gid", "vid", "xi", best.alias("b"))
+            .select("gid", "vid", F.col("b.cid").alias("cid"), "xi")
         )
         comp = assign.select(
             "gid", "cid", F.posexplode("xi").alias("pos", "val")
@@ -416,6 +456,9 @@ def kmeans_lloyd_micro_grouped(
                 ).alias("ci")
             )
             .localCheckpoint(eager=True)
+        )
+        cmap = cent.groupBy("gid").agg(
+            F.collect_list(F.struct("cid", "ci")).alias("cands")
         )
     return cent, assign.select("gid", "vid", "cid")
 

@@ -1320,13 +1320,20 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized broadcast. Confidence/lift are micro-unit floored
     divisions of exact ints."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True
-    )
-    n = op.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
-    item = op.groupBy("l_partkey").agg(F.count("*").alias("s_item"))
-    baskets = op.groupBy("l_orderkey").agg(
+    # ONE basket-array build (r13, guide §2.4): the former
+    # (orderkey, partkey) DISTINCT paid a full exchange only to be
+    # re-shuffled into per-basket sets; collect_set dedups per basket in
+    # the same single exchange, and item supports / the basket count are
+    # rollups of the array frame (each distinct (order, part) appears
+    # exactly once across the exploded arrays).
+    baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    ).localCheckpoint(eager=True)
+    n = baskets.agg(F.count("*").alias("n_baskets"))
+    item = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("s_item"))
     )
     pair = (
         baskets.select(
@@ -2012,27 +2019,23 @@ def basket_recommender_hitrate(
     one basket-keyed window; every score is an exact int, the final
     hit-rate one division."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
-        eager=True
-    )
-    sz = op.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
-    eligible = sz.filter(F.col("n_items") >= 2)
-    holdout = (
-        op.join(eligible.select("l_orderkey"), "l_orderkey")
-        .groupBy("l_orderkey")
-        .agg(F.max("l_partkey").alias("h"))
-        .localCheckpoint(eager=True)
-    )
-    context = (
-        op.join(holdout, "l_orderkey")
-        .filter(F.col("l_partkey") != F.col("h"))
-        .select("l_orderkey", F.col("l_partkey").alias("i"))
-    )
+    # ONE basket-array build (r13, guide §2.4): the former
+    # (orderkey, partkey) DISTINCT + three separate shuffles/joins for
+    # sizes, holdouts and contexts are all projections of the sorted
+    # per-basket set — size = array length, holdout (max partkey) = the
+    # LAST element, context = everything but the last. One exchange
+    # replaces four, and the holdout/context joins disappear.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    ).localCheckpoint(eager=True)
+    ebask = baskets.filter(F.size("parts") >= 2).select(
+        "l_orderkey",
+        F.size("parts").alias("n_items"),
+        F.element_at("parts", -1).alias("h"),
+        F.slice("parts", 1, F.size("parts") - 1).alias("ctx"),
+    ).localCheckpoint(eager=False)  # reused: candidate gen + verdict
     # directed pair counts from per-basket arrays (generator, no
     # self-join): emit both directions of each upper-triangle pair
-    baskets = op.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    )
     und = (
         baskets.select(
             F.explode(
@@ -2045,6 +2048,7 @@ def basket_recommender_hitrate(
         .groupBy("p.pa", "p.pb")
         .agg(F.count("*").alias("s_pair"))
         .filter(F.col("s_pair") >= 2)
+        .localCheckpoint(eager=False)  # read twice by the union below
     )
     pair = und.unionByName(
         und.select(
@@ -2052,26 +2056,35 @@ def basket_recommender_hitrate(
             F.col("pa").alias("pb"),
             "s_pair",
         )
-    ).localCheckpoint(eager=True)
+    )
+    context = ebask.select(
+        "l_orderkey", "h", "ctx", F.explode("ctx").alias("i")
+    )
+    # in-basket candidate exclusion is a map-side array_contains on the
+    # carried context array (r13) — the former left-anti join shuffled
+    # the exploded candidate frame a second time for the same predicate.
+    # The holdout adjustment (subtract the evaluated basket's own
+    # contribution when the candidate IS the holdout) is constant within
+    # a (basket, candidate) group, so it moves AFTER the max-aggregate:
+    # max(s_pair - adj) == max(s_pair) - adj. The aggregate now runs
+    # map-side partial aggregation on the exploded frame instead of
+    # shipping every candidate row through the anti-join first.
     cand = (
         context.join(pair, F.col("i") == F.col("pa"))
-        .join(holdout, "l_orderkey")
-        # exclude candidates already in the basket's context
-        .join(
-            context.select(
-                F.col("l_orderkey").alias("ok2"),
-                F.col("i").alias("j_in_ctx"),
-            ),
-            (F.col("l_orderkey") == F.col("ok2"))
-            & (F.col("pb") == F.col("j_in_ctx")),
-            "left_anti",
-        )
+        .filter(~F.array_contains("ctx", F.col("pb")))
         .groupBy("l_orderkey", F.col("pb").alias("j"))
         .agg(
-            F.max(
-                F.col("s_pair")
-                - F.when(F.col("pb") == F.col("h"), 1).otherwise(0)
-            ).alias("score")
+            F.max("s_pair").alias("mx"),
+            F.first("h").alias("h"),  # constant within the basket
+        )
+        .select(
+            "l_orderkey",
+            "j",
+            "h",
+            (
+                F.col("mx")
+                - F.when(F.col("j") == F.col("h"), 1).otherwise(0)
+            ).alias("score"),
         )
     )
     from pyspark.sql import Window as W
@@ -2084,14 +2097,14 @@ def basket_recommender_hitrate(
             )
         ),
     ).filter(F.col("rk") <= 3)
+    # h rides on the ranked rows — no holdout join; j is unique per
+    # basket post-aggregate, so at most one row matches
     hits = (
-        ranked.join(holdout, "l_orderkey")
-        .filter(F.col("j") == F.col("h"))
+        ranked.filter(F.col("j") == F.col("h"))
         .select("l_orderkey")
-        .distinct()
         .withColumn("hit", F.lit(1))
     )
-    verdict = eligible.join(hits, "l_orderkey", "left").select(
+    verdict = ebask.join(hits, "l_orderkey", "left").select(
         F.least(F.col("n_items"), F.lit(5)).alias("size_bucket"),
         F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
     )
@@ -3570,10 +3583,9 @@ def spatial_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the probe side explodes 9× (a generator, bounded),
     the join is an EQUI-join on cell ids (hash-partitionable — never
     an all-pairs distance join), candidates per point are bounded by
-    local density, and the top-1 window gets a group-limit pushdown.
+    local density, and the top-1 is a hash-aggregate min over the
+    order-encoded d2·2⁴⁰+nid bigint (map-side partial combine).
     All-integer distances, total-order tiebreak."""
-    from pyspark.sql import Window as W
-
     customer = load_table(spark, sf_dir, "customer")
     pts = customer.select(
         F.col("c_custkey").alias("pid"),
@@ -3625,11 +3637,23 @@ def spatial_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
     )
-    w = W.partitionBy("pid").orderBy(F.asc("d2"), F.asc("nid"))
+    # Argmin by HASH aggregate over ONE encoded bigint (r13): a
+    # struct-min would fall back to SortAggregate (struct agg buffers
+    # are immutable), so encode the (d2 asc, nid asc) total order as
+    # d2·2⁴⁰ + nid — exact and overflow-safe because the 3×3-cell
+    # probe bounds d2 < 2·(3·500)² < 2²³ structurally and nid is a
+    # custkey (< 2⁴⁰ even at 100 TB; 2²³⁺⁴⁰ ≪ 2⁶³). The per-point
+    # candidate rows collapse in the map-side partial min — no
+    # shuffle+sort through row_number, no SortAggregate sorts.
+    enc = F.col("d2") * F.lit(1 << 40).cast("long") + F.col("nid")
     return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("pid", F.col("nid").alias("nn_pid"), F.col("d2").alias("nn_d2"))
+        cand.groupBy("pid")
+        .agg(F.min(enc.alias("e")).alias("e"))
+        .select(
+            "pid",
+            (F.col("e") % F.lit(1 << 40).cast("long")).alias("nn_pid"),
+            F.expr(f"e DIV {1 << 40}").alias("nn_d2"),
+        )
     )
 
 

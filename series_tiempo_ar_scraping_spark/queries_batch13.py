@@ -692,23 +692,29 @@ def _dbscan_clusters_frame(
         (hash64_seeded(F.col("c_custkey").cast("string"), 12) % grid)
         .alias("y"),
     ).localCheckpoint(eager=True)
-    offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
-    probe = (
-        pts.select("pid", "x", "y", F.explode(offs).alias("dxo"))
-        .select(
-            "pid",
-            "x",
-            "y",
-            (F.expr(f"x DIV {_DB_EPS}") + F.col("dxo")).alias("cx"),
-            F.explode(offs).alias("dyo"),
-        )
-        .select(
-            "pid",
-            "x",
-            "y",
-            "cx",
-            (F.expr(f"y DIV {_DB_EPS}") + F.col("dyo")).alias("cy"),
-        )
+    # HALF-PAIR candidate generation (r13, guide §2.3): probe only 5
+    # of the 9 neighborhood cells — same cell (tie-broken b > pid) and
+    # the 4 "forward" offsets E/NE/N/NW; the 4 backward directions are
+    # covered when the roles swap, so every unordered eps-pair is
+    # generated EXACTLY once. The blocking join ships 5n probe rows
+    # instead of 9n and evaluates the distance predicate once per
+    # unordered pair (half the former work); the direction union after
+    # the filter restores the identical directed cand frame.
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (1, 0), (-1, 1), (0, 1), (1, 1))
+        ]
+    )
+    probe = pts.select(
+        "pid", "x", "y", F.explode(offs).alias("o")
+    ).select(
+        "pid",
+        "x",
+        "y",
+        (F.expr(f"x DIV {_DB_EPS}") + F.col("o.dx")).alias("cx"),
+        (F.expr(f"y DIV {_DB_EPS}") + F.col("o.dy")).alias("cy"),
+        ((F.col("o.dx") == 0) & (F.col("o.dy") == 0)).alias("same"),
     )
     cand_src = pts.select(
         F.col("pid").alias("b"),
@@ -717,15 +723,24 @@ def _dbscan_clusters_frame(
         F.expr(f"x DIV {_DB_EPS}").alias("cx"),
         F.expr(f"y DIV {_DB_EPS}").alias("cy"),
     )
-    cand = (
+    half = (
         probe.join(cand_src, ["cx", "cy"])
-        .filter(F.col("b") != F.col("pid"))
+        .filter(
+            F.when(F.col("same"), F.col("b") > F.col("pid")).otherwise(
+                F.lit(True)
+            )
+        )
         .filter(
             (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
             + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
             <= _DB_EPS2
         )
         .select(F.col("pid").alias("a"), "b")
+    )
+    cand = (
+        half.unionByName(
+            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .localCheckpoint(eager=True)  # reused 3x: degrees, edges, border
     )
     cores = (

@@ -1571,60 +1571,59 @@ def markov_removal_attribution(
                 & (F.col("dst") != F.col("sc"))
             )
         )
-        .localCheckpoint(eager=True)  # channel-sized; reused 12x
     )
-    sinks = (
-        tr.select("sc")
-        .distinct()
-        .select(
-            "sc",
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit("CONV").alias("state"),
-                        F.lit(1000000).cast("long").alias("val"),
-                    ),
-                    F.struct(
-                        F.lit("NULL").alias("state"),
-                        F.lit(0).cast("long").alias("val"),
-                    ),
-                )
-            ).alias("x"),
-        )
-        .select("sc", "x.state", "x.val")
-        .localCheckpoint(eager=True)
+    # Single-pass fixed point (r13, guide §2.4): the 12 iterations
+    # formerly ran 12 broadcast-build + tiny-join + aggregate ROUNDS
+    # over the channel-sized (sc, state, val) frame — dozens of Spark
+    # jobs of pure scheduling overhead for ~150 rows. The state space
+    # is bounded (|channels|+3), so collapse each scenario's transition
+    # matrix into ONE row (edges array + distinct (src, tot) list) and
+    # run the identical integer recurrence
+    #   val_{k+1}(src) = SUM(cnt * COALESCE(val_k(dst), 0)) DIV tot
+    # as ONE aggregate over sequence(1, 12) whose ACCUMULATOR is the
+    # value map — the lambda variable is a materialized VALUE each
+    # iteration (chained withColumn steps would let CollapseProject
+    # re-inline the previous step's expression inside this step's
+    # per-edge lambda, re-evaluating it per edge: ~edges^12 work).
+    # Zero joins, zero extra jobs, the same exact bigints (all terms
+    # are non-negative, so Spark DIV == the floor division the oracle
+    # applies; absent map keys coalesce to 0 exactly like the former
+    # left join).
+    mat = tr.groupBy("sc").agg(
+        F.collect_list(F.struct("src", "dst", "cnt", "tot")).alias(
+            "edges"
+        ),
+        F.array_sort(F.collect_set(F.struct("src", "tot"))).alias(
+            "srcs"
+        ),
     )
-    p = sinks
-    for _ in range(_MK_ITERS):
-        nxt = (
-            tr.join(
-                # explicit hint: p is ~|scenarios x states| rows but has
-                # no stats (derived frame), so the static planner would
-                # pick a sort-merge join without it
-                F.broadcast(
-                    p.select(
-                        "sc", F.col("state").alias("dst"), "val"
-                    )
-                ),
-                ["sc", "dst"],
-                "left",
-            )
-            .groupBy("sc", "src")
-            .agg(
-                F.expr(
-                    "CAST(SUM(cnt * COALESCE(val, 0)) DIV MAX(tot)"
-                    " AS BIGINT)"
-                ).alias("val")
-            )
-            .select("sc", F.col("src").alias("state"), "val")
-        )
-        # LAZY checkpoint per round: the broadcast above materializes
-        # p_k anyway, and without truncation every round would re-run
-        # all earlier rounds (O(k^2) tiny-join re-execution + plan
-        # analysis); eager would add a separate Spark job per round.
-        p = sinks.unionByName(nxt).localCheckpoint(eager=False)
-    start_vals = p.filter(F.col("state") == "START").select(
-        "sc", "val"
+    _sink_map = (
+        "map('CONV', CAST(1000000 AS BIGINT),"
+        " 'NULL', CAST(0 AS BIGINT))"
+    )
+    _step = (
+        f"map_concat({_sink_map},"
+        " map_from_entries(transform(srcs, s -> struct(s.src,"
+        "   aggregate(filter(edges, e -> e.src = s.src),"
+        "             CAST(0 AS BIGINT),"
+        "             (acc, e) -> acc + e.cnt *"
+        "               coalesce(v[e.dst], CAST(0 AS BIGINT)))"
+        "   DIV s.tot))))"
+    )
+    cur = mat.withColumn(
+        "v",
+        F.expr(
+            f"aggregate(sequence(1, {_MK_ITERS}), {_sink_map},"
+            f" (v, i) -> {_step})"
+        ),
+    )
+    # the isNotNull filter reproduces the former frame exactly: a
+    # scenario whose START state never appears as a src had no START
+    # row in the old per-state frame either
+    start_vals = (
+        cur.select("sc", F.element_at("v", F.lit("START")).alias("val"))
+        .filter(F.col("val").isNotNull())
+        .localCheckpoint(eager=False)  # read by b (broadcast) and eff
     )
     b = start_vals.filter(F.col("sc") == "base").select(
         F.col("val").alias("base")

@@ -442,15 +442,32 @@ def table_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.col(c).cast("date")
         return F.col(c)
 
+    # Six COUNT(DISTINCT) columns in ONE aggregate plan as an Expand
+    # (one replica of every row per distinct column + one for the
+    # plain aggregates -> a 7x-row full-width shuffle). Split (r13,
+    # guide §2.3): the plain aggregates stay one scan; each NDV runs
+    # as its own two-phase distinct aggregate (map-side partial dedup
+    # of the SINGLE pruned column, so the exchange carries ~ndv rows,
+    # not 7x corpus rows) and the seven 1-row results reassemble by
+    # broadcast crossJoin. Each NDV subtree re-scans only its own
+    # parquet column - ~the bytes of the one full-width scan the
+    # Expand paid, without the multiplied shuffle.
     aggs = [F.count("*").cast("long").alias("n_rows")]
     for i, (c, fmt) in enumerate(_PROFILE_COLS):
         aggs += [
             (F.count("*") - F.count(c)).cast("long").alias(f"nulls_{i}"),
-            F.countDistinct(c).cast("long").alias(f"ndv_{i}"),
             F.min(typed(c, fmt)).cast("string").alias(f"min_{i}"),
             F.max(typed(c, fmt)).cast("string").alias(f"max_{i}"),
         ]
     agg = orders.agg(*aggs)
+    for i, (c, _) in enumerate(_PROFILE_COLS):
+        agg = agg.crossJoin(
+            F.broadcast(
+                orders.agg(
+                    F.countDistinct(c).cast("long").alias(f"ndv_{i}")
+                )
+            )
+        )
     rows = agg.select(
         "n_rows",
         F.explode(

@@ -642,12 +642,19 @@ def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_id"))
         .alias("orig"),
     )
-    attr = sized.join(
-        docs.select(
-            F.col("doc_id").alias("orig"), F.col("source")
-        ),
-        "orig",
-    ).select("doc_id", "component_id", "b", "source")
+    attr = (
+        sized.join(
+            docs.select(
+                F.col("doc_id").alias("orig"), F.col("source")
+            ),
+            "orig",
+        )
+        .select("doc_id", "component_id", "b", "source")
+        # read twice (cluster sizing + the final rollup): a lazy
+        # checkpoint stops the two upstream equi-joins — and the CC
+        # tail past its last internal checkpoint — re-executing (r13)
+        .localCheckpoint(eager=False)
+    )
     cl = attr.groupBy("component_id").agg(
         F.count("*").cast("long").alias("csz")
     )

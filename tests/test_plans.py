@@ -619,12 +619,16 @@ def test_nightly_quality_report_composed_plan(plans):
 
 def test_spatial_knn_generator_blocking_and_group_limit(plans):
     """Spatial NN: 3x3 neighborhood via generators (never an all-pairs
-    distance join), equi-join on cell ids, and the top-1 ranking prunes
-    through a WindowGroupLimit."""
+    distance join), equi-join on cell ids, and the top-1 ranking is a
+    struct-min HASH aggregate (r13): the per-point candidates collapse
+    in the map-side partial aggregate — no window, no WindowGroupLimit
+    local sort, no post-shuffle sort at all."""
     p = plans("spatial_cell_knn_join", "simple")
     assert p.count("Generate") == 2  # dx, dy offsets
     assert "CartesianProduct" not in p and "EvalPython" not in p
-    assert "WindowGroupLimit" in p
+    assert "Window" not in p  # incl. WindowGroupLimit
+    assert "partial_min" in p  # map-side argmin combine
+    assert "SortAggregate" not in p  # (d2, nid) is fixed-width
 
 
 def test_bellman_ford_plan_is_checkpoint_truncated(plans):
@@ -829,7 +833,12 @@ def test_batch15_plan_properties(plans):
         assert "partial" in p, name  # map-side combine survives
     p = plans("table_profile_report", "simple")
     assert "EvalPython" not in p
-    assert p.count("FileScan parquet") == 1  # ONE scan, N stats
+    # r13: one full-width scan for the plain stats + one PRUNED
+    # single-column scan per exact-NDV subtree, instead of the
+    # multi-distinct Expand (7x-row full-width shuffle)
+    assert p.count("FileScan parquet") == 7
+    assert "Expand" not in p
+    assert p.count("BroadcastNestedLoopJoin") == 6  # 1-row reassembly
     p = plans("inverted_index_build", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     # the rn cap rides the (tok) shuffle: the aggregate consumes the
