@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 # MinHash configuration shared with the DuckDB oracle generator.
@@ -434,6 +435,15 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component_id"))
 
 
+# Frontier size (edge rows) below which a CC-star round runs in ONE
+# partition: every exchange disappears from the round plan (SinglePartition
+# satisfies all clustering requirements) and the round fuses to one stage.
+# 128k narrow rows sort in ~0.1 s in a single task (measured: at ~1M rows
+# the serial round already loses to the distributed one); graphs above the
+# threshold keep the fully distributed plan.
+CC_LOCAL_EDGE_ROWS = 128_000
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,
@@ -457,8 +467,8 @@ def connected_components_star(
     - **small-star**: every node links its *smaller-or-equal* neighbors
       (and itself) to that minimum.
 
-    Each round is two groupBy-min + edge-rewrite passes over the edge
-    list (same join/agg building blocks as everything else — no RDDs,
+    Each round is two window-min edge-rewrite passes over the edge
+    list (same relational building blocks as everything else — no RDDs,
     no custom partitioner); the fixpoint is a star per component rooted
     at its minimum node id. Output contract is identical to
     ``connected_components``: ``(id_col, component_id)`` where
@@ -495,39 +505,85 @@ def connected_components_star(
 
     prev = fingerprint(e)
     for _ in range(max_iter):
+        # Small-frontier local mode (r13, guide §2.1/§2.4): once the
+        # surviving edge count (known for free from the convergence
+        # fingerprint) fits one partition, narrow-coalesce each round's
+        # unions to a single partition. SinglePartition satisfies every
+        # clustering requirement, so the window mins and the distinct
+        # all plan WITHOUT exchanges and the whole round fuses into one
+        # stage — the shrinking CC tail stops paying per-round shuffle
+        # latency. Size-derived, not core-count-derived: big graphs
+        # keep the distributed plan; only frontiers under
+        # CC_LOCAL_EDGE_ROWS (1M edges) flip, on a 100 TB cluster the
+        # same way as locally.
+        local = prev[0] is not None and prev[0] <= CC_LOCAL_EDGE_ROWS
+
+        def _narrow(df: DataFrame, local=local) -> DataFrame:
+            return df.coalesce(1) if local else df
+
         # ---- large-star: for each node u, m = min(N(u) ∪ {u}); emit
-        # (v, m) for every neighbor v > u.
-        sym = e.select(
-            F.col("child").alias("u"), F.col("parent").alias("v")
-        ).unionByName(
-            e.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+        # (v, m) for every neighbor v > u. The per-neighborhood minimum
+        # is a WINDOW min over the symmetrized edge frame (r13, guide
+        # §2.4): the former groupBy-min + self-join re-shuffled the same
+        # frame twice per star (agg exchange + join exchange); the
+        # unordered window computes m in the single exchange's sorted
+        # run, so each star costs ONE exchange instead of two. The
+        # emitted (child, parent) multiset is identical — m is the same
+        # per-u minimum either way. Symmetrization is a map-side
+        # explode of the two orientations, not a self-union: one scan,
+        # and no duplicated upstream subtree in the single-partition
+        # regime (a union's branches cannot share a ReusedExchange once
+        # the exchanges are gone).
+        sym = _narrow(
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("child").alias("u"),
+                            F.col("parent").alias("v"),
+                        ),
+                        F.struct(
+                            F.col("parent").alias("u"),
+                            F.col("child").alias("v"),
+                        ),
+                    )
+                ).alias("uv")
+            ).select("uv.u", "uv.v")
         )
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        # No distinct here (r13): duplicates in the large-star output are
-        # harmless — pmins' min-agg is duplicate-insensitive (map-side
-        # partial agg absorbs them) and the small-star round ends with
-        # its own distinct. Deduping ls bought nothing and cost a full
-        # extra exchange per round.
+        wu = Window.partitionBy("u")
         ls = (
-            sym.join(mins, "u")
+            sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("child"), F.col("m").alias("parent"))
             .filter(F.col("child") != F.col("parent"))
         )
         # ---- small-star over the large-star output: edges point child →
         # smaller parent; for each child u, m = min(parents ∪ {u}); emit
-        # (v, m) for every parent v and for u itself.
-        pmins = ls.groupBy("child").agg(
-            F.least(F.min("parent"), F.first("child")).alias("m")
-        )
-        joined = ls.join(pmins, "child")
+        # (v, m) for every parent v and for u itself — both rows explode
+        # map-side out of the SAME window row (the self-edge lands once
+        # per ls row; duplicates are absorbed by the round-ending
+        # distinct, which the fingerprint and the returned frame read
+        # after).
+        wc = Window.partitionBy("child")
         ss = (
-            joined.select(
-                F.col("parent").alias("child"), F.col("m").alias("parent")
+            ls.withColumn(
+                "m", F.least(F.min("parent").over(wc), F.col("child"))
             )
-            .unionByName(pmins.select("child", F.col("m").alias("parent")))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("parent").alias("child"),
+                            F.col("m").alias("parent"),
+                        ),
+                        F.struct(
+                            F.col("child").alias("child"),
+                            F.col("m").alias("parent"),
+                        ),
+                    )
+                ).alias("cp")
+            )
+            .select("cp.child", "cp.parent")
             .filter(F.col("child") != F.col("parent"))
             .distinct()
         )

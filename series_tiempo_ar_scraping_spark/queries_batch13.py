@@ -44,6 +44,8 @@ curation extensions SURVEY §2.13 calls for.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -584,6 +586,10 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DB_EPS = 300  # neighborhood radius (grid units)
 _DB_EPS2 = _DB_EPS * _DB_EPS
 _DB_MINPTS = 4  # core point: |closed eps-neighborhood| >= 4
+# Contraction sub-cell edge: the largest integer s with 2*s^2 <= eps^2,
+# so any two points sharing an s-cell are within eps (diagonal bound).
+_DB_SUB = math.isqrt(_DB_EPS2 // 2)
+assert 2 * _DB_SUB * _DB_SUB <= _DB_EPS2
 
 
 def _dbscan_cand_sql() -> str:
@@ -723,6 +729,11 @@ def _dbscan_clusters_frame(
         F.expr(f"x DIV {_DB_EPS}").alias("cx"),
         F.expr(f"y DIV {_DB_EPS}").alias("cy"),
     )
+    # The half-pair checkpoint carries each endpoint's SUB-CELL id
+    # (edge eps/sqrt(2), so 2*sub^2 <= eps^2 and any two points sharing
+    # a sub-cell are provably within eps) — the key the geometric
+    # pre-contraction below needs, computed map-side while the pair is
+    # being built instead of re-joined to pts afterwards.
     half = (
         probe.join(cand_src, ["cx", "cy"])
         .filter(
@@ -735,13 +746,18 @@ def _dbscan_clusters_frame(
             + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
             <= _DB_EPS2
         )
-        .select(F.col("pid").alias("a"), "b")
-    )
-    cand = (
-        half.unionByName(
-            half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        .select(
+            F.col("pid").alias("a"),
+            "b",
+            F.expr(f"x DIV {_DB_SUB}").alias("sax"),
+            F.expr(f"y DIV {_DB_SUB}").alias("say"),
+            F.expr(f"nx DIV {_DB_SUB}").alias("sbx"),
+            F.expr(f"ny DIV {_DB_SUB}").alias("sby"),
         )
-        .localCheckpoint(eager=True)  # reused 3x: degrees, edges, border
+        .localCheckpoint(eager=True)  # reused: degrees, contraction, border
+    )
+    cand = half.select("a", "b").unionByName(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     cores = (
         cand.groupBy("a")
@@ -750,13 +766,57 @@ def _dbscan_clusters_frame(
         .select(F.col("a").alias("pid"))
         .localCheckpoint(eager=True)
     )
-    core_edges = (
-        cand.join(cores.select(F.col("pid").alias("a")), "a", "left_semi")
-        .join(cores.select(F.col("pid").alias("b")), "b", "left_semi")
-        .select("a", "b")
+    # GEOMETRIC PRE-CONTRACTION (r13, guide §2.2): cores sharing an
+    # eps/sqrt(2) sub-cell are pairwise within eps, hence provably in
+    # the same cluster — contract each occupied sub-cell's cores to its
+    # minimum pid (the supernode) and run connected components on the
+    # contracted graph: #nodes drops from |cores| to #occupied
+    # sub-cells (bounded by (domain/sub)^2 — the GEOMETRY, not the
+    # corpus) and the edge list dedups to distinct cell-pair links.
+    # Exactness: every same-cell core pair is a direct cand edge (dist
+    # <= eps and the 3x3 eps-cell probe covers it), so the contraction
+    # merges only nodes already connected; component minima are
+    # preserved because each supernode IS the min pid of its cell.
+    core_pts = pts.join(cores, "pid", "left_semi").select(
+        "pid",
+        F.expr(f"x DIV {_DB_SUB}").alias("sx"),
+        F.expr(f"y DIV {_DB_SUB}").alias("sy"),
     )
-    comp = connected_components_star(
-        cores, core_edges, id_col="pid", src_col="a", dst_col="b"
+    sup_map = core_pts.groupBy("sx", "sy").agg(F.min("pid").alias("sup"))
+    core_half = half.join(
+        cores.select(F.col("pid").alias("a")), "a", "left_semi"
+    ).join(cores.select(F.col("pid").alias("b")), "b", "left_semi")
+    contracted = (
+        core_half.join(
+            sup_map.select(
+                F.col("sx").alias("sax"),
+                F.col("sy").alias("say"),
+                F.col("sup").alias("sup_a"),
+            ),
+            ["sax", "say"],
+        )
+        .join(
+            sup_map.select(
+                F.col("sx").alias("sbx"),
+                F.col("sy").alias("sby"),
+                F.col("sup").alias("sup_b"),
+            ),
+            ["sbx", "sby"],
+        )
+        .filter(F.col("sup_a") != F.col("sup_b"))
+        .select(F.col("sup_a").alias("a"), F.col("sup_b").alias("b"))
+    )
+    comp_super = connected_components_star(
+        sup_map.select(F.col("sup").alias("pid")),
+        contracted,
+        id_col="pid",
+        src_col="a",
+        dst_col="b",
+    )
+    comp = (
+        core_pts.join(sup_map, ["sx", "sy"])
+        .join(comp_super.withColumnRenamed("pid", "sup"), "sup")
+        .select("pid", "component_id")
     )
     border = (
         cand.join(
