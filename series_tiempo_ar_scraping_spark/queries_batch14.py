@@ -1119,9 +1119,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline is the repo's pagerank recipe verbatim: integer
     micro-unit ranks (contribution = r DIV outdeg; next = 150000 +
     850*sum DIV 1000 — partial sums commute, bit-identical across
-    partitionings), edge+degree frame checkpointed ONCE, ranks
-    re-checkpointed per round for O(1) plan size, top-k via
-    TakeOrdered with token tie-break."""
+    partitionings), edge+degree frame checkpointed ONCE, top-k via
+    TakeOrdered with token tie-break. r13: the symmetrized edge list
+    makes every node some edge's dst, so contribs covers ALL nodes and
+    the old per-round nodes⋈contribs left join (plus its coalesce(s,0)
+    dangling-node branch) was an identity — dropped, along with the
+    per-round checkpoints (each round's ranks frame has exactly one
+    consumer, so the 3-round lineage plans as ONE job over the
+    checkpointed vocab-sized src_deg frame)."""
     docs = load_table(spark, sf_dir, "documents")
     # Explicit repartition before the CPU-heavy tokenize + pair explode:
     # a cold single-row-group parquet scan is ONE task, serializing the
@@ -1187,18 +1192,12 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(
-                contribs, nodes["id"] == contribs["dst"], "left"
-            )
-            .select(
-                "id",
-                (
-                    F.lit(150000).cast("bigint")
-                    + F.expr("850 * coalesce(s, 0) DIV 1000")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = contribs.select(
+            F.col("dst").alias("id"),
+            (
+                F.lit(150000).cast("bigint")
+                + F.expr("850 * s DIV 1000")
+            ).alias("r"),
         )
     return (
         ranks.orderBy(F.col("r").desc(), "id")

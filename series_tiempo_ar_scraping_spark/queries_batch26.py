@@ -113,7 +113,14 @@ def label_propagation_communities(
     Scale shape: the edge list checkpoints ONCE (the HITS discipline);
     each round is one edges⋈labels join, one (node, label) count, one
     packed argmax per node — all equi-shuffles on node keys; the
-    packed key replaces a per-node sort. Determinism: counts and
+    packed key replaces a per-node sort. Isolated nodes (no
+    co-purchase edge) never participate in ANY round — their label is
+    their own id forever — so they are split off ONCE up front and
+    unioned back before the final rollup instead of riding a per-round
+    nodes⋈p left join (r13: 2 joins, 2 lineitem re-scans and 2
+    checkpoint jobs removed; every edge-node appears as some u, so p
+    covers the whole propagation frontier and the old coalesce branch
+    was provably dead for edge nodes). Determinism: counts and
     labels are exact bigints; the tie rule lives inside the packed
     max, identical in both engines; the oracle unrolls the identical
     rounds."""
@@ -127,7 +134,9 @@ def label_propagation_communities(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    lab = nodes.select("id", F.col("id").alias("lab"))
+    en = bi.select(F.col("u").alias("id")).distinct()
+    iso = nodes.join(en, "id", "left_anti")
+    lab = en.select("id", F.col("id").cast("long").alias("lab"))
     for _ in range(_LPA_ROUNDS):
         c = (
             bi.join(lab, bi["v"] == lab["id"])
@@ -139,19 +148,15 @@ def label_propagation_communities(
                 F.col("c") * _LPA_PACK + (_LPA_PACK - 1 - F.col("lab"))
             ).alias("pk")
         )
-        lab = (
-            nodes.join(p, nodes["id"] == p["nid"], "left")
-            .select(
-                "id",
-                F.coalesce(
-                    F.lit(_LPA_PACK) - 1 - F.expr(f"pk % {_LPA_PACK}"),
-                    F.col("id"),
-                )
-                .cast("long")
-                .alias("lab"),
-            )
-            .localCheckpoint(eager=True)
+        lab = p.select(
+            F.col("nid").alias("id"),
+            (F.lit(_LPA_PACK) - 1 - F.expr(f"pk % {_LPA_PACK}"))
+            .cast("long")
+            .alias("lab"),
         )
+    lab = lab.unionByName(
+        iso.select("id", F.col("id").cast("long").alias("lab"))
+    )
     return lab.groupBy(F.col("lab").alias("community_id")).agg(
         F.count("*").cast("long").alias("n_members"),
         F.min("id").cast("long").alias("min_member"),

@@ -1045,14 +1045,18 @@ def test_batch25_plan_properties(plans):
 
 
 def test_batch26_plan_properties(plans):
-    """Batch-26 plans: LPA's per-round work executes during eager
-    checkpointing (the HITS lesson — assert no lineage leak, not round
-    internals); the order-invariance audit is three aggregate lanes
-    over the fact scan joined broadcast-only."""
+    """Batch-26 plans: LPA rounds run lazily off the ONE checkpointed
+    edge frame (r13: the per-round nodes⋈p left join and per-round
+    checkpoints are gone — isolated nodes are split off once and
+    unioned back, so the whole 2-round propagation plans as one job);
+    the order-invariance audit is three aggregate lanes over the fact
+    scan joined broadcast-only."""
     p = plans("label_propagation_communities", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
-    assert "FileScan" not in p  # final rollup reads the checkpoint only
-    assert p.count("Scan ExistingRDD") == 1
+    assert "Scan ExistingRDD" in p  # rounds read the checkpointed edges
+    # exactly one lineitem re-scan: the isolated-node split (the old
+    # per-round rollup re-scanned lineitem inside every checkpoint job)
+    assert p.count("FileScan parquet") == 1
 
     p = plans("order_invariance_audit", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
