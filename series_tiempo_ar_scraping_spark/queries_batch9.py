@@ -275,25 +275,28 @@ def _curation_final(
     # Stage 2 — exact dedup: survivors, not groups (min doc_id per hash)
     from pyspark.sql import Window
 
+    # ONE full-text exchange for both the dedup window and the shingle
+    # parallelism (r13): repartition by the window's own partition key
+    # FIRST — the explicit numPartitions pins the width (user repartitions
+    # are exempt from AQE size-based coalescing, which would otherwise
+    # collapse the few-MB shuffle to one partition and serialize the
+    # md5-heavy shingle projection, measured 16s -> 1.5s at sf0.1), and
+    # hash-partitioning on md5(text) satisfies the window's required
+    # distribution, so the old second repartition (a second full-text
+    # shuffle) planned right after the window is gone.
+    nparts = spark.sparkContext.defaultParallelism
     w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
     exact = (
-        kept.withColumn("_rk", F.row_number().over(w))
+        kept.repartition(nparts, F.md5(F.col("text")))
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
 
     # Tokenize + shingle ONCE; this checkpointed frame feeds signatures,
     # both Jaccard join sides, decontamination, and packing.
-    #
-    # The explicit repartition is load-bearing: the window shuffle above
-    # emits few MB, so AQE's size-based coalescing collapses it to ONE
-    # partition — and the md5-heavy shingle projection would run
-    # single-threaded (measured 16s -> 1.5s at sf0.1 on local[32]).
-    # Size-based coalescing can't see downstream CPU cost; pin the
-    # parallelism where the compute is.
-    nparts = spark.sparkContext.defaultParallelism
     toks = TX.tokens(TX.normalize_text(F.col("text")))
-    sh = exact.repartition(nparts).select(
+    sh = exact.select(
         "doc_id",
         TX.shingles_from_tokens(toks, 3).alias("shingles"),
         F.size(toks).cast("bigint").alias("n_tokens"),
