@@ -881,14 +881,18 @@ def test_batch16_plan_properties(plans):
 
 def test_batch17_plan_properties(plans):
     """Batch-17 plans: the TAR shard pipeline is exactly one scan, one
-    shard-key exchange, and two Arrow stages (grouped pack + map
-    extract); the zone-map report's joins are broadcasts of the 3-row
-    probe/matched frames (never a fact-sized join); the source matrix
-    has no cartesian and no Python."""
+    shard-key exchange into a JVM collect_list shard assembly, and two
+    map-type Arrow stages (bulk pack + extract — r13: the per-8-row-
+    group ApplyInPandas pack became a batched MapInPandas; the Arrow
+    boundary crosses per batch, not per shard); the zone-map report's
+    joins are broadcasts of the 3-row probe/matched frames (never a
+    fact-sized join); the source matrix has no cartesian and no
+    Python."""
     p = plans("multimodal_tar_shards", "simple")
     assert p.count("FileScan parquet") == 1
-    assert "FlatMapGroupsInPandas" in p or "ApplyInPandas" in p
-    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "FlatMapGroupsInPandas" not in p  # pack is batched, not per-group
+    assert p.count("MapInPandas") == 2  # bulk pack + extract
+    assert "collect_list" in p or "ObjectHashAggregate" in p
     p = plans("zone_map_pruning_report", "simple")
     assert "EvalPython" not in p and "CartesianProduct" not in p
     assert "SortMergeJoin" not in p  # probe frames broadcast
