@@ -6,8 +6,9 @@ recipes):
 
 - WebDataset-style TAR shards: the multimodal-training container
   format (N samples per uncompressed tar, one member per modality) —
-  packed with ``applyInPandas`` over the shard key, extracted from
-  the binary column alone. USTAR with pinned headers is byte-
+  assembled by a JVM collect_list over the shard key, packed and
+  extracted by one ``mapInPandas`` each (the extract reading
+  the binary column alone). USTAR with pinned headers is byte-
   deterministic, so even the archive SIZE is oracle-able from pure
   arithmetic (unlike ZIP, whose DEFLATE stream is zlib-build
   dependent).
@@ -89,10 +90,11 @@ def multimodal_tar_shards(
     of which DuckDB reproduces arithmetically because pinned-header
     USTAR is a pure function of the members.
 
-    Scale shape: pack is ``applyInPandas`` keyed by shard (the shuffle
-    a shard-writer pays anyway — co-locating a sample's members is the
-    point of the format); extract is ``mapInPandas``, columnar, binary
-    column only. Determinism: headers pinned (mtime/uid/gid/uname),
+    Scale shape: shard assembly is a JVM collect_list keyed by shard
+    (the shuffle a shard-writer pays anyway — co-locating a sample's
+    members is the point of the format); pack and extract are each ONE
+    ``mapInPandas``, columnar, the extract reading the binary column
+    alone. Determinism: headers pinned (mtime/uid/gid/uname),
     USTAR format forced (no PAX extended headers), member order fixed
     by doc_id; the fingerprint sorts names bytewise in both
     engines."""
