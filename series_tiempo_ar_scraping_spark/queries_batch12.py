@@ -2819,10 +2819,16 @@ def embedding_power_iteration(
     )
     m = None
     for _ in range(_PI_ITERS):
+        # lazy checkpoints (r13): u feeds TWO consumers (the max-abs agg
+        # and the normalization) and w feeds the next round — with gram
+        # checkpointed, the whole _PI_ITERS chain of 64-row frames
+        # materializes inside the one final job instead of paying two
+        # synchronous jobs per round.
         u = (
             gram.join(F.broadcast(w), gram["db"] == w["d"])
             .groupBy("da")
             .agg(F.sum(F.col("g") * F.col("w")).alias("u"))
+            .localCheckpoint(eager=False)
         )
         m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
         w = (
@@ -2836,7 +2842,7 @@ def embedding_power_iteration(
                 .cast("decimal(38,0)")
                 .alias("w"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return w.crossJoin(F.broadcast(m)).select(
         F.col("d").alias("dim"),
@@ -3767,35 +3773,41 @@ def graph_bounded_shortest_paths(
         )
         .localCheckpoint(eager=True)
     )
-    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    src = nodes.agg(F.min("id").alias("s"))
-    d = (
-        nodes.crossJoin(F.broadcast(src))
-        .select(
-            "id",
-            F.when(F.col("id") == F.col("s"), F.lit(0))
-            .otherwise(F.lit(_BF_INF))
-            .cast("long")
-            .alias("dist"),
-        )
+    # nodes checkpoints ONCE (r13): it appears twice in the initial
+    # distance frame (under the broadcast min-id agg and as the join
+    # left side) and would otherwise re-plan the lineitem scan +
+    # distinct for each.
+    nodes = (
+        li.select(F.col("l_partkey").alias("id"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
+    src = nodes.agg(F.min("id").alias("s"))
+    d = nodes.crossJoin(F.broadcast(src)).select(
+        "id",
+        F.when(F.col("id") == F.col("s"), F.lit(0))
+        .otherwise(F.lit(_BF_INF))
+        .cast("long")
+        .alias("dist"),
+    )
     for _ in range(_BF_ROUNDS):
+        # lazy per-round checkpoint (r13): d has TWO consumers per round
+        # (the relaxation join and the left merge), so the checkpoint
+        # still dedups the subtree — but the whole _BF_ROUNDS chain now
+        # materializes inside the one final job instead of paying a
+        # synchronous job per round (the CC-star shape).
+        d = d.localCheckpoint(eager=False)
         cand = (
             edges.join(d, edges["src"] == d["id"])
             .groupBy(F.col("dst").alias("cid"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
         )
-        d = (
-            d.join(cand, d["id"] == cand["cid"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("dist"),
-                    F.coalesce(F.col("cand"), F.col("dist")),
-                ).alias("dist"),
-            )
-            .localCheckpoint(eager=True)
+        d = d.join(cand, d["id"] == cand["cid"], "left").select(
+            "id",
+            F.least(
+                F.col("dist"),
+                F.coalesce(F.col("cand"), F.col("dist")),
+            ).alias("dist"),
         )
     return d.select(
         F.col("id").alias("part_id"),

@@ -99,7 +99,14 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     edges = copurchase_edges(li).localCheckpoint(eager=True)
-    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
+    # nodes checkpoints ONCE (r13): each of the 4 half-round normalize
+    # joins used to re-plan the lineitem scan + distinct — 4 extra
+    # corpus passes per call.
+    nodes = (
+        li.select(F.col("l_partkey").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     h = nodes.select("id", F.lit(1000000).cast("bigint").alias("v"))
 
     def normalize(raw: DataFrame) -> DataFrame:
@@ -121,7 +128,11 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .alias("v"),
             )
-            .localCheckpoint(eager=True)
+            # lazy (r13): with nodes/edges checkpointed the half-round
+            # chain needs no synchronous job per step — the final action
+            # materializes each checkpoint once (the broadcast mx build
+            # pays raw; the next half-round's join reads the cache).
+            .localCheckpoint(eager=False)
         )
 
     a = None

@@ -467,18 +467,28 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("pa", "pb")
     )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    ).localCheckpoint(eager=True)
-    nodes = li.select(F.col("l_partkey").alias("id")).distinct()
-    deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").alias("outdeg")
+    # One checkpointed (src, dst, outdeg) frame (r13): outdeg via a
+    # window over the unioned pair list — the former edges-checkpoint +
+    # deg groupBy + join double-materialized the same rows. The two
+    # union branches share the pairs aggregate (ReusedExchange).
+    src_deg = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .withColumn(
+            "outdeg", F.count("*").over(Window.partitionBy("src"))
+        )
+        .localCheckpoint(eager=True)
     )
-    src_deg = edges.join(deg, edges["src"] == deg["id"]).select(
-        "src", "dst", "outdeg"
-    ).localCheckpoint(eager=True)
+    # nodes checkpoints ONCE (r13): each round's left join used to
+    # re-plan the lineitem scan + distinct inside its checkpoint job —
+    # 3 extra corpus passes per call.
+    nodes = (
+        li.select(F.col("l_partkey").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(3):
         contribs = (
@@ -487,16 +497,18 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(150000).cast("bigint")
-                    + F.expr("850 * coalesce(s, 0) div 1000")
-                ).alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        # no per-round checkpoint (r13): each round's ranks has ONE
+        # consumer (the next round's join), so the 3-round lineage plans
+        # as one job over the two checkpointed frames — the LPA/TextRank
+        # shape; plan size is 3 unrolled rounds, bounded.
+        ranks = nodes.join(
+            contribs, nodes["id"] == contribs["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.lit(150000).cast("bigint")
+                + F.expr("850 * coalesce(s, 0) div 1000")
+            ).alias("r"),
         )
     return ranks.select(F.col("id").alias("part_id"), F.col("r").alias("rank_micro"))
 

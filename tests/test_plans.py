@@ -632,13 +632,19 @@ def test_spatial_knn_generator_blocking_and_group_limit(plans):
 
 
 def test_bellman_ford_plan_is_checkpoint_truncated(plans):
-    """Min-plus iteration keeps plan size O(1) in rounds: every join
-    and shuffle executes inside the per-round eager checkpoints, so
-    the FINAL displayed plan is just the projection over the last
-    checkpointed distance frame (the pagerank discipline)."""
+    """Min-plus iteration keeps plan size O(1) in rounds: each round's
+    distance frame is LAZY-checkpointed at the top of the round (r13 —
+    one final job materializes the chain, no synchronous job per
+    round), so the FINAL displayed plan is exactly ONE relaxation round
+    over checkpointed RDDs: the edge⋈distance join + min aggregate +
+    left merge. Earlier rounds live inside the checkpointed RDD
+    lineage, never as repeated SQL subtrees, and no round leaks back to
+    the parquet scan."""
     p = plans("graph_bounded_shortest_paths", "simple")
-    assert "Exchange" not in p and "Join" not in p
-    assert "Scan ExistingRDD" in p  # the checkpointed frame
+    assert "Scan ExistingRDD" in p  # checkpointed edge/distance frames
+    assert "FileScan" not in p  # no lineage leak past the checkpoints
+    # exactly one round's shape: the relaxation join + the left merge
+    assert p.count("Join") <= 2
 
 
 def test_batch13_plan_properties(plans):
