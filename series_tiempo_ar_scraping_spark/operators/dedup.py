@@ -124,15 +124,38 @@ def minhash_signatures_from_shingles(
     """MinHash signatures from an already-MATERIALIZED shingle-array frame
     (cached or checkpointed — e.g. the LSH → exact-Jaccard pipeline, which
     tokenizes once and feeds both the signature stage and the verify join).
-    Only safe on materialized inputs: exploding an array *attribute* makes
-    InferFiltersFromGenerate add a `size(col) > 0` filter, which is cheap on
-    a materialized column but disastrous if pushdown re-expands it into the
-    shingle-derivation expression (see minhash_signatures).
+
+    Fully MAP-SIDE (r13): the base hash is one per-row array transform and
+    each ``sig_i`` is ``array_min`` over the affine re-hash of that array —
+    ZERO exchange, one codegen stage. The former explode + groupBy(id)
+    shuffled a partial-aggregated n_docs×(k+1) frame and paid the two-phase
+    hash aggregate just to compute per-row minima that never cross rows.
+    Identical values: min over the same bigint multiset, and the explicit
+    ``size > 0`` filter reproduces explode's drop-empty-docs row semantics.
+    Only safe on materialized inputs: on a derived shingle column, filter
+    pushdown would clone the whole tokenize+shingle tree into per-row scan
+    predicates (see minhash_signatures, which keeps the explode form for
+    exactly that reason).
     """
-    exploded = sh.select(
-        F.col(id_col), F.explode(F.col(shingles_col)).alias("shingle")
+    harr = F.transform(
+        F.col(shingles_col),
+        lambda s: hash64_seeded(s, 0) % MINHASH_H_MOD,
     )
-    return _minhash_from_exploded(exploded, id_col=id_col, k=k)
+    base = sh.filter(F.size(F.col(shingles_col)) > 0).select(
+        F.col(id_col), harr.alias("_harr")
+    )
+    return base.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_harr"),
+                    lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P,
+                )
+            ).alias(f"sig{i}")
+            for i, (a, b) in enumerate(MINHASH_AB[:k])
+        ],
+    )
 
 
 def _minhash_from_exploded(
