@@ -1137,7 +1137,10 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.select(F.col(key).cast("string").alias("k"))
             .groupBy("k")
             .agg(F.count("*").alias("c"))
-            .localCheckpoint(eager=True)  # feeds exact AND sketch lanes
+            # lazy (r13): feeds exact AND sketch lanes — the cache
+            # dedups both reads inside the one final job; no
+            # synchronous job per side
+            .localCheckpoint(eager=False)
         )
 
     def cells(kc):
@@ -1159,9 +1162,7 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("c"))
         )
 
-    def pair_row(name, a_df, a_key, b_df, b_key):
-        ka = key_counts(a_df, a_key)
-        kb = key_counts(b_df, b_key)
+    def pair_row(name, ka, kb):
         xa = ka.withColumnRenamed("c", "ca")
         xb = kb.withColumnRenamed("c", "cb")
         exact = (
@@ -1197,16 +1198,13 @@ def join_size_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return pair_row(
-        "events.user x orders.custkey", ev, "user_id", orders, "o_custkey"
-    ).unionByName(
-        pair_row(
-            "orders.custkey x customer.custkey",
-            orders,
-            "o_custkey",
-            cust,
-            "c_custkey",
-        )
+    # each key-count frame builds ONCE (r13): orders.o_custkey used to
+    # be scanned + aggregated + checkpointed separately per pair row
+    k_ev = key_counts(ev, "user_id")
+    k_ord = key_counts(orders, "o_custkey")
+    k_cust = key_counts(cust, "c_custkey")
+    return pair_row("events.user x orders.custkey", k_ev, k_ord).unionByName(
+        pair_row("orders.custkey x customer.custkey", k_ord, k_cust)
     )
 
 
@@ -1674,13 +1672,17 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan of the fact table: the (event_type, value) counts feed
     # BOTH the boundary derivation (summed over types) and the binned
     # per-type shares
+    # lazy checkpoints (r13): tv/counts/bt are value-cardinality-bounded
+    # multi-consumer frames — lazy still dedups each subtree via the
+    # checkpoint cache, but the whole chain materializes inside the one
+    # final job instead of paying three synchronous jobs
     tv = (
         ev.groupBy("event_type", F.col("value").alias("v"))
         .agg(F.count("*").alias("m"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = tv.groupBy("v").agg(F.sum("m").alias("cnt"))
-    counts = counts.localCheckpoint(eager=True)
+    counts = counts.localCheckpoint(eager=False)
     cum = two_phase_prefix_sum(counts, ["v"], "cnt", out_col="cum")
     tot = F.broadcast(counts.agg(F.sum("cnt").alias("n")))
     ranks = (
@@ -1720,7 +1722,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin")
         .agg(F.sum("m").alias("c"))
     )
-    bt = bt.localCheckpoint(eager=True)
+    bt = bt.localCheckpoint(eager=False)
     nt = bt.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
     ba = bt.groupBy("bin").agg(F.sum("c").cast("long").alias("ca"))
     na = F.broadcast(ba.agg(F.sum("ca").cast("long").alias("na")))

@@ -614,22 +614,24 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigints, ONE double division feeds ``ln``, micro-unit floored —
     the bigram-LM determinism recipe."""
     docs = load_table(spark, sf_dir, "documents")
-    # checkpointed: df, da/db and the pair generation all read presence —
-    # without this the corpus tokenize+distinct would execute 3x
-    presence = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                TX.tokens(TX.normalize_text(F.col("text")))
-            ).alias("tok"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Per-doc DISTINCT token sets are a MAP-SIDE array op (r13):
+    # array_sort(array_distinct(tokens)) — the former explode +
+    # corpus-wide distinct + groupBy(doc_id) collect_set paid two
+    # full-token-table exchanges to compute a set that never leaves its
+    # row. Checkpointed: df and the pair generation both read it.
+    per_doc = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(TX.tokens(TX.normalize_text(F.col("text"))))
+        ).alias("toks"),
+    ).localCheckpoint(eager=True)
     n = docs.agg(F.count("*").alias("n_docs"))
-    df = presence.groupBy("tok").agg(F.count("*").alias("df"))
-    per_doc = presence.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("toks")
+    # per-token document frequency: toks is unique per doc, so the
+    # explode carries exactly the former presence rows
+    df = (
+        per_doc.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
     )
     pairs = (
         per_doc.select(
