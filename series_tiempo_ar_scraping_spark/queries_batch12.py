@@ -2459,39 +2459,54 @@ def vocab_size_oov_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     N in {_VOCAB_SWEEP}) — the coverage CURVE that sizes a tokenizer,
     where ``vocab_oov_rate`` reports one point of it per document.
 
-    Scale shape: the corpus tokenizes ONCE; tokens join the ranked
-    vocabulary once (vocab-sized broadcast); every sweep point is a
-    CONDITIONAL SUM over that single annotated stream — one pass total,
-    not one scan per candidate size. Ranks break count ties by token
-    (total order); the rate is one division of exact ints per row."""
+    Scale shape (r13): the corpus tokenizes ONCE into per-token counts;
+    ``n_oov(n) = n_tokens − Σ c over the top-n tokens``, so the sweep
+    needs only the GLOBAL TOTAL (one 1-row aggregate) and the top
+    max(sweep) tokens — a parallel TakeOrdered, never a vocab-wide
+    single-partition rank window, and never a second pass over the
+    token stream (the former shape re-tokenized the corpus to join it
+    back against the ranked vocabulary, and its global row_number
+    serialized the whole vocab through one task — the in-lane variance
+    the bench kept showing). Ranks break count ties by token (total
+    order); the rate is one division of exact ints per row."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
             "tok"
         )
     )
-    cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    ranked = cnt.select(
-        "tok",
+    cnt = toks.groupBy("tok").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)  # feeds the total AND the top-k
+    tot = cnt.agg(F.sum("c").cast("long").alias("n_tokens"))
+    kmax = max(_VOCAB_SWEEP)
+    # TakeOrderedAndProject: parallel per-partition top-k + a k-row
+    # merge — the bounded replacement for the global rank window
+    top = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(kmax)
+    topr = top.select(
+        "c",
         F.row_number()
         .over(Window.orderBy(F.desc("c"), F.asc("tok")))
-        .alias("rk"),
+        .alias("rn"),  # window input is <= kmax rows by construction
     )
-    j = toks.join(F.broadcast(ranked), "tok").select("rk")
-    aggs = [F.count("*").alias("n_tokens")]
-    for n in _VOCAB_SWEEP:
-        aggs.append(
-            F.sum(F.when(F.col("rk") > n, 1).otherwise(0))
+    cov = topr.agg(
+        *[
+            F.sum(F.when(F.col("rn") <= n, F.col("c")).otherwise(0))
             .cast("long")
-            .alias(f"oov_{n}")
-        )
-    one = j.agg(*aggs)
+            .alias(f"cov_{n}")
+            for n in _VOCAB_SWEEP
+        ]
+    )
+    one = tot.crossJoin(F.broadcast(cov))
     sweep = spark.createDataFrame(
         [(n,) for n in _VOCAB_SWEEP], "vocab_size int"
     )
     n_oov = F.coalesce(
         *[
-            F.when(F.col("vocab_size") == n, F.col(f"oov_{n}"))
+            F.when(
+                F.col("vocab_size") == n,
+                F.col("n_tokens") - F.col(f"cov_{n}"),
+            )
             for n in _VOCAB_SWEEP
         ]
     )

@@ -557,9 +557,16 @@ def test_batch12_part4_no_python_and_broadcast_margins(plans):
     for q in (
         "chi_square_independence",  # contingency margins
         "benford_digit_test",  # 9-row expectation frame
-        "vocab_size_oov_curve",  # ranked-vocab join
+        "vocab_size_oov_curve",  # top-k coverage; no vocab join at all (r13)
     ):
         assert "SortMergeJoin" not in plans(q), q
+    # r13: the OOV sweep derives from per-token counts alone — the top
+    # of the vocabulary comes from a parallel TakeOrdered (per-partition
+    # top-k + k-row merge), never a vocab-wide single-partition rank
+    # window, and the token stream is never joined back (one corpus
+    # tokenize pass total).
+    p = plans("vocab_size_oov_curve", "simple")
+    assert "TakeOrdered" in p
     # r8: label-noise is CELL-BLOCKED — candidates come from ONE
     # equi-join on centroid_id (shuffle-partitionable; may legitimately
     # sort-merge). The r7 scale-killer shape — an all-pairs cross join
