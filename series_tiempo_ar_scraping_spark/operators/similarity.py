@@ -270,9 +270,14 @@ def kmeans_lloyd_micro(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
     )
+    # lazy checkpoints throughout (r13): every consumer is either a
+    # per-round broadcast build (which materializes the checkpoint) or
+    # the final action; the cache dedups repeat reads across those jobs
+    # exactly as the eager form did, without paying a synchronous
+    # materialization job per frame (~4 driver round-trips per call).
     vecs = vectors.select(
         F.col(id_col).alias("vid"), micro.alias("xi")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cent = (
         vecs.orderBy("vid")
         .limit(k)
@@ -282,7 +287,7 @@ def kmeans_lloyd_micro(
             ).alias("cid"),
             F.col("xi").alias("ci"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assign = None
     cands = cent.agg(F.collect_list(F.struct("cid", "ci")).alias("cands"))
@@ -337,7 +342,7 @@ def kmeans_lloyd_micro(
                     lambda s: s.getField("m"),
                 ).alias("ci")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cands = cent.agg(
             F.collect_list(F.struct("cid", "ci")).alias("cands")
@@ -380,11 +385,12 @@ def kmeans_lloyd_micro_grouped(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * 1000000.0 + 0.5).cast("long"),
     )
+    # lazy checkpoints (r13): same rationale as the flat kernel above
     vecs = vectors.select(
         F.col(group_col).alias("gid"),
         F.col(id_col).alias("vid"),
         micro.alias("xi"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     wg = Window.partitionBy("gid").orderBy("vid")
     kg = F.greatest(
         F.lit(floor),
@@ -402,7 +408,7 @@ def kmeans_lloyd_micro_grouped(
         )
         .filter(F.col("cid") < F.col("kg"))
         .drop("kg")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     assign = None
     cmap = cent.groupBy("gid").agg(
@@ -455,7 +461,7 @@ def kmeans_lloyd_micro_grouped(
                     lambda s: s.getField("m"),
                 ).alias("ci")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cmap = cent.groupBy("gid").agg(
             F.collect_list(F.struct("cid", "ci")).alias("cands")
