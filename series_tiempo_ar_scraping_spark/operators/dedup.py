@@ -416,9 +416,13 @@ def connected_components(
     # with its column-swap evaluates the (possibly expensive — LSH+Jaccard)
     # edge pipeline once per branch, so materialize it first and build the
     # reversal from the checkpointed RDD.
+    # lazy (r13): round 1's fingerprint job materializes e inside the
+    # round; the union's two branches read the same checkpointed RDD
+    # (one evaluation of the possibly-expensive edge pipeline), without
+    # a synchronous up-front materialization job.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sym = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -375,8 +375,8 @@ def minhash_jaccard_calibration(
     sh = toked.select(
         "doc_id",
         TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
-    ).localCheckpoint(eager=True)
-    sigs = D.minhash_signatures_from_shingles(sh).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    sigs = D.minhash_signatures_from_shingles(sh).localCheckpoint(eager=False)
     pairs = D.lsh_candidate_pairs(sigs)
     k = D.MINHASH_K
     a = sigs.select(
@@ -639,7 +639,7 @@ def _cms_term_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias("t")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probes = F.posexplode(
         F.array(
             *[

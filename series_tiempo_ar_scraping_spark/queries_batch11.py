@@ -80,7 +80,7 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
             "tok"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     cnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
     vocab = (
         cnt.orderBy(F.col("c").desc(), "tok")
@@ -170,7 +170,7 @@ def fuzzy_blocked_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(""),
             ),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     pairs = (
         names.alias("a")
@@ -317,7 +317,7 @@ def semantic_cluster_dedup(
             "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
         )
         .join(assign, "vec_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     x = mem.select(
         F.col("vec_id").alias("ka"),
@@ -590,7 +590,7 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str):
         F.concat(
             F.lit("  "), F.array_join(chars, "  "), F.lit("  ")
         ).alias("s"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges = []
     for r in range(_BPE_ROUNDS):
         t = F.filter(
@@ -616,7 +616,7 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str):
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.col("c").desc(), "s1", "s2")
             .limit(1)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         merges.append(
             best.select(
@@ -642,7 +642,7 @@ def _bpe_train_frames(spark: SparkSession, sf_dir: str):
                     "s"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return merges, cur
 
@@ -881,7 +881,7 @@ def hll_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bucket, rho = hll_bucket_rho(F.col("v"), _HLL_M)
-    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=True)
+    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=False)
     regs = rr.groupBy("stream", "bucket").agg(F.max("rho").alias("r"))
     ex = rr.groupBy("stream").agg(
         F.countDistinct("v").alias("exact_distinct")
@@ -1026,12 +1026,12 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = keyed.groupBy("stream", "k").agg(
         F.count("*").alias("cnt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = c.groupBy("stream").agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("total_rows"),
         F.max("cnt").alias("max_cnt"),
-    ).localCheckpoint(eager=True)  # 3 rows; reused by both joins below
+    ).localCheckpoint(eager=False)  # 3 rows; reused by both joins below
     hv = (
         c.join(F.broadcast(a), "stream")
         .filter(F.col("cnt") == F.col("max_cnt"))
@@ -1275,7 +1275,7 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(TX.tokens(TX.normalize_text(F.col("text")))).alias(
             "tok"
         ),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     base = docs.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
@@ -1399,7 +1399,7 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select(
         "doc_id",
         TX.tokens(TX.normalize_text(F.col("text"))).alias("t"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     flat = toked.select("doc_id", F.explode("t").alias("tok"))
     u = flat.groupBy("tok").agg(F.count("*").alias("cu"))
     tot = F.broadcast(u.agg(F.sum("cu").cast("long").alias("n")))
@@ -1507,7 +1507,7 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     st = flat.groupBy("source", "tok").agg(F.count("*").alias("cst"))
-    st = st.localCheckpoint(eager=True)
+    st = st.localCheckpoint(eager=False)
     s = st.groupBy("source").agg(F.sum("cst").cast("long").alias("cs"))
     t = st.groupBy("tok").agg(F.sum("cst").cast("long").alias("ct"))
     tot = F.broadcast(t.agg(F.sum("ct").cast("long").alias("n")))
@@ -1800,7 +1800,7 @@ def prefix_filter_jaccard_join(
     sh = toked.select(
         "doc_id",
         TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
@@ -1818,7 +1818,7 @@ def prefix_filter_jaccard_join(
     pref = ranked.filter(
         F.col("rk")
         <= F.col("sz") - F.ceil(t * F.col("sz")).cast("long") + 1
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     a = pref.select(
         F.col("doc_id").alias("doc_a"), "s", F.col("sz").alias("sza")
     )
@@ -1946,7 +1946,7 @@ def sorted_neighborhood_linkage(
     names = (
         parts.groupBy("p_name")
         .agg(F.count("*").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window
 

@@ -485,7 +485,7 @@ def hll_set_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     u = cohort(1995, "a").unionByName(cohort(1996, "b"))
     bucket, rho = hll_bucket_rho(F.col("v"), HLL_M)
-    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=True)
+    rr = u.select("stream", "v", bucket, rho).localCheckpoint(eager=False)
 
     def s_frame(regs: DataFrame, name: str) -> DataFrame:
         return regs.agg(
@@ -624,7 +624,7 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(
             F.array_distinct(TX.tokens(TX.normalize_text(F.col("text"))))
         ).alias("toks"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n = docs.agg(F.count("*").alias("n_docs"))
     # per-token document frequency: toks is unique per doc, so the
     # explode carries exactly the former presence rows
@@ -1330,7 +1330,7 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly once across the exploded arrays).
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     n = baskets.agg(F.count("*").alias("n_baskets"))
     item = (
         baskets.select(F.explode("parts").alias("l_partkey"))
@@ -2029,7 +2029,7 @@ def basket_recommender_hitrate(
     # replaces four, and the holdout/context joins disappear.
     baskets = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("parts")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ebask = baskets.filter(F.size("parts") >= 2).select(
         "l_orderkey",
         F.size("parts").alias("n_items"),
@@ -2357,7 +2357,7 @@ def label_noise_knn_disagreement(
             iters=_LN_KM_ITERS,
             nprobe_coarse=nprobe_coarse,
             nprobe_fine=nprobe_fine,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         key = (
             F.col("coarse_cid").cast("long") * F.lit(2**32)
             + F.col("fine_cid")
@@ -2381,7 +2381,7 @@ def label_noise_knn_disagreement(
         # probe cells = crank <= 2 (checkpointed: the window runs once)
         cells = (
             S.assign_clusters(emb, centroids, n_assign=2)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         own = cells.filter(F.col("crank") == 1).select(
             F.col("vec_id").alias("vb"), "centroid_id"
@@ -2622,7 +2622,7 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("event"),
         )
     )
-    u = u.localCheckpoint(eager=True)
+    u = u.localCheckpoint(eager=False)
     n_total = u.agg(F.count("*").alias("n_total"))
     grid = u.groupBy("duration").agg(
         F.sum("event").cast("long").alias("d"),
@@ -2828,7 +2828,7 @@ def embedding_power_iteration(
                 F.col("ya").cast("decimal(38,0)") * F.col("yb")
             ).alias("g")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = spark.range(1, 65).select(
         F.col("id").alias("d"),
@@ -3200,7 +3200,7 @@ def forecast_interval_coverage(
         .select(
             "series_id", "dday", (F.col("v") - F.col("v7")).alias("resid")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cut = r.agg((F.max("dday") - 7).alias("cutoff"))
     rc = r.crossJoin(F.broadcast(cut))
@@ -3317,7 +3317,7 @@ def chi_square_independence(
     obs = events.groupBy(
         "event_type", F.dayofweek("ts").cast("long").alias("dow")
     ).agg(F.count("*").alias("o"))
-    obs = obs.localCheckpoint(eager=True)
+    obs = obs.localCheckpoint(eager=False)
     rt = obs.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
     ct = obs.groupBy("dow").agg(F.sum("o").cast("long").alias("c"))
     n = obs.agg(F.sum("o").cast("long").alias("n"))
@@ -3616,7 +3616,7 @@ def spatial_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         (hash64_seeded(F.col("c_custkey").cast("string"), 12) % _SP_GRID)
         .alias("y"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     offs = F.array(*[F.lit(i) for i in (-1, 0, 1)])
     probe = (
         pts.select(
@@ -3788,7 +3788,7 @@ def graph_bounded_shortest_paths(
                 w_expr.alias("w"),
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # nodes checkpoints ONCE (r13): it appears twice in the initial
     # distance frame (under the broadcast min-id agg and as the join
@@ -3797,7 +3797,7 @@ def graph_bounded_shortest_paths(
     nodes = (
         li.select(F.col("l_partkey").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     src = nodes.agg(F.min("id").alias("s"))
     d = nodes.crossJoin(F.broadcast(src)).select(

@@ -697,7 +697,7 @@ def _dbscan_clusters_frame(
         .alias("x"),
         (hash64_seeded(F.col("c_custkey").cast("string"), 12) % grid)
         .alias("y"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # HALF-PAIR candidate generation (r13, guide §2.3): probe only 5
     # of the 9 neighborhood cells — same cell (tie-broken b > pid) and
     # the 4 "forward" offsets E/NE/N/NW; the 4 backward directions are
@@ -754,7 +754,7 @@ def _dbscan_clusters_frame(
             F.expr(f"nx DIV {_DB_SUB}").alias("sbx"),
             F.expr(f"ny DIV {_DB_SUB}").alias("sby"),
         )
-        .localCheckpoint(eager=True)  # reused: degrees, contraction, border
+        .localCheckpoint(eager=False)  # reused: degrees, contraction, border
     )
     cand = half.select("a", "b").unionByName(
         half.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -764,7 +764,7 @@ def _dbscan_clusters_frame(
         .agg(F.count("*").alias("n_nb"))
         .filter(F.col("n_nb") + 1 >= _DB_MINPTS)
         .select(F.col("a").alias("pid"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # GEOMETRIC PRE-CONTRACTION (r13, guide §2.2): cores sharing an
     # eps/sqrt(2) sub-cell are pairwise within eps, hence provably in
@@ -1835,7 +1835,7 @@ def graph_kcore_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("pb").alias("src"), F.col("pa").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     alive = edges.select(F.col("src").alias("id")).distinct()
     alive = alive.localCheckpoint(eager=False)

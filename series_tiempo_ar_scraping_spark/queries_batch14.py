@@ -1171,7 +1171,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b").alias("src"), F.col("a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("id")).distinct()
     deg = edges.groupBy(F.col("src").alias("id")).agg(
@@ -1180,7 +1180,7 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_deg = (
         edges.join(deg, edges["src"] == deg["id"])
         .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select(
         "id", F.lit(1000000).cast("bigint").alias("r")
@@ -2458,7 +2458,7 @@ def graph_degree_assortativity(
                 F.col("pb").alias("src"), F.col("pa").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)  # reused: degrees + both joins
+        .localCheckpoint(eager=False)  # reused: degrees + both joins
     )
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("d")
@@ -2670,7 +2670,7 @@ def embedding_index_pipeline(
     )
     survivors = corpus.join(
         dup_ids, "vec_id", "left_anti"
-    ).localCheckpoint(eager=True)  # feeds train + assign + both evals
+    ).localCheckpoint(eager=False)  # feeds train + assign + both evals
 
     cent_micro, _ = S.kmeans_lloyd_micro(
         survivors, k=_EIP_K, iters=_EIP_ITERS
@@ -3899,7 +3899,7 @@ def weiszfeld_geometric_median(
         (hash64_seeded(F.col("c_custkey").cast("string"), 12) % 10000)
         .cast("bigint")
         .alias("y"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     m = pts.groupBy("nk").agg(
         F.expr("SUM(x) DIV COUNT(*)").alias("mx"),
         F.expr("SUM(y) DIV COUNT(*)").alias("my"),

@@ -98,14 +98,14 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    edges = copurchase_edges(li).localCheckpoint(eager=False)
     # nodes checkpoints ONCE (r13): each of the 4 half-round normalize
     # joins used to re-plan the lineitem scan + distinct — 4 extra
     # corpus passes per call.
     nodes = (
         li.select(F.col("l_partkey").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     h = nodes.select("id", F.lit(1000000).cast("bigint").alias("v"))
 

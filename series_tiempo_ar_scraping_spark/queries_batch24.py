@@ -110,7 +110,7 @@ def triangle_count_clustering(
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    e = copurchase_edges(li).localCheckpoint(eager=True)
+    e = copurchase_edges(li).localCheckpoint(eager=False)
     deg = (
         e.select(F.col("src").alias("id"))
         .unionAll(e.select(F.col("dst").alias("id")))
@@ -245,7 +245,7 @@ def leakage_safe_split_assignment(
     edges = (
         QUERIES["dedup_ngram_jaccard"](spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     docs = load_table(spark, sf_dir, "documents")
     corpus_ids = docs.select("doc_id").unionByName(

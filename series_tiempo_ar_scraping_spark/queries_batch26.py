@@ -129,7 +129,7 @@ def label_propagation_communities(
     )
 
     li = load_table(spark, sf_dir, "lineitem")
-    e = copurchase_edges(li).localCheckpoint(eager=True)
+    e = copurchase_edges(li).localCheckpoint(eager=False)
     bi = e.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionAll(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))

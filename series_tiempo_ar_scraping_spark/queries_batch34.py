@@ -226,7 +226,7 @@ def isotonic_calibration_pava(
             F.count("*").cast("long").alias("w"),
             F.sum("label").cast("long").alias("s"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w_cum = (
         Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
@@ -367,7 +367,7 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         q.groupBy("nationkey", "band", "sensitive")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_total = cell.agg(F.sum("c").cast("long").alias("n"))
     glob = (

@@ -98,7 +98,7 @@ def als_rank1_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = (
         events.groupBy("user_id", "event_type")
         .agg(F.count("*").cast("long").alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     v0 = (
         r.select("event_type")
@@ -347,7 +347,7 @@ def topp_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "token")
         .agg(F.count("*").cast("long").alias("freq"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     order = [F.col("freq").desc(), F.col("token")]
     wr = Window.partitionBy("source").orderBy(*order)

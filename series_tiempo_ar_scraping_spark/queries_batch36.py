@@ -157,7 +157,7 @@ def skipgram_training_pairs(
         )
         .cast("bigint")
         .alias("w75"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     z = w.agg(F.sum("w75").cast("long").alias("z"))
     return (
         top.join(w.withColumnRenamed("token", "center"), "center")
@@ -259,7 +259,7 @@ def simpson_paradox_detector(
         F.sum((1 - F.col("hi")) * F.col("y"))
         .cast("long")
         .alias("y_lo"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pool = seg.agg(
         F.expr(
             "CAST(SUM(y_hi) * 1000000 DIV NULLIF(SUM(n_hi), 0)"
@@ -347,7 +347,7 @@ def mixture_temperature_sweep(
     s = (
         docs.groupBy("source")
         .agg(F.count("*").cast("long").alias("n_docs"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w = s.select(
         "source",

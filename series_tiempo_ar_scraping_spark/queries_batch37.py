@@ -198,7 +198,7 @@ def merkle_range_fingerprints(
     l0 = rows_h.groupBy(F.col("leaf").alias("node_id")).agg(
         F.sum(F.col("h") % _MK_P).cast("long").alias("sig"),
         F.count("*").cast("long").alias("n_rows"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def parent(level_df: DataFrame) -> DataFrame:
         return level_df.groupBy(

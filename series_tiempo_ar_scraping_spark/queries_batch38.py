@@ -208,7 +208,7 @@ def fellegi_sunter_weights(
     # the 1-row (m, u) counter frame feeds one union branch per
     # feature — checkpoint it so the match scan and the non-match join
     # run once, not once per feature
-    mu = m.crossJoin(F.broadcast(u)).localCheckpoint(eager=True)
+    mu = m.crossJoin(F.broadcast(u)).localCheckpoint(eager=False)
     feat = None
     for name, mc, uc in (
         ("nation", "a_nation", "u_nation"),

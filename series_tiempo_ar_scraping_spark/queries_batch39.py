@@ -266,7 +266,7 @@ def sinkhorn_matrix_scaling(
         )
         .agg(F.count("*").cast("long").alias("n_orders"))
         .withColumn("a0", F.col("n_orders") * 1000000)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     wr = Window.partitionBy("nationkey")
     wc = Window.partitionBy("priority")

@@ -275,12 +275,12 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 10 == 0, None)
         .otherwise(F.col("c_nationkey"))
         .alias("nk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     probe = nat.select(
         F.when(F.col("n_nationkey") % 7 == 0, None)
         .otherwise(F.col("n_nationkey"))
         .alias("pk")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     c.createOrReplaceTempView("_nsa_c")
     probe.createOrReplaceTempView("_nsa_probe")
 

@@ -114,7 +114,7 @@ def langid_confusion_matrix(
     cells = (
         guessed.groupBy("actual", "detected")
         .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = cells.groupBy("actual").agg(
         F.sum("n").cast("long").alias("n_actual")
@@ -227,7 +227,7 @@ def class_separation_report(
             F.count("*").cast("long").alias("n"),
             F.expr("SUM(xs) DIV COUNT(*)").alias("c"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     within = (
         flat.join(

@@ -118,7 +118,7 @@ def timeseries_forward_cv(
             .cast("bigint")
             .alias("v_micro")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bounds = daily.agg(
         F.min("dday").alias("mn"), F.max("dday").alias("mx")

@@ -144,7 +144,7 @@ def hashing_trick_doc_vectors(
             .cast("long")
             .alias("v")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     base_ids = corpus.filter(
         (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 100000)
@@ -280,7 +280,7 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rn"),
     )
-    top = o.filter(F.col("rn") <= _HILL_K).localCheckpoint(eager=True)
+    top = o.filter(F.col("rn") <= _HILL_K).localCheckpoint(eager=False)
     xk = top.filter(F.col("rn") == _HILL_K).select(
         "priority", F.col("cents").alias("k_cents")
     )

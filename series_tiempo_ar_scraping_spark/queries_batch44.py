@@ -160,7 +160,7 @@ def bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN s1 * 1000000 DIV n1 > s0 * 1000000 DIV n0 THEN 1"
             " ELSE 0 END"
         ).alias("policy_arm"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     greedy = chosen.agg(
         F.count("*").cast("long").alias("n_steps"),
         F.sum(

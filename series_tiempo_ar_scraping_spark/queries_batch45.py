@@ -106,7 +106,7 @@ def maxmin_fair_allocation(
     demand = (
         docs.groupBy("source")
         .agg(F.count("*").cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cap = demand.agg(
         F.expr("CAST(SUM(d) DIV 2 AS BIGINT)").alias("c"),

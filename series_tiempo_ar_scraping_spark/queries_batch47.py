@@ -113,7 +113,7 @@ def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("y")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     out = None
     for seed in _AA_SEEDS:
         arm = (
@@ -242,7 +242,7 @@ def median_ci_order_stats(
             )
         )
         .alias("rn"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     stats = o.groupBy("priority").agg(
         F.count("*").cast("long").alias("n"),
         F.expr("(COUNT(*) + 1) DIV 2").alias("r_med"),

@@ -163,7 +163,7 @@ def symspell_typo_candidates(
         )
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("freq"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = docs.agg(F.count("*").cast("long").alias("n_docs"))
     keys = F.expr(
@@ -286,7 +286,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cohorts = first_seen.select(
         "user_id", F.expr("d0 DIV 7").alias("cohort"), "d0"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sizes = cohorts.groupBy("cohort").agg(
         F.count("*").cast("long").alias("n_users")
     )

@@ -479,7 +479,7 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "outdeg", F.count("*").over(Window.partitionBy("src"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # nodes checkpoints ONCE (r13): each round's left join used to
     # re-plan the lineitem scan + distinct inside its checkpoint job —
@@ -487,7 +487,7 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         li.select(F.col("l_partkey").alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranks = nodes.select("id", F.lit(1000000).cast("bigint").alias("r"))
     for _ in range(3):

@@ -228,7 +228,7 @@ def cooccurrence_null_lift(
             (F.col("l_partkey") % 200).alias("item"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_orders = lines.agg(
         F.countDistinct("okey").cast("long").alias("n")

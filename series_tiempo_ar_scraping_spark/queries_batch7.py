@@ -380,7 +380,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return toked.select(
             id_name,
             TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
     shn = _shingled(surv, "new_id")
     shi = _shingled(docs, "doc_id")
@@ -646,7 +646,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))

@@ -302,7 +302,7 @@ def _curation_final(
         F.size(toks).cast("bigint").alias("n_tokens"),
     )
     if checkpoint:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.localCheckpoint(eager=False)
 
     # Stage 3 — MinHash-LSH near-dedup: drop the higher-id doc of every
     # verified candidate pair
@@ -483,7 +483,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     ).select(
         "doc_id", TX.shingles_from_tokens(toks, 3).alias("shingles")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     sigs = D.minhash_signatures_from_shingles(sh)
     cand = D.lsh_candidate_pairs(sigs)
     joined = cand.join(

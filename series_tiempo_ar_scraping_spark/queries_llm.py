@@ -188,7 +188,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = toked.select(
         "doc_id", TX.shingles_from_tokens(F.col("_toks"), 3).alias("shingles")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = D.lsh_candidate_pairs(D.minhash_signatures_from_shingles(sh))
     joined = (
         pairs.join(
