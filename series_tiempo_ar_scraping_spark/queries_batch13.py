@@ -295,7 +295,11 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.col("pos").cast("long").alias("pos"),
         hash64_seeded(F.col("s"), _SPAN_SEED).alias("h"),
-    )
+    ).localCheckpoint(eager=False)
+    # lazy checkpoint (r13): the duplicated-hash aggregate AND the semi
+    # join both read sh — uncheckpointed, the md5-heavy positional
+    # shingle projection executed twice (once inside the dup-set
+    # broadcast build, again in the main pass)
 
     dup = (
         sh.groupBy("h")
