@@ -672,7 +672,11 @@ def test_batch13_plan_properties(plans):
     assert "WindowGroupLimit" in p  # partial top-k before the shuffle
     assert "Join" not in p and "EvalPython" not in p
     p = plans("substring_span_dedup", "simple")
-    assert "Generate" in p  # positional shingles from a generator
+    # r13: the positional shingle generator runs inside the lazy
+    # checkpoint build (it feeds the dup-set aggregate AND the semi
+    # join — one evaluation); the final plan reads the checkpointed
+    # frame, so the pin moves from the Generate node to the RDD scan.
+    assert "Scan ExistingRDD" in p  # the checkpointed shingle frame
     assert "CartesianProduct" not in p and "EvalPython" not in p
     assert "LeftSemi" in p  # duplicated-hash membership as a semi join
     p = plans("mix_shift_decomposition", "simple")
