@@ -1232,31 +1232,54 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference/scrapers/validators.py family) generalized to the
     relational model (SURVEY V1-V3's cross-table sibling).
 
-    Scale shape: each relationship is one LEFT ANTI join — the parent
-    key side is dimension-sized for every relationship here and
-    broadcasts; counts reduce to one-row frames unioned into the
-    report. At 100 TB the fact-fact check (lineitem->orders) is the
-    only shuffle-bearing pair, and it shares the join key with every
-    order-enrichment query, so a bucketed layout (operators/layout.py)
-    removes even that exchange. All-integer output — hash-exact."""
+    Scale shape (r14, guide §2.3/§2.4): each relationship is ONE pass —
+    the child collapses map-side to a (key, cnt) frame (the same
+    keyed exchange the former count+countDistinct aggregate already
+    paid), and all three report metrics are a 1-row rollup of that
+    frame after a left join against the parent key: n_child = Σcnt,
+    n_child_keys = #non-null key groups, n_orphans = Σcnt over keys
+    with no parent match. The former shape paid TWO full child scans
+    per relationship (a counts aggregate + a separate anti-join pass)
+    plus a 1-row crossJoin; this pays one single-column scan, and the
+    join side the parent sees is ndv-sized, not fact-sized — at 100 TB
+    the fact-fact check (lineitem->orders) shuffles pre-aggregated
+    keys. The left join counts exactly what the oracle's NOT IN counts
+    BECAUSE parent keys are primary keys — unique and non-null at
+    every SF (verified across sf0.001/0.01/0.1; a duplicate parent key
+    would multiply kc rows where NOT IN does not, and a NULL parent
+    key would already diverge the oracle's own NOT IN semantics).
+    All-integer output — hash-exact."""
     frames = []
     for child, ck, parent, pk in _FK_RELS:
         cdf = load_table(spark, sf_dir, child)
         pdf = load_table(spark, sf_dir, parent)
-        orphans = cdf.filter(F.col(ck).isNotNull()).join(
+        kc = cdf.groupBy(F.col(ck).alias("__ck")).agg(
+            F.count("*").alias("__cnt")
+        )
+        joined = kc.join(
             pdf.select(F.col(pk).alias("__pk")),
-            F.col(ck) == F.col("__pk"),
-            "left_anti",
+            F.col("__ck") == F.col("__pk"),
+            "left",
         )
         frames.append(
-            # count + countDistinct combine into ONE aggregate (one child
-            # scan); only the orphan anti-join needs its own pass
-            cdf.agg(
-                F.count("*").alias("n_child"),
-                F.countDistinct(ck).alias("n_child_keys"),
-            )
-            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
-            .select(
+            joined.agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_child"),
+                F.count("__ck").cast("long").alias("n_child_keys"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__ck").isNotNull()
+                            & F.col("__pk").isNull(),
+                            F.col("__cnt"),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            ).select(
                 F.lit(f"{child}.{ck} -> {parent}.{pk}").alias(
                     "relationship"
                 ),
@@ -1764,47 +1787,53 @@ def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     carved deterministically from `orders` (key-modulus adds, deletes,
     and a re-stated price) so both engines derive identical inputs.
 
-    Scale shape: rows collapse to (key, fingerprint) BEFORE the join —
-    the diff shuffles two narrow frames, never the wide tables; change
-    detection is ONE string compare per key instead of N column
-    compares; the verdict aggregate is 4-row bounded with map-side
-    partials. At 100 TB both sides hash-partition on the same key, so
-    a bucketed layout removes the exchanges entirely."""
+    Scale shape (r14, guide §2.4): both snapshots are carved from the
+    SAME table on its unique primary key, so the full-outer join is a
+    row-wise identity — each orders row yields its verdict directly
+    (in-a/in-b membership from the key moduli, 'changed' from the two
+    fingerprints computed side by side) and the only shuffle left is
+    the 4-row verdict aggregate with map-side partials. The former
+    shape scanned orders twice and sort-merge-joined two fact-sized
+    (key, fp) frames. Exactness: o_orderkey is unique and non-null at
+    every SF (verified sf0.001/0.01/0.1; with duplicate keys a full
+    outer join would emit M×N matched rows and the per-row form would
+    not), and rows outside both snapshots (k%89=0 AND k%97=0) are
+    filtered — they never enter the join. Fingerprints that receive
+    byte-identical input strings (k%101<>0 — no restated price) are
+    equal by md5 determinism, so only the ~1% restated rows compute
+    the two md5s for the 'changed' test, exactly as the oracle
+    compares them. When the snapshots genuinely are two different
+    tables (the production CDC case), the former join form applies —
+    this entry's contract fixes both snapshots to deterministic carves
+    of `orders`."""
     orders = load_table(spark, sf_dir, "orders")
     price = F.col("o_totalprice").cast("decimal(12,2)")
+    k = F.col("o_orderkey")
 
-    def snap(pred, restate: bool) -> DataFrame:
-        p = (
-            F.when(F.col("o_orderkey") % 101 == 0, price + 1).otherwise(
-                price
+    def fp(p) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                p.cast("string"),
+                F.col("o_orderstatus"),
             )
-            if restate
-            else price
-        )
-        return orders.filter(pred).select(
-            F.col("o_orderkey").alias("k"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_custkey").cast("string"),
-                    p.cast("string"),
-                    F.col("o_orderstatus"),
-                )
-            ).alias("fp"),
         )
 
-    a = snap(F.col("o_orderkey") % 89 != 0, restate=False)
-    b = snap(F.col("o_orderkey") % 97 != 0, restate=True)
-    d = a.withColumnRenamed("fp", "fp_a").join(
-        b.withColumnRenamed("fp", "fp_b"), "k", "full_outer"
-    )
+    restated = F.when(k % 101 == 0, price + 1).otherwise(price)
     verdict = (
-        F.when(F.col("fp_a").isNull(), "added")
-        .when(F.col("fp_b").isNull(), "removed")
-        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        F.when(k % 89 == 0, "added")  # not in A (in B: filter below)
+        .when(k % 97 == 0, "removed")  # in A, not in B
+        # in both: fp_a <> fp_b can only differ where the input strings
+        # differ, i.e. on restated rows — md5 is deterministic
+        .when(k % 101 != 0, "unchanged")
+        .when(fp(price) != fp(restated), "changed")
         .otherwise("unchanged")
     )
-    return d.groupBy(verdict.alias("verdict")).agg(
+    d = orders.filter((k % 89 != 0) | (k % 97 != 0)).select(
+        k.alias("k"), verdict.alias("verdict")
+    )
+    return d.groupBy("verdict").agg(
         F.count("*").alias("n"),
         F.min("k").cast("long").alias("min_key"),
         F.max("k").cast("long").alias("max_key"),

@@ -523,15 +523,22 @@ def test_batch12_part3_plan_properties(plans):
     would be worse)."""
     p = plans("fk_integrity_audit")
     assert "SortMergeJoin" not in p  # every parent side broadcasts
+    # r14: one pass per relationship — the child collapses to a keyed
+    # count frame before the parent join (no separate anti-join scan,
+    # no 1-row crossJoin reassembly)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" not in p
     p = plans("association_rules_lift")
     assert "Generate" in p  # pairs from per-basket arrays, no self-join
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
     p = plans("text_readability_scores", "simple")
     assert "Exchange" not in p  # pure map-side projection
     p = plans("snapshot_diff_report", "simple")
-    # narrow (key, fp) frames meet in ONE full-outer sort-merge join
-    assert p.count("SortMergeJoin") == 1
-    assert "FullOuter" in p
+    # r14: the snapshots are carves of ONE table on its unique key, so
+    # the diff is a per-row verdict — no join of any kind remains and
+    # the only exchange is the 4-row verdict aggregate's
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
     p = plans("user_activity_entropy")
     assert "SortMergeJoin" not in p  # per-user totals broadcast back
 
@@ -614,14 +621,15 @@ def test_adaptive_k_default_keeps_blocked_plans(spark, sf_dir):
 
 def test_nightly_quality_report_composed_plan(plans):
     """The composed ops report is a UNION of four independent component
-    subtrees — pure JVM, no Python, and no sort-merge joins outside
-    the CDC branch's fact-fact full-outer (which is that component's
-    audited plan)."""
+    subtrees — pure JVM, no Python, and (r14) no sort-merge join
+    anywhere: the FK branch joins ndv-sized key-count frames against
+    broadcast parents and the CDC branch is a per-row verdict over one
+    orders scan (no join at all)."""
     p = plans("nightly_quality_report", "simple")
     assert "EvalPython" not in p
     assert "Union" in p
-    # the only SMJs are the CDC snapshot diff's (fact-fact full outer)
-    assert p.count("SortMergeJoin") <= 3
+    assert "SortMergeJoin" not in p
+    assert "LeftAnti" not in p
 
 
 def test_spatial_knn_generator_blocking_and_group_limit(plans):
