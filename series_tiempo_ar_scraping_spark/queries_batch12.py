@@ -1233,49 +1233,44 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational model (SURVEY V1-V3's cross-table sibling).
 
     Scale shape (r14, guide §2.3/§2.4): each relationship is ONE pass —
-    the child collapses map-side to a (key, cnt) frame (the same
-    keyed exchange the former count+countDistinct aggregate already
-    paid), and all three report metrics are a 1-row rollup of that
-    frame after a left join against the parent key: n_child = Σcnt,
-    n_child_keys = #non-null key groups, n_orphans = Σcnt over keys
+    a left join of the single child key column against the parent key,
+    then one aggregate computing all three metrics: n_child =
+    count(*), n_child_keys = the relationship's lone COUNT(DISTINCT)
+    (single-distinct planning — no Expand, the keyed exchange carries
+    ~ndv partial rows), n_orphans = the count of non-null child keys
     with no parent match. The former shape paid TWO full child scans
     per relationship (a counts aggregate + a separate anti-join pass)
-    plus a 1-row crossJoin; this pays one single-column scan, and the
-    join side the parent sees is ndv-sized, not fact-sized — at 100 TB
-    the fact-fact check (lineitem->orders) shuffles pre-aggregated
-    keys. The left join counts exactly what the oracle's NOT IN counts
+    plus a 1-row crossJoin reassembly; this pays one single-column
+    scan, and composed consumers that prune the distinct
+    (nightly_quality_report keeps only n_orphans) plan the branch as a
+    pure map-side broadcast-join + 1-row count — zero data exchange.
+    The left join counts exactly what the oracle's NOT IN counts
     BECAUSE parent keys are primary keys — unique and non-null at
     every SF (verified across sf0.001/0.01/0.1; a duplicate parent key
-    would multiply kc rows where NOT IN does not, and a NULL parent
-    key would already diverge the oracle's own NOT IN semantics).
-    All-integer output — hash-exact."""
+    would multiply joined rows where NOT IN does not, and a NULL
+    parent key would already diverge the oracle's own NOT IN
+    semantics). All-integer output — hash-exact."""
     frames = []
     for child, ck, parent, pk in _FK_RELS:
         cdf = load_table(spark, sf_dir, child)
         pdf = load_table(spark, sf_dir, parent)
-        kc = cdf.groupBy(F.col(ck).alias("__ck")).agg(
-            F.count("*").alias("__cnt")
-        )
-        joined = kc.join(
+        joined = cdf.select(F.col(ck).alias("__ck")).join(
             pdf.select(F.col(pk).alias("__pk")),
             F.col("__ck") == F.col("__pk"),
             "left",
         )
         frames.append(
             joined.agg(
-                F.coalesce(F.sum("__cnt"), F.lit(0))
+                F.count("*").cast("long").alias("n_child"),
+                F.countDistinct("__ck")
                 .cast("long")
-                .alias("n_child"),
-                F.count("__ck").cast("long").alias("n_child_keys"),
-                F.coalesce(
-                    F.sum(
-                        F.when(
-                            F.col("__ck").isNotNull()
-                            & F.col("__pk").isNull(),
-                            F.col("__cnt"),
-                        ).otherwise(0)
-                    ),
-                    F.lit(0),
+                .alias("n_child_keys"),
+                F.count(
+                    F.when(
+                        F.col("__ck").isNotNull()
+                        & F.col("__pk").isNull(),
+                        1,
+                    )
                 )
                 .cast("long")
                 .alias("n_orphans"),

@@ -1070,15 +1070,20 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal values can never straddle a boundary (the determinism trap in
     ntile()).
 
-    Scale shape: scores come from per-DISTINCT-VALUE count frames run
-    through the two-phase prefix sum (repartitionByRange + local window
-    + broadcast carry — never a single-partition global window), then
-    broadcast back onto the per-customer frame as tiny (value, score)
-    lookups. The per-customer frame itself is one orders aggregate.
-    Determinism: day counts, order counts, and cent sums are exact
-    ints; ceiling division is ``(cum*5 + n - 1) DIV n`` (positive
-    operands — the Spark DIV vs DuckDB // guard); the only double is
-    cents/100 at the edge."""
+    Scale shape (r14, guide §2.4): the three quantile scales share ONE
+    pass — the per-customer frame melts to a (metric, value) long frame
+    whose per-(metric, value) counts run through a single two-phase
+    prefix sum with a per-metric reset (one range exchange, one local
+    window, one carry — the former shape paid three of each), and the
+    per-metric (value, score) lookups are filters of the one
+    checkpointed score frame. recency/frequency lookups are genuinely
+    tiny — broadcast; monetary cents are near-distinct (the score frame
+    scales with the customer count), so that join must stay a shuffle
+    join at fleet scale. The per-customer frame itself is one orders
+    aggregate. Determinism: day counts, order counts, and cent sums
+    are exact ints; ceiling division is ``(cum*5 + n - 1) DIV n``
+    (positive operands — the Spark DIV vs DuckDB // guard); the only
+    double is cents/100 at the edge."""
     from series_tiempo_ar_scraping_spark.operators.distributed import (
         two_phase_prefix_sum,
     )
@@ -1105,29 +1110,45 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .localCheckpoint(eager=False)  # reused by 3 count frames + join
+        .localCheckpoint(eager=False)  # reused by the melt + join
     )
     n_frame = rfm.agg(F.count("*").cast("long").alias("n"))
 
-    def scores(value_col: str, invert: bool) -> DataFrame:
-        counts = rfm.groupBy(value_col).agg(F.count("*").alias("cnt"))
-        cum = two_phase_prefix_sum(
-            counts, [value_col], "cnt", out_col="cum"
-        )
-        q = F.expr("(cum * 5 + n - 1) DIV n")
-        return (
-            cum.crossJoin(F.broadcast(n_frame))
-            .select(
-                value_col,
-                (F.lit(6) - q if invert else q)
-                .cast("int")
-                .alias(f"{value_col}_score"),
+    _METRICS = ("recency_days", "frequency", "monetary_cents")
+    melted = rfm.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), F.col(c).alias("v")
+                    )
+                    for i, c in enumerate(_METRICS)
+                ]
             )
+        ).alias("p")
+    ).select("p.m", "p.v")
+    counts = melted.groupBy("m", "v").agg(F.count("*").alias("cnt"))
+    cum = two_phase_prefix_sum(
+        counts, ["v"], "cnt", out_col="cum", reset_cols=["m"]
+    )
+    q = F.expr("(cum * 5 + n - 1) DIV n")
+    score_lut = (
+        cum.crossJoin(F.broadcast(n_frame))
+        .select("m", "v", q.cast("int").alias("q"))
+        .localCheckpoint(eager=False)  # read once per metric below
+    )
+
+    def scores(i: int, value_col: str, invert: bool) -> DataFrame:
+        return score_lut.filter(F.col("m") == i).select(
+            F.col("v").alias(value_col),
+            (F.lit(6) - F.col("q") if invert else F.col("q"))
+            .cast("int")
+            .alias(f"{value_col}_score"),
         )
 
-    r_sc = scores("recency_days", invert=True)
-    f_sc = scores("frequency", invert=False)
-    m_sc = scores("monetary_cents", invert=False)
+    r_sc = scores(0, "recency_days", invert=True)
+    f_sc = scores(1, "frequency", invert=False)
+    m_sc = scores(2, "monetary_cents", invert=False)
     # recency (~thousands of day values) and frequency (tens) are
     # genuinely tiny lookups — broadcast. monetary cents are near-
     # DISTINCT (the score frame scales with the customer count), so
