@@ -790,32 +790,46 @@ def pq_encode(vectors: DataFrame, codebook: DataFrame, dim: int,
               vec_col: str = "embedding") -> DataFrame:
     """Encode every vector as M nearest-subspace-centroid codes.
 
-    One broadcast cross join against the (tiny) codebook and a single
-    grouped aggregate: code_m = argmin centroid of the subspace L2² —
-    expressed as MIN over (dist, centroid_id) structs, so ties break to
-    the smaller centroid deterministically. Map-side combinable; the
-    shuffle carries |vectors| rows of M small structs. At 64-dim float32
-    → 4 bytes/vector, a 64× memory cut for the search structure."""
+    Fully MAP-SIDE argmin (r14 — the r13 Lloyd-assignment idiom): the
+    codebook collapses to ONE array row (collect_list of (centroid_id,
+    centroid_vec) structs) broadcast to every task, and each vector
+    picks ``array_min`` over per-candidate (dist, centroid_id) structs
+    — ties break to the smaller centroid by struct order, exactly as
+    the former MIN-over-structs aggregate did. Zero exchange and one
+    codegen stage where the former K-way cross join + struct-min
+    grouped aggregate planned a SortAggregate over |vectors|·K rows
+    (struct buffers are not hash-aggregatable) plus a |vectors|-row
+    shuffle. At 64-dim float32 → 4 bytes/vector, a 64× memory cut for
+    the search structure."""
     sub_dim = dim // m
+    cb_row = codebook.agg(
+        F.collect_list(
+            F.struct("centroid_id", "centroid_vec")
+        ).alias("_cb")
+    )
     paired = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v")
-    ).crossJoin(F.broadcast(codebook))
-    dists = paired.select(
+    ).crossJoin(F.broadcast(cb_row))
+
+    # closure factory, NOT a default-arg lambda: a two-parameter lambda
+    # would make PySpark bind the second parameter to the ARRAY INDEX
+    def _cand(i: int):
+        return lambda c: F.struct(
+            l2sq(
+                _sub(F.col("_v"), i, sub_dim),
+                _sub(c["centroid_vec"], i, sub_dim),
+            ).alias("d"),
+            c["centroid_id"].alias("cid"),
+        )
+
+    return paired.select(
         id_col,
-        "centroid_id",
         *[
-            l2sq(_sub(F.col("_v"), i, sub_dim),
-                 _sub(F.col("centroid_vec"), i, sub_dim)).alias(f"d{i}")
-            for i in range(m)
-        ],
-    )
-    return dists.groupBy(id_col).agg(
-        *[
-            F.min(F.struct(F.col(f"d{i}"), F.col("centroid_id")))[
-                "centroid_id"
+            F.array_min(F.transform(F.col("_cb"), _cand(i)))[
+                "cid"
             ].alias(f"code{i}")
             for i in range(m)
-        ]
+        ],
     )
 
 
@@ -823,31 +837,35 @@ def pq_query_tables(queries: DataFrame, codebook: DataFrame, dim: int,
                     m: int = PQ_M, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-query ADC distance tables: one row per query with M arrays
-    (indexed by centroid_id) of subspace L2² distances — |queries|·K
-    intermediate rows collapsed by one grouped aggregate, then broadcast
-    to wherever candidates are scored."""
+    (indexed by centroid_id) of subspace L2² distances. Fully MAP-SIDE
+    (r14): the codebook collapses to ONE centroid_id-sorted array row
+    broadcast to every task, and each query computes its M tables as
+    ``transform`` projections of that array — zero exchange where the
+    former K-way cross join + collect_list/sort_array grouped
+    aggregate paid an ObjectHashAggregate shuffle of |queries|·K rows.
+    centroid_ids are dense and distinct, so the sorted struct array is
+    a total order and the table index stays exact."""
     sub_dim = dim // m
-    qd = queries.select(
+    cb_row = codebook.agg(
+        F.sort_array(
+            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+        ).alias("_cb")
+    )
+
+    def _tab(i: int):  # closure factory — see pq_encode
+        return lambda c: l2sq(
+            _sub(F.col("_q"), i, sub_dim),
+            _sub(c["centroid_vec"], i, sub_dim),
+        )
+
+    return queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    ).crossJoin(F.broadcast(codebook)).select(
+    ).crossJoin(F.broadcast(cb_row)).select(
         "query_id",
-        "centroid_id",
         *[
-            l2sq(_sub(F.col("_q"), i, sub_dim),
-                 _sub(F.col("centroid_vec"), i, sub_dim)).alias(f"qd{i}")
+            F.transform(F.col("_cb"), _tab(i)).alias(f"t{i}")
             for i in range(m)
         ],
-    )
-    return qd.groupBy("query_id").agg(
-        *[
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("centroid_id", f"qd{i}"))
-                ),
-                lambda s: s["qd" + str(i)],
-            ).alias(f"t{i}")
-            for i in range(m)
-        ]
     )
 
 
