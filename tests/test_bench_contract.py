@@ -32,6 +32,9 @@ def _fake_lane(scale: float) -> dict[str, float]:
 
 def _capture(timings, cold, tmp_path):
     os.environ["SPARK_GRAFT_BENCH_HISTORY"] = str(tmp_path / "hist.jsonl")
+    os.environ["SPARK_GRAFT_BENCH_PERQUERY"] = str(
+        tmp_path / "perquery.json"
+    )
     try:
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -39,6 +42,7 @@ def _capture(timings, cold, tmp_path):
         return out, buf.getvalue()
     finally:
         del os.environ["SPARK_GRAFT_BENCH_HISTORY"]
+        del os.environ["SPARK_GRAFT_BENCH_PERQUERY"]
 
 
 def test_final_line_fits_driver_tail_window(tmp_path):
@@ -81,6 +85,21 @@ def test_cold_lane_optional(tmp_path):
     out, _ = _capture(_fake_lane(1.0), {}, tmp_path)
     assert "value_cold" not in out
     assert json.dumps(out)  # still serializable
+
+
+def test_perquery_sidecar_published_whole(tmp_path):
+    """VERDICT r13 #1: the driver's PERF builder needs the full
+    per-query dict somewhere truncation can't eat it — a sidecar file
+    rewritten atomically each run, named on the final summary line."""
+    out, _ = _capture(_fake_lane(1.0), _fake_lane(2.0), tmp_path)
+    sidecar = json.loads((tmp_path / "perquery.json").read_text())
+    assert set(sidecar["per_query"]) == set(bench.BENCH_QUERIES)
+    assert set(sidecar["per_query_cold"]) == set(bench.BENCH_QUERIES)
+    assert sidecar["sf"] == 0.1 and "ts" in sidecar
+    # the summary line points at it without growing past the window
+    assert out["per_query_file"] == "perquery.json"
+    # no stray temp files left behind (atomic publish)
+    assert [p.name for p in tmp_path.glob("*.part.*")] == []
 
 
 def test_steal_contamination_marks_summary_and_warns(
