@@ -138,37 +138,51 @@ def minhash_signatures_from_shingles(
     exactly that reason).
     """
     harr = F.transform(
-        F.col(shingles_col),
-        lambda s: hash64_seeded(s, 0) % MINHASH_H_MOD,
+        F.col(shingles_col), lambda s: _mh_base_hash(s)
     )
     base = sh.filter(F.size(F.col(shingles_col)) > 0).select(
         F.col(id_col), harr.alias("_harr")
     )
+    def _rehash_i(a: int, b: int):
+        # closure factory, NOT a default-arg lambda: PySpark binds a
+        # second lambda parameter to the ARRAY INDEX
+        return lambda h: _mh_rehash(h, a, b)
+
     return base.select(
         F.col(id_col),
         *[
             F.array_min(
-                F.transform(
-                    F.col("_harr"),
-                    lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P,
-                )
+                F.transform(F.col("_harr"), _rehash_i(a, b))
             ).alias(f"sig{i}")
             for i, (a, b) in enumerate(MINHASH_AB[:k])
         ],
     )
 
 
+def _mh_base_hash(shingle):
+    """Per-shingle base hash — ONE definition for both signature paths
+    (ADVICE r13): the array form (minhash_signatures_from_shingles) and
+    the exploded form (minhash_signatures / _minhash_from_exploded)
+    must stay bit-identical or LSH banding and the incremental
+    new-vs-index matcher silently lose candidate recall."""
+    return hash64_seeded(shingle, 0) % MINHASH_H_MOD
+
+
+def _mh_rehash(h, a: int, b: int):
+    """The i-th affine re-hash — shared by both paths (see above)."""
+    return (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+
 def _minhash_from_exploded(
     exploded: DataFrame, id_col: str, k: int
 ) -> DataFrame:
     base = exploded.select(
-        id_col,
-        (hash64_seeded(F.col("shingle"), 0) % MINHASH_H_MOD).alias("_h"),
+        id_col, _mh_base_hash(F.col("shingle")).alias("_h")
     )
     hashed = base.select(
         id_col,
         *[
-            ((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            _mh_rehash(F.col("_h"), a, b).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB[:k])
         ],
     )
@@ -417,9 +431,12 @@ def connected_components(
     # edge pipeline once per branch, so materialize it first and build the
     # reversal from the checkpointed RDD.
     # lazy (r13): round 1's fingerprint job materializes e inside the
-    # round; the union's two branches read the same checkpointed RDD
-    # (one evaluation of the possibly-expensive edge pipeline), without
-    # a synchronous up-front materialization job.
+    # round — best-effort dedup via the persisted RDD (ADVICE r13: the
+    # two union branches are independent stages, so the scheduler MAY
+    # start both before the persisted blocks land and re-run parts of
+    # the edge pipeline; values are deterministic, so this is a
+    # variance risk only, and it measured cheaper than the eager
+    # form's synchronous up-front materialization job).
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint(eager=False)

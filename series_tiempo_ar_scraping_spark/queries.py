@@ -963,61 +963,54 @@ _DRIVER_GATE_PRIORITY = [
     "survival_kaplan_meier",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # Round-13 rotation (VERDICT r12 #2/#5), per the codified rule
-    # (changed-since-last-driver-verification outranks never-verified;
-    # backfill earliest-registered-first from the never-verified pool).
-    # Changed-first: the two cell-blocked kernels whose Spark text r13
-    # edited (blocking="auto" default — the gate fixtures resolve to
-    # the flat path, so the flat-derivation oracle stays the pin).
-    "label_noise_knn_disagreement",
-    "semantic_cluster_dedup",
+    # Round-14 rotation (VERDICT r13 #7 + the codified changed-first
+    # rule). The r13 rotation block (50/50 in CORRECTNESS_r13.json)
+    # rotates back to the local mirror. Changed-first: dedup_cc_star
+    # (the r13 CC-star rewrite was that round's least driver-verified
+    # semantic change — VERDICT r13 #6), the two r13-NEW oracled
+    # escalation entries (registered after the r13 gate dry-run), and
+    # the five entries whose Spark text r14 rewrote (one-pass FK
+    # audit, per-row snapshot diff, melted RFM prefix sum, map-side PQ
+    # encode/ADC ×2). nightly_quality_report — also r14-changed via
+    # its components — already holds a stable slot above.
+    "dedup_cc_star",
+    "semantic_cluster_dedup_two_level",
+    "label_noise_knn_two_level",
+    "fk_integrity_audit",
+    "snapshot_diff_report",
+    "rfm_customer_segments",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
     # Never-verified backfill (earliest-registered first — the oldest
-    # never-driver-verified code; the full r13 staging list from r12).
-    # The r12 block (50/50 in CORRECTNESS_r12.json, incl.
-    # two_level_codebook) rotates back to the local mirror.
-    "profile_table_columns",
-    "session_window_native",
-    "funnel_conversion",
-    "signup_cohort_retention",
-    "series_zscore_outliers",
-    "part_co_occurrence",
-    "streaming_click_purchase_join",
-    "weighted_avg_discount_udaf",
-    "skyline_orders_pareto",
-    "json_props_bucket_stats",
-    "streaming_dedup_event_totals",
-    "fuzzy_part_name_pairs",
-    "null_safe_segment_join",
-    "pagerank_part_graph",
-    "variant_props_stats",
-    "streaming_stateful_sessions",
-    "udtf_expand_series_calendar",
-    "lateral_top_customers_per_nation",
-    "json_error_channel_report",
-    "running_distinct_users",
+    # never-driver-verified code; the staged r14 list from r13).
+    "concurrent_sessions_by_day",
+    "q18_large_volume_orders",
+    "embedding_dim_profile",
+    "skew_salted_join_stats",
+    "trailing_7d_avg",
+    "long_word_extraction",
+    "series_forward_fill",
+    "ordered_string_agg",
+    "series_linear_interpolate",
+    "rolling_median_value",
+    "union_missing_columns",
+    "safe_arithmetic_report",
+    "table_fingerprint",
+    "decontamination_ngram_overlap",
 ]
-# Backlog after the r13 rotation: 155 of 365 entries driver-verified
-# at least once (assuming the r13 gate lands green — the union of
-# CORRECTNESS_r1-r12's 135 names, this round's 20 backfills, and the
-# gate's stable/changed rows); 210 never (all carry the full
-# local-mirror signal at two scales every round; the count is
-# reproducible from the CORRECTNESS_r*.json files + this list).
-# r14 rotation staging, per the changed-first rule: (1) the two
-# r13-NEW oracled entries semantic_cluster_dedup_two_level and
-# label_noise_knn_two_level (the escalated blocking paths —
-# registered after this round's gate dry-run, so they enter the gate
-# changed-first next round, the two_level_codebook r12 precedent),
-# then (2) any entry whose oracle/Spark text r14 edits without a
-# driver re-verification, then (3) never-verified backfill,
-# earliest-registered first:
-# concurrent_sessions_by_day, q18_large_volume_orders,
-# embedding_dim_profile, skew_salted_join_stats, trailing_7d_avg,
-# long_word_extraction, series_forward_fill, ordered_string_agg,
-# series_linear_interpolate, rolling_median_value,
-# union_missing_columns, safe_arithmetic_report, table_fingerprint,
-# decontamination_ngram_overlap, embedding_int8_quantization,
+# Backlog after the r14 rotation: the union of CORRECTNESS_r1-r13's
+# names, this round's 14 backfills and 2 first-gated new entries puts
+# ~171 of 365 entries driver-verified at least once; ~194 never (all
+# carry the full local-mirror signal at two scales every round; the
+# count is reproducible from the CORRECTNESS_r*.json files + this
+# list). r15 rotation staging, per the changed-first rule: (1) any
+# entry whose oracle/Spark text r15 edits without a driver
+# re-verification, then (2) never-verified backfill,
+# earliest-registered first: embedding_int8_quantization,
 # token_length_histogram, boilerplate_ngram_detection,
-# repetition_score, pii_pattern_scan, dataset_split_assignment.
+# repetition_score, pii_pattern_scan, dataset_split_assignment,
+# chunk_documents_fixed, tokenize_batch_stats, and onward in
+# registration order.
 # (approx_sketch_stats, the one oracle-less entry, is deliberately
 # skipped by backfill: the driver records only a rows-only check for
 # it — gate it once, last, when the oracled backlog is burned, for

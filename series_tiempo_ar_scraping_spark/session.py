@@ -12,6 +12,11 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One constant drives BOTH the AQE advisory partition size and the
+# SMJ->SHJ local-map threshold (which must be >= the advisory size to
+# ever fire) — see the conf comments in get_spark.
+_ADVISORY_PARTITION_BYTES = 64 * 1024 * 1024
+
 
 def get_spark(
     app_name: str = "series-tiempo-ar-scraping-spark",
@@ -49,13 +54,20 @@ def get_spark(
         # hash build. Runtime-gated per query per join, so it is
         # scale-adaptive by construction: big joins at fleet scale keep
         # sort-merge (partitions exceed the threshold), small/medium
-        # ones skip two sorts. 64 MB = the documented minimum that can
-        # fire (must be >= advisoryPartitionSizeInBytes); measured r13:
-        # -10..28% on the fact-fact join entries (fifo_cogs, cdc_apply,
-        # fk_integrity, dedup_eval), parity elsewhere.
+        # ones skip two sorts. The conversion can only fire when the
+        # threshold >= advisoryPartitionSizeInBytes, so BOTH are set
+        # here from ONE constant (ADVICE r13: hardcoding them equal but
+        # separately lets env-specific advisory tuning silently disable
+        # the conversion). 64 MB advisory = Spark's default; measured
+        # r13: -10..28% on the fact-fact join entries (fifo_cogs,
+        # cdc_apply, fk_integrity, dedup_eval), parity elsewhere.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(_ADVISORY_PARTITION_BYTES),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(64 * 1024 * 1024),
+            str(_ADVISORY_PARTITION_BYTES),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

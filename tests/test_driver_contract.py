@@ -84,33 +84,33 @@ _GATE_FIRST_50 = [
     "survival_kaplan_meier",
     "golden_record_survivorship",
     "split_leakage_audit",
-    # r13 rotation (VERDICT r12 #2/#5): changed-first (the two
-    # cell-blocked kernels that gained the blocking="auto" default),
-    # then the full 20-name staged never-verified backfill; two more
-    # redundant stable slots freed (q05_region_revenue,
-    # tumbling_hourly_counts — each family keeps an exemplar).
-    "label_noise_knn_disagreement",
-    "semantic_cluster_dedup",
-    "profile_table_columns",
-    "session_window_native",
-    "funnel_conversion",
-    "signup_cohort_retention",
-    "series_zscore_outliers",
-    "part_co_occurrence",
-    "streaming_click_purchase_join",
-    "weighted_avg_discount_udaf",
-    "skyline_orders_pareto",
-    "json_props_bucket_stats",
-    "streaming_dedup_event_totals",
-    "fuzzy_part_name_pairs",
-    "null_safe_segment_join",
-    "pagerank_part_graph",
-    "variant_props_stats",
-    "streaming_stateful_sessions",
-    "udtf_expand_series_calendar",
-    "lateral_top_customers_per_nation",
-    "json_error_channel_report",
-    "running_distinct_users",
+    # r14 rotation (VERDICT r13 #7 + changed-first rule): dedup_cc_star
+    # (r13's CC-star rewrite), the two r13-new escalation entries, the
+    # five r14-rewritten entries, then 14 never-verified backfills
+    # (earliest-registered first). The r13 block (50/50 in
+    # CORRECTNESS_r13.json) rotates back to the local mirror.
+    "dedup_cc_star",
+    "semantic_cluster_dedup_two_level",
+    "label_noise_knn_two_level",
+    "fk_integrity_audit",
+    "snapshot_diff_report",
+    "rfm_customer_segments",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "concurrent_sessions_by_day",
+    "q18_large_volume_orders",
+    "embedding_dim_profile",
+    "skew_salted_join_stats",
+    "trailing_7d_avg",
+    "long_word_extraction",
+    "series_forward_fill",
+    "ordered_string_agg",
+    "series_linear_interpolate",
+    "rolling_median_value",
+    "union_missing_columns",
+    "safe_arithmetic_report",
+    "table_fingerprint",
+    "decontamination_ngram_overlap",
 ]
 
 

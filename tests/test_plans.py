@@ -658,8 +658,15 @@ def test_bellman_ford_plan_is_checkpoint_truncated(plans):
     p = plans("graph_bounded_shortest_paths", "simple")
     assert "Scan ExistingRDD" in p  # checkpointed edge/distance frames
     assert "FileScan" not in p  # no lineage leak past the checkpoints
-    # exactly one round's shape: the relaxation join + the left merge
-    assert p.count("Join") <= 2
+    # exactly one round's shape, pinned by CONCRETE operator names
+    # (ADVICE r13: a bare `count("Join") <= 2` could not tell a healthy
+    # join pair from a nested-loop/cartesian regression): exactly the
+    # relaxation join (SMJ in the static plan; AQE may convert it to a
+    # shuffled-hash at runtime) + the left-merge hash join — and never
+    # a nested-loop or cartesian shape
+    assert p.count("Join") == 2
+    assert p.count("HashJoin") + p.count("SortMergeJoin") == 2
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
 
 
 def test_batch13_plan_properties(plans):
