@@ -996,7 +996,7 @@ _DRIVER_GATE_PRIORITY = [
     "union_missing_columns",
     "safe_arithmetic_report",
     "table_fingerprint",
-    "decontamination_ngram_overlap",
+    "incremental_dedup",
 ]
 # Backlog after the r14 rotation: the union of CORRECTNESS_r1-r13's
 # names, this round's 14 backfills and 2 first-gated new entries puts

@@ -357,13 +357,24 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat(F.col("text"), F.lit("x"))), F.lit(" tail"),
         ).alias("text"),
     )
-    newb = exact_new.unionByName(near_new).unionByName(novel_new)
+    # r14 (guide §5): newb is a 3-branch filtered union of the docs
+    # scan with THREE consumers (the exact-hash join, the anti-join
+    # survivor frame, the final verdict assembly) and exact has two —
+    # un-checkpointed, each consumer re-executed the union (up to 9
+    # documents scans in one execution). Lazy checkpoints materialize
+    # each once inside the first job that touches it.
+    newb = (
+        exact_new.unionByName(near_new)
+        .unionByName(novel_new)
+        .localCheckpoint(eager=False)
+    )
 
     exact = (
         newb.select("new_id", F.md5("text").alias("_h"))
         .join(docs.select(F.md5("text").alias("_h"), "doc_id"), "_h")
         .groupBy("new_id")
         .agg(F.min("doc_id").alias("match_id"))
+        .localCheckpoint(eager=False)
     )
     surv = newb.join(exact, "new_id", "left_anti")
 

@@ -110,7 +110,7 @@ _GATE_FIRST_50 = [
     "union_missing_columns",
     "safe_arithmetic_report",
     "table_fingerprint",
-    "decontamination_ngram_overlap",
+    "incremental_dedup",
 ]
 
 
